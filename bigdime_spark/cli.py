@@ -1,0 +1,120 @@
+"""spark-submit entrypoint (SURVEY §3.2 entry point 1; BASELINE.json:14
+"run via spark-submit --py-files on a multi-executor cluster").
+
+Usage (cluster):
+    spark-submit --py-files bigdime_spark.zip -m bigdime_spark.cli run \
+        --raw <table-or-dir> --curated <table-or-dir> --manifest <dir> \
+        --out <dir> --lineage <dir> --run-id r1
+
+    python -m bigdime_spark.cli synth --rows 10000 --parts 16 --out /tmp/fx
+    python -m bigdime_spark.cli run --raw /tmp/fx/raw --curated /tmp/fx/curated \
+        --manifest /tmp/fx/manifest --out /tmp/out --lineage /tmp/out/lineage
+
+Prints ONE summary JSON line on stdout; all tables land as parquet
+(Iceberg when the runtime jar is present — sources/tables.py seam).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bigdime_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="write a deterministic raw/curated/manifest fixture")
+    s.add_argument("--rows", type=int, default=10_000)
+    s.add_argument("--parts", type=int, default=16)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--out", required=True)
+    s.add_argument("--drift-parts", type=str, default="", help="comma-separated part indexes with shifted w/h")
+
+    r = sub.add_parser("run", help="run the validation suite")
+    r.add_argument("--raw", required=True, help="raw snapshot (Iceberg table id or parquet dir)")
+    r.add_argument("--curated", default=None)
+    r.add_argument("--manifest", default=None)
+    r.add_argument("--out", required=True, help="output dir for verdicts/violations/stats")
+    r.add_argument("--lineage", default=None, help="lineage table dir (enables resume)")
+    r.add_argument("--run-id", default=None)
+    r.add_argument("--no-resume", action="store_true")
+    r.add_argument("--decode", action="store_true", help="enable the pixel-decode pass")
+    r.add_argument("--decode-seed", type=int, default=None)
+    r.add_argument("--topk-violations", type=int, default=None)
+    r.add_argument("--master", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from bigdime_spark.session import get_spark
+    from bigdime_spark.sources.tables import read_table, write_table
+
+    if args.cmd == "synth":
+        from bigdime_spark.sources.synth import build_fixture
+
+        spark = get_spark("bigdime-synth")
+        drift = tuple(int(x) for x in args.drift_parts.split(",") if x != "")
+        fx = build_fixture(spark, n_rows=args.rows, n_parts=args.parts, seed=args.seed, drift_parts=drift)
+        write_table(fx.raw, f"{args.out}/raw")
+        write_table(fx.curated, f"{args.out}/curated")
+        write_table(fx.manifest, f"{args.out}/manifest", partition_by=None)
+        print(json.dumps({"cmd": "synth", "rows": args.rows, "parts": args.parts, "out": args.out}))
+        return 0
+
+    from bigdime_spark.plans.suite import ValidationSuite
+    from bigdime_spark.schema import FAIL
+
+    spark = get_spark("bigdime-validate", master=args.master)
+    t0 = time.monotonic()
+    raw = read_table(spark, args.raw)
+    curated = read_table(spark, args.curated) if args.curated else None
+    manifest = read_table(spark, args.manifest) if args.manifest else None
+    suite = ValidationSuite(
+        not_null=("image_id", "caption", "w", "h", "fmt"),
+        check_decode=args.decode,
+        decode_seed=args.decode_seed,
+        topk_violations=args.topk_violations,
+    )
+    res = suite.run(
+        spark,
+        raw,
+        curated,
+        manifest,
+        run_id=args.run_id,
+        lineage_path=args.lineage,
+        resume=not args.no_resume,
+    )
+    write_table(res.verdicts, f"{args.out}/verdicts", partition_by=None)
+    write_table(res.violations, f"{args.out}/violations", partition_by=None)
+    write_table(res.stats.drop(*[c for c in res.stats.columns if c.endswith("__hll")]), f"{args.out}/stats", partition_by=None)
+
+    lineage_rows = res.lineage.collect()
+    n_parts = len(lineage_rows)
+    rows_scanned = sum(r["rows_scanned"] for r in lineage_rows)
+    n_failed = sum(1 for r in lineage_rows if r["status"] == "FAILED")
+    n_violations = res.violations.count()
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "cmd": "run",
+                "run_id": res.run_id,
+                "parts_validated": n_parts,
+                "parts_failed": n_failed,
+                "rows_scanned": rows_scanned,
+                "violations": n_violations,
+                "schema_mismatches": len(res.schema_violations),
+                "images_per_sec": round(rows_scanned / wall, 1) if wall > 0 else None,
+                "wall_sec": round(wall, 2),
+            }
+        )
+    )
+    return 1 if (n_failed or res.schema_violations) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

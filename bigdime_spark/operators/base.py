@@ -1,0 +1,117 @@
+"""Constraint framework (SURVEY §2.B signature convention).
+
+The reference's ``Validator`` interface is ``validate(event) →
+ValidationResponse{PASSED,FAILED,INCOMPLETE_SETUP,NOT_READY}``, one
+imperative call per validator per input unit [public knowledge,
+SURVEY §0]. Here a constraint is *declarative*: it contributes
+
+- ``agg_exprs`` — Columns fused into the suite's single
+  ``groupBy(part).agg(...)`` pass (one scan + one shuffle serves
+  every AggConstraint, SURVEY §3.2 pass 3), plus
+- ``verdict_col`` / ``observed_col`` / ``expected_col`` — expressions
+  over the fused-agg row (after the broadcast manifest join), plus
+- ``violations(df)`` — the row-level violation DataFrame.
+
+Constraints that inherently need their own shuffle (uniqueness,
+referential, caption equality, drift, decode) implement
+``TableConstraint.run`` instead and return (verdicts, violations).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdime_spark.schema import VIOLATION_SCHEMA
+
+
+@dataclass
+class SuiteContext:
+    spark: SparkSession
+    raw: DataFrame
+    curated: DataFrame | None = None
+    manifest: DataFrame | None = None
+    #: all partition values under validation (small DF: one row per part)
+    parts: DataFrame | None = None
+    extras: dict = field(default_factory=dict)
+
+
+class AggConstraint:
+    """Fusable per-partition constraint."""
+
+    name: str
+
+    def pre_columns(self) -> dict[str, Column]:
+        """Extra projected columns the agg needs (e.g. the row digest)."""
+        return {}
+
+    def agg_exprs(self) -> list[Column]:
+        raise NotImplementedError
+
+    def verdict_col(self) -> Column:
+        raise NotImplementedError
+
+    def observed_col(self) -> Column:
+        return F.lit(None).cast("string")
+
+    def expected_col(self) -> Column:
+        return F.lit(None).cast("string")
+
+    def needs_manifest(self) -> bool:
+        return False
+
+    def violations(self, df: DataFrame, snapshot: str) -> DataFrame | None:
+        return None
+
+
+class TableConstraint:
+    """Cross-partition / cross-snapshot constraint with its own plan."""
+
+    name: str
+
+    def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame | None]:
+        """→ (verdicts[part, constraint, verdict, observed, expected],
+        violations | None)."""
+        raise NotImplementedError
+
+
+def violation_rows(
+    df: DataFrame,
+    constraint: str,
+    column: str | None,
+    detail: Column,
+    snapshot: str,
+    part_col: str = "part",
+    image_id_col: str = "image_id",
+) -> DataFrame:
+    """Project any row-set onto the common violations schema (B24)."""
+    return df.select(
+        F.lit(constraint).alias("constraint"),
+        F.col(part_col).cast("string").alias("part"),
+        F.col(image_id_col).cast("string").alias("image_id"),
+        F.lit(column).cast("string").alias("column"),
+        detail.cast("string").alias("detail"),
+        F.lit(snapshot).alias("snapshot"),
+    )
+
+
+def empty_violations(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], VIOLATION_SCHEMA)
+
+
+def fill_pass_for_missing_parts(verdicts: DataFrame, parts: DataFrame, constraint: str) -> DataFrame:
+    """Table constraints emit explicit rows only for failing parts; this
+    left-joins against the full part list so every (part × constraint)
+    gets a verdict (missing → PASS)."""
+    return (
+        parts.join(verdicts, "part", "left")
+        .select(
+            "part",
+            F.lit(constraint).alias("constraint"),
+            F.coalesce(F.col("verdict"), F.lit("PASS")).alias("verdict"),
+            F.col("observed").cast("string").alias("observed"),
+            F.col("expected").cast("string").alias("expected"),
+        )
+    )

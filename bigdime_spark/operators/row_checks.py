@@ -1,0 +1,92 @@
+"""Row-predicate constraints: not-null (B15) and domain/range (B22).
+
+The reference's null validators reject batches containing NULLs in
+required columns (BASELINE.json:6 "null validators"); DomainCheck
+generalises them to arbitrary data-quality predicates, all evaluated
+JVM-side inside the fused aggregation (whole-stage codegen — no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators.base import AggConstraint, violation_rows
+from bigdime_spark.schema import FAIL, PASS
+
+
+class NotNull(AggConstraint):
+    def __init__(self, column: str):
+        self.column = column
+        self.name = f"not_null.{column}"
+        self._agg = f"nn_{column}__nulls"
+
+    def agg_exprs(self) -> list[Column]:
+        return [F.count_if(F.col(self.column).isNull()).alias(self._agg)]
+
+    def verdict_col(self) -> Column:
+        return F.when(F.col(self._agg) == 0, F.lit(PASS)).otherwise(F.lit(FAIL))
+
+    def observed_col(self) -> Column:
+        return F.concat(F.lit("nulls="), F.col(self._agg).cast("string"))
+
+    def expected_col(self) -> Column:
+        return F.lit("nulls=0")
+
+    def violations(self, df: DataFrame, snapshot: str) -> DataFrame:
+        return violation_rows(
+            df.filter(F.col(self.column).isNull()),
+            self.name,
+            self.column,
+            F.lit("null in required column"),
+            snapshot,
+        )
+
+
+class DomainCheck(AggConstraint):
+    """PASS iff no row strictly violates ``predicate`` (NULL inputs are
+    the not-null validator's business, not this one's)."""
+
+    def __init__(self, name: str, predicate: Column, column: str, detail: str | None = None):
+        self.name = f"domain.{name}"
+        self.predicate = predicate
+        self.column = column
+        self.detail = detail or f"violates {name}"
+        self._agg = f"dom_{name}__bad"
+
+    def agg_exprs(self) -> list[Column]:
+        return [F.count_if(~self.predicate).alias(self._agg)]
+
+    def verdict_col(self) -> Column:
+        return F.when(F.col(self._agg) == 0, F.lit(PASS)).otherwise(F.lit(FAIL))
+
+    def observed_col(self) -> Column:
+        return F.concat(F.lit("bad_rows="), F.col(self._agg).cast("string"))
+
+    def expected_col(self) -> Column:
+        return F.lit("bad_rows=0")
+
+    def violations(self, df: DataFrame, snapshot: str) -> DataFrame:
+        return violation_rows(
+            df.filter(~self.predicate),
+            self.name,
+            self.column,
+            F.lit(self.detail),
+            snapshot,
+        )
+
+
+def default_image_domain_checks() -> list[DomainCheck]:
+    """Domain constraints for the BASELINE.json:15 image schema."""
+    from bigdime_spark.sources.synth import ALL_FMTS
+
+    return [
+        DomainCheck("w_positive", F.col("w") > 0, "w", "w must be > 0"),
+        DomainCheck("h_positive", F.col("h") > 0, "h", "h must be > 0"),
+        DomainCheck(
+            "fmt_known",
+            F.col("fmt").isin(list(ALL_FMTS)),
+            "fmt",
+            "unknown encoding format",
+        ),
+    ]

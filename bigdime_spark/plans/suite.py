@@ -1,0 +1,302 @@
+"""ValidationSuite — the engine's driver (SURVEY §3.2, reference A7).
+
+Replaces the reference's per-unit imperative ``ValidationHandler``
+loop with a handful of declarative Spark plans:
+
+  pass 1  schema validators             driver-side StructType diff, no job
+  pass 2  resume filter                 IN-filter on `part` → partition pruning
+  pass 3  STATS+CONSTRAINTS             ONE groupBy(part).agg(<everything>)
+          (bytes-free projection → parquet never reads image pages)
+  pass 3b CHECKSUM                      groupBy(part).agg(xor/sum of xxhash64)
+          (the only full-content scan besides decode)
+  pass 4  cross-table constraints       uniqueness / referential / caption / drift
+  pass 5  decode (optional, heavy)      mapInArrow — the only Python boundary
+  pass 6  verdicts + violations + lineage append
+
+Verdict enum preserved from the reference's ValidationResult:
+PASS / FAIL / SKIPPED_CONFIG (≈ INCOMPLETE_SETUP) / NOT_READY.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators.base import (
+    AggConstraint,
+    SuiteContext,
+    TableConstraint,
+    empty_violations,
+)
+from bigdime_spark.operators.caption import CaptionEquality
+from bigdime_spark.operators.checksum import Checksum
+from bigdime_spark.operators.decode import DecodeIntegrity
+from bigdime_spark.operators.drift import DEFAULT_DRIFT_COLUMNS, DriftCheck
+from bigdime_spark.operators.record_count import RecordCount
+from bigdime_spark.operators.referential import Referential
+from bigdime_spark.operators.row_checks import NotNull, default_image_domain_checks
+from bigdime_spark.operators.stats import StatsProfile, default_image_stats
+from bigdime_spark.operators.uniqueness import Uniqueness
+from bigdime_spark.plans import lineage as lin
+from bigdime_spark.schema import (
+    FAIL,
+    IMAGE_SCHEMA_PARTITIONED,
+    PASS,
+    STATS_COLUMNS,
+    VIOLATION_SCHEMA,
+    diff_schema,
+)
+
+
+@dataclass
+class SuiteResult:
+    run_id: str
+    verdicts: DataFrame
+    violations: DataFrame
+    stats: DataFrame
+    lineage: DataFrame
+    schema_violations: list
+    wall_ms: int = 0
+
+    def failed_parts(self) -> list[str]:
+        return [
+            r["part"]
+            for r in self.verdicts.filter(F.col("verdict") == FAIL)
+            .select("part")
+            .distinct()
+            .collect()
+        ]
+
+
+@dataclass
+class ValidationSuite:
+    """Configure once, run per snapshot-pair (reference A7/A8: the
+    validator registry; here constraints are composable objects)."""
+
+    declared_schema: object | None = None
+    not_null: tuple[str, ...] = ("image_id",)
+    check_record_count: bool = True
+    check_checksum: bool = True
+    check_uniqueness: bool = True
+    check_referential: bool = True
+    check_caption: bool = True
+    check_drift: bool = True
+    check_domains: bool = True
+    check_decode: bool = False
+    decode_seed: int | None = None
+    drift_specs: tuple = DEFAULT_DRIFT_COLUMNS
+    stats: StatsProfile | None = None
+    topk_violations: int | None = None
+    extra_agg_constraints: list = field(default_factory=list)
+    extra_table_constraints: list = field(default_factory=list)
+
+    # ------------------------------------------------------------ wiring
+
+    def _agg_constraints(self) -> list[AggConstraint]:
+        out: list[AggConstraint] = [RecordCount()] if self.check_record_count else []
+        if self.check_checksum:
+            out.append(Checksum())
+        out += [NotNull(c) for c in self.not_null]
+        if self.check_domains:
+            out += default_image_domain_checks()
+        out += list(self.extra_agg_constraints)
+        return out
+
+    def _table_constraints(self, has_curated: bool) -> list[TableConstraint]:
+        out: list[TableConstraint] = []
+        if self.check_uniqueness:
+            out.append(Uniqueness("image_id"))
+        if has_curated and self.check_referential:
+            out.append(Referential("image_id"))
+        if has_curated and self.check_caption:
+            out.append(CaptionEquality())
+        if has_curated and self.check_drift:
+            out.append(DriftCheck(self.drift_specs))
+        if self.check_decode:
+            out.append(DecodeIntegrity(seed=self.decode_seed))
+        out += list(self.extra_table_constraints)
+        return out
+
+    # -------------------------------------------------------------- run
+
+    def run(
+        self,
+        spark: SparkSession,
+        raw: DataFrame,
+        curated: DataFrame | None = None,
+        manifest: DataFrame | None = None,
+        run_id: str | None = None,
+        lineage_path: str | None = None,
+        resume: bool = True,
+    ) -> SuiteResult:
+        t0 = time.monotonic()
+        run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
+        declared = self.declared_schema or IMAGE_SCHEMA_PARTITIONED
+
+        # pass 1 — schema validators (driver-side, no job)
+        schema_viol = diff_schema(declared, raw.schema)
+        schema_viol_df = (
+            spark.createDataFrame(
+                [(f"schema.{v.kind}", "*", None, v.column, v.detail, "raw") for v in schema_viol],
+                VIOLATION_SCHEMA,
+            )
+            if schema_viol
+            else empty_violations(spark)
+        )
+        schema_verdict_df = spark.createDataFrame(
+            [
+                (
+                    "*",
+                    "schema",
+                    PASS if not schema_viol else FAIL,
+                    f"mismatches={len(schema_viol)}",
+                    "mismatches=0",
+                )
+            ],
+            "part string, constraint string, verdict string, observed string, expected string",
+        )
+
+        # pass 2 — resume filter (partition pruning on `part`)
+        store = lin.LineageStore(lineage_path) if lineage_path else None
+        done: list[str] = []
+        if store is not None and resume and store.exists():
+            done = [r["part"] for r in store.validated_parts(spark).collect()]
+        raw = lin.apply_resume_filter(raw, done)
+        if curated is not None:
+            curated = lin.apply_resume_filter(curated, done)
+
+        # pass 3 — the fused stats+constraints aggregation
+        agg_constraints = self._agg_constraints()
+        stats = self.stats or default_image_stats()
+        light = [c for c in agg_constraints if not isinstance(c, Checksum)]
+        heavy = [c for c in agg_constraints if isinstance(c, Checksum)]
+
+        stats_cols = [c for c in STATS_COLUMNS if c in raw.columns]
+        projected = raw.select("part", *stats_cols)  # bytes never scanned here
+        exprs = list(stats.agg_exprs())
+        for c in light:
+            exprs.extend(c.agg_exprs())  # aliases are unique by construction
+        fused = projected.groupBy("part").agg(*exprs)
+
+        if heavy:  # pass 3b — full-content checksum scan
+            cs = heavy[0]
+            pre = raw
+            for name, col in cs.pre_columns().items():
+                pre = pre.withColumn(name, col)
+            cs_agg = pre.groupBy("part").agg(*cs.agg_exprs())
+            fused = fused.join(cs_agg, "part", "full_outer")
+
+        if manifest is not None:
+            fused = fused.join(F.broadcast(manifest), "part", "left")
+        elif any(c.needs_manifest() for c in agg_constraints):
+            for col in ("expected_rows", "expected_xor", "expected_sum"):
+                fused = fused.withColumn(col, F.lit(None))
+        fused = fused.cache()  # tiny: one row per partition
+
+        # long-format verdicts via inline(array(struct(...)))
+        structs = [
+            F.struct(
+                F.lit(c.name).alias("constraint"),
+                c.verdict_col().alias("verdict"),
+                c.observed_col().cast("string").alias("observed"),
+                c.expected_col().cast("string").alias("expected"),
+            )
+            for c in agg_constraints
+        ]
+        agg_verdicts = fused.select("part", F.inline(F.array(*structs))).select(
+            "part", "constraint", "verdict", "observed", "expected"
+        )
+
+        parts = fused.select("part")
+        ctx = SuiteContext(
+            spark=spark, raw=raw, curated=curated, manifest=manifest, parts=parts
+        )
+
+        # pass 3 violations (row-level, lazily unioned)
+        verdict_frames_head = [schema_verdict_df]
+        violation_frames = [schema_viol_df]
+        for c in agg_constraints:
+            v = c.violations(raw, "raw")
+            if v is not None:
+                violation_frames.append(v)
+
+        # pass 4/5 — table constraints
+        verdict_frames = verdict_frames_head + [agg_verdicts]
+        for tc in self._table_constraints(curated is not None):
+            v_df, viol = tc.run(ctx)
+            verdict_frames.append(v_df)
+            if viol is not None:
+                violation_frames.append(viol)
+
+        verdicts = verdict_frames[0]
+        for fdf in verdict_frames[1:]:
+            verdicts = verdicts.unionByName(fdf)
+
+        # partition-level constraints (no single offending row) still owe
+        # "one row per failed constraint with partition lineage"
+        # (BASELINE.json:6) — synthesize it from the verdict itself.
+        partition_level = verdicts.filter(
+            (F.col("verdict") == FAIL)
+            & F.col("constraint").rlike(r"^(record_count|checksum|drift_)")
+        ).select(
+            "constraint",
+            "part",
+            F.lit(None).cast("string").alias("image_id"),
+            F.lit(None).cast("string").alias("column"),
+            F.concat_ws(" != ", "observed", "expected").alias("detail"),
+            F.lit("raw").alias("snapshot"),
+        )
+        violation_frames.append(partition_level)
+
+        violations = violation_frames[0]
+        for fdf in violation_frames[1:]:
+            violations = violations.unionByName(fdf, allowMissingColumns=True)
+        if self.topk_violations:
+            w = Window.partitionBy("part", "constraint").orderBy("image_id", "detail")
+            violations = (
+                violations.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= self.topk_violations)
+                .drop("_rn")
+            )
+
+        # pass 6 — stats projection + lineage
+        stats_out = fused.select(
+            "part",
+            *[c for c in fused.columns if c.startswith("stat__")],
+            *StatsProfile.finalize_exprs(fused.columns),
+        )
+
+        part_status = (
+            verdicts.filter(F.col("part") != "*")
+            .groupBy("part")
+            .agg(
+                F.count_if(F.col("verdict") == FAIL).alias("_fails"),
+            )
+            .join(fused.select("part", F.col("stat__rows").alias("rows_scanned")), "part", "left")
+        )
+        viol_per_part = violations.groupBy("part").agg(F.count(F.lit(1)).alias("violations"))
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage = part_status.join(viol_per_part, "part", "left").select(
+            F.lit(run_id).alias("run_id"),
+            "part",
+            F.when(F.col("_fails") == 0, F.lit(lin.VALIDATED)).otherwise(F.lit(lin.FAILED)).alias("status"),
+            F.coalesce(F.col("rows_scanned"), F.lit(0)).cast("long").alias("rows_scanned"),
+            F.coalesce(F.col("violations"), F.lit(0)).cast("long").alias("violations"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+        )
+        if store is not None:
+            store.append(lineage)
+
+        return SuiteResult(
+            run_id=run_id,
+            verdicts=verdicts,
+            violations=violations,
+            stats=stats_out,
+            lineage=lineage,
+            schema_violations=schema_viol,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+        )

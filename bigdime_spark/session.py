@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Every knob here exists for the 100 TB posture (SURVEY.md §2.5/§4):
+AQE for runtime re-planning + skew-join splitting, Arrow for the
+JVM↔Python boundary, and a shuffle-partition count sized to the
+parallelism level rather than Spark's static default of 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: confs applied to every engine session (BASELINE.json:6 — "AQE skew-join hints")
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # mapInArrow/pandas_udf batch size: big enough to amortize the Arrow
+    # round-trip, small enough that a batch of decoded images fits in RAM.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    # parquet scan parallelism at local scale; on a real cluster the
+    # 128m default is right, in local[32] smaller splits help.
+    "spark.sql.files.maxPartitionBytes": "64m",
+    "spark.sql.shuffle.partitions": "32",
+    # deterministic session timezone so timestamp-derived hashes are stable
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "bigdime-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``. In a cluster deployment the caller passes no master
+    and ``spark-submit`` supplies it (BASELINE.json:14).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(ENGINE_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,13 @@
+from __future__ import annotations
+
+import pytest
+
+from bigdime_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="bigdime-tests", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
