@@ -1,0 +1,1069 @@
+"""Driver contract: paired (Spark query, DuckDB oracle SQL) registry.
+
+Each entry exercises one operator family from SURVEY.md §2 against the
+driver's TPC-H-ish corpus (TESTDATA.md). The Spark side and the SQL
+side are written as the SAME arithmetic, expression by expression —
+floats are rounded identically on both sides and hash-sensitive
+expressions use md5 (bit-identical across engines) instead of
+xxhash64 — so the driver's row-count + schema + value-hash comparison
+is exact, not approximate.
+
+Entries without SQL (`sql=None`) are the genuinely non-portable ones
+(HLL sketch estimates, xxhash64 checksums, Arrow decode) and get the
+driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdime_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    ENGLISH_STOPWORDS,
+    LANG_MARKERS,
+    PUNCT_CLASS,
+    bpe_ish_token_count,
+    fingerprint_col,
+    lang_scores,
+    predicted_lang,
+    quality_metrics,
+    rolling_hash_col,
+    ws_token_count,
+)
+from bigdime_spark.operators import dedup, similarity
+from bigdime_spark.operators.drift import DriftColumn, two_sample_drift
+from bigdime_spark.operators.record_count import RecordCount
+from bigdime_spark.operators.row_checks import DomainCheck
+from bigdime_spark.operators.stats import ColumnProfile, StatsProfile
+from bigdime_spark.plans.suite import ValidationSuite
+
+HEX = "0123456789abcdef"
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+
+
+# =====================================================================
+# §2.2 per-column statistics (fused single-pass aggregations)
+# =====================================================================
+
+def q_stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("l_quantity").isNull()).alias("null_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+        )
+    )
+
+
+SQL_STATS_PROFILE = """
+SELECT l_returnflag AS part,
+       count(*) AS n_rows,
+       count(*) - count(l_quantity) AS null_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(DISTINCT l_partkey) AS distinct_parts
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.stddev("o_totalprice"), 4).alias("stddev_price"),
+        F.countDistinct("o_custkey").alias("distinct_cust"),
+    )
+
+
+SQL_MINMAX_ORDERS = """
+SELECT count(*) AS n_rows,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(stddev_samp(o_totalprice), 4) AS stddev_price,
+       count(DISTINCT o_custkey) AS distinct_cust
+FROM orders
+"""
+
+
+def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("part"))
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        )
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag AS part,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_null_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("value").isNull()).alias("null_value"),
+            F.count_if(F.col("props").isNull()).alias("null_props"),
+            F.round(
+                F.try_divide(
+                    F.count_if(F.col("value").isNull()).cast("double"),
+                    F.count(F.lit(1)).cast("double"),
+                ),
+                6,
+            ).alias("null_rate_value"),
+        )
+    )
+
+
+SQL_NULL_RATE = """
+SELECT event_type AS part,
+       count(*) AS n_rows,
+       count(*) - count(value) AS null_value,
+       count(*) - count(props) AS null_props,
+       round(((count(*) - count(value))::DOUBLE) / (count(*)::DOUBLE), 6) AS null_rate_value
+FROM events GROUP BY 1
+"""
+
+
+def q_hll_distinct_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — HLL sketches are engine-specific estimators: rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("part"))
+        .agg(F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sketch"))
+        .select(
+            "part",
+            F.hll_sketch_estimate("sketch").alias("approx_distinct_parts"),
+        )
+    )
+
+
+# =====================================================================
+# §2.3 constraint validators
+# =====================================================================
+
+def _lineitem_counts(li: DataFrame) -> DataFrame:
+    return li.groupBy(F.col("l_returnflag").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def q_record_count_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 RecordCountValidator semantics incl. SKIPPED_CONFIG: the
+    manifest is derived with an injected off-by-one on part 'R' and a
+    missing entry for part 'N'."""
+    counts = _lineitem_counts(_t(spark, sf_dir, "lineitem"))
+    manifest = (
+        counts.filter(F.col("part") != "N")
+        .select(
+            "part",
+            (
+                F.col("n_rows")
+                + F.when(F.col("part") == "R", F.lit(1)).otherwise(F.lit(0))
+            ).alias("expected_rows"),
+        )
+    )
+    joined = counts.join(F.broadcast(manifest), "part", "left")
+    return joined.select(
+        "part",
+        "n_rows",
+        "expected_rows",
+        F.when(F.col("expected_rows").isNull(), F.lit("SKIPPED_CONFIG"))
+        .when(F.col("n_rows") == F.col("expected_rows"), F.lit("PASS"))
+        .otherwise(F.lit("FAIL"))
+        .alias("verdict"),
+    )
+
+
+SQL_RECORD_COUNT = """
+WITH c AS (SELECT l_returnflag AS part, count(*) AS n_rows FROM lineitem GROUP BY 1),
+     m AS (SELECT part, n_rows + CASE WHEN part = 'R' THEN 1 ELSE 0 END AS expected_rows
+           FROM c WHERE part <> 'N')
+SELECT c.part, c.n_rows, m.expected_rows,
+       CASE WHEN m.expected_rows IS NULL THEN 'SKIPPED_CONFIG'
+            WHEN c.n_rows = m.expected_rows THEN 'PASS'
+            ELSE 'FAIL' END AS verdict
+FROM c LEFT JOIN m USING (part)
+"""
+
+
+def q_uniqueness_lineitem_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 — composite key (l_orderkey, l_linenumber) dup groups (clean
+    data → empty result is the PASS assertion)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_UNIQUENESS_LINEITEM = """
+SELECT l_orderkey, l_linenumber, count(*) AS n_copies
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+def q_dup_groups_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 non-trivial path: duplicate groups with member counts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_DUP_GROUPS_EVENTS = """
+SELECT user_id, count(*) AS n_copies, count(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_referential_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 — both anti-join directions between lineitem and orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lost = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphans")).select(
+        F.lit("lineitem_without_order").alias("direction"), "orphans"
+    )
+    spurious = o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+        "o_orderkey",
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("orphans")).select(
+        F.lit("order_without_lineitem").alias("direction"), "orphans"
+    )
+    return lost.unionByName(spurious)
+
+
+SQL_REFERENTIAL_COUNTS = """
+SELECT 'lineitem_without_order' AS direction, count(*) AS orphans
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'order_without_lineitem' AS direction, count(*) AS orphans
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def q_referential_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 violation rows: the orphan keys themselves (with lineage cols)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            li.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+            "o_orderkey",
+            "left_anti",
+        )
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+SQL_REFERENTIAL_ORPHANS = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def q_domain_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 range/domain checks as (constraint, bad_rows) rows."""
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(df: DataFrame, name: str, pred) -> DataFrame:
+        return df.agg(F.count_if(~pred).alias("bad_rows")).select(
+            F.lit(name).alias("constraint"), "bad_rows"
+        )
+
+    frames = [
+        one(p, "p_size_in_1_50", F.col("p_size").between(1, 50)),
+        one(o, "o_orderstatus_known", F.col("o_orderstatus").isin("O", "F", "P")),
+        one(li, "l_discount_in_0_1", F.col("l_discount").between(0.0, 1.0)),
+        one(li, "l_quantity_positive", F.col("l_quantity") > 0),
+        one(li, "l_extendedprice_under_100k", F.col("l_extendedprice") < 100000.0),
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+SQL_DOMAIN_VIOLATIONS = """
+SELECT 'p_size_in_1_50' AS constraint, count(*) FILTER (WHERE NOT (p_size BETWEEN 1 AND 50)) AS bad_rows FROM part
+UNION ALL
+SELECT 'o_orderstatus_known', count(*) FILTER (WHERE NOT (o_orderstatus IN ('O','F','P'))) FROM orders
+UNION ALL
+SELECT 'l_discount_in_0_1', count(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 1.0)) FROM lineitem
+UNION ALL
+SELECT 'l_quantity_positive', count(*) FILTER (WHERE NOT (l_quantity > 0)) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice_under_100k', count(*) FILTER (WHERE NOT (l_extendedprice < 100000.0)) FROM lineitem
+"""
+
+
+def q_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 order-insensitive content checksum, PORTABLE variant: the
+    per-row digest is the first 10 hex chars of md5 over a canonical
+    row representation, reduced with commutative XOR + SUM. (The
+    production path uses xxhash64 + decimal(38) sums — see
+    functions/hashes.py — but md5 is what both engines share.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    repr_col = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    h = F.conv(F.substring(F.md5(repr_col), 1, 10), 16, 10).cast("long")
+    return (
+        li.select(F.col("l_returnflag").alias("part"), h.alias("_h"))
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("_h").alias("checksum_xor"),
+            F.sum("_h").alias("checksum_sum"),
+        )
+    )
+
+
+# DuckDB has no hex→int conv; rebuild the same 40-bit value digit by digit.
+_HEXVAL = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+_DIGITS = " + ".join(
+    f"{_HEXVAL.format(i=i + 1)} * {16 ** (9 - i)}::BIGINT" for i in range(10)
+)
+SQL_CHECKSUM = f"""
+WITH rowrepr AS (
+  SELECT l_returnflag AS part,
+         md5(concat_ws('|',
+             l_orderkey::VARCHAR,
+             l_linenumber::VARCHAR,
+             CAST(round(l_extendedprice * 100) AS BIGINT)::VARCHAR,
+             l_returnflag,
+             l_linestatus,
+             strftime(l_shipdate, '%Y-%m-%d'))) AS h
+  FROM lineitem
+), hashed AS (
+  SELECT part, {_DIGITS} AS hv FROM rowrepr
+)
+SELECT part,
+       count(*) AS n_rows,
+       bit_xor(hv) AS checksum_xor,
+       CAST(sum(hv) AS BIGINT) AS checksum_sum
+FROM hashed GROUP BY 1
+"""
+
+
+# =====================================================================
+# §2.3 drift (B18 KS + B19 PSI over shared fixed bins)
+# =====================================================================
+
+def q_drift_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    spec = DriftColumn("l_extendedprice", 900.0, 105000.0, 64)
+    raw = li.filter(F.col("l_returnflag") == "R").withColumn("part", F.lit("*"))
+    cur = li.filter(F.col("l_returnflag") == "N").withColumn("part", F.lit("*"))
+    d = two_sample_drift(raw, cur, spec)
+    return d.select(
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round("ks_threshold", 6).alias("ks_threshold"),
+        F.round("psi", 6).alias("psi"),
+        F.col("n").alias("n"),
+        F.col("m").alias("m"),
+        F.when(F.col("ks_d") <= F.col("ks_threshold"), F.lit("PASS"))
+        .otherwise(F.lit("FAIL"))
+        .alias("ks_verdict"),
+    )
+
+
+def _drift_sql(
+    source_sql_r: str, source_sql_c: str, col: str, lo: float, hi: float, nbins: int
+) -> str:
+    """The exact SQL mirror of operators/drift.two_sample_drift for a
+    single logical partition (engine formula comment: histograms.py)."""
+    eps = 1.0e-6
+    bucket = (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN {col} < {lo} THEN 0 "
+        f"WHEN {col} >= {hi} THEN {nbins + 1} "
+        f"ELSE CAST(floor(({col} - {lo}) / {hi - lo} * {nbins}) + 1 AS INT) END"
+    )
+    return f"""
+WITH hr AS (
+  SELECT bucket, count(*) AS cnt_r FROM (
+    SELECT {bucket} AS bucket FROM ({source_sql_r})
+  ) WHERE bucket IS NOT NULL GROUP BY 1
+), hc AS (
+  SELECT bucket, count(*) AS cnt_c FROM (
+    SELECT {bucket} AS bucket FROM ({source_sql_c})
+  ) WHERE bucket IS NOT NULL GROUP BY 1
+), joined AS (
+  SELECT COALESCE(hr.bucket, hc.bucket) AS bucket,
+         COALESCE(cnt_r, 0) AS cnt_r,
+         COALESCE(cnt_c, 0) AS cnt_c
+  FROM hr FULL OUTER JOIN hc ON hr.bucket = hc.bucket
+), scored AS (
+  SELECT bucket, cnt_r, cnt_c,
+         sum(cnt_r) OVER () AS n,
+         sum(cnt_c) OVER () AS m,
+         (sum(cnt_r) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / (sum(cnt_r) OVER ()) AS ecdf_r,
+         (sum(cnt_c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / (sum(cnt_c) OVER ()) AS ecdf_c,
+         (cnt_r + {eps}) / (sum(cnt_r) OVER () + {eps} * {nbins + 2}) AS p,
+         (cnt_c + {eps}) / (sum(cnt_c) OVER () + {eps} * {nbins + 2}) AS q
+  FROM joined
+)
+SELECT round(max(abs(ecdf_r - ecdf_c)), 6) AS ks_d,
+       round(1.358 * sqrt((max(n) + max(m))::DOUBLE / (max(n) * max(m))::DOUBLE), 6) AS ks_threshold,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       max(n)::BIGINT AS n,
+       max(m)::BIGINT AS m,
+       CASE WHEN max(abs(ecdf_r - ecdf_c)) <= 1.358 * sqrt((max(n) + max(m))::DOUBLE / (max(n) * max(m))::DOUBLE)
+            THEN 'PASS' ELSE 'FAIL' END AS ks_verdict
+FROM scored
+"""
+
+
+SQL_DRIFT_EXTENDEDPRICE = _drift_sql(
+    "SELECT l_extendedprice FROM lineitem WHERE l_returnflag = 'R'",
+    "SELECT l_extendedprice FROM lineitem WHERE l_returnflag = 'N'",
+    "l_extendedprice",
+    900.0,
+    105000.0,
+    64,
+)
+
+
+def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    spec = DriftColumn("value", 0.0, 100.0, 20)
+    raw = ev.filter(F.col("event_type") == "click").withColumn("part", F.lit("*"))
+    cur = ev.filter(F.col("event_type") == "view").withColumn("part", F.lit("*"))
+    d = two_sample_drift(raw, cur, spec)
+    return d.select(
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round("ks_threshold", 6).alias("ks_threshold"),
+        F.round("psi", 6).alias("psi"),
+        F.col("n").alias("n"),
+        F.col("m").alias("m"),
+        F.when(F.col("ks_d") <= F.col("ks_threshold"), F.lit("PASS"))
+        .otherwise(F.lit("FAIL"))
+        .alias("ks_verdict"),
+    )
+
+
+SQL_DRIFT_EVENTS = _drift_sql(
+    "SELECT value FROM events WHERE event_type = 'click'",
+    "SELECT value FROM events WHERE event_type = 'view'",
+    "value",
+    0.0,
+    100.0,
+    20,
+)
+
+
+# =====================================================================
+# §2.4/§2.6 window top-k + JSON scalar functions
+# =====================================================================
+
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority", "rk", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy(F.col("event_type").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type AS part,
+       count(*) AS n_rows,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+# =====================================================================
+# Text analysis (documents table)
+# =====================================================================
+
+_WS_TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").alias("char_len"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       {_WS_TOKENS_SQL} AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_tokens,
+       len(text) AS char_len
+FROM documents
+"""
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return d.select("doc_id", *[m[k].alias(k) for k in m])
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
+# PUNCT_CLASS contains a single quote; double it for the SQL literal
+_PUNCT_SQL = PUNCT_CLASS.replace("'", "''").replace('\\"', '"')
+SQL_QUALITY = f"""
+WITH feat AS (
+  SELECT doc_id,
+         {_WS_TOKENS_SQL} AS n_tokens,
+         len(text) AS n_chars,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> list_contains({_STOPLIST_SQL}, lower(x)))) AS sw,
+         len(text) - len(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS pc,
+         len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS dc,
+         len(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws_chars
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN n_tokens = 0 THEN NULL ELSE nonws_chars::DOUBLE / n_tokens END, 6) AS avg_word_len,
+         round(CASE WHEN n_tokens = 0 THEN NULL ELSE sw::DOUBLE / n_tokens END, 6) AS stopword_ratio,
+         round(CASE WHEN n_chars = 0 THEN NULL ELSE pc::DOUBLE / n_chars END, 6) AS punct_ratio,
+         round(CASE WHEN n_chars = 0 THEN NULL ELSE dc::DOUBLE / n_chars END, 6) AS digit_ratio
+  FROM feat
+)
+SELECT doc_id, n_tokens, avg_word_len, stopword_ratio, punct_ratio, digit_ratio,
+       round(greatest(0.0, least(1.0,
+             0.5 * least(n_tokens::DOUBLE / 64.0, 1.0) + 0.5
+             - COALESCE(punct_ratio, 0.0) * 2.0
+             - COALESCE(digit_ratio, 0.0))), 6) AS quality_score
+FROM ratios
+"""
+
+
+def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    s = lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        predicted_lang(F.col("text")).alias("pred_lang"),
+        *[s[lang].alias(f"score_{lang}") for lang in ("en", "de", "fr", "es")],
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"x -> list_contains([{lits}], lower(x))))"
+    )
+
+
+SQL_LANGID = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_marker_sql('en')} AS score_en,
+         {_marker_sql('de')} AS score_de,
+         {_marker_sql('fr')} AS score_fr,
+         {_marker_sql('es')} AS score_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN score_en + score_de + score_fr + score_es = 0 THEN 'und'
+            WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+            WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+            WHEN score_fr >= score_es THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       score_en, score_de, score_fr, score_es
+FROM s
+"""
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_col(F.col("text"), 8).alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, min(md5(substr(text, i, 8))) AS fp
+FROM (SELECT doc_id, text,
+             unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
+      FROM documents)
+GROUP BY doc_id
+"""
+
+
+def q_rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash_col(F.col("text"), 8).alias("rfp"))
+
+
+# Σ ascii(ch_j) · 257^(8−j) mod 1e9+7 per window, min over windows.
+_POWERS = [257 ** (7 - j) for j in range(8)]
+_POLY = " + ".join(
+    f"ascii(substr(text, i + {j}, 1))::HUGEINT * {p}::HUGEINT" for j, p in enumerate(_POWERS)
+)
+SQL_ROLLING_FINGERPRINT = f"""
+WITH windows AS (
+  SELECT doc_id, text, unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
+  FROM documents
+), hashes AS (
+  SELECT doc_id, CAST(({_POLY}) % 1000000007 AS BIGINT) AS hv FROM windows
+)
+SELECT doc_id, min(hv) AS rfp FROM hashes GROUP BY doc_id
+"""
+
+
+# =====================================================================
+# Deduplication (documents table)
+# =====================================================================
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(d, "doc_id", ["text"]).select(
+        "content_hash", "n_copies", "keeper"
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(
+        d, "doc_id", "text", ngram=3, num_hashes=16, bands=4, threshold=0.5, hash_mode="md5"
+    )
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mh_aggs = ",\n         ".join(
+        f"min(md5('{i}|' || g)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band, md5({key}) AS bkey FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT id, g FROM (
+    SELECT id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                FOR i IN generate_series(1, greatest(len(t) - 2, 1))])) AS g
+    FROM toks
+  ) WHERE g <> ''
+), sigs AS (
+  SELECT id,
+         {mh_aggs},
+         count(*) AS set_size
+  FROM sh GROUP BY id
+), banded_all AS (
+{band_selects}
+), bucket_ok AS (
+  SELECT band, bkey FROM banded_all GROUP BY 1, 2 HAVING count(*) <= 1000
+), banded AS (
+  SELECT banded_all.* FROM banded_all SEMI JOIN bucket_ok USING (band, bkey)
+), cand AS (
+  SELECT DISTINCT l.id AS id1, r.id AS id2
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+), inter AS (
+  SELECT c.id1, c.id2, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.id = c.id1
+  JOIN sh b ON b.id = c.id2 AND b.g = a.g
+  GROUP BY 1, 2
+), scored AS (
+  SELECT i.id1, i.id2,
+         round(i.inter::DOUBLE / (s1.set_size + s2.set_size - i.inter)::DOUBLE, 6) AS jaccard
+  FROM inter i
+  JOIN sigs s1 ON s1.id = i.id1
+  JOIN sigs s2 ON s2.id = i.id2
+)
+SELECT id1, id2, jaccard FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+SQL_DEDUP_MINHASH = _minhash_sql()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", bits=16).withColumnRenamed("id", "doc_id")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = []
+    for b in range(bits):
+        digit = f"(strpos('{HEX}', substr(h, {b // 4 + 1}, 1)) - 1)"
+        bit = f"(({digit} // {1 << (b % 4)}) % 2)"
+        votes.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v_{b}")
+    votes_sql = ",\n         ".join(votes)
+    fold = " + ".join(f"CASE WHEN v_{b} >= 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END" for b in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h
+  FROM documents
+), agg AS (
+  SELECT id,
+         {votes_sql}
+  FROM tok GROUP BY id
+)
+SELECT id AS doc_id, ({fold}) AS simhash FROM agg
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="source", k=8, threshold=0.2
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT id, blk, g FROM (
+    SELECT doc_id AS id, source AS blk,
+           unnest(list_distinct([substr(text, i, 8)
+                   FOR i IN generate_series(1, greatest(len(text) - 7, 1))])) AS g
+    FROM documents
+  )
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id1, id2,
+         round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) AS jaccard
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+)
+SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.2
+"""
+
+
+# =====================================================================
+# Similarity search (embeddings table)
+# =====================================================================
+
+_COS_SQL = (
+    "round(list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk(e, queries, "vec_id", "embedding", k=5)
+
+
+SQL_ANN_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_nearest_in_bucket(e, "vec_id", "embedding", nbits=4)
+
+
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(4)
+)
+SQL_ANN_LSH = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ({_BUCKET_SQL}) AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS vec_id, q.bucket AS bucket, c.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT vec_id, bucket, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, bucket, neighbor_id, cosine FROM ranked WHERE rn = 1
+"""
+
+
+def q_embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.similarity_histogram(e, "vec_id", "embedding", block_col="label", nbins=20)
+
+
+SQL_SIM_HISTOGRAM = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT {_COS_SQL} AS cosine
+  FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+)
+SELECT least(19, greatest(0, CAST(floor((cosine + 1.0) / 2.0 * 20) AS INT))) AS bucket,
+       count(*) AS cnt
+FROM pairs GROUP BY 1
+"""
+
+
+# =====================================================================
+# Flagship: the ValidationSuite itself, verdict table vs SQL oracle
+# =====================================================================
+
+def q_suite_verdicts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's flagship path: ONE fused stats+constraints pass +
+    uniqueness, run by ValidationSuite over lineitem (part =
+    l_returnflag, synthetic key = orderkey-linenumber). The SQL oracle
+    reproduces every verdict row independently."""
+    li = _t(spark, sf_dir, "lineitem")
+    raw = li.withColumn("part", F.col("l_returnflag")).withColumn(
+        "image_id",
+        F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")),
+    )
+    counts = _lineitem_counts(li)
+    manifest = (
+        counts.filter(F.col("part") != "N")
+        .select(
+            "part",
+            (
+                F.col("n_rows")
+                + F.when(F.col("part") == "R", F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("expected_rows"),
+        )
+    )
+    suite = ValidationSuite(
+        declared_schema=raw.schema,
+        not_null=("image_id", "l_quantity"),
+        check_record_count=True,
+        check_checksum=False,
+        check_uniqueness=True,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_domains=False,
+        unique_key="image_id",
+        stats=StatsProfile(
+            columns=[
+                ColumnProfile("l_quantity", numeric=True),
+                ColumnProfile("l_extendedprice", numeric=True),
+            ]
+        ),
+        extra_agg_constraints=[
+            DomainCheck("qty_positive", F.col("l_quantity") > 0, "l_quantity"),
+            DomainCheck(
+                "discount_range", F.col("l_discount").between(0.0, 1.0), "l_discount"
+            ),
+        ],
+    )
+    result = suite.run(spark, raw, manifest=manifest, run_id="contract")
+    return result.verdicts
+
+
+SQL_SUITE_VERDICTS = """
+WITH c AS (SELECT l_returnflag AS part, count(*) AS n_rows FROM lineitem GROUP BY 1),
+     m AS (SELECT part, n_rows + CASE WHEN part = 'R' THEN 1 ELSE 0 END AS expected_rows
+           FROM c WHERE part <> 'N')
+SELECT '*' AS part, 'schema' AS constraint, 'PASS' AS verdict,
+       'mismatches=0' AS observed, 'mismatches=0' AS expected
+UNION ALL
+SELECT c.part, 'record_count',
+       CASE WHEN m.expected_rows IS NULL THEN 'SKIPPED_CONFIG'
+            WHEN c.n_rows = m.expected_rows THEN 'PASS' ELSE 'FAIL' END,
+       c.n_rows::VARCHAR,
+       m.expected_rows::VARCHAR
+FROM c LEFT JOIN m USING (part)
+UNION ALL
+SELECT part, 'not_null.image_id', 'PASS', 'nulls=0', 'nulls=0' FROM c
+UNION ALL
+SELECT l_returnflag, 'not_null.l_quantity',
+       CASE WHEN count(*) - count(l_quantity) = 0 THEN 'PASS' ELSE 'FAIL' END,
+       'nulls=' || (count(*) - count(l_quantity))::VARCHAR, 'nulls=0'
+FROM lineitem GROUP BY 1
+UNION ALL
+SELECT l_returnflag, 'domain.qty_positive',
+       CASE WHEN count(*) FILTER (WHERE NOT (l_quantity > 0)) = 0 THEN 'PASS' ELSE 'FAIL' END,
+       'bad_rows=' || (count(*) FILTER (WHERE NOT (l_quantity > 0)))::VARCHAR, 'bad_rows=0'
+FROM lineitem GROUP BY 1
+UNION ALL
+SELECT l_returnflag, 'domain.discount_range',
+       CASE WHEN count(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 1.0)) = 0 THEN 'PASS' ELSE 'FAIL' END,
+       'bad_rows=' || (count(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 1.0)))::VARCHAR, 'bad_rows=0'
+FROM lineitem GROUP BY 1
+UNION ALL
+SELECT c.part, 'uniqueness.image_id',
+       CASE WHEN d.cnt IS NULL THEN 'PASS' ELSE 'FAIL' END,
+       CASE WHEN d.cnt IS NULL THEN NULL ELSE 'dup_copies=' || d.cnt::VARCHAR END,
+       CASE WHEN d.cnt IS NULL THEN NULL ELSE 'dup_copies=0' END
+FROM c LEFT JOIN (
+  SELECT l.l_returnflag AS part, count(*) AS cnt
+  FROM lineitem l
+  JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY 1, 2 HAVING count(*) > 1) dk
+    USING (l_orderkey, l_linenumber)
+  GROUP BY 1
+) d USING (part)
+"""
+
+
+# =====================================================================
+# registry / driver surface
+# =====================================================================
+
+REGISTRY: dict[str, QuerySpec] = {
+    # per-column stats (B1–B8)
+    "stats_profile_lineitem": QuerySpec(q_stats_profile_lineitem, SQL_STATS_PROFILE),
+    "minmax_orders": QuerySpec(q_minmax_orders, SQL_MINMAX_ORDERS),
+    "quantiles_lineitem": QuerySpec(q_quantiles_lineitem, SQL_QUANTILES),
+    "null_rate_events": QuerySpec(q_null_rate_events, SQL_NULL_RATE),
+    "hll_distinct_partkey": QuerySpec(q_hll_distinct_partkey, None),  # B6: estimator-specific
+    # validators (B12–B17, B22)
+    "record_count_check": QuerySpec(q_record_count_check, SQL_RECORD_COUNT),
+    "uniqueness_lineitem_key": QuerySpec(q_uniqueness_lineitem_key, SQL_UNIQUENESS_LINEITEM),
+    "dup_groups_events_user": QuerySpec(q_dup_groups_events_user, SQL_DUP_GROUPS_EVENTS),
+    "referential_counts": QuerySpec(q_referential_counts, SQL_REFERENTIAL_COUNTS),
+    "referential_orphan_orders": QuerySpec(q_referential_orphan_orders, SQL_REFERENTIAL_ORPHANS),
+    "domain_violations": QuerySpec(q_domain_violations, SQL_DOMAIN_VIOLATIONS),
+    "checksum_lineitem": QuerySpec(q_checksum_lineitem, SQL_CHECKSUM),
+    # drift (B18/B19)
+    "drift_extendedprice": QuerySpec(q_drift_extendedprice, SQL_DRIFT_EXTENDEDPRICE),
+    "drift_events_value": QuerySpec(q_drift_events_value, SQL_DRIFT_EVENTS),
+    # windows / scalar funcs (B23–B25, §2.6)
+    "topk_orders_per_priority": QuerySpec(q_topk_orders_per_priority, SQL_TOPK_ORDERS),
+    "events_json_extract": QuerySpec(q_events_json_extract, SQL_EVENTS_JSON),
+    # text analysis
+    "token_stats_documents": QuerySpec(q_token_stats_documents, SQL_TOKEN_STATS),
+    "quality_documents": QuerySpec(q_quality_documents, SQL_QUALITY),
+    "langid_documents": QuerySpec(q_langid_documents, SQL_LANGID),
+    "fingerprint_documents": QuerySpec(q_fingerprint_documents, SQL_FINGERPRINT),
+    "rolling_fingerprint_documents": QuerySpec(
+        q_rolling_fingerprint_documents, SQL_ROLLING_FINGERPRINT
+    ),
+    # dedup
+    "dedup_exact_documents": QuerySpec(q_dedup_exact_documents, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # similarity search
+    "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
+    "ann_lsh_nn": QuerySpec(q_ann_lsh_nn, SQL_ANN_LSH),
+    "embedding_sim_histogram": QuerySpec(q_embedding_sim_histogram, SQL_SIM_HISTOGRAM),
+    # flagship suite
+    "suite_verdicts_lineitem": QuerySpec(q_suite_verdicts_lineitem, SQL_SUITE_VERDICTS),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship smoke query: the full ValidationSuite verdict table on
+    the sf0.001 corpus."""
+    return q_suite_verdicts_lineitem(spark, SF_SMOKE)

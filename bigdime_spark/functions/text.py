@@ -1,0 +1,167 @@
+"""Text-analysis column builders for training-data pipelines.
+
+Language-ID (marker-token heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + a
+BPE-ish regex), and document fingerprinting. All pure Column
+expressions (JVM-side, whole-stage codegen — no UDFs), so they run
+at 100 TB scale inside a single scan and are expressible 1:1 in the
+DuckDB oracle SQL (`__spark_entry__.oracle_sql`).
+
+Every function that yields a float rounds explicitly: the driver's
+correctness gate hashes values, so Spark and the SQL oracle must
+produce bit-identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny multilingual marker lists for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr": ("le", "les", "et", "est", "une", "dans", "pour"),
+    "es": ("el", "los", "y", "es", "una", "que", "por"),
+}
+#: deterministic tie-break order (first wins on equal score)
+LANG_ORDER = ("en", "de", "fr", "es")
+
+ENGLISH_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
+
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def tokens_col(c: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
+
+
+def ws_token_count(c: Column) -> Column:
+    """Whitespace token count (0 for blank/empty text)."""
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(F.split(F.trim(c), r"\s+")))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def _count_in_list(tokens: Column, words: tuple[str, ...]) -> Column:
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(lits, F.lower(x))))
+
+
+def stopword_count(tokens: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    return _count_in_list(tokens, stopwords)
+
+
+def punct_count(c: Column) -> Column:
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def digit_count(c: Column) -> Column:
+    return F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+
+
+def quality_metrics(c: Column) -> dict[str, Column]:
+    """Quality-scoring feature set. Keys are output column names.
+
+    ``quality_score`` is a deterministic [0,1] heuristic: rewards
+    mid-length documents and plain words, penalizes punctuation/digit
+    soup — the shape of heuristics used to filter web-scraped
+    training corpora (length/punct/stopword ratios).
+    """
+    toks = tokens_col(c)
+    n_tok = ws_token_count(c)
+    n_chars = F.length(c)
+    sw = stopword_count(toks)
+    pc = punct_count(c)
+    dc = digit_count(c)
+    sw_ratio = F.round(F.try_divide(sw.cast("double"), n_tok.cast("double")), 6)
+    punct_ratio = F.round(F.try_divide(pc.cast("double"), n_chars.cast("double")), 6)
+    digit_ratio = F.round(F.try_divide(dc.cast("double"), n_chars.cast("double")), 6)
+    avg_word_len = F.round(
+        F.try_divide(
+            F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("double"),
+            n_tok.cast("double"),
+        ),
+        6,
+    )
+    length_term = F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0))
+    score = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5) * length_term
+                + F.lit(0.5)
+                - F.coalesce(punct_ratio, F.lit(0.0)) * F.lit(2.0)
+                - F.coalesce(digit_ratio, F.lit(0.0)),
+            ),
+        ),
+        6,
+    )
+    return {
+        "n_tokens": n_tok,
+        "avg_word_len": avg_word_len,
+        "stopword_ratio": sw_ratio,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Marker-token hit count per candidate language."""
+    toks = tokens_col(c)
+    return {lang: _count_in_list(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+
+
+def predicted_lang(c: Column) -> Column:
+    """Argmax of marker scores with the fixed LANG_ORDER tie-break;
+    'und' (undetermined) when no marker matched at all."""
+    s = lang_scores(c)
+    en, de, fr, es = (s[x] for x in LANG_ORDER)
+    return (
+        F.when(en + de + fr + es == 0, F.lit("und"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def char_shingles(c: Column, k: int = 8) -> Column:
+    """All k-char shingles of ``c`` → array<string> (whole string when
+    shorter than k). Expressed as transform-over-sequence so it stays
+    JVM-side; at 100 TB this is the map side of a dedup shuffle."""
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
+
+
+def fingerprint_col(c: Column, k: int = 8) -> Column:
+    """Deterministic document fingerprint: min-md5 over k-char shingles
+    (winnowing-style min-hash fingerprint; portable to ANSI SQL, unlike
+    a stateful rolling hash, and equally shift-sensitive)."""
+    return F.array_min(F.transform(char_shingles(c, k), lambda s: F.md5(s)))
+
+
+def rolling_hash_col(c: Column, k: int = 8, base: int = 257, mod: int = 1_000_000_007) -> Column:
+    """Classic polynomial rolling-hash fingerprint: min over windows of
+    hash(s[i:i+k]) with hash = Σ ord(ch)·base^j mod p. Pure column
+    aggregation over the shingle array (aggregate-fold, JVM-side)."""
+    def poly(s: Column) -> Column:
+        chars = F.split(s, "")
+        return F.aggregate(
+            F.filter(chars, lambda ch: ch != ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+        )
+
+    return F.array_min(F.transform(char_shingles(c, k), poly))

@@ -1,0 +1,311 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash, and n-gram Jaccard near-dup — the standard
+web-corpus dedup stack, re-expressed as DataFrame plans:
+
+- every stage is a Column expression or a hash aggregation — no
+  Python UDFs anywhere, so the whole pipeline stays inside
+  whole-stage codegen;
+- the only shuffles are (a) the shingle→doc aggregation that builds
+  signatures (partial+final hash agg) and (b) the band-bucket
+  self-join, whose fan-out is bounded by band-bucket sizes, not by
+  O(n²) pairs — the property that makes MinHash-LSH viable at
+  10^12-document scale;
+- hash functions are pluggable: ``xxhash64`` (fast JVM path, default
+  for production) or ``md5`` (portable — bit-identical in ANSI SQL,
+  used by the DuckDB-checked driver queries).
+
+At 100 TB the band-bucket join is the skew point (a boilerplate
+shingle shared by millions of docs → one hot bucket); callers cap
+bucket width with ``max_bucket`` exactly like production dedup
+pipelines drop degenerate buckets, and AQE skew-join splitting
+(enabled in session.py) handles the residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdime_spark.functions.text import tokens_col
+
+HEX = "0123456789abcdef"
+
+
+# --------------------------------------------------------------- exact
+
+def exact_dup_groups(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """Exact dedup: md5 over the unit-separated column tuple, groups
+    with >1 member. → (content_hash, n_copies, keeper, dup_ids)."""
+    h = F.md5(F.concat_ws("", *[F.col(c) for c in cols]))
+    return (
+        df.select(F.col(id_col).alias("_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("_id").alias("keeper"),
+            F.sort_array(F.collect_list("_id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def drop_exact_dups(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
+    """Keep one row per content hash (deterministic keeper: min order_col).
+    Implemented as a window-free min-join so it scales: groupBy is a
+    partial-agg shuffle; the join broadcasts when the dup set is small."""
+    h = F.md5(F.concat_ws("", *[F.col(c) for c in cols])).alias("_h")
+    with_h = df.withColumn("_h", h)
+    keepers = with_h.groupBy("_h").agg(F.min(order_col).alias(order_col))
+    return with_h.join(keepers, ["_h", order_col], "left_semi").drop("_h")
+
+
+# ------------------------------------------------------------ shingles
+
+def word_ngram_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, gram).
+    transform-over-sequence keeps it JVM-side; distinct is per-doc
+    (array_distinct before the explode — no shuffle)."""
+    toks = tokens_col(F.col(text_col))
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram")).where(
+        F.col("gram") != ""
+    )
+
+
+def char_ngram_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Distinct character k-gram shingles per document → (id, gram)."""
+    c = F.col(text_col)
+    cnt = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), cnt), lambda i: F.substring(c, i, k))
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+
+
+# ------------------------------------------------------------- minhash
+
+def _minhash_expr(i: int, hash_mode: str) -> Column:
+    """Per-seed hash of the shingle column ``gram``.
+
+    md5 mode: min() over the hex digest of "<seed>|<gram>" — total
+    order on strings is engine-independent, so the signature is
+    reproducible in ANSI SQL. xxhash64 mode: 64-bit ints, ~6× faster,
+    JVM-only (production path)."""
+    if hash_mode == "md5":
+        return F.md5(F.concat_ws("|", F.lit(str(i)), F.col("gram")))
+    return F.xxhash64(F.lit(i), F.col("gram"))
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16, hash_mode: str = "md5"
+) -> DataFrame:
+    """→ (id, mh_0..mh_{k-1}, set_size). ONE hash aggregation builds
+    the whole signature matrix plus the exact shingle-set size (the
+    Jaccard denominator) — one scan, one shuffle."""
+    aggs = [
+        F.min(_minhash_expr(i, hash_mode)).alias(f"mh_{i}") for i in range(num_hashes)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("set_size"))
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate pairs (id1<id2).
+
+    Buckets wider than ``max_bucket`` are dropped (degenerate shingle
+    — at web scale these are boilerplate and would quadratically blow
+    up the join). → (id1, id2) distinct."""
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    sizes = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
+    banded = banded.join(
+        sizes.filter(F.col("bn") <= max_bucket).select("band", "bkey"),
+        ["band", "bkey"],
+        "left_semi",
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via a shingle-intersection
+    count (shuffle bounded by candidate count × shingle size).
+    → (id1, id2, inter, size1, size2, jaccard)."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = shingles.withColumnRenamed("id", "id1")
+    s2 = shingles.withColumnRenamed("id", "id2")
+    inter = (
+        pairs.join(s1, "id1")
+        .join(s2, ["id2", "gram"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "size1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "size2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            "inter",
+            "size1",
+            "size2",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("size1") + F.col("size2") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
+    bucket-join → exact-Jaccard verify → threshold filter.
+    → (id1, id2, jaccard) with jaccard ≥ threshold."""
+    shingles = word_ngram_shingles(df, id_col, text_col, ngram)
+    sigs = minhash_signatures(shingles, num_hashes, hash_mode)
+    pairs = lsh_candidate_pairs(sigs, num_hashes, bands)
+    scored = jaccard_for_pairs(pairs, shingles)
+    return scored.filter(F.col("jaccard") >= threshold).select("id1", "id2", "jaccard")
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash over whitespace tokens. Bit b of md5(token) votes
+    ±1; the fingerprint sets bit b iff the vote sum is ≥ 0.
+    → (id, simhash). One explode + one hash aggregation.
+
+    ``bits`` ≤ 62 (result is a signed long). md5 is used (not
+    xxhash64) so the same fingerprint is computable in the DuckDB
+    oracle; swap in xxhash64 for the pure-throughput path."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    votes = []
+    for b in range(bits):
+        digit = F.conv(F.substring(F.col("h"), b // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, b % 4).bitwiseAND(F.lit(1))
+        votes.append(
+            F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"v_{b}")
+        )
+    agg = tok.groupBy("id").agg(*votes)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(F.col(f"v_{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("id", out.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Docs sharing an identical simhash (hamming distance 0 blocking).
+    → (simhash, n, ids)."""
+    return (
+        simhash(df, id_col, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# -------------------------------------------------- n-gram Jaccard (blocked)
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact char-k-gram Jaccard for all pairs within a blocking key
+    (the exact-but-blocked alternative to MinHash; the block bounds
+    the pair blow-up). → (id1, id2, jaccard ≥ threshold)."""
+    sh = char_ngram_shingles(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"), F.col(block_col).alias("_b")),
+        "_id",
+        "_t",
+        k,
+    )
+    blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
+    sh = sh.join(blocks, sh["id"] == blocks["id"], "inner").select(sh["id"], "gram", "blk")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id1"), "gram", "blk")
+    b = sh.select(F.col("id").alias("id2"), "gram", "blk")
+    inter = (
+        a.join(b, ["blk", "gram"])
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("id").alias("id1"), F.col("sz").alias("size1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("sz").alias("size2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("size1") + F.col("size2") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)

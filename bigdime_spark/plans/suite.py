@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
 
 from bigdime_spark.operators.base import (
     AggConstraint,
@@ -46,7 +47,6 @@ from bigdime_spark.schema import (
     FAIL,
     IMAGE_SCHEMA_PARTITIONED,
     PASS,
-    STATS_COLUMNS,
     VIOLATION_SCHEMA,
     diff_schema,
 )
@@ -88,6 +88,8 @@ class ValidationSuite:
     check_domains: bool = True
     check_decode: bool = False
     decode_seed: int | None = None
+    unique_key: str = "image_id"
+    ref_key: str = "image_id"
     drift_specs: tuple = DEFAULT_DRIFT_COLUMNS
     stats: StatsProfile | None = None
     topk_violations: int | None = None
@@ -109,9 +111,9 @@ class ValidationSuite:
     def _table_constraints(self, has_curated: bool) -> list[TableConstraint]:
         out: list[TableConstraint] = []
         if self.check_uniqueness:
-            out.append(Uniqueness("image_id"))
+            out.append(Uniqueness(self.unique_key))
         if has_curated and self.check_referential:
-            out.append(Referential("image_id"))
+            out.append(Referential(self.ref_key))
         if has_curated and self.check_caption:
             out.append(CaptionEquality())
         if has_curated and self.check_drift:
@@ -175,8 +177,15 @@ class ValidationSuite:
         light = [c for c in agg_constraints if not isinstance(c, Checksum)]
         heavy = [c for c in agg_constraints if isinstance(c, Checksum)]
 
-        stats_cols = [c for c in STATS_COLUMNS if c in raw.columns]
-        projected = raw.select("part", *stats_cols)  # bytes never scanned here
+        # bytes (any binary column) never scanned in the stats pass —
+        # SURVEY B0b; Catalyst further prunes to the columns the fused
+        # agg actually references.
+        stats_cols = [
+            f.name
+            for f in raw.schema.fields
+            if f.name != "part" and not isinstance(f.dataType, BinaryType)
+        ]
+        projected = raw.select("part", *stats_cols)
         exprs = list(stats.agg_exprs())
         for c in light:
             exprs.extend(c.agg_exprs())  # aliases are unique by construction
