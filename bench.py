@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Measures (a) headline driver-corpus queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and (b) the flagship image-validation
+suite (full: fused stats+constraints, checksum, keyed trio, drift,
+decode) on a cached deterministic synthetic fixture — the
+validated-images/sec headline of BASELINE.md.
+
+Env:
+    SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+    BENCH_ROWS           image fixture rows (default 300000)
+    BENCH_PARTS          image fixture partitions (default 32)
+    BENCH_FIXTURE        fixture cache dir (default .cache/bench_fx_<rows>)
+
+Flags:
+    --suite-only         skip corpus queries (used by the scaling harness)
+    --skip-suite         corpus queries only
+
+Timing excludes SparkSession startup and fixture generation
+(BASELINE.md evidence protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+#: headline corpus queries (one per operator family; all scale-relevant)
+HEADLINE = [
+    "stats_profile_lineitem",
+    "quantiles_lineitem",
+    "record_count_check",
+    "uniqueness_lineitem_key",
+    "referential_counts",
+    "checksum_lineitem",
+    "drift_extendedprice",
+    "topk_orders_per_priority",
+    "events_json_extract",
+    "quality_documents",
+    "fingerprint_documents",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_nn",
+    "suite_verdicts_lineitem",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from bigdime_spark import contract
+
+    qs = contract.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if len(df.columns) > 6 else len(df.collect())
+        out[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    return out
+
+
+def ensure_fixture(spark, fx_dir: str, rows: int, parts: int) -> None:
+    from bigdime_spark.sources.synth import build_fixture
+
+    if os.path.isdir(f"{fx_dir}/raw"):
+        return
+    print(f"# generating fixture {rows} rows → {fx_dir}", file=sys.stderr)
+    fx = build_fixture(spark, n_rows=rows, n_parts=parts)
+    fx.raw.write.mode("overwrite").partitionBy("part").parquet(f"{fx_dir}/raw")
+    fx.curated.write.mode("overwrite").partitionBy("part").parquet(f"{fx_dir}/curated")
+    fx.manifest.write.mode("overwrite").parquet(f"{fx_dir}/manifest")
+
+
+def bench_suite(spark, fx_dir: str, rows: int, parts: int) -> dict:
+    from bigdime_spark.plans.suite import ValidationSuite
+
+    ensure_fixture(spark, fx_dir, rows, parts)
+    raw = spark.read.parquet(f"{fx_dir}/raw")
+    cur = spark.read.parquet(f"{fx_dir}/curated")
+    man = spark.read.parquet(f"{fx_dir}/manifest")
+    raw.select("part").count()  # warm metadata/scan paths
+
+    t0 = time.monotonic()
+    res = ValidationSuite(
+        not_null=("image_id", "caption", "w", "h", "fmt"),
+        check_decode=True,
+        decode_seed=42,
+    ).run(spark, raw, cur, man, run_id="bench", resume=False)
+    n_verdicts = res.verdicts.count()
+    n_violations = res.violations.count()
+    lineage = res.lineage.collect()
+    wall = time.monotonic() - t0
+    scanned = sum(r["rows_scanned"] for r in lineage)
+    return {
+        "rows": rows,
+        "parts": parts,
+        "rows_scanned": scanned,
+        "verdicts": n_verdicts,
+        "violations": n_violations,
+        "wall_sec": round(wall, 2),
+        "images_per_sec": round(scanned / wall, 1) if wall > 0 else None,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite-only", action="store_true")
+    ap.add_argument("--skip-suite", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rows = int(os.environ.get("BENCH_ROWS", "300000"))
+    parts = int(os.environ.get("BENCH_PARTS", "32"))
+    fx_dir = os.environ.get("BENCH_FIXTURE", f"{REPO}/.cache/bench_fx_{rows // 1000}k")
+
+    from bigdime_spark.session import get_spark
+
+    spark = get_spark(
+        "bigdime-bench", master=f"local[{cpus}]", shuffle_partitions=max(32, cpus * 2)
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    queries: dict[str, float] = {}
+    suite: dict = {}
+    if not args.suite_only:
+        queries = bench_queries(spark, sf_dir)
+    if not args.skip_suite:
+        suite = bench_suite(spark, fx_dir, rows, parts)
+        queries["image_suite_full"] = suite["wall_sec"]
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(sum(queries.values()), 2),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_val,
+                "cpus": cpus,
+                "images_per_sec": suite.get("images_per_sec"),
+                "suite": suite,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdime_spark.functions.histograms import bucket_col
-from bigdime_spark.operators.base import SuiteContext, TableConstraint, fill_pass_for_missing_parts
+from bigdime_spark.operators.base import SuiteContext, TableConstraint
 from bigdime_spark.schema import FAIL, NOT_READY, PASS
 
 KS_ALPHA_COEFF = 1.358  # c(α) at α = 0.05
@@ -49,40 +49,59 @@ DEFAULT_DRIFT_COLUMNS = (
 )
 
 
-def _part_histogram(df: DataFrame, spec: DriftColumn, cnt_alias: str) -> DataFrame:
-    col = F.col(spec.column).cast("double")
+def _melted_histogram(
+    df: DataFrame, specs: tuple[DriftColumn, ...], cnt_alias: str
+) -> DataFrame:
+    """ALL drift columns in ONE scan: melt (column, bucket, nbins)
+    structs, explode, one (part, column, bucket) hash-agg. At scale
+    this replaces len(specs) full scans+shuffles with one of each."""
+    structs = [
+        F.struct(
+            F.lit(s.column).alias("column"),
+            bucket_col(F.col(s.column).cast("double"), s.lo, s.hi, s.nbins).alias("bucket"),
+            F.lit(s.nbins).alias("nbins"),
+        )
+        for s in specs
+    ]
     return (
-        df.select("part", bucket_col(col, spec.lo, spec.hi, spec.nbins).alias("bucket"))
+        df.select("part", F.explode(F.array(*structs)).alias("mb"))
+        .select("part", "mb.column", "mb.bucket", "mb.nbins")
         .where(F.col("bucket").isNotNull())
-        .groupBy("part", "bucket")
-        .agg(F.count(F.lit(1)).alias(cnt_alias))
+        .groupBy("part", "column", "bucket")
+        .agg(F.count(F.lit(1)).alias(cnt_alias), F.first("nbins").alias(f"_nb_{cnt_alias}"))
     )
 
 
-def two_sample_drift(raw: DataFrame, curated: DataFrame, spec: DriftColumn) -> DataFrame:
-    """→ one row per part: (part, ks_d, ks_threshold, psi, n, m)."""
-    hr = _part_histogram(raw, spec, "cnt_r")
-    hc = _part_histogram(curated, spec, "cnt_c")
+def two_sample_drift_multi(
+    raw: DataFrame, curated: DataFrame, specs: tuple[DriftColumn, ...]
+) -> DataFrame:
+    """→ one row per (part, column): (part, column, ks_d, ks_threshold,
+    psi, n, m). One scan + one shuffle per snapshot, however many
+    columns are being tested."""
+    hr = _melted_histogram(raw, specs, "cnt_r")
+    hc = _melted_histogram(curated, specs, "cnt_c")
     joined = (
-        hr.join(hc, ["part", "bucket"], "full_outer")
+        hr.join(hc, ["part", "column", "bucket"], "full_outer")
         .select(
             "part",
+            "column",
             "bucket",
             F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
             F.coalesce("cnt_c", F.lit(0)).alias("cnt_c"),
+            F.coalesce("_nb_cnt_r", "_nb_cnt_c").alias("nbins"),
         )
     )
-    by_part = Window.partitionBy("part")
-    cum = by_part.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    by_key = Window.partitionBy("part", "column")
+    cum = by_key.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored = (
-        joined.withColumn("n", F.sum("cnt_r").over(by_part))
-        .withColumn("m", F.sum("cnt_c").over(by_part))
+        joined.withColumn("n", F.sum("cnt_r").over(by_key))
+        .withColumn("m", F.sum("cnt_c").over(by_key))
         .withColumn("ecdf_r", F.try_divide(F.sum("cnt_r").over(cum), F.col("n")))
         .withColumn("ecdf_c", F.try_divide(F.sum("cnt_c").over(cum), F.col("m")))
-        .withColumn("p", (F.col("cnt_r") + PSI_EPS) / (F.col("n") + PSI_EPS * (spec.nbins + 2)))
-        .withColumn("q", (F.col("cnt_c") + PSI_EPS) / (F.col("m") + PSI_EPS * (spec.nbins + 2)))
+        .withColumn("p", (F.col("cnt_r") + PSI_EPS) / (F.col("n") + PSI_EPS * (F.col("nbins") + 2)))
+        .withColumn("q", (F.col("cnt_c") + PSI_EPS) / (F.col("m") + PSI_EPS * (F.col("nbins") + 2)))
     )
-    return scored.groupBy("part").agg(
+    return scored.groupBy("part", "column").agg(
         F.max(F.abs(F.col("ecdf_r") - F.col("ecdf_c"))).alias("ks_d"),
         (
             F.lit(KS_ALPHA_COEFF)
@@ -94,43 +113,64 @@ def two_sample_drift(raw: DataFrame, curated: DataFrame, spec: DriftColumn) -> D
     )
 
 
+def two_sample_drift(raw: DataFrame, curated: DataFrame, spec: DriftColumn) -> DataFrame:
+    """Single-column form → one row per part (see two_sample_drift_multi)."""
+    return two_sample_drift_multi(raw, curated, (spec,)).drop("column")
+
+
 class DriftCheck(TableConstraint):
-    """Emits two verdict families per column: drift_ks.<col>, drift_psi.<col>."""
+    """Emits two verdict families per column: drift_ks.<col>, drift_psi.<col>.
+
+    All columns share ONE melted histogram plan (two_sample_drift_multi);
+    verdict assembly is pure column arithmetic over the tiny
+    (part × column) drift frame — no per-column re-scan."""
 
     def __init__(self, specs: tuple[DriftColumn, ...] = DEFAULT_DRIFT_COLUMNS):
         self.specs = specs
         self.name = "drift"
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, None]:
-        verdict_frames = []
-        for spec in self.specs:
-            drift = two_sample_drift(ctx.raw, ctx.curated, spec)
-            not_ready = (F.col("n") == 0) | (F.col("m") == 0) | F.col("ks_d").isNull()
-            ks = drift.select(
+        drift = two_sample_drift_multi(ctx.raw, ctx.curated, self.specs)
+        not_ready = (F.col("n") == 0) | (F.col("m") == 0) | F.col("ks_d").isNull()
+        ks = drift.select(
+            "part",
+            F.concat(F.lit("drift_ks."), F.col("column")).alias("constraint"),
+            F.when(not_ready, F.lit(NOT_READY))
+            .when(F.col("ks_d") <= F.col("ks_threshold"), F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+            .alias("verdict"),
+            F.concat(F.lit("D="), F.round("ks_d", 6).cast("string")).alias("observed"),
+            F.concat(F.lit("D<="), F.round("ks_threshold", 6).cast("string")).alias("expected"),
+        )
+        psi = drift.select(
+            "part",
+            F.concat(F.lit("drift_psi."), F.col("column")).alias("constraint"),
+            F.when(not_ready, F.lit(NOT_READY))
+            .when(F.col("psi") < PSI_FAIL, F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+            .alias("verdict"),
+            F.concat(F.lit("psi="), F.round("psi", 6).cast("string")).alias("observed"),
+            F.lit(f"psi<{PSI_FAIL}").alias("expected"),
+        )
+        found = ks.unionByName(psi)
+        # fill PASS for every (part × constraint) the drift frame didn't
+        # produce (a part with data on both sides always produces a row;
+        # this covers parts filtered out entirely).
+        names = [
+            (f"drift_{kind}.{s.column}",)
+            for s in self.specs
+            for kind in ("ks", "psi")
+        ]
+        grid = ctx.parts.crossJoin(
+            ctx.spark.createDataFrame(names, "constraint string")
+        )
+        return (
+            grid.join(found, ["part", "constraint"], "left")
+            .select(
                 "part",
-                F.lit(f"drift_ks.{spec.column}").alias("constraint"),
-                F.when(not_ready, F.lit(NOT_READY))
-                .when(F.col("ks_d") <= F.col("ks_threshold"), F.lit(PASS))
-                .otherwise(F.lit(FAIL))
-                .alias("verdict"),
-                F.concat(F.lit("D="), F.round("ks_d", 6).cast("string")).alias("observed"),
-                F.concat(F.lit("D<="), F.round("ks_threshold", 6).cast("string")).alias("expected"),
+                "constraint",
+                F.coalesce("verdict", F.lit(PASS)).alias("verdict"),
+                F.col("observed").cast("string").alias("observed"),
+                F.col("expected").cast("string").alias("expected"),
             )
-            psi = drift.select(
-                "part",
-                F.lit(f"drift_psi.{spec.column}").alias("constraint"),
-                F.when(not_ready, F.lit(NOT_READY))
-                .when(F.col("psi") < PSI_FAIL, F.lit(PASS))
-                .otherwise(F.lit(FAIL))
-                .alias("verdict"),
-                F.concat(F.lit("psi="), F.round("psi", 6).cast("string")).alias("observed"),
-                F.lit(f"psi<{PSI_FAIL}").alias("expected"),
-            )
-            for frame, cname in ((ks, f"drift_ks.{spec.column}"), (psi, f"drift_psi.{spec.column}")):
-                verdict_frames.append(
-                    fill_pass_for_missing_parts(frame.drop("constraint"), ctx.parts, cname)
-                )
-        out = verdict_frames[0]
-        for f_ in verdict_frames[1:]:
-            out = out.unionByName(f_)
-        return out, None
+        ), None

@@ -37,6 +37,7 @@ from bigdime_spark.operators.caption import CaptionEquality
 from bigdime_spark.operators.checksum import Checksum
 from bigdime_spark.operators.decode import DecodeIntegrity
 from bigdime_spark.operators.drift import DEFAULT_DRIFT_COLUMNS, DriftCheck
+from bigdime_spark.operators.keyed import KeyedSnapshotPass
 from bigdime_spark.operators.record_count import RecordCount
 from bigdime_spark.operators.referential import Referential
 from bigdime_spark.operators.row_checks import NotNull, default_image_domain_checks
@@ -109,19 +110,30 @@ class ValidationSuite:
         return out
 
     def _table_constraints(self, has_curated: bool) -> list[TableConstraint]:
+        """Constraints with their own plan, EXCLUDING the keyed trio
+        (uniqueness/referential/caption), which fuse into one shuffle
+        via KeyedSnapshotPass when the keys coincide."""
         out: list[TableConstraint] = []
-        if self.check_uniqueness:
-            out.append(Uniqueness(self.unique_key))
-        if has_curated and self.check_referential:
-            out.append(Referential(self.ref_key))
-        if has_curated and self.check_caption:
-            out.append(CaptionEquality())
+        if not self._keyed_fusable(has_curated):
+            if self.check_uniqueness:
+                out.append(Uniqueness(self.unique_key))
+            if has_curated and self.check_referential:
+                out.append(Referential(self.ref_key))
+            if has_curated and self.check_caption:
+                out.append(CaptionEquality())
         if has_curated and self.check_drift:
             out.append(DriftCheck(self.drift_specs))
         if self.check_decode:
             out.append(DecodeIntegrity(seed=self.decode_seed))
         out += list(self.extra_table_constraints)
         return out
+
+    def _keyed_fusable(self, has_curated: bool) -> bool:
+        wants_ref = has_curated and (self.check_referential or self.check_caption)
+        if not (self.check_uniqueness or wants_ref):
+            return False
+        # fuse only when all requested keyed constraints share one key
+        return (not wants_ref) or (self.unique_key == self.ref_key) or not self.check_uniqueness
 
     # -------------------------------------------------------------- run
 
@@ -233,8 +245,22 @@ class ValidationSuite:
             if v is not None:
                 violation_frames.append(v)
 
-        # pass 4/5 — table constraints
+        # pass 4 — fused keyed trio (uniqueness/referential/caption):
+        # ONE shuffle on the key serves all three (operators/keyed.py)
         verdict_frames = verdict_frames_head + [agg_verdicts]
+        if self._keyed_fusable(curated is not None):
+            keyed = KeyedSnapshotPass(
+                key=self.unique_key if self.check_uniqueness else self.ref_key,
+                check_uniqueness=self.check_uniqueness,
+                check_referential=self.check_referential,
+                check_caption=self.check_caption,
+            )
+            for _name, v_df, viol in keyed.run(ctx):
+                verdict_frames.append(v_df)
+                if viol is not None:
+                    violation_frames.append(viol)
+
+        # pass 4b/5 — remaining table constraints (drift, decode, extras)
         for tc in self._table_constraints(curated is not None):
             v_df, viol = tc.run(ctx)
             verdict_frames.append(v_df)
@@ -271,6 +297,13 @@ class ValidationSuite:
                 .filter(F.col("_rn") <= self.topk_violations)
                 .drop("_rn")
             )
+
+        # verdicts/violations feed multiple downstream actions (lineage,
+        # writes, counts) — persist so the whole constraint DAG runs ONCE.
+        # Verdicts are tiny (parts × constraints); violations are bounded
+        # by topk_violations at scale.
+        verdicts = verdicts.persist()
+        violations = violations.persist()
 
         # pass 6 — stats projection + lineage
         stats_out = fused.select(
