@@ -65,6 +65,13 @@ class AggConstraint:
     def violations(self, df: DataFrame, snapshot: str) -> DataFrame | None:
         return None
 
+    def violation_spec(self) -> tuple[Column, str, Column] | None:
+        """(is_violation predicate, column name, detail) for row-level
+        constraints. When provided, the suite fuses ALL such specs
+        into ONE scan of the table (an array-of-structs filter +
+        explode) instead of one filtered scan per constraint."""
+        return None
+
 
 class TableConstraint:
     """Cross-partition / cross-snapshot constraint with its own plan."""

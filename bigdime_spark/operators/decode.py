@@ -125,7 +125,10 @@ class DecodeIntegrity(TableConstraint):
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame]:
         df = ctx.raw if self.snapshot == "raw" else ctx.curated
         checked = decode_check(df, seed=self.seed)
-        bad = checked.filter(~F.col("ok"))
+        # persist only the FAILING rows (rare): the expensive Arrow
+        # decode runs once even though verdicts and violations are
+        # materialized by separate actions
+        bad = checked.filter(~F.col("ok")).persist()
         violations = violation_rows(
             bad, self.name, "bytes", F.coalesce("reason", F.lit("decode failed")), self.snapshot
         )

@@ -108,6 +108,8 @@ class KeyedSnapshotPass:
 
     def _uniqueness(self, ctx: SuiteContext, j: DataFrame):
         name = f"uniqueness.{self.key}"
+        # persist the (rare) dup copies so the keyed shuffle is not
+        # re-executed when verdicts and violations materialize separately
         copies = (
             j.filter(F.col("n_r") > 1)
             .select(
@@ -116,6 +118,7 @@ class KeyedSnapshotPass:
                 F.explode("copies_r").alias("c"),
             )
             .select("image_id", "n", F.col("c.part").alias("part"))
+            .persist()
         )
         violations = violation_rows(
             copies,
@@ -156,7 +159,7 @@ class KeyedSnapshotPass:
             spurious, name, self.key, F.lit("spurious_curated: key missing from raw"), "curated",
             image_id_col=self.key,
         )
-        violations = v_lost.unionByName(v_spur)
+        violations = v_lost.unionByName(v_spur).persist()  # rare rows
         failed = (
             violations.groupBy("part")
             .agg(F.count(F.lit(1)).alias("orphans"))
@@ -187,7 +190,7 @@ class KeyedSnapshotPass:
                 F.col("cc.cap").alias("_cur_val"),
             )
         )
-        mism = pairs.filter(~F.col("_raw_val").eqNullSafe(F.col("_cur_val")))
+        mism = pairs.filter(~F.col("_raw_val").eqNullSafe(F.col("_cur_val"))).persist()
         violations = violation_rows(
             mism,
             name,

@@ -42,6 +42,9 @@ class NotNull(AggConstraint):
             snapshot,
         )
 
+    def violation_spec(self):
+        return (F.col(self.column).isNull(), self.column, F.lit("null in required column"))
+
 
 class DomainCheck(AggConstraint):
     """PASS iff no row strictly violates ``predicate`` (NULL inputs are
@@ -74,6 +77,9 @@ class DomainCheck(AggConstraint):
             F.lit(self.detail),
             snapshot,
         )
+
+    def violation_spec(self):
+        return (~self.predicate, self.column, F.lit(self.detail))
 
 
 def default_image_domain_checks() -> list[DomainCheck]:

@@ -237,13 +237,49 @@ class ValidationSuite:
             spark=spark, raw=raw, curated=curated, manifest=manifest, parts=parts
         )
 
-        # pass 3 violations (row-level, lazily unioned)
+        # pass 3 violations — row-level specs fuse into ONE scan: each
+        # row evaluates every predicate, failed ones become an array of
+        # violation structs, exploded after a size>0 filter. Replaces
+        # one filtered scan per constraint.
         verdict_frames_head = [schema_verdict_df]
         violation_frames = [schema_viol_df]
+        specs = [(c.name, c.violation_spec()) for c in agg_constraints]
+        fusable = [(n, s) for n, s in specs if s is not None]
+        if fusable:
+            structs = [
+                F.when(
+                    pred,
+                    F.struct(
+                        F.lit(name).alias("constraint"),
+                        F.lit(column).alias("column"),
+                        detail.cast("string").alias("detail"),
+                    ),
+                )
+                for name, (pred, column, detail) in fusable
+            ]
+            fused_viol = (
+                raw.select(
+                    "part",
+                    F.col("image_id").cast("string").alias("image_id"),
+                    F.filter(F.array(*structs), lambda x: x.isNotNull()).alias("_vs"),
+                )
+                .filter(F.size("_vs") > 0)
+                .select("part", "image_id", F.explode("_vs").alias("v"))
+                .select(
+                    F.col("v.constraint").alias("constraint"),
+                    F.col("part").cast("string").alias("part"),
+                    "image_id",
+                    F.col("v.column").alias("column"),
+                    F.col("v.detail").alias("detail"),
+                    F.lit("raw").alias("snapshot"),
+                )
+            )
+            violation_frames.append(fused_viol)
         for c in agg_constraints:
-            v = c.violations(raw, "raw")
-            if v is not None:
-                violation_frames.append(v)
+            if c.violation_spec() is None:
+                v = c.violations(raw, "raw")
+                if v is not None:
+                    violation_frames.append(v)
 
         # pass 4 — fused keyed trio (uniqueness/referential/caption):
         # ONE shuffle on the key serves all three (operators/keyed.py)
