@@ -10,8 +10,8 @@ validated-images/sec headline of BASELINE.md.
 Env:
     SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
-    BENCH_ROWS           image fixture rows (default 300000)
-    BENCH_PARTS          image fixture partitions (default 32)
+    BENCH_ROWS           image fixture rows (default 1000000)
+    BENCH_PARTS          image fixture partitions (default 64)
     BENCH_FIXTURE        fixture cache dir (default .cache/bench_fx_<rows>)
 
 Flags:
@@ -74,10 +74,12 @@ def ensure_fixture(spark, fx_dir: str, rows: int, parts: int) -> None:
     if os.path.isdir(f"{fx_dir}/raw"):
         return
     print(f"# generating fixture {rows} rows → {fx_dir}", file=sys.stderr)
+    from bigdime_spark.sources.tables import write_table
+
     fx = build_fixture(spark, n_rows=rows, n_parts=parts)
-    fx.raw.write.mode("overwrite").partitionBy("part").parquet(f"{fx_dir}/raw")
-    fx.curated.write.mode("overwrite").partitionBy("part").parquet(f"{fx_dir}/curated")
-    fx.manifest.write.mode("overwrite").parquet(f"{fx_dir}/manifest")
+    write_table(fx.raw, f"{fx_dir}/raw")
+    write_table(fx.curated, f"{fx_dir}/curated")
+    write_table(fx.manifest, f"{fx_dir}/manifest", partition_by=None)
 
 
 def bench_suite(spark, fx_dir: str, rows: int, parts: int) -> dict:
@@ -89,23 +91,33 @@ def bench_suite(spark, fx_dir: str, rows: int, parts: int) -> dict:
     man = spark.read.parquet(f"{fx_dir}/manifest")
     raw.select("part").count()  # warm metadata/scan paths
 
-    t0 = time.monotonic()
-    res = ValidationSuite(
-        not_null=("image_id", "caption", "w", "h", "fmt"),
-        check_decode=True,
-        decode_seed=42,
-    ).run(spark, raw, cur, man, run_id="bench", resume=False)
-    n_verdicts = res.verdicts.count()
-    n_violations = res.violations.count()
-    lineage = res.lineage.collect()
-    wall = time.monotonic() - t0
-    scanned = sum(r["rows_scanned"] for r in lineage)
+    def one_run(run_id: str) -> tuple[float, int, dict]:
+        t0 = time.monotonic()
+        res = ValidationSuite(
+            not_null=("image_id", "caption", "w", "h", "fmt"),
+            check_decode=True,
+            decode_seed=42,
+        ).run(spark, raw, cur, man, run_id=run_id, resume=False)
+        n_verdicts = res.verdicts.count()
+        n_violations = res.violations.count()
+        lineage = res.lineage.collect()
+        wall = time.monotonic() - t0
+        res.release()  # drop ALL persisted frames so the next run
+        # recomputes instead of hitting plan-matched caches
+        scanned = sum(r["rows_scanned"] for r in lineage)
+        return wall, scanned, {"verdicts": n_verdicts, "violations": n_violations}
+
+    # run twice: rep1 pays one-time JVM/codegen/footer warmup, rep2 is
+    # the steady-state throughput (the regime a 10^12-row run lives in;
+    # BASELINE.md measurement excludes one-time startup)
+    cold_wall, _, _ = one_run("bench-cold")
+    wall, scanned, extra = one_run("bench-steady")
     return {
         "rows": rows,
         "parts": parts,
         "rows_scanned": scanned,
-        "verdicts": n_verdicts,
-        "violations": n_violations,
+        **extra,
+        "cold_wall_sec": round(cold_wall, 2),
         "wall_sec": round(wall, 2),
         "images_per_sec": round(scanned / wall, 1) if wall > 0 else None,
     }
@@ -119,8 +131,8 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    rows = int(os.environ.get("BENCH_ROWS", "300000"))
-    parts = int(os.environ.get("BENCH_PARTS", "32"))
+    rows = int(os.environ.get("BENCH_ROWS", "1000000"))
+    parts = int(os.environ.get("BENCH_PARTS", "64"))
     fx_dir = os.environ.get("BENCH_FIXTURE", f"{REPO}/.cache/bench_fx_{rows // 1000}k")
 
     from bigdime_spark.session import get_spark

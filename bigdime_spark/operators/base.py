@@ -78,6 +78,15 @@ class TableConstraint:
 
     name: str
 
+    #: when True, run() returns only found/failing verdict rows (with a
+    #: `constraint` column) and the suite fills the remaining
+    #: (part × verdict_names()) grid with PASS in ONE shared join
+    #: instead of one broadcast join per constraint.
+    partial_verdicts: bool = False
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]
+
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame | None]:
         """→ (verdicts[part, constraint, verdict, observed, expected],
         violations | None)."""

@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 from bigdime_spark.operators.base import (
     SuiteContext,
     TableConstraint,
-    fill_pass_for_missing_parts,
     violation_rows,
 )
 from bigdime_spark.schema import FAIL
@@ -129,6 +128,7 @@ class DecodeIntegrity(TableConstraint):
         # decode runs once even though verdicts and violations are
         # materialized by separate actions
         bad = checked.filter(~F.col("ok")).persist()
+        ctx.extras.setdefault("persisted", []).append(bad)
         violations = violation_rows(
             bad, self.name, "bytes", F.coalesce("reason", F.lit("decode failed")), self.snapshot
         )
@@ -137,9 +137,18 @@ class DecodeIntegrity(TableConstraint):
             .agg(F.count(F.lit(1)).alias("bad_images"))
             .select(
                 "part",
+                F.lit(self.name).alias("constraint"),
                 F.lit(FAIL).alias("verdict"),
                 F.concat(F.lit("bad_images="), F.col("bad_images").cast("string")).alias("observed"),
                 F.lit("bad_images=0").alias("expected"),
             )
         )
-        return fill_pass_for_missing_parts(failed_parts, ctx.parts, self.name), violations
+        # partial frame: suite grid join fills the PASS rows (pass 6)
+        return failed_parts, violations
+
+    @property
+    def partial_verdicts(self) -> bool:
+        return True
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]

@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 
 from bigdime_spark.operators.base import (
     SuiteContext,
-    fill_pass_for_missing_parts,
     violation_rows,
 )
 from bigdime_spark.schema import FAIL
@@ -93,9 +92,47 @@ class KeyedSnapshotPass:
 
     # ------------------------------------------------------------- run
 
-    def run(self, ctx: SuiteContext) -> list[tuple[str, DataFrame, DataFrame | None]]:
-        """→ [(constraint_name, verdicts, violations|None), ...]"""
+    def _rare(self, ctx: SuiteContext) -> DataFrame:
+        """Filter the keyed join down to the rows ANY enabled
+        constraint cares about (dup groups, orphans, caption
+        mismatches — rare by construction), persist, and materialize
+        eagerly. The expensive keyed shuffle therefore executes
+        exactly once; every constraint below is a filter over a tiny
+        cached frame."""
         j = self._joined(ctx)
+        has_cur = ctx.curated is not None
+        preds = []
+        if self.check_uniqueness:
+            preds.append(F.col("n_r") > 1)
+        if has_cur and self.check_referential:
+            preds.append(F.col("n_r").isNull() | F.col("n_c").isNull())
+        if has_cur and self.check_caption:
+            preds.append(
+                F.col("n_r").isNotNull()
+                & F.col("n_c").isNotNull()
+                & F.exists(
+                    "copies_r",
+                    lambda r: F.exists(
+                        "copies_c", lambda c: ~r["cap"].eqNullSafe(c["cap"])
+                    ),
+                )
+            )
+        interesting = preds[0]
+        for p in preds[1:]:
+            interesting = interesting | p
+        rare = j.filter(interesting).persist()
+        ctx.extras.setdefault("persisted", []).append(rare)
+        rare.count()  # eager: one job, one keyed shuffle
+        return rare
+
+    def run(self, ctx: SuiteContext) -> list[tuple[str, DataFrame, DataFrame | None]]:
+        """→ [(constraint_name, FAIL-verdict rows, violations|None), ...]
+
+        Verdict frames contain ONLY failing (part, verdict, observed,
+        expected) rows — the suite completes the (part × constraint)
+        grid with PASS rows in one shared join (suite pass 6), instead
+        of one broadcast join per constraint."""
+        j = self._rare(ctx)
         out: list[tuple[str, DataFrame, DataFrame | None]] = []
 
         if self.check_uniqueness:
@@ -108,8 +145,6 @@ class KeyedSnapshotPass:
 
     def _uniqueness(self, ctx: SuiteContext, j: DataFrame):
         name = f"uniqueness.{self.key}"
-        # persist the (rare) dup copies so the keyed shuffle is not
-        # re-executed when verdicts and violations materialize separately
         copies = (
             j.filter(F.col("n_r") > 1)
             .select(
@@ -118,7 +153,6 @@ class KeyedSnapshotPass:
                 F.explode("copies_r").alias("c"),
             )
             .select("image_id", "n", F.col("c.part").alias("part"))
-            .persist()
         )
         violations = violation_rows(
             copies,
@@ -132,12 +166,13 @@ class KeyedSnapshotPass:
             .agg(F.count(F.lit(1)).alias("dup_copies"))
             .select(
                 "part",
+                F.lit(name).alias("constraint"),
                 F.lit(FAIL).alias("verdict"),
                 F.concat(F.lit("dup_copies="), F.col("dup_copies").cast("string")).alias("observed"),
                 F.lit("dup_copies=0").alias("expected"),
             )
         )
-        return name, fill_pass_for_missing_parts(failed, ctx.parts, name), violations
+        return name, failed, violations
 
     def _referential(self, ctx: SuiteContext, j: DataFrame):
         name = "referential"
@@ -159,18 +194,19 @@ class KeyedSnapshotPass:
             spurious, name, self.key, F.lit("spurious_curated: key missing from raw"), "curated",
             image_id_col=self.key,
         )
-        violations = v_lost.unionByName(v_spur).persist()  # rare rows
+        violations = v_lost.unionByName(v_spur)
         failed = (
             violations.groupBy("part")
             .agg(F.count(F.lit(1)).alias("orphans"))
             .select(
                 "part",
+                F.lit(name).alias("constraint"),
                 F.lit(FAIL).alias("verdict"),
                 F.concat(F.lit("orphans="), F.col("orphans").cast("string")).alias("observed"),
                 F.lit("orphans=0").alias("expected"),
             )
         )
-        return name, fill_pass_for_missing_parts(failed, ctx.parts, name), violations
+        return name, failed, violations
 
     def _caption(self, ctx: SuiteContext, j: DataFrame):
         name = "caption_equality"
@@ -190,7 +226,7 @@ class KeyedSnapshotPass:
                 F.col("cc.cap").alias("_cur_val"),
             )
         )
-        mism = pairs.filter(~F.col("_raw_val").eqNullSafe(F.col("_cur_val"))).persist()
+        mism = pairs.filter(~F.col("_raw_val").eqNullSafe(F.col("_cur_val")))
         violations = violation_rows(
             mism,
             name,
@@ -208,9 +244,10 @@ class KeyedSnapshotPass:
             .agg(F.count(F.lit(1)).alias("mismatches"))
             .select(
                 "part",
+                F.lit(name).alias("constraint"),
                 F.lit(FAIL).alias("verdict"),
                 F.concat(F.lit("mismatches="), F.col("mismatches").cast("string")).alias("observed"),
                 F.lit("mismatches=0").alias("expected"),
             )
         )
-        return name, fill_pass_for_missing_parts(failed, ctx.parts, name), violations
+        return name, failed, violations

@@ -19,6 +19,8 @@ PASS / FAIL / SKIPPED_CONFIG (≈ INCOMPLETE_SETUP) / NOT_READY.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -53,6 +55,24 @@ from bigdime_spark.schema import (
 )
 
 
+def _profiler(t0: float):
+    """BIGDIME_PROFILE=1 → per-phase wall marks on stderr."""
+    if not os.environ.get("BIGDIME_PROFILE"):
+        return lambda label: None
+    last = [t0]
+
+    def mark(label: str) -> None:
+        now = time.monotonic()
+        print(
+            f"[suite-profile] {label}: +{now - last[0]:.1f}s (t={now - t0:.1f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+        last[0] = now
+
+    return mark
+
+
 @dataclass
 class SuiteResult:
     run_id: str
@@ -62,6 +82,18 @@ class SuiteResult:
     lineage: DataFrame
     schema_violations: list
     wall_ms: int = 0
+    #: every frame the run persisted (fused agg, keyed rare rows,
+    #: decode failures, verdicts, violations) — release() drops them
+    #: so a subsequent run recomputes instead of silently reusing
+    #: plan-matched caches.
+    persisted: list = field(default_factory=list)
+
+    def release(self) -> None:
+        for df in self.persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
     def failed_parts(self) -> list[str]:
         return [
@@ -148,6 +180,7 @@ class ValidationSuite:
         resume: bool = True,
     ) -> SuiteResult:
         t0 = time.monotonic()
+        mark = _profiler(t0)
         run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
         declared = self.declared_schema or IMAGE_SCHEMA_PARTITIONED
 
@@ -192,31 +225,44 @@ class ValidationSuite:
         # bytes (any binary column) never scanned in the stats pass —
         # SURVEY B0b; Catalyst further prunes to the columns the fused
         # agg actually references.
-        stats_cols = [
-            f.name
-            for f in raw.schema.fields
-            if f.name != "part" and not isinstance(f.dataType, BinaryType)
-        ]
-        projected = raw.select("part", *stats_cols)
         exprs = list(stats.agg_exprs())
         for c in light:
             exprs.extend(c.agg_exprs())  # aliases are unique by construction
-        fused = projected.groupBy("part").agg(*exprs)
 
-        if heavy:  # pass 3b — full-content checksum scan
+        if heavy:
+            # checksum must read every column (incl. binary) anyway, so
+            # ALL stats/constraint aggs ride the same full scan — one
+            # scan + one shuffle total instead of two scans + a join.
             cs = heavy[0]
             pre = raw
             for name, col in cs.pre_columns().items():
                 pre = pre.withColumn(name, col)
-            cs_agg = pre.groupBy("part").agg(*cs.agg_exprs())
-            fused = fused.join(cs_agg, "part", "full_outer")
+            exprs.extend(cs.agg_exprs())
+            fused = pre.groupBy("part").agg(*exprs)
+        else:
+            # no checksum → the stats pass must NEVER touch binary
+            # columns (SURVEY B0b): parquet prunes the image pages.
+            stats_cols = [
+                f.name
+                for f in raw.schema.fields
+                if f.name != "part" and not isinstance(f.dataType, BinaryType)
+            ]
+            fused = raw.select("part", *stats_cols).groupBy("part").agg(*exprs)
 
         if manifest is not None:
             fused = fused.join(F.broadcast(manifest), "part", "left")
         elif any(c.needs_manifest() for c in agg_constraints):
             for col in ("expected_rows", "expected_xor", "expected_sum"):
                 fused = fused.withColumn(col, F.lit(None))
+        persisted: list = []
         fused = fused.cache()  # tiny: one row per partition
+        persisted.append(fused)
+        # materialize NOW: a dozen verdict branches reference this
+        # frame inside one union action, and branches hitting a
+        # not-yet-materialized cache each recompute its plan (the
+        # stats+checksum scans) — eager materialization runs it once.
+        fused.count()
+        mark("pass3 fused stats+constraints agg")
 
         # long-format verdicts via inline(array(struct(...)))
         structs = [
@@ -236,6 +282,7 @@ class ValidationSuite:
         ctx = SuiteContext(
             spark=spark, raw=raw, curated=curated, manifest=manifest, parts=parts
         )
+        ctx.extras["persisted"] = persisted
 
         # pass 3 violations — row-level specs fuse into ONE scan: each
         # row evaluates every predicate, failed ones become an array of
@@ -282,8 +329,14 @@ class ValidationSuite:
                     violation_frames.append(v)
 
         # pass 4 — fused keyed trio (uniqueness/referential/caption):
-        # ONE shuffle on the key serves all three (operators/keyed.py)
+        # ONE shuffle on the key serves all three (operators/keyed.py).
+        # Keyed/drift/decode return PARTIAL verdict frames (failing
+        # rows only, with a constraint column); the full
+        # (part × constraint) grid is completed with PASS rows by ONE
+        # shared join below instead of a broadcast join per constraint.
         verdict_frames = verdict_frames_head + [agg_verdicts]
+        partial_frames: list[DataFrame] = []
+        partial_names: list[str] = []
         if self._keyed_fusable(curated is not None):
             keyed = KeyedSnapshotPass(
                 key=self.unique_key if self.check_uniqueness else self.ref_key,
@@ -291,17 +344,39 @@ class ValidationSuite:
                 check_referential=self.check_referential,
                 check_caption=self.check_caption,
             )
-            for _name, v_df, viol in keyed.run(ctx):
-                verdict_frames.append(v_df)
+            for name, v_df, viol in keyed.run(ctx):
+                partial_frames.append(v_df)
+                partial_names.append(name)
                 if viol is not None:
                     violation_frames.append(viol)
+            mark("pass4 keyed trio (eager rare frame)")
 
         # pass 4b/5 — remaining table constraints (drift, decode, extras)
         for tc in self._table_constraints(curated is not None):
             v_df, viol = tc.run(ctx)
-            verdict_frames.append(v_df)
+            if getattr(tc, "partial_verdicts", False):
+                partial_frames.append(v_df)
+                partial_names.extend(tc.verdict_names())
+            else:
+                verdict_frames.append(v_df)
             if viol is not None:
                 violation_frames.append(viol)
+
+        if partial_frames:
+            found = partial_frames[0]
+            for fdf in partial_frames[1:]:
+                found = found.unionByName(fdf)
+            grid = parts.crossJoin(
+                spark.createDataFrame([(n,) for n in partial_names], "constraint string")
+            )
+            completed = grid.join(found, ["part", "constraint"], "left").select(
+                "part",
+                "constraint",
+                F.coalesce("verdict", F.lit(PASS)).alias("verdict"),
+                F.col("observed").cast("string").alias("observed"),
+                F.col("expected").cast("string").alias("expected"),
+            )
+            verdict_frames.append(completed)
 
         verdicts = verdict_frames[0]
         for fdf in verdict_frames[1:]:
@@ -340,6 +415,11 @@ class ValidationSuite:
         # by topk_violations at scale.
         verdicts = verdicts.persist()
         violations = violations.persist()
+        persisted += [verdicts, violations]
+        verdicts.count()
+        mark("pass5 verdicts materialized (drift+decode+assembly)")
+        violations.count()
+        mark("pass5b violations materialized")
 
         # pass 6 — stats projection + lineage
         stats_out = fused.select(
@@ -377,4 +457,5 @@ class ValidationSuite:
             lineage=lineage,
             schema_violations=schema_viol,
             wall_ms=int((time.monotonic() - t0) * 1000),
+            persisted=persisted,
         )

@@ -28,7 +28,13 @@ ENGINE_CONFS: dict[str, str] = {
     # deterministic session timezone so timestamp-derived hashes are stable
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # single-JVM local mode: driver heap IS the executor heap. Wide
+    # binary columns (image bytes) make vectorized reader batches big;
+    # 32 concurrent tasks × multi-MB batches needs real headroom, and
+    # a smaller columnar batch bounds per-task vector memory (4096-row
+    # default × ~20 KB payloads ≈ 80 MB per open batch).
+    "spark.driver.memory": "24g",
+    "spark.sql.parquet.columnarReaderBatchSize": "1024",
 }
 
 

@@ -60,7 +60,13 @@ def write_table(
         else:
             df.writeTo(ref).createOrReplace()
         return
-    writer = df.write.mode(mode)
     if partition_by and partition_by in df.columns:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(ref)
+        # co-locate each partition's rows before the write: without
+        # this, every write task emits one file into EVERY partition
+        # directory (tasks × partitions tiny files), and each later
+        # scan pays per-file open/footer costs that dwarf the data —
+        # the small-files problem, fatal at both bench and 100 TB scale.
+        df = df.repartition(partition_by)
+        df.write.mode(mode).partitionBy(partition_by).parquet(ref)
+        return
+    df.write.mode(mode).parquet(ref)

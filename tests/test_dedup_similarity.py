@@ -1,0 +1,137 @@
+"""Unit oracles for the training-data-pipeline operators: dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard) and embedding
+similarity (brute-force top-k / sign-LSH). Tiny in-memory tables with
+hand-computable expectations.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators import dedup, similarity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "a"),
+    (1, "the quick brown fox jumps over the lazy cat", "a"),  # near-dup of 0
+    (2, "completely different words appear here only once", "a"),
+    (3, "the quick brown fox jumps over the lazy dog", "b"),  # exact dup of 0
+    (4, "spark engines shuffle partitions across executors nightly", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_exact_dup_groups(docs):
+    groups = dedup.exact_dup_groups(docs, "doc_id", ["text"]).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_copies"] == 2 and g["keeper"] == 0 and g["dup_ids"] == [0, 3]
+
+
+def test_drop_exact_dups_keeps_min(docs):
+    kept = dedup.drop_exact_dups(docs, ["text"], "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 1, 2, 4]
+
+
+def test_minhash_lsh_finds_near_and_exact_dups(docs):
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", ngram=2, num_hashes=16, bands=4, threshold=0.5
+    )
+    found = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs.collect()}
+    assert (0, 3) in found and found[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in found and 0.5 <= found[(0, 1)] < 1.0  # near dup
+    assert all(i in (0, 1, 3) and j in (0, 1, 3) for i, j in found)
+
+
+def test_minhash_modes_agree_on_candidates(docs):
+    """md5 (oracle-portable) and xxhash64 (production) modes must find
+    the same post-verification pairs — the exact Jaccard filter makes
+    the hash family an implementation detail."""
+    a = dedup.minhash_lsh_dedup(docs, "doc_id", "text", ngram=2, threshold=0.5, hash_mode="md5")
+    b = dedup.minhash_lsh_dedup(docs, "doc_id", "text", ngram=2, threshold=0.5, hash_mode="xxhash")
+    pa = {(r["id1"], r["id2"]) for r in a.collect()}
+    pb = {(r["id1"], r["id2"]) for r in b.collect()}
+    assert pa == pb
+
+
+def test_simhash_identical_texts_equal_and_deterministic(docs):
+    out = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text", bits=16).collect()}
+    out2 = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text", bits=16).collect()}
+    assert out == out2  # deterministic
+    assert out[0] == out[3]  # identical text → identical fingerprint
+    assert 0 <= out[0] < (1 << 16)
+    # near-dup texts → small hamming distance (≤ 4 of 16 bits)
+    ham = bin(out[0] ^ out[1]).count("1")
+    assert ham <= 4
+    # unrelated text → not forced equal to 0's fingerprint
+    assert out[0] != out[4]
+
+
+def test_simhash_dup_groups(docs):
+    groups = dedup.simhash_dup_groups(docs, "doc_id", "text", bits=16).collect()
+    assert any(set(g["ids"]) >= {0, 3} for g in groups)
+
+
+def test_ngram_jaccard_blocked(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "source", k=4, threshold=0.5)
+    found = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs.collect()}
+    # 0 and 3 are exact dups but in DIFFERENT blocks → not compared
+    assert (0, 3) not in found
+    assert (0, 1) in found and found[(0, 1)] > 0.5
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0, 0.0], 0),
+    (2, [0.0, 1.0, 0.0, 0.0], 0),
+    (3, [-1.0, 0.0, 0.0, 0.0], 1),
+    (4, [0.70710678, 0.70710678, 0.0, 0.0], 1),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>, label int")
+
+
+def test_brute_force_topk_order_and_values(vecs):
+    out = similarity.brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4).collect()
+    ranked = [(r["rank"], r["neighbor_id"], r["cosine"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert [r[1] for r in ranked] == [1, 4, 2, 3]
+    assert ranked[0][2] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert ranked[3][2] == -1.0
+
+
+def test_sign_lsh_bucket_bits(vecs):
+    b = vecs.select("vec_id", similarity.sign_lsh_bucket(F.col("embedding"), 4).alias("bucket"))
+    got = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    assert got[0] == 0b1111  # all dims >= 0
+    assert got[3] == 0b1110  # dim 1 negative → bit0 clear
+    assert got[2] == 0b1111
+
+
+def test_lsh_nearest_in_bucket(vecs):
+    out = similarity.lsh_nearest_in_bucket(vecs, nbits=4)
+    got = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
+    assert got[0] == 1  # nearest within the all-positive bucket
+    assert 3 not in got  # alone in its bucket → no row (documented ANN trade)
+
+
+def test_cosine_dup_pairs_threshold(vecs):
+    pairs = similarity.cosine_dup_pairs(vecs, threshold=0.99)
+    found = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert found == {(0, 1)} or found == set()  # cos(0,1)≈0.9939 ≥ .99
+    assert (0, 1) in found
+
+
+def test_similarity_histogram_counts(vecs):
+    hist = similarity.similarity_histogram(vecs, block_col="label", nbins=20).collect()
+    total = sum(r["cnt"] for r in hist)
+    assert total == 3 + 1  # C(3,2) within label 0 + C(2,2) within label 1
