@@ -112,9 +112,10 @@ def bench_suite(spark, fx_dir: str, rows: int, parts: int) -> dict:
     # BASELINE.md measurement excludes one-time startup)
     cold_wall, _, _ = one_run("bench-cold")
     wall, scanned, extra = one_run("bench-steady")
+    n_parts = raw.select("part").distinct().count()
     return {
         "rows": rows,
-        "parts": parts,
+        "parts": n_parts,
         "rows_scanned": scanned,
         **extra,
         "cold_wall_sec": round(cold_wall, 2),

@@ -1,0 +1,112 @@
+"""Physical-plan oracles: the properties that matter at 100 TB are
+asserted on the plans themselves (SURVEY §4) — column pruning keeps
+image bytes unread in the stats pass, the resume filter reaches the
+scan as a pushed/partition filter, small joins broadcast, and the
+fused aggregation does partial (map-side) aggregation before its one
+shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdime_spark.plans.suite import ValidationSuite
+from bigdime_spark.plans.lineage import apply_resume_filter
+from bigdime_spark.sources.synth import build_fixture
+
+
+@pytest.fixture(scope="module")
+def parquet_fixture(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planfx"))
+    fx = build_fixture(spark, n_rows=200, n_parts=4)
+    fx.raw.repartition("part").write.partitionBy("part").parquet(f"{d}/raw")
+    fx.manifest.write.parquet(f"{d}/manifest")
+    return d
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_stats_scan_never_reads_bytes(spark, parquet_fixture):
+    """B0b: with checksum off, the fused stats pass must not project
+    the binary column — parquet page reads for `bytes` are the
+    dominant I/O and belong to checksum/decode only."""
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    res = ValidationSuite(
+        check_checksum=False,
+        check_record_count=False,
+        check_uniqueness=False,
+        check_drift=False,
+        check_caption=False,
+        check_referential=False,
+    ).run(spark, raw, run_id="plan1")
+    plan = _explain(res.stats)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, plan
+    for ln in scans:
+        assert "bytes" not in ln, f"stats scan reads bytes pages: {ln}"
+
+
+def test_resume_filter_reaches_scan(spark, parquet_fixture):
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    filtered = apply_resume_filter(raw, ["p0000", "p0001"])
+    plan = _explain(filtered.groupBy("part").count())
+    # partition-column IN filter must appear at the scan node
+    # (PartitionFilters → whole directories of validated parts are
+    # never opened)
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "p0000" in seg.split("PushedFilters")[0] or "part" in seg.split("PushedFilters")[0]
+
+
+def test_manifest_join_broadcasts(spark, parquet_fixture):
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    man = spark.read.parquet(f"{parquet_fixture}/manifest")
+    res = ValidationSuite(
+        check_uniqueness=False, check_drift=False,
+        check_caption=False, check_referential=False,
+    ).run(spark, raw, manifest=man, run_id="plan2")
+    plan = _explain(res.verdicts)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_fused_agg_has_partial_aggregation(spark, parquet_fixture):
+    """The one groupBy(part) pass must do map-side partial aggregation
+    (HashAggregate appears twice per agg: partial then final after the
+    exchange) — at scale the shuffle carries one row per (task, part),
+    not per input row."""
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    res = ValidationSuite(
+        check_uniqueness=False, check_drift=False,
+        check_caption=False, check_referential=False,
+    ).run(spark, raw, run_id="plan3")
+    plan = _explain(res.stats)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_keyed_pass_single_exchange_pair(spark, parquet_fixture):
+    """Uniqueness+referential+caption share the keyed shuffle: the
+    rare-frame plan contains the two groupBy exchanges (raw, curated)
+    and the co-partitioned join adds NO further exchange of the big
+    sides."""
+    from bigdime_spark.operators.base import SuiteContext
+    from bigdime_spark.operators.keyed import KeyedSnapshotPass
+
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    ctx = SuiteContext(
+        spark=spark, raw=raw, curated=raw, parts=raw.select("part").distinct()
+    )
+    j = KeyedSnapshotPass()._joined(ctx)
+    plan = _explain(j)
+    # exactly two shuffle exchanges: one per groupBy side; the
+    # full-outer join reuses their hash partitioning
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 2, plan
+    assert "FullOuter" in plan
