@@ -909,6 +909,38 @@ FROM pairs GROUP BY 1
 """
 
 
+def q_salted_groupby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 — deterministic two-level salted aggregation; value-equal to
+    a plain GROUP BY (the oracle), physically skew-proof."""
+    from bigdime_spark.functions.skew import salted_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count(ev, "user_id", ("event_id",), buckets=16)
+
+
+SQL_SALTED_GROUPBY = """
+SELECT user_id, count(*) AS n FROM events GROUP BY 1
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_pairs(
+        e, "vec_id", "embedding", block_col="label", threshold=0.4
+    )
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS id1, c.vec_id AS id2, {_COS_SQL} AS cosine
+  FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+)
+SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.4
+"""
+
+
 # =====================================================================
 # Flagship: the ValidationSuite itself, verdict table vs SQL oracle
 # =====================================================================
@@ -1050,6 +1082,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
     "ann_lsh_nn": QuerySpec(q_ann_lsh_nn, SQL_ANN_LSH),
     "embedding_sim_histogram": QuerySpec(q_embedding_sim_histogram, SQL_SIM_HISTOGRAM),
+    "dedup_embedding_cosine": QuerySpec(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
+    # skew (B27)
+    "salted_groupby_events": QuerySpec(q_salted_groupby_events, SQL_SALTED_GROUPBY),
     # flagship suite
     "suite_verdicts_lineitem": QuerySpec(q_suite_verdicts_lineitem, SQL_SUITE_VERDICTS),
 }

@@ -93,17 +93,19 @@ def test_engine_reports_exactly_the_injected_set(sparkref, spec):
     }
     assert ref_viol <= allowed, ref_viol - allowed
 
-    # --- record count / manifest semantics
+    # --- record count / manifest semantics: actual = pristine + dup
+    # copies landed in p; expected = pristine + (1 if count_mismatch).
+    # The two +1s can cancel (dup into the same mismatched part).
     for p in PARTS:
         v = verdict[(p, "record_count")]
+        delta_actual = sum(1 for _, t in spec.dup_image_id if t == p)
+        delta_expected = 1 if p in spec.count_mismatch else 0
         if p in spec.missing_manifest:
             assert v == "SKIPPED_CONFIG"
-        elif p in spec.count_mismatch or any(
-            t == p for _, t in spec.dup_image_id
-        ):
-            assert v == "FAIL"
+        elif delta_actual != delta_expected:
+            assert v == "FAIL", (p, spec)
         else:
-            assert v == "PASS"
+            assert v == "PASS", (p, spec)
 
     # --- caption equality: injected edits (and nulled captions, which
     # differ byte-wise from curated) — nothing else
