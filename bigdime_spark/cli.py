@@ -45,11 +45,54 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--decode-seed", type=int, default=None)
     r.add_argument("--topk-violations", type=int, default=None)
     r.add_argument("--master", default=None)
+
+    rep = sub.add_parser("report", help="summarize a run's output dir (no Spark — DuckDB)")
+    rep.add_argument("--out", required=True, help="dir holding verdicts/ violations/ [lineage/]")
+    rep.add_argument("--top", type=int, default=10)
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.cmd == "report":
+        import duckdb
+
+        con = duckdb.connect()
+        verdicts = f"{args.out}/verdicts/*.parquet"
+        summary = {
+            "verdict_counts": dict(
+                con.execute(
+                    f"SELECT verdict, count(*) FROM read_parquet('{verdicts}') GROUP BY 1 ORDER BY 1"
+                ).fetchall()
+            ),
+            "failed": [
+                {"part": p, "constraint": c, "observed": o, "expected": e}
+                for p, c, o, e in con.execute(
+                    f"SELECT part, \"constraint\", observed, expected FROM read_parquet('{verdicts}') "
+                    f"WHERE verdict = 'FAIL' ORDER BY part, \"constraint\" LIMIT {args.top}"
+                ).fetchall()
+            ],
+        }
+        try:
+            summary["violations_by_constraint"] = dict(
+                con.execute(
+                    f"SELECT \"constraint\", count(*) FROM read_parquet('{args.out}/violations/*.parquet') GROUP BY 1 ORDER BY 2 DESC"
+                ).fetchall()
+            )
+        except Exception:
+            summary["violations_by_constraint"] = {}
+        try:
+            summary["lineage"] = [
+                {"part": p, "status": st, "rows_scanned": rs, "violations": v}
+                for p, st, rs, v in con.execute(
+                    f"SELECT part, status, rows_scanned, violations FROM read_parquet('{args.out}/lineage/*.parquet') ORDER BY part LIMIT {args.top}"
+                ).fetchall()
+            ]
+        except Exception:
+            pass
+        print(json.dumps({"cmd": "report", **summary}))
+        return 0
+
     from bigdime_spark.session import get_spark
     from bigdime_spark.sources.tables import read_table, write_table
 

@@ -36,17 +36,14 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bigdime_spark.operators.base import (
-    SuiteContext,
-    TableConstraint,
-    violation_rows,
-)
+from bigdime_spark.operators.base import SuiteContext, TableConstraint
 from bigdime_spark.schema import FAIL
 
 PSNR_THRESHOLD_DB = 40.0
 
 RESULT_SCHEMA = pa.schema(
     [
+        pa.field("snapshot", pa.string()),
         pa.field("part", pa.string()),
         pa.field("image_id", pa.string()),
         pa.field("ok", pa.bool_()),
@@ -54,7 +51,10 @@ RESULT_SCHEMA = pa.schema(
         pa.field("reason", pa.string()),
     ]
 )
-RESULT_DDL = "part string, image_id string, ok boolean, psnr double, reason string"
+RESULT_DDL = (
+    "snapshot string, part string, image_id string, ok boolean, "
+    "psnr double, reason string"
+)
 
 
 def _check_row(image_id, payload, w, h, fmt, stored_phash, seed):
@@ -69,31 +69,48 @@ def _check_row(image_id, payload, w, h, fmt, stored_phash, seed):
     lossy = fmt.startswith("rawq")
     if seed is not None:
         ref = synth.make_pixels(seed, image_id, int(w), int(h))
+        if not lossy:
+            # lossless: equality IS psnr == inf — a memcmp-speed
+            # array_equal replaces the float PSNR math (10x cheaper on
+            # the common path; exact same verdict)
+            ok = np.array_equal(ref, pixels)
+            return (ok, None, None if ok else "lossless pixels differ from reference")
         p = synth.psnr(ref, pixels)
-        if lossy:
-            ok = p >= PSNR_THRESHOLD_DB
-            return (ok, p, None if ok else f"psnr {p:.2f} dB < {PSNR_THRESHOLD_DB}")
-        ok = math.isinf(p)
-        return (ok, p, None if ok else "lossless pixels differ from reference")
+        ok = p >= PSNR_THRESHOLD_DB
+        return (ok, p, None if ok else f"psnr {p:.2f} dB < {PSNR_THRESHOLD_DB}")
     actual_phash = synth.phash64(pixels)
     ok = stored_phash is not None and int(stored_phash) == actual_phash
     return (ok, None, None if ok else f"phash {stored_phash} != recomputed {actual_phash}")
 
 
-def decode_check(df: DataFrame, seed: int | None = None) -> DataFrame:
-    """→ (part, image_id, ok, psnr, reason); one row per checked image."""
+def decode_check(
+    df: DataFrame, seed: int | None = None, snapshot: str = "raw"
+) -> DataFrame:
+    """Single-snapshot decode → (snapshot, part, image_id, ok, psnr, reason)."""
+    return decode_check_multi({snapshot: df}, seed=seed)
+
+
+def decode_check_multi(
+    frames: dict[str, DataFrame], seed: int | None = None
+) -> DataFrame:
+    """ALL snapshots through ONE Arrow pass: the inputs union with a
+    `snapshot` tag column, so however many snapshots are validated,
+    there is exactly one mapInArrow stage (one python-worker ramp-up,
+    one stage barrier). → (snapshot, part, image_id, ok, psnr, reason)."""
 
     def run_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             d = batch.to_pydict()
-            parts, ids, oks, psnrs, reasons = [], [], [], [], []
-            for part, image_id, payload, w, h, fmt, ph in zip(
-                d["part"], d["image_id"], d["bytes"], d["w"], d["h"], d["fmt"], d["phash"]
+            snaps, parts, ids, oks, psnrs, reasons = [], [], [], [], [], []
+            for snap, part, image_id, payload, w, h, fmt, ph in zip(
+                d["snapshot"], d["part"], d["image_id"], d["bytes"],
+                d["w"], d["h"], d["fmt"], d["phash"],
             ):
                 res = _check_row(image_id, payload, w, h, fmt, ph, seed)
                 if res is None:
                     continue
                 ok, p, reason = res
+                snaps.append(snap)
                 parts.append(part)
                 ids.append(image_id)
                 oks.append(bool(ok))
@@ -101,6 +118,7 @@ def decode_check(df: DataFrame, seed: int | None = None) -> DataFrame:
                 reasons.append(reason)
             yield pa.RecordBatch.from_arrays(
                 [
+                    pa.array(snaps, pa.string()),
                     pa.array(parts, pa.string()),
                     pa.array(ids, pa.string()),
                     pa.array(oks, pa.bool_()),
@@ -110,34 +128,59 @@ def decode_check(df: DataFrame, seed: int | None = None) -> DataFrame:
                 schema=RESULT_SCHEMA,
             )
 
-    projected = df.select("part", "image_id", "bytes", "w", "h", "fmt", "phash")
-    return projected.mapInArrow(run_batches, RESULT_DDL)
+    unioned = None
+    for snap, df in frames.items():
+        part = df.select(
+            F.lit(snap).alias("snapshot"),
+            "part", "image_id", "bytes", "w", "h", "fmt", "phash",
+        )
+        unioned = part if unioned is None else unioned.unionByName(part)
+    return unioned.mapInArrow(run_batches, RESULT_DDL)
+
+
+def _constraint_name(snapshot: str) -> str:
+    # raw keeps the bare name (historic); other snapshots qualify it
+    return "decode" if snapshot == "raw" else f"decode.{snapshot}"
 
 
 class DecodeIntegrity(TableConstraint):
     name = "decode"
 
-    def __init__(self, seed: int | None = None, snapshot: str = "raw"):
+    def __init__(self, seed: int | None = None, snapshots: tuple[str, ...] = ("raw",)):
         self.seed = seed
-        self.snapshot = snapshot
+        self.snapshots = snapshots
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame]:
-        df = ctx.raw if self.snapshot == "raw" else ctx.curated
-        checked = decode_check(df, seed=self.seed)
-        # persist only the FAILING rows (rare): the expensive Arrow
-        # decode runs once even though verdicts and violations are
-        # materialized by separate actions
+        frames = {
+            snap: (ctx.raw if snap == "raw" else ctx.curated)
+            for snap in self.snapshots
+            if snap == "raw" or ctx.curated is not None
+        }
+        checked = decode_check_multi(frames, seed=self.seed)
+        # persist only the FAILING rows (rare): the single Arrow decode
+        # stage runs once; verdicts and violations are filters over it
         bad = checked.filter(~F.col("ok")).persist()
         ctx.extras.setdefault("persisted", []).append(bad)
-        violations = violation_rows(
-            bad, self.name, "bytes", F.coalesce("reason", F.lit("decode failed")), self.snapshot
+
+        cname = F.when(F.col("snapshot") == "raw", F.lit("decode")).otherwise(
+            F.concat(F.lit("decode."), F.col("snapshot"))
+        )
+        violations = bad.select(
+            cname.alias("constraint"),
+            F.col("part").cast("string").alias("part"),
+            F.col("image_id").cast("string").alias("image_id"),
+            F.lit("bytes").alias("column"),
+            F.coalesce("reason", F.lit("decode failed")).cast("string").alias("detail"),
+            F.col("snapshot"),
         )
         failed_parts = (
-            bad.groupBy("part")
+            bad.groupBy("snapshot", "part")
             .agg(F.count(F.lit(1)).alias("bad_images"))
             .select(
                 "part",
-                F.lit(self.name).alias("constraint"),
+                F.when(F.col("snapshot") == "raw", F.lit("decode"))
+                .otherwise(F.concat(F.lit("decode."), F.col("snapshot")))
+                .alias("constraint"),
                 F.lit(FAIL).alias("verdict"),
                 F.concat(F.lit("bad_images="), F.col("bad_images").cast("string")).alias("observed"),
                 F.lit("bad_images=0").alias("expected"),
@@ -151,4 +194,4 @@ class DecodeIntegrity(TableConstraint):
         return True
 
     def verdict_names(self) -> list[str]:
-        return [self.name]
+        return [_constraint_name(s) for s in self.snapshots]

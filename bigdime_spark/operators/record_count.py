@@ -10,7 +10,7 @@ manifest ``expected_rows``; partition absent from manifest →
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from bigdime_spark.operators.base import AggConstraint

@@ -27,6 +27,8 @@ class ColumnProfile:
     stringlike: bool = False
     distinct: bool = False
     quantiles: tuple[float, ...] = ()
+    #: most-frequent value (SURVEY B10 — hot-phash detection feed)
+    mode: bool = False
 
 
 @dataclass
@@ -62,6 +64,8 @@ class StatsProfile:
                 out.append(
                     F.percentile_approx(c, list(p.quantiles)).alias(f"stat__{n}__quantiles")
                 )
+            if p.mode:
+                out.append(F.mode(c).alias(f"stat__{n}__mode"))
         return out
 
     @staticmethod
@@ -87,6 +91,6 @@ def default_image_stats() -> StatsProfile:
             ColumnProfile("h", numeric=True, quantiles=(0.25, 0.5, 0.75)),
             ColumnProfile("fmt", stringlike=True, distinct=True),
             ColumnProfile("caption", stringlike=True),
-            ColumnProfile("phash", numeric=False, distinct=True),
+            ColumnProfile("phash", numeric=False, distinct=True, mode=True),
         ]
     )

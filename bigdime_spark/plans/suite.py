@@ -121,6 +121,11 @@ class ValidationSuite:
     check_domains: bool = True
     check_decode: bool = False
     decode_seed: int | None = None
+    #: which snapshots the decode pass validates. The reference's DVS
+    #: validates the LANDED copy — decoding only raw would miss
+    #: curated-side payload corruption, so both run by default when a
+    #: curated snapshot is supplied.
+    decode_snapshots: tuple[str, ...] = ("raw", "curated")
     unique_key: str = "image_id"
     ref_key: str = "image_id"
     drift_specs: tuple = DEFAULT_DRIFT_COLUMNS
@@ -156,7 +161,11 @@ class ValidationSuite:
         if has_curated and self.check_drift:
             out.append(DriftCheck(self.drift_specs))
         if self.check_decode:
-            out.append(DecodeIntegrity(seed=self.decode_seed))
+            snaps = tuple(
+                s for s in self.decode_snapshots if s == "raw" or has_curated
+            )
+            if snaps:
+                out.append(DecodeIntegrity(seed=self.decode_seed, snapshots=snaps))
         out += list(self.extra_table_constraints)
         return out
 
@@ -416,10 +425,12 @@ class ValidationSuite:
         verdicts = verdicts.persist()
         violations = violations.persist()
         persisted += [verdicts, violations]
-        verdicts.count()
-        mark("pass5 verdicts materialized (drift+decode+assembly)")
-        violations.count()
-        mark("pass5b violations materialized")
+        # ONE job materializes both persisted frames (separate counts
+        # would pay a second scheduling barrier)
+        verdicts.select(F.lit(1).alias("x")).unionByName(
+            violations.select(F.lit(1).alias("x"))
+        ).count()
+        mark("pass5 verdicts+violations materialized (drift+decode+assembly)")
 
         # pass 6 — stats projection + lineage
         stats_out = fused.select(

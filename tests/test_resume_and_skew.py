@@ -131,3 +131,27 @@ def test_salted_aggregation_matches_plain(spark, fixture):
     plain = df.groupBy("phash").agg(F.count(F.lit(1)).alias("n"))
     diff = salted.join(plain, "phash").filter(salted["n"] != plain["n"]).count()
     assert diff == 0
+
+
+def test_decode_validates_curated_snapshot_too(spark):
+    """Curated-side payload corruption must surface via decode.curated
+    (the reference validates the LANDED copy, not just the source)."""
+    fx = build_fixture(spark, n_rows=160, n_parts=4)
+    bad_id = "img-000000000006"  # lands in p0002
+    curated = fx.curated.withColumn(
+        "bytes",
+        F.when(F.col("image_id") == bad_id, F.expr("substring(bytes, 1, 5)")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    r = ValidationSuite(check_decode=True, decode_seed=42).run(
+        spark, fx.raw, curated, fx.manifest, run_id="cur-decode"
+    )
+    vm = {(row["part"], row["constraint"]): row["verdict"] for row in r.verdicts.collect()}
+    assert vm[("p0002", "decode.curated")] == "FAIL"
+    assert vm[("p0002", "decode")] == "PASS"  # raw side untouched
+    viol = {
+        (row["constraint"], row["image_id"], row["snapshot"])
+        for row in r.violations.collect()
+    }
+    assert ("decode.curated", bad_id, "curated") in viol
