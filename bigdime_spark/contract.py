@@ -70,11 +70,17 @@ def q_stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+            F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
             F.countDistinct("l_partkey").alias("distinct_parts"),
         )
     )
 
 
+# B4 moment portability: Spark's skewness/kurtosis are the POPULATION
+# g1 / excess-g2; DuckDB's `skewness` is the bias-corrected SAMPLE G1
+# (kurtosis_pop matches directly), so the oracle de-corrects:
+# g1 = G1 · (n−2)/√(n(n−1)). Verified equal to 1e-13 this session.
 SQL_STATS_PROFILE = """
 SELECT l_returnflag AS part,
        count(*) AS n_rows,
@@ -83,6 +89,10 @@ SELECT l_returnflag AS part,
        round(max(l_extendedprice), 2) AS max_price,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(sum(l_quantity), 2) AS sum_qty,
+       round(skewness(l_extendedprice)
+             * (count(l_extendedprice) - 2)
+             / sqrt(count(l_extendedprice)::DOUBLE * (count(l_extendedprice) - 1)), 4) AS skew_price,
+       round(kurtosis_pop(l_extendedprice), 4) AS kurt_price,
        count(DISTINCT l_partkey) AS distinct_parts
 FROM lineitem GROUP BY 1
 """
@@ -344,6 +354,56 @@ SELECT 'l_extendedprice_under_100k', count(*) FILTER (WHERE NOT (l_extendedprice
 """
 
 
+def q_type_conformance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 type-conformance validator: per-part counts of string values
+    that fail try_cast to the declared type. `o_orderpriority` never
+    parses as INT (genuine FAIL rows); its leading digit always does
+    (genuine PASS rows) — both verdict branches exercised.
+    NOTE: decimal-looking strings are deliberately absent — Spark
+    try_cast('4.5' AS INT) is NULL while DuckDB rounds to 5."""
+    o = _t(spark, sf_dir, "orders")
+    prio_bad = F.expr(
+        "try_cast(o_orderpriority AS INT) IS NULL AND o_orderpriority IS NOT NULL"
+    )
+    digit_bad = F.expr(
+        "try_cast(substring(o_orderpriority, 1, 1) AS INT) IS NULL"
+        " AND o_orderpriority IS NOT NULL"
+    )
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(prio_bad).alias("prio_bad"),
+            F.count_if(digit_bad).alias("digit_bad"),
+        )
+        .select(
+            "part",
+            "n_rows",
+            "prio_bad",
+            "digit_bad",
+            F.when(F.col("prio_bad") == 0, F.lit("PASS")).otherwise(F.lit("FAIL")).alias("prio_verdict"),
+            F.when(F.col("digit_bad") == 0, F.lit("PASS")).otherwise(F.lit("FAIL")).alias("digit_verdict"),
+        )
+    )
+
+
+SQL_TYPE_CONFORMANCE = """
+SELECT o_orderstatus AS part,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE TRY_CAST(o_orderpriority AS INT) IS NULL
+                          AND o_orderpriority IS NOT NULL) AS prio_bad,
+       count(*) FILTER (WHERE TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) IS NULL
+                          AND o_orderpriority IS NOT NULL) AS digit_bad,
+       CASE WHEN count(*) FILTER (WHERE TRY_CAST(o_orderpriority AS INT) IS NULL
+                                    AND o_orderpriority IS NOT NULL) = 0
+            THEN 'PASS' ELSE 'FAIL' END AS prio_verdict,
+       CASE WHEN count(*) FILTER (WHERE TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) IS NULL
+                                    AND o_orderpriority IS NOT NULL) = 0
+            THEN 'PASS' ELSE 'FAIL' END AS digit_verdict
+FROM orders GROUP BY 1
+"""
+
+
 def q_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13 order-insensitive content checksum, PORTABLE variant: the
     per-row digest is the first 10 hex chars of md5 over a canonical
@@ -505,6 +565,130 @@ SQL_DRIFT_EVENTS = _drift_sql(
     0.0,
     100.0,
     20,
+)
+
+
+def _drift_sql_grouped(
+    source_sql_r: str, source_sql_c: str, col: str, lo: float, hi: float, nbins: int
+) -> str:
+    """Per-part mirror of operators/drift.two_sample_drift incl. the
+    NOT_READY branch (empty side → n or m = 0 → ECDF division is NULL
+    in both engines: Spark try_divide, DuckDB x/0)."""
+    eps = 1.0e-6
+    bucket = (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN {col} < {lo} THEN 0 "
+        f"WHEN {col} >= {hi} THEN {nbins + 1} "
+        f"ELSE CAST(floor(({col} - {lo}) / {hi - lo} * {nbins}) + 1 AS INT) END"
+    )
+    return f"""
+WITH hr AS (
+  SELECT part, bucket, count(*) AS cnt_r FROM (
+    SELECT part, {bucket} AS bucket FROM ({source_sql_r})
+  ) WHERE bucket IS NOT NULL GROUP BY 1, 2
+), hc AS (
+  SELECT part, bucket, count(*) AS cnt_c FROM (
+    SELECT part, {bucket} AS bucket FROM ({source_sql_c})
+  ) WHERE bucket IS NOT NULL GROUP BY 1, 2
+), joined AS (
+  SELECT COALESCE(hr.part, hc.part) AS part,
+         COALESCE(hr.bucket, hc.bucket) AS bucket,
+         COALESCE(cnt_r, 0) AS cnt_r,
+         COALESCE(cnt_c, 0) AS cnt_c
+  FROM hr FULL OUTER JOIN hc ON hr.part = hc.part AND hr.bucket = hc.bucket
+), scored AS (
+  SELECT part, bucket, cnt_r, cnt_c,
+         sum(cnt_r) OVER (PARTITION BY part) AS n,
+         sum(cnt_c) OVER (PARTITION BY part) AS m,
+         (sum(cnt_r) OVER (PARTITION BY part ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / (sum(cnt_r) OVER (PARTITION BY part)) AS ecdf_r,
+         (sum(cnt_c) OVER (PARTITION BY part ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / (sum(cnt_c) OVER (PARTITION BY part)) AS ecdf_c,
+         (cnt_r + {eps}) / (sum(cnt_r) OVER (PARTITION BY part) + {eps} * {nbins + 2}) AS p,
+         (cnt_c + {eps}) / (sum(cnt_c) OVER (PARTITION BY part) + {eps} * {nbins + 2}) AS q
+  FROM joined
+)
+SELECT part,
+       round(max(abs(ecdf_r - ecdf_c)), 6) AS ks_d,
+       round(1.358 * sqrt((max(n) + max(m))::DOUBLE / (max(n) * max(m))::DOUBLE), 6) AS ks_threshold,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       max(n)::BIGINT AS n,
+       max(m)::BIGINT AS m,
+       CASE WHEN max(n) = 0 OR max(m) = 0 OR max(abs(ecdf_r - ecdf_c)) IS NULL THEN 'NOT_READY'
+            WHEN max(abs(ecdf_r - ecdf_c)) <= 1.358 * sqrt((max(n) + max(m))::DOUBLE / (max(n) * max(m))::DOUBLE)
+            THEN 'PASS' ELSE 'FAIL' END AS ks_verdict
+FROM scored GROUP BY part
+"""
+
+
+def _drift_edge_select(d: DataFrame) -> DataFrame:
+    """Shared projection for the drift edge queries — same rounding and
+    the NOT_READY-first verdict chain DriftCheck uses."""
+    not_ready = (F.col("n") == 0) | (F.col("m") == 0) | F.col("ks_d").isNull()
+    return d.select(
+        "part",
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round("ks_threshold", 6).alias("ks_threshold"),
+        F.round("psi", 6).alias("psi"),
+        F.col("n"),
+        F.col("m"),
+        F.when(not_ready, F.lit("NOT_READY"))
+        .when(F.col("ks_d") <= F.col("ks_threshold"), F.lit("PASS"))
+        .otherwise(F.lit("FAIL"))
+        .alias("ks_verdict"),
+    )
+
+
+def q_drift_not_ready_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift edge: curated side EMPTY → verdict NOT_READY (the
+    reference's validator-declines-to-run outcome), never FAIL."""
+    ev = _t(spark, sf_dir, "events")
+    spec = DriftColumn("value", 0.0, 100.0, 20)
+    raw = ev.filter(F.col("event_type") == "click").withColumn("part", F.lit("*"))
+    cur = ev.filter(F.col("event_type") == "__absent__").withColumn("part", F.lit("*"))
+    d = two_sample_drift(raw, cur, spec).withColumn("part", F.lit("*"))
+    return _drift_edge_select(d)
+
+
+SQL_DRIFT_NOT_READY = _drift_sql_grouped(
+    "SELECT '*' AS part, value FROM events WHERE event_type = 'click'",
+    "SELECT '*' AS part, value FROM events WHERE event_type = '__absent__'",
+    "value",
+    0.0,
+    100.0,
+    20,
+)
+
+
+def q_drift_multipart_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift over REAL partitions (part = l_linestatus) with a mixed
+    outcome: part F compares prices against a halved distribution →
+    KS FAIL; part O has an empty curated side → NOT_READY."""
+    li = _t(spark, sf_dir, "lineitem")
+    spec = DriftColumn("l_extendedprice", 900.0, 105000.0, 64)
+    raw = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_linestatus").alias("part"), "l_extendedprice"
+    )
+    cur = (
+        li.filter((F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "F"))
+        .select(
+            F.col("l_linestatus").alias("part"),
+            (F.col("l_extendedprice") * 0.5).alias("l_extendedprice"),
+        )
+    )
+    return _drift_edge_select(two_sample_drift(raw, cur, spec))
+
+
+SQL_DRIFT_MULTIPART = _drift_sql_grouped(
+    "SELECT l_linestatus AS part, l_extendedprice FROM lineitem WHERE l_returnflag = 'A'",
+    "SELECT l_linestatus AS part, l_extendedprice * 0.5 AS l_extendedprice FROM lineitem"
+    " WHERE l_returnflag = 'N' AND l_linestatus = 'F'",
+    "l_extendedprice",
+    900.0,
+    105000.0,
+    64,
 )
 
 
@@ -793,8 +977,10 @@ def _simhash_sql(bits: int = 16) -> str:
     fold = " + ".join(f"CASE WHEN v_{b} >= 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END" for b in range(bits))
     return f"""
 WITH tok AS (
+  -- trim(text)='' guard mirrors Spark's tokens_col (empty array, no
+  -- rows): DuckDB's string_split_regex('') would otherwise yield ['']
   SELECT doc_id AS id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h
-  FROM documents
+  FROM documents WHERE trim(text) <> ''
 ), agg AS (
   SELECT id,
          {votes_sql}
@@ -805,6 +991,39 @@ SELECT id AS doc_id, ({fold}) AS simhash FROM agg
 
 
 SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 via pigeonhole banding
+    (4 disjoint 4-bit chunks of the 16-bit fingerprint; a qualifying
+    pair must agree on ≥1 chunk) + exact bit_count(xor) verify."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(d, "doc_id", "text", bits=16, k=3)
+
+
+def _simhash_hamming_sql(bits: int = 16, k: int = 3) -> str:
+    from bigdime_spark.operators.dedup import _hamming_chunks
+
+    fp = _simhash_sql(bits)
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS id, simhash, {i} AS ck,"
+        f" ((simhash // {1 << off}) % {1 << w}) AS cv FROM fp"
+        for i, (off, w) in enumerate(_hamming_chunks(bits, k))
+    )
+    return f"""
+WITH fp AS ({fp}),
+banded AS (
+{bands}
+), cand AS (
+  SELECT DISTINCT l.id AS id1, r.id AS id2,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+  FROM banded l JOIN banded r ON l.ck = r.ck AND l.cv = r.cv AND l.id < r.id
+)
+SELECT id1, id2, hamming FROM cand WHERE hamming <= {k}
+"""
+
+
+SQL_DEDUP_SIMHASH_HAMMING = _simhash_hamming_sql()
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,10 +1277,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "referential_counts": QuerySpec(q_referential_counts, SQL_REFERENTIAL_COUNTS),
     "referential_orphan_orders": QuerySpec(q_referential_orphan_orders, SQL_REFERENTIAL_ORPHANS),
     "domain_violations": QuerySpec(q_domain_violations, SQL_DOMAIN_VIOLATIONS),
+    "type_conformance_orders": QuerySpec(q_type_conformance_orders, SQL_TYPE_CONFORMANCE),
     "checksum_lineitem": QuerySpec(q_checksum_lineitem, SQL_CHECKSUM),
     # drift (B18/B19)
     "drift_extendedprice": QuerySpec(q_drift_extendedprice, SQL_DRIFT_EXTENDEDPRICE),
     "drift_events_value": QuerySpec(q_drift_events_value, SQL_DRIFT_EVENTS),
+    "drift_not_ready_events": QuerySpec(q_drift_not_ready_events, SQL_DRIFT_NOT_READY),
+    "drift_multipart_lineitem": QuerySpec(q_drift_multipart_lineitem, SQL_DRIFT_MULTIPART),
     # windows / scalar funcs (B23–B25, §2.6)
     "topk_orders_per_priority": QuerySpec(q_topk_orders_per_priority, SQL_TOPK_ORDERS),
     "events_json_extract": QuerySpec(q_events_json_extract, SQL_EVENTS_JSON),
@@ -1077,6 +1299,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact_documents": QuerySpec(q_dedup_exact_documents, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_hamming": QuerySpec(q_dedup_simhash_hamming, SQL_DEDUP_SIMHASH_HAMMING),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),

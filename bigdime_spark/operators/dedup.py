@@ -265,6 +265,63 @@ def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16
     )
 
 
+def _hamming_chunks(bits: int, k: int) -> list[tuple[int, int]]:
+    """Split ``bits`` into k+1 near-equal chunks → [(offset, width)].
+    Pigeonhole: two fingerprints within hamming distance k must agree
+    EXACTLY on at least one of k+1 disjoint chunks."""
+    n_chunks = k + 1
+    base, extra = divmod(bits, n_chunks)
+    out, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """SimHash near-dup search at hamming distance ≤ k — the use case
+    SimHash exists for (hamming-0 grouping only finds identical
+    fingerprints). Standard pigeonhole banding: split the fingerprint
+    into k+1 chunks, bucket-join on (chunk_idx, chunk_value) — any
+    pair within distance k collides in ≥1 chunk — then verify exact
+    hamming via bit_count(xor). Join cost is Σ chunk-bucket², never
+    O(n²); at web scale add a max_bucket cap exactly like the MinHash
+    band join. → (id1, id2, hamming) with hamming ≤ k, distinct."""
+    fp = simhash(df, id_col, text_col, bits)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ck"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("cv"),
+        )
+        for i, (off, w) in enumerate(_hamming_chunks(bits, k))
+    ]
+    banded = fp.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "simhash", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    left = banded.select(F.col("id").alias("id1"), F.col("simhash").alias("sh1"), "ck", "cv")
+    right = banded.select(F.col("id").alias("id2"), F.col("simhash").alias("sh2"), "ck", "cv")
+    cand = (
+        left.join(right, ["ck", "cv"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= k)
+
+
 # -------------------------------------------------- n-gram Jaccard (blocked)
 
 def ngram_jaccard_pairs(

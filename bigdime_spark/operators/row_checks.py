@@ -82,6 +82,55 @@ class DomainCheck(AggConstraint):
         return (~self.predicate, self.column, F.lit(self.detail))
 
 
+class TypeConformance(AggConstraint):
+    """B11 type-conformance validator (the reference's column-type
+    validators generalised to data: does every non-NULL value of a
+    string-typed ingest column actually parse as the declared type?).
+
+    A value fails iff ``try_cast(column AS dtype)`` is NULL while the
+    raw value is NOT NULL — NULLs themselves are the not-null
+    validator's business. Pure ANSI ``try_cast``, so the check is
+    JVM-side codegen in Spark and value-exact against a DuckDB
+    TRY_CAST oracle."""
+
+    def __init__(self, column: str, dtype: str = "int"):
+        self.column = column
+        self.dtype = dtype
+        self.name = f"type_conformance.{column}"
+        self._agg = f"tc_{column}__bad"
+        self._bad = F.expr(
+            f"try_cast({column} AS {dtype}) IS NULL AND {column} IS NOT NULL"
+        )
+
+    def agg_exprs(self) -> list[Column]:
+        return [F.count_if(self._bad).alias(self._agg)]
+
+    def verdict_col(self) -> Column:
+        return F.when(F.col(self._agg) == 0, F.lit(PASS)).otherwise(F.lit(FAIL))
+
+    def observed_col(self) -> Column:
+        return F.concat(F.lit("nonconforming="), F.col(self._agg).cast("string"))
+
+    def expected_col(self) -> Column:
+        return F.lit("nonconforming=0")
+
+    def violations(self, df: DataFrame, snapshot: str) -> DataFrame:
+        return violation_rows(
+            df.filter(self._bad),
+            self.name,
+            self.column,
+            F.concat(F.lit("not castable to "), F.lit(self.dtype)),
+            snapshot,
+        )
+
+    def violation_spec(self):
+        return (
+            self._bad,
+            self.column,
+            F.concat(F.lit("not castable to "), F.lit(self.dtype)),
+        )
+
+
 def default_image_domain_checks() -> list[DomainCheck]:
     """Domain constraints for the BASELINE.json:15 image schema."""
     from bigdime_spark.sources.synth import ALL_FMTS

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -25,6 +25,10 @@ class ColumnProfile:
     column: str
     numeric: bool = False
     stringlike: bool = False
+    #: binary payload column (B8): octet_length min/max/avg. Opt-in —
+    #: requesting it forces the scan to read the binary pages, so the
+    #: suite only sets it when the checksum pass reads them anyway.
+    bytelike: bool = False
     distinct: bool = False
     quantiles: tuple[float, ...] = ()
     #: most-frequent value (SURVEY B10 — hot-phash detection feed)
@@ -50,11 +54,21 @@ class StatsProfile:
                     F.max(c).alias(f"stat__{n}__max"),
                     F.avg(c).alias(f"stat__{n}__avg"),
                     F.stddev(c).alias(f"stat__{n}__stddev"),
+                    # B4 third/fourth moments (population g1 / excess g2 —
+                    # what F.skewness/F.kurtosis compute)
+                    F.skewness(c).alias(f"stat__{n}__skewness"),
+                    F.kurtosis(c).alias(f"stat__{n}__kurtosis"),
                 ]
             if p.stringlike:
                 out += [
                     F.min(F.length(c)).alias(f"stat__{n}__min_len"),
                     F.max(F.length(c)).alias(f"stat__{n}__max_len"),
+                ]
+            if p.bytelike:
+                out += [
+                    F.min(F.octet_length(c)).alias(f"stat__{n}__min_bytes"),
+                    F.max(F.octet_length(c)).alias(f"stat__{n}__max_bytes"),
+                    F.sum(F.octet_length(c)).alias(f"stat__{n}__sum_bytes"),
                 ]
             if p.distinct:
                 out += [
@@ -79,6 +93,29 @@ class StatsProfile:
                     F.hll_sketch_estimate(F.col(name)).alias(name.replace("__hll", "__distinct"))
                 )
         return out
+
+
+def rollup_distinct(stats_frames: list[DataFrame], group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """B6 mergeable-sketch roll-up: union the per-partition stats frames
+    (as persisted by the suite, `stat__<col>__hll` binary columns) and
+    fold the sketches with ``hll_union_agg`` — a table-level or
+    cross-snapshot distinct WITHOUT rescanning the data. This is the
+    point of HLL at 10^12 rows: per-part sketches are a few KB each,
+    so the roll-up is a metadata-sized aggregation.
+
+    → one row (or one per ``group_cols`` value) with
+    ``stat__<col>__distinct`` estimate columns."""
+    df = stats_frames[0]
+    for other in stats_frames[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
+    hll_cols = [c for c in df.columns if c.endswith("__hll")]
+    exprs = [
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(c))).alias(
+            c.replace("__hll", "__distinct")
+        )
+        for c in hll_cols
+    ]
+    return df.groupBy(*group_cols).agg(*exprs) if group_cols else df.agg(*exprs)
 
 
 def default_image_stats() -> StatsProfile:
