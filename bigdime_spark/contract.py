@@ -1111,6 +1111,84 @@ SELECT vec_id, bucket, neighbor_id, cosine FROM ranked WHERE rn = 1
 """
 
 
+def q_ann_hyperplane_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe ANN: seeded random-hyperplane LSH (16 bits = 4 tables
+    × 4-bit bands, radius-1 multi-probe on the query side) measured as
+    recall@5 against the exact brute-force top-5. The plane matrix is
+    deterministic (md5 Box–Muller) and embedded as double literals in
+    BOTH engines, so the oracle replays the identical algorithm."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    approx = similarity.hyperplane_topk(
+        e, queries, "vec_id", "embedding",
+        nbits=16, bands=4, k=5, seed=42, multiprobe=1, dim=64,
+    )
+    exact = similarity.brute_force_topk(e, queries, "vec_id", "embedding", k=5)
+    return similarity.ann_recall(approx, exact, k=5)
+
+
+def _hyperplane_recall_sql(nbits: int = 16, bands: int = 4, seed: int = 42, dim: int = 64) -> str:
+    planes = similarity.hyperplane_planes(dim, nbits, seed)
+    w = nbits // bands
+    sig_terms = "\n       + ".join(
+        "CASE WHEN round(list_dot_product(v, [{lits}]), 9) >= 0 THEN {bit} ELSE 0 END".format(
+            lits=", ".join(repr(x) for x in plane), bit=1 << b
+        )
+        for b, plane in enumerate(planes)
+    )
+    band_cols = ", ".join(
+        f"((s // {1 << (i * w)}) % {1 << w}) AS b{i}" for i in range(bands)
+    )
+    tb_vals = ", ".join(f"({i})" for i in range(bands))
+    band_case = "CASE t.tb " + " ".join(
+        f"WHEN {i} THEN b{i}" for i in range(bands - 1)
+    ) + f" ELSE b{bands - 1} END"
+    masks = ", ".join(["(0)"] + [f"({1 << j})" for j in range(w)])
+    cos = (
+        "round(list_dot_product(p.qv, c.v) / "
+        "(sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+       ({sig_terms}) AS s
+  FROM e
+), bands AS (
+  SELECT vec_id, v, {band_cols} FROM sig
+), cband AS (
+  SELECT vec_id, v, t.tb, ({band_case})::BIGINT AS bv
+  FROM bands, (VALUES {tb_vals}) t(tb)
+), qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, tb, xor(bv, m.mask::BIGINT) AS bv
+  FROM cband, (VALUES {masks}) m(mask)
+  WHERE vec_id < 8
+), cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM qprobe p JOIN cband c ON p.tb = c.tb AND p.bv = c.bv AND c.vec_id <> p.query_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM cand
+  ) WHERE rk <= 5
+), brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rk
+    FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+  ) WHERE rk <= 5
+)
+SELECT b.query_id, round(count(a.neighbor_id) / 5.0, 6) AS recall
+FROM brute b LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY 1
+"""
+
+
+SQL_ANN_HYPERPLANE_RECALL = _hyperplane_recall_sql()
+
+
 def q_embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return similarity.similarity_histogram(e, "vec_id", "embedding", block_col="label", nbins=20)
@@ -1121,6 +1199,46 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (
   SELECT {_COS_SQL} AS cosine
   FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+)
+SELECT least(19, greatest(0, CAST(floor((cosine + 1.0) / 2.0 * 20) AS INT))) AS bucket,
+       count(*) AS cnt
+FROM pairs GROUP BY 1
+"""
+
+
+def q_embedding_sim_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB form of the pairwise-cosine histogram: deterministic
+    1/5 pair sampling (md5 of the id pair) BEFORE the cosine fold."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.similarity_histogram(
+        e, "vec_id", "embedding", block_col="label", nbins=20, sample_mod=5
+    )
+
+
+def _hex_to_int_sql(expr: str, nchars: int) -> str:
+    """First ``nchars`` hex digits of ``expr`` as an integer — DuckDB
+    has no hex→int conv, so rebuild digit by digit (same trick as the
+    checksum oracle)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    ) + ")"
+
+
+_PAIR_H4 = _hex_to_int_sql(
+    "md5(concat_ws('|', q.vec_id::VARCHAR, c.vec_id::VARCHAR))", 4
+)
+SQL_SIM_HISTOGRAM_SAMPLED = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sampled AS (
+  SELECT q.v AS qv, c.v AS cv
+  FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+       AND {_PAIR_H4} % 5 = 0
+), pairs AS (
+  SELECT round(list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM sampled
 )
 SELECT least(19, greatest(0, CAST(floor((cosine + 1.0) / 2.0 * 20) AS INT))) AS bucket,
        count(*) AS cnt
@@ -1304,7 +1422,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
     "ann_lsh_nn": QuerySpec(q_ann_lsh_nn, SQL_ANN_LSH),
+    "ann_hyperplane_recall": QuerySpec(q_ann_hyperplane_recall, SQL_ANN_HYPERPLANE_RECALL),
     "embedding_sim_histogram": QuerySpec(q_embedding_sim_histogram, SQL_SIM_HISTOGRAM),
+    "embedding_sim_histogram_sampled": QuerySpec(
+        q_embedding_sim_histogram_sampled, SQL_SIM_HISTOGRAM_SAMPLED
+    ),
     "dedup_embedding_cosine": QuerySpec(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
     # skew (B27)
     "salted_groupby_events": QuerySpec(q_salted_groupby_events, SQL_SALTED_GROUPBY),
