@@ -48,8 +48,10 @@ HEADLINE = [
     "fingerprint_documents",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_hamming",
     "ann_cosine_topk",
     "ann_lsh_nn",
+    "ann_hyperplane_recall",
     "suite_verdicts_lineitem",
 ]
 
@@ -109,13 +111,12 @@ def bench_suite(spark, fx_dir: str, rows: int, parts: int) -> dict:
 
     # run twice: rep1 pays one-time JVM/codegen/footer warmup, rep2 is
     # the steady-state throughput (the regime a 10^12-row run lives in;
-    # BASELINE.md measurement excludes one-time startup)
+    # BASELINE.md measurement excludes one-time startup). The HEADLINE
+    # is the steady-state run — matching the declared protocol — with
+    # best-of-runs reported as a secondary capability field.
     cold_wall, _, _ = one_run("bench-cold")
     wall, scanned, extra = one_run("bench-steady")
     n_parts = raw.select("part").distinct().count()
-    # throughput = best of the two runs: in the bandwidth-saturated
-    # local[32] regime run-to-run memory pressure can make the second
-    # run slower than the first; the capability number is the best.
     best = min(cold_wall, wall)
     return {
         "rows": rows,
@@ -124,7 +125,9 @@ def bench_suite(spark, fx_dir: str, rows: int, parts: int) -> dict:
         **extra,
         "cold_wall_sec": round(cold_wall, 2),
         "wall_sec": round(wall, 2),
-        "images_per_sec": round(scanned / best, 1) if best > 0 else None,
+        "images_per_sec": round(scanned / wall, 1) if wall > 0 else None,
+        "best_images_per_sec": round(scanned / best, 1) if best > 0 else None,
+        "best_run": "steady" if wall <= cold_wall else "cold",
     }
 
 

@@ -49,6 +49,14 @@ def _build_parser() -> argparse.ArgumentParser:
     rep = sub.add_parser("report", help="summarize a run's output dir (no Spark — DuckDB)")
     rep.add_argument("--out", required=True, help="dir holding verdicts/ violations/ [lineage/]")
     rep.add_argument("--top", type=int, default=10)
+
+    ru = sub.add_parser(
+        "rollup",
+        help="table-level / cross-run distinct estimates from the "
+        "persisted per-partition HLL sketches — no data rescan (B6)",
+    )
+    ru.add_argument("--stats", nargs="+", required=True, help="one or more stats output dirs")
+    ru.add_argument("--master", default=None)
     return p
 
 
@@ -96,6 +104,16 @@ def main(argv: list[str] | None = None) -> int:
     from bigdime_spark.session import get_spark
     from bigdime_spark.sources.tables import read_table, write_table
 
+    if args.cmd == "rollup":
+        from bigdime_spark.operators.stats import rollup_distinct
+
+        spark = get_spark("bigdime-rollup", master=args.master)
+        frames = [spark.read.parquet(d) for d in args.stats]
+        row = rollup_distinct(frames).collect()[0].asDict()
+        print(json.dumps({"cmd": "rollup", "sources": args.stats,
+                          "distincts": {k: int(v) for k, v in row.items()}}))
+        return 0
+
     if args.cmd == "synth":
         from bigdime_spark.sources.synth import build_fixture
 
@@ -133,7 +151,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     write_table(res.verdicts, f"{args.out}/verdicts", partition_by=None)
     write_table(res.violations, f"{args.out}/violations", partition_by=None)
-    write_table(res.stats.drop(*[c for c in res.stats.columns if c.endswith("__hll")]), f"{args.out}/stats", partition_by=None)
+    # the binary __hll sketch columns are persisted ON PURPOSE: they are
+    # what makes `rollup` a metadata-sized aggregation instead of a
+    # rescan (B6 mergeable-sketch requirement)
+    write_table(res.stats, f"{args.out}/stats", partition_by=None)
 
     lineage_rows = res.lineage.collect()
     n_parts = len(lineage_rows)

@@ -72,6 +72,14 @@ class AggConstraint:
         explode) instead of one filtered scan per constraint."""
         return None
 
+    def violation_count_col(self) -> str | None:
+        """Name of this constraint's fused-agg column that counts its
+        violating rows. When every fusable constraint provides one,
+        the suite checks the (already materialized) fused aggregate
+        first and SKIPS the row-level violation rescan entirely on a
+        clean run — the common case at scale pays one scan, not two."""
+        return None
+
 
 class TableConstraint:
     """Cross-partition / cross-snapshot constraint with its own plan."""

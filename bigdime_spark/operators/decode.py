@@ -20,9 +20,13 @@ violations with the decoder's reason. Rows with NULL bytes/w/h/fmt
 are skipped here — they belong to the not-null validators.
 
 At 100 TB this pass is the dominant cost: the projection keeps every
-other column's pages unread, `repartition(part)` co-locates partition
-data, and Arrow batch size is capped (session.py) so a batch of
-decoded images stays bounded in the Python worker.
+other column's pages unread, and Arrow batch size is capped
+(session.py) so a batch of decoded images stays bounded in the Python
+worker. Decode is row-local — it needs NO co-location — so the
+default plan feeds the scan straight into mapInArrow with zero
+exchanges; `colocate=True` adds a repartition("part") first (useful
+only when a downstream per-part consumer will reuse the layout —
+measured slower standalone, see BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -91,12 +95,22 @@ def decode_check(
 
 
 def decode_check_multi(
-    frames: dict[str, DataFrame], seed: int | None = None
+    frames: dict[str, DataFrame],
+    seed: int | None = None,
+    colocate: bool = False,
 ) -> DataFrame:
     """ALL snapshots through ONE Arrow pass: the inputs union with a
     `snapshot` tag column, so however many snapshots are validated,
     there is exactly one mapInArrow stage (one python-worker ramp-up,
-    one stage barrier). → (snapshot, part, image_id, ok, psnr, reason)."""
+    one stage barrier). ``colocate`` inserts repartition("part")
+    before the Arrow stage (an extra full shuffle of the payload —
+    off by default, see module docstring).
+    → (snapshot, part, image_id, ok, psnr, reason)."""
+    if not frames:
+        raise ValueError(
+            "decode_check_multi needs at least one snapshot frame "
+            "(e.g. snapshots=('curated',) with no curated table supplied)"
+        )
 
     def run_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -135,6 +149,8 @@ def decode_check_multi(
             "part", "image_id", "bytes", "w", "h", "fmt", "phash",
         )
         unioned = part if unioned is None else unioned.unionByName(part)
+    if colocate:
+        unioned = unioned.repartition("part")
     return unioned.mapInArrow(run_batches, RESULT_DDL)
 
 
@@ -146,9 +162,15 @@ def _constraint_name(snapshot: str) -> str:
 class DecodeIntegrity(TableConstraint):
     name = "decode"
 
-    def __init__(self, seed: int | None = None, snapshots: tuple[str, ...] = ("raw",)):
+    def __init__(
+        self,
+        seed: int | None = None,
+        snapshots: tuple[str, ...] = ("raw",),
+        colocate: bool = False,
+    ):
         self.seed = seed
         self.snapshots = snapshots
+        self.colocate = colocate
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame]:
         frames = {
@@ -156,7 +178,7 @@ class DecodeIntegrity(TableConstraint):
             for snap in self.snapshots
             if snap == "raw" or ctx.curated is not None
         }
-        checked = decode_check_multi(frames, seed=self.seed)
+        checked = decode_check_multi(frames, seed=self.seed, colocate=self.colocate)
         # persist only the FAILING rows (rare): the single Arrow decode
         # stage runs once; verdicts and violations are filters over it
         bad = checked.filter(~F.col("ok")).persist()

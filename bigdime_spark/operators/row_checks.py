@@ -45,6 +45,9 @@ class NotNull(AggConstraint):
     def violation_spec(self):
         return (F.col(self.column).isNull(), self.column, F.lit("null in required column"))
 
+    def violation_count_col(self):
+        return self._agg
+
 
 class DomainCheck(AggConstraint):
     """PASS iff no row strictly violates ``predicate`` (NULL inputs are
@@ -80,6 +83,9 @@ class DomainCheck(AggConstraint):
 
     def violation_spec(self):
         return (~self.predicate, self.column, F.lit(self.detail))
+
+    def violation_count_col(self):
+        return self._agg
 
 
 class TypeConformance(AggConstraint):
@@ -129,6 +135,9 @@ class TypeConformance(AggConstraint):
             self.column,
             F.concat(F.lit("not castable to "), F.lit(self.dtype)),
         )
+
+    def violation_count_col(self):
+        return self._agg
 
 
 def default_image_domain_checks() -> list[DomainCheck]:
