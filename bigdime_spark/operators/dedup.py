@@ -285,6 +285,7 @@ def simhash_hamming_pairs(
     text_col: str,
     bits: int = 16,
     k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup search at hamming distance ≤ k — the use case
     SimHash exists for (hamming-0 grouping only finds identical
@@ -292,8 +293,14 @@ def simhash_hamming_pairs(
     into k+1 chunks, bucket-join on (chunk_idx, chunk_value) — any
     pair within distance k collides in ≥1 chunk — then verify exact
     hamming via bit_count(xor). Join cost is Σ chunk-bucket², never
-    O(n²); at web scale add a max_bucket cap exactly like the MinHash
-    band join. → (id1, id2, hamming) with hamming ≤ k, distinct."""
+    O(n²).
+
+    At web scale: use WIDE fingerprints (bits=64, k=3 → 16-bit chunks
+    = 65536 buckets per chunk) so buckets stay small, and set
+    ``max_bucket`` to drop degenerate chunk values exactly like the
+    MinHash band join drops boilerplate buckets (the 16-bit contract
+    query keeps no cap so the DuckDB oracle replays it 1:1).
+    → (id1, id2, hamming) with hamming ≤ k, distinct."""
     fp = simhash(df, id_col, text_col, bits)
     chunk_structs = [
         F.struct(
@@ -307,6 +314,13 @@ def simhash_hamming_pairs(
     banded = fp.select(
         "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
     ).select("id", "simhash", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("ck", "cv").agg(F.count(F.lit(1)).alias("bn"))
+        banded = banded.join(
+            sizes.filter(F.col("bn") <= max_bucket).select("ck", "cv"),
+            ["ck", "cv"],
+            "left_semi",
+        )
     left = banded.select(F.col("id").alias("id1"), F.col("simhash").alias("sh1"), "ck", "cv")
     right = banded.select(F.col("id").alias("id2"), F.col("simhash").alias("sh2"), "ck", "cv")
     cand = (
