@@ -99,7 +99,12 @@ def lsh_nearest_in_bucket(
     """ANN: each vector's nearest neighbor within its LSH bucket.
     Join cost Σ bucket² instead of n²; hot buckets are split by AQE.
     → (vec_id, bucket, neighbor_id, cosine). Vectors alone in their
-    bucket produce no row (exactly the ANN recall trade)."""
+    bucket produce no row (exactly the ANN recall trade).
+
+    NOTE: this axis-aligned 4-bit member exists as the ORACLE-PORTABLE
+    contract query; the production default at 10^9+ vectors is
+    ``hyperplane_nn`` below (seeded Gaussian planes, 24 bits as 3
+    banded tables, bucket cap) — 16 buckets here ≈ n²/16 join cost."""
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -63,6 +63,24 @@ def test_cms_heavy_hitters_estimate(spark):
     assert 0 <= est["absent-key"] <= 5
 
 
+def test_cms_heavy_hitters_long_keys(spark):
+    """Pin the py4j boxing semantics for integer keys: the JVM sketch
+    folds Numbers via longValue(), so python ints (small and >2^31)
+    must estimate correctly."""
+    big = 1 << 40
+    df = spark.createDataFrame(
+        [("p0", big if i % 3 == 0 else i % 7) for i in range(3000)],
+        "part string, key long",
+    )
+    rows = skew.cms_sketch_per_part(df, "key", eps=0.001).collect()
+    est = skew.cms_estimate(spark, rows, [big, 1, 999999])
+    true_big = df.filter(F.col("key") == big).count()
+    true_one = df.filter(F.col("key") == 1).count()
+    assert true_big <= est[big] <= true_big + 3
+    assert true_one <= est[1] <= true_one + 3
+    assert 0 <= est[999999] <= 3
+
+
 # ------------------------------------------------- HLL roll-up (B6)
 
 def test_rollup_distinct_unions_sketches_across_snapshots(spark):
