@@ -53,11 +53,14 @@ RESULT_SCHEMA = pa.schema(
         pa.field("ok", pa.bool_()),
         pa.field("psnr", pa.float64()),
         pa.field("reason", pa.string()),
+        # per-row content hash carried THROUGH the Arrow stage when the
+        # checksum validator rides the decode scan (see hash_snapshots)
+        pa.field("rowhash", pa.int64()),
     ]
 )
 RESULT_DDL = (
     "snapshot string, part string, image_id string, ok boolean, "
-    "psnr double, reason string"
+    "psnr double, reason string, rowhash long"
 )
 
 
@@ -98,6 +101,7 @@ def decode_check_multi(
     frames: dict[str, DataFrame],
     seed: int | None = None,
     colocate: bool = False,
+    hash_snapshots: tuple[str, ...] = (),
 ) -> DataFrame:
     """ALL snapshots through ONE Arrow pass: the inputs union with a
     `snapshot` tag column, so however many snapshots are validated,
@@ -105,31 +109,45 @@ def decode_check_multi(
     one stage barrier). ``colocate`` inserts repartition("part")
     before the Arrow stage (an extra full shuffle of the payload —
     off by default, see module docstring).
-    → (snapshot, part, image_id, ok, psnr, reason)."""
+
+    ``hash_snapshots``: snapshots whose per-row content hash
+    (xxhash64, computed JVM-side BEFORE the Arrow boundary) rides
+    through the stage in the ``rowhash`` column. This is how the
+    checksum validator shares the decode scan instead of reading the
+    full payload a second time — the single biggest I/O saving in the
+    suite. For those snapshots, rows the decoder skips (NULL
+    bytes/w/h/fmt — the not-null validators' business) are still
+    emitted (ok=true, no reason) so the checksum covers EVERY row.
+    → (snapshot, part, image_id, ok, psnr, reason, rowhash)."""
     if not frames:
         raise ValueError(
             "decode_check_multi needs at least one snapshot frame "
             "(e.g. snapshots=('curated',) with no curated table supplied)"
         )
+    from bigdime_spark.functions.hashes import row_checksum_col
 
     def run_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             d = batch.to_pydict()
-            snaps, parts, ids, oks, psnrs, reasons = [], [], [], [], [], []
-            for snap, part, image_id, payload, w, h, fmt, ph in zip(
+            snaps, parts, ids, oks, psnrs, reasons, hashes = [], [], [], [], [], [], []
+            for snap, part, image_id, payload, w, h, fmt, ph, rh in zip(
                 d["snapshot"], d["part"], d["image_id"], d["bytes"],
-                d["w"], d["h"], d["fmt"], d["phash"],
+                d["w"], d["h"], d["fmt"], d["phash"], d["_h"],
             ):
                 res = _check_row(image_id, payload, w, h, fmt, ph, seed)
                 if res is None:
-                    continue
-                ok, p, reason = res
+                    if rh is None:
+                        continue  # not hash-carrying: skip as before
+                    ok, p, reason = True, None, None
+                else:
+                    ok, p, reason = res
                 snaps.append(snap)
                 parts.append(part)
                 ids.append(image_id)
                 oks.append(bool(ok))
                 psnrs.append(None if p is None or math.isinf(p) else float(p))
                 reasons.append(reason)
+                hashes.append(rh)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(snaps, pa.string()),
@@ -138,15 +156,21 @@ def decode_check_multi(
                     pa.array(oks, pa.bool_()),
                     pa.array(psnrs, pa.float64()),
                     pa.array(reasons, pa.string()),
+                    pa.array(hashes, pa.int64()),
                 ],
                 schema=RESULT_SCHEMA,
             )
 
     unioned = None
     for snap, df in frames.items():
+        h = (
+            row_checksum_col().alias("_h")
+            if snap in hash_snapshots
+            else F.lit(None).cast("long").alias("_h")
+        )
         part = df.select(
             F.lit(snap).alias("snapshot"),
-            "part", "image_id", "bytes", "w", "h", "fmt", "phash",
+            "part", "image_id", "bytes", "w", "h", "fmt", "phash", h,
         )
         unioned = part if unioned is None else unioned.unionByName(part)
     if colocate:
@@ -167,10 +191,16 @@ class DecodeIntegrity(TableConstraint):
         seed: int | None = None,
         snapshots: tuple[str, ...] = ("raw",),
         colocate: bool = False,
+        carry_checksum: bool = False,
     ):
         self.seed = seed
         self.snapshots = snapshots
         self.colocate = colocate
+        #: when True, the raw snapshot's per-row content hash rides the
+        #: decode scan and the per-part checksum aggregate lands in
+        #: ctx.extras["decode_checksum_frame"] — the suite joins it into
+        #: the fused frame so the stats pass never reads payload pages.
+        self.carry_checksum = carry_checksum
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame]:
         frames = {
@@ -178,11 +208,33 @@ class DecodeIntegrity(TableConstraint):
             for snap in self.snapshots
             if snap == "raw" or ctx.curated is not None
         }
-        checked = decode_check_multi(frames, seed=self.seed, colocate=self.colocate)
-        # persist only the FAILING rows (rare): the single Arrow decode
-        # stage runs once; verdicts and violations are filters over it
-        bad = checked.filter(~F.col("ok")).persist()
-        ctx.extras.setdefault("persisted", []).append(bad)
+        checked = decode_check_multi(
+            frames,
+            seed=self.seed,
+            colocate=self.colocate,
+            hash_snapshots=("raw",) if self.carry_checksum else (),
+        )
+        if self.carry_checksum:
+            from bigdime_spark.functions.hashes import checksum_agg_exprs
+
+            # the full checked frame is small (a few dozen bytes/row, no
+            # payload) — persist it so the checksum aggregate AND the
+            # bad-row filter both read ONE execution of the Arrow stage
+            checked = checked.persist()
+            ctx.extras.setdefault("persisted", []).append(checked)
+            checked.count()  # eager: the one full-payload scan happens here
+            ctx.extras["decode_checksum_frame"] = (
+                checked.filter(F.col("snapshot") == "raw")
+                .groupBy("part")
+                .agg(*checksum_agg_exprs("rowhash"))
+            )
+            bad = checked.filter(~F.col("ok"))
+        else:
+            # persist only the FAILING rows (rare): the single Arrow
+            # decode stage runs once; verdicts and violations are
+            # filters over it
+            bad = checked.filter(~F.col("ok")).persist()
+            ctx.extras.setdefault("persisted", []).append(bad)
 
         cname = F.when(F.col("snapshot") == "raw", F.lit("decode")).otherwise(
             F.concat(F.lit("decode."), F.col("snapshot"))

@@ -146,10 +146,14 @@ class ValidationSuite:
         out += list(self.extra_agg_constraints)
         return out
 
-    def _table_constraints(self, has_curated: bool) -> list[TableConstraint]:
+    def _table_constraints(
+        self, has_curated: bool, decode_tc: TableConstraint | None = None
+    ) -> list[TableConstraint]:
         """Constraints with their own plan, EXCLUDING the keyed trio
         (uniqueness/referential/caption), which fuse into one shuffle
-        via KeyedSnapshotPass when the keys coincide."""
+        via KeyedSnapshotPass when the keys coincide. ``decode_tc`` is
+        the prebuilt decode constraint — None when it already ran in
+        pass 3a (checksum riding its scan)."""
         out: list[TableConstraint] = []
         if not self._keyed_fusable(has_curated):
             if self.check_uniqueness:
@@ -160,12 +164,8 @@ class ValidationSuite:
                 out.append(CaptionEquality())
         if has_curated and self.check_drift:
             out.append(DriftCheck(self.drift_specs))
-        if self.check_decode:
-            snaps = tuple(
-                s for s in self.decode_snapshots if s == "raw" or has_curated
-            )
-            if snaps:
-                out.append(DecodeIntegrity(seed=self.decode_seed, snapshots=snaps))
+        if decode_tc is not None:
+            out.append(decode_tc)
         out += list(self.extra_table_constraints)
         return out
 
@@ -231,6 +231,34 @@ class ValidationSuite:
         light = [c for c in agg_constraints if not isinstance(c, Checksum)]
         heavy = [c for c in agg_constraints if isinstance(c, Checksum)]
 
+        persisted: list = []
+        ctx = SuiteContext(
+            spark=spark, raw=raw, curated=curated, manifest=manifest, parts=None
+        )
+        ctx.extras["persisted"] = persisted
+
+        # scan-fusion decision: checksum must read the full payload and
+        # so must decode — when BOTH run over raw, the checksum rides
+        # the decode Arrow scan (rowhash pass-through) so raw's payload
+        # pages are read ONCE total and the stats pass stays bytes-free.
+        decode_snaps = (
+            tuple(s for s in self.decode_snapshots if s == "raw" or curated is not None)
+            if self.check_decode
+            else ()
+        )
+        ride = bool(heavy) and "raw" in decode_snaps
+        decode_tc = None
+        decode_found = None
+        decode_viol = None
+        if decode_snaps:
+            decode_tc = DecodeIntegrity(
+                seed=self.decode_seed, snapshots=decode_snaps, carry_checksum=ride
+            )
+        if ride:
+            decode_found, decode_viol = decode_tc.run(ctx)
+            cs_frame = ctx.extras.pop("decode_checksum_frame")
+            mark("pass3a decode scan (checksum riding)")
+
         # bytes (any binary column) never scanned in the stats pass —
         # SURVEY B0b; Catalyst further prunes to the columns the fused
         # agg actually references.
@@ -238,10 +266,10 @@ class ValidationSuite:
         for c in light:
             exprs.extend(c.agg_exprs())  # aliases are unique by construction
 
-        if heavy:
-            # checksum must read every column (incl. binary) anyway, so
-            # ALL stats/constraint aggs ride the same full scan — one
-            # scan + one shuffle total instead of two scans + a join.
+        if heavy and not ride:
+            # checksum with no decode pass to ride: it must read every
+            # column (incl. binary) anyway, so ALL stats/constraint aggs
+            # share that one full scan — one scan + one shuffle total.
             cs = heavy[0]
             pre = raw
             for name, col in cs.pre_columns().items():
@@ -249,21 +277,23 @@ class ValidationSuite:
             exprs.extend(cs.agg_exprs())
             fused = pre.groupBy("part").agg(*exprs)
         else:
-            # no checksum → the stats pass must NEVER touch binary
-            # columns (SURVEY B0b): parquet prunes the image pages.
+            # the stats pass must NEVER touch binary columns (SURVEY
+            # B0b): parquet prunes the image pages.
             stats_cols = [
                 f.name
                 for f in raw.schema.fields
                 if f.name != "part" and not isinstance(f.dataType, BinaryType)
             ]
             fused = raw.select("part", *stats_cols).groupBy("part").agg(*exprs)
+            if ride:
+                # per-part checksum aggregate from the decode scan; tiny
+                fused = fused.join(cs_frame, "part", "left")
 
         if manifest is not None:
             fused = fused.join(F.broadcast(manifest), "part", "left")
         elif any(c.needs_manifest() for c in agg_constraints):
             for col in ("expected_rows", "expected_xor", "expected_sum"):
                 fused = fused.withColumn(col, F.lit(None))
-        persisted: list = []
         fused = fused.cache()  # tiny: one row per partition
         persisted.append(fused)
         # materialize NOW: a dozen verdict branches reference this
@@ -298,10 +328,7 @@ class ValidationSuite:
         )
 
         parts = fused.select("part")
-        ctx = SuiteContext(
-            spark=spark, raw=raw, curated=curated, manifest=manifest, parts=parts
-        )
-        ctx.extras["persisted"] = persisted
+        ctx.parts = parts
 
         # pass 3 violations — row-level specs fuse into ONE scan: each
         # row evaluates every predicate, failed ones become an array of
@@ -388,8 +415,18 @@ class ValidationSuite:
                     violation_frames.append(viol)
             mark("pass4 keyed trio (eager rare frame)")
 
+        # the decode pass that ran early (pass 3a, checksum riding its
+        # scan) still owes its verdict/violation frames here
+        if ride:
+            partial_frames.append(decode_found)
+            partial_names.extend(decode_tc.verdict_names())
+            if decode_viol is not None:
+                violation_frames.append(decode_viol)
+
         # pass 4b/5 — remaining table constraints (drift, decode, extras)
-        for tc in self._table_constraints(curated is not None):
+        for tc in self._table_constraints(
+            curated is not None, decode_tc=None if ride else decode_tc
+        ):
             v_df, viol = tc.run(ctx)
             if getattr(tc, "partial_verdicts", False):
                 partial_frames.append(v_df)
