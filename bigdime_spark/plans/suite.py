@@ -5,12 +5,14 @@ loop with a handful of declarative Spark plans:
 
   pass 1  schema validators             driver-side StructType diff, no job
   pass 2  resume filter                 IN-filter on `part` → partition pruning
+  pass 3a DECODE (+ riding CHECKSUM)    mapInArrow — the only Python boundary;
+          when checksum and decode both cover raw, the per-row xxhash64
+          rides this scan so raw's payload pages are read ONCE per run
   pass 3  STATS+CONSTRAINTS             ONE groupBy(part).agg(<everything>)
           (bytes-free projection → parquet never reads image pages)
-  pass 3b CHECKSUM                      groupBy(part).agg(xor/sum of xxhash64)
-          (the only full-content scan besides decode)
+  pass 3b CHECKSUM (decode off)         groupBy(part).agg(xor/sum of xxhash64)
+          shares the stats scan (the only full-content scan then)
   pass 4  cross-table constraints       uniqueness / referential / caption / drift
-  pass 5  decode (optional, heavy)      mapInArrow — the only Python boundary
   pass 6  verdicts + violations + lineage append
 
 Verdict enum preserved from the reference's ValidationResult:
