@@ -25,6 +25,20 @@ projection of ``j``:
 Verdict/violation rows are bit-identical to the standalone operators
 in uniqueness.py / referential.py / caption.py (which remain the
 single-constraint API).
+
+Bounded state (scale safety): the per-key copy arrays are capped at
+``max_copies`` via ``slice(sort_array(collect_list(...)))`` — a
+pathological ingestion bug that duplicates one image_id millions of
+times must not materialize every copy in a single aggregation row
+(executor OOM precisely when the check should fail loudly). The
+counts ``n_r``/``n_c`` stay EXACT (they drive every PASS/FAIL
+verdict); only violation *detail* beyond the first ``max_copies``
+copies per key degrades to deterministic top-K sampling — the same
+bound B25 applies to violation output. sort_array orders the sample
+by (part, caption), so it is reproducible across runs/parallelism.
+For a key whose copies span more than ``max_copies`` partitions, FAIL
+attribution lands on the first ``max_copies`` partitions in sorted
+order (the key-level failure itself is never lost).
 """
 
 from __future__ import annotations
@@ -52,12 +66,15 @@ class KeyedSnapshotPass:
         check_uniqueness: bool = True,
         check_referential: bool = True,
         check_caption: bool = True,
+        max_copies: int = 100,
     ):
         self.key = key
         self.caption_col = caption_col
         self.check_uniqueness = check_uniqueness
         self.check_referential = check_referential
         self.check_caption = check_caption
+        #: per-key copy-array bound (module docstring: dup-storm safety)
+        self.max_copies = max_copies
 
     # ------------------------------------------------------------ plan
 
@@ -70,12 +87,18 @@ class KeyedSnapshotPass:
         )
         cols = [self.key, "part"] + ([self.caption_col] if need_caption else [])
 
+        def capped(alias: str):
+            # exact count + bounded deterministic copy sample (docstring)
+            return F.slice(
+                F.sort_array(F.collect_list(copy_struct)), 1, self.max_copies
+            ).alias(alias)
+
         ragg = (
             ctx.raw.select(*cols)
             .groupBy(self.key)
             .agg(
                 F.count(F.lit(1)).alias("n_r"),
-                F.collect_list(copy_struct).alias("copies_r"),
+                capped("copies_r"),
             )
         )
         if ctx.curated is None:
@@ -85,7 +108,7 @@ class KeyedSnapshotPass:
             .groupBy(self.key)
             .agg(
                 F.count(F.lit(1)).alias("n_c"),
-                F.collect_list(copy_struct).alias("copies_c"),
+                capped("copies_c"),
             )
         )
         return ragg.join(cagg, self.key, "full_outer")

@@ -27,10 +27,16 @@ from bigdime_spark.schema import FAIL
 
 
 class Uniqueness(TableConstraint):
-    def __init__(self, key: str = "image_id", snapshot: str = "raw"):
+    def __init__(self, key: str = "image_id", snapshot: str = "raw", max_copies: int = 100):
         self.key = key
         self.snapshot = snapshot
         self.name = f"uniqueness.{key}"
+        #: bound on the per-key collected part list — a dup storm (one
+        #: key duplicated millions of times by an ingestion bug) must
+        #: not materialize every copy in one aggregation row. ``n``
+        #: stays exact; violation detail beyond the cap is top-K
+        #: sampled (deterministic: sort_array order), same bound as B25.
+        self.max_copies = max_copies
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame]:
         df = ctx.raw if self.snapshot == "raw" else ctx.curated
@@ -38,7 +44,9 @@ class Uniqueness(TableConstraint):
             df.groupBy(self.key)
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.collect_list("part").alias("parts"),
+                F.slice(
+                    F.sort_array(F.collect_list("part")), 1, self.max_copies
+                ).alias("parts"),
             )
             .filter(F.col("n") > 1)
         )
