@@ -54,14 +54,28 @@ RESULT_SCHEMA = pa.schema(
         pa.field("psnr", pa.float64()),
         pa.field("reason", pa.string()),
         # per-row content hash carried THROUGH the Arrow stage when the
-        # checksum validator rides the decode scan (see hash_snapshots)
+        # checksum validator rides the decode scan (see hash_snapshots);
+        # on checksum-partial rows this is the batch's xor-fold instead
         pa.field("rowhash", pa.int64()),
+        # checksum-partial rows ONLY (psum IS NOT NULL marks them): the
+        # batch's EXACT per-part hash sum as a decimal string — python
+        # ints are unbounded, so the fold never wraps; Spark re-sums the
+        # partials in decimal(38,0), matching checksum_agg_exprs exactly
+        pa.field("psum", pa.string()),
     ]
 )
 RESULT_DDL = (
     "snapshot string, part string, image_id string, ok boolean, "
-    "psnr double, reason string, rowhash long"
+    "psnr double, reason string, rowhash long, psum string"
 )
+
+#: unsigned-64 mask for the xor fold (python ints are unbounded)
+_MASK = (1 << 64) - 1
+
+
+def _to_signed(v: int) -> int:
+    v &= _MASK
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def _check_row(image_id, payload, w, h, fmt, stored_phash, seed):
@@ -102,6 +116,8 @@ def decode_check_multi(
     seed: int | None = None,
     colocate: bool = False,
     hash_snapshots: tuple[str, ...] = (),
+    hash_columns: list[str] | None = None,
+    partial_checksums: bool = False,
 ) -> DataFrame:
     """ALL snapshots through ONE Arrow pass: the inputs union with a
     `snapshot` tag column, so however many snapshots are validated,
@@ -111,14 +127,28 @@ def decode_check_multi(
     off by default, see module docstring).
 
     ``hash_snapshots``: snapshots whose per-row content hash
-    (xxhash64, computed JVM-side BEFORE the Arrow boundary) rides
-    through the stage in the ``rowhash`` column. This is how the
-    checksum validator shares the decode scan instead of reading the
-    full payload a second time — the single biggest I/O saving in the
-    suite. For those snapshots, rows the decoder skips (NULL
-    bytes/w/h/fmt — the not-null validators' business) are still
-    emitted (ok=true, no reason) so the checksum covers EVERY row.
-    → (snapshot, part, image_id, ok, psnr, reason, rowhash)."""
+    (xxhash64 over ``hash_columns``, computed JVM-side BEFORE the
+    Arrow boundary) rides through the stage. This is how the checksum
+    validator shares the decode scan instead of reading the full
+    payload a second time — the single biggest I/O saving in the
+    suite. The hash covers EVERY row of those snapshots, including
+    rows the decoder skips (NULL bytes/w/h/fmt — the not-null
+    validators' business).
+
+    ``partial_checksums=False`` (default): every row is emitted with
+    its own ``rowhash`` → (snapshot, part, image_id, ok, psnr,
+    reason, rowhash, psum=NULL).
+
+    ``partial_checksums=True`` (the suite's ride mode): ok rows are
+    NOT emitted individually — each Arrow batch folds its hash-
+    carrying rows into one checksum-partial row per (snapshot, part):
+    xor in ``rowhash``, EXACT sum as a decimal string in ``psum``
+    (marker: ``psum IS NOT NULL``). The output is bad rows + partials
+    only, so persisting it costs O(violations + batches·parts-per-
+    batch) instead of O(rows) — at 10^12 rows the difference between
+    a few GB and tens of TB of executor cache. xor and sum are both
+    commutative, so bit_xor(rowhash) / sum(psum::decimal) over the
+    partials equal checksum_agg_exprs over the raw rows exactly."""
     if not frames:
         raise ValueError(
             "decode_check_multi needs at least one snapshot frame "
@@ -129,18 +159,27 @@ def decode_check_multi(
     def run_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             d = batch.to_pydict()
-            snaps, parts, ids, oks, psnrs, reasons, hashes = [], [], [], [], [], [], []
+            snaps, parts, ids, oks, psnrs, reasons, hashes, psums = (
+                [], [], [], [], [], [], [], [],
+            )
+            partials: dict[tuple, list] = {}  # (snap, part) -> [xor, sum]
             for snap, part, image_id, payload, w, h, fmt, ph, rh in zip(
                 d["snapshot"], d["part"], d["image_id"], d["bytes"],
                 d["w"], d["h"], d["fmt"], d["phash"], d["_h"],
             ):
+                if partial_checksums and rh is not None:
+                    acc = partials.setdefault((snap, part), [0, 0])
+                    acc[0] ^= rh & _MASK
+                    acc[1] += rh  # exact: python ints are unbounded
                 res = _check_row(image_id, payload, w, h, fmt, ph, seed)
                 if res is None:
-                    if rh is None:
-                        continue  # not hash-carrying: skip as before
+                    if rh is None or partial_checksums:
+                        continue  # skipped row; checksum (if any) folded above
                     ok, p, reason = True, None, None
                 else:
                     ok, p, reason = res
+                if partial_checksums and ok:
+                    continue  # ok rows live only in the partials
                 snaps.append(snap)
                 parts.append(part)
                 ids.append(image_id)
@@ -148,6 +187,16 @@ def decode_check_multi(
                 psnrs.append(None if p is None or math.isinf(p) else float(p))
                 reasons.append(reason)
                 hashes.append(rh)
+                psums.append(None)
+            for (snap, part), (x, s) in sorted(partials.items()):
+                snaps.append(snap)
+                parts.append(part)
+                ids.append(None)
+                oks.append(True)
+                psnrs.append(None)
+                reasons.append(None)
+                hashes.append(_to_signed(x))
+                psums.append(str(s))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(snaps, pa.string()),
@@ -157,6 +206,7 @@ def decode_check_multi(
                     pa.array(psnrs, pa.float64()),
                     pa.array(reasons, pa.string()),
                     pa.array(hashes, pa.int64()),
+                    pa.array(psums, pa.string()),
                 ],
                 schema=RESULT_SCHEMA,
             )
@@ -164,7 +214,7 @@ def decode_check_multi(
     unioned = None
     for snap, df in frames.items():
         h = (
-            row_checksum_col().alias("_h")
+            row_checksum_col(hash_columns).alias("_h")
             if snap in hash_snapshots
             else F.lit(None).cast("long").alias("_h")
         )
@@ -192,15 +242,22 @@ class DecodeIntegrity(TableConstraint):
         snapshots: tuple[str, ...] = ("raw",),
         colocate: bool = False,
         carry_checksum: bool = False,
+        checksum_columns: list[str] | None = None,
     ):
         self.seed = seed
         self.snapshots = snapshots
         self.colocate = colocate
         #: when True, the raw snapshot's per-row content hash rides the
-        #: decode scan and the per-part checksum aggregate lands in
-        #: ctx.extras["decode_checksum_frame"] — the suite joins it into
-        #: the fused frame so the stats pass never reads payload pages.
+        #: decode scan (folded to per-batch per-part PARTIALS inside the
+        #: Arrow stage — see decode_check_multi) and the per-part
+        #: checksum aggregate lands in ctx.extras["decode_checksum_frame"]
+        #: — the suite joins it into the fused frame so the stats pass
+        #: never reads payload pages.
         self.carry_checksum = carry_checksum
+        #: column list of the Checksum constraint whose scan this ride
+        #: replaces — MUST match, or the riding checksum would silently
+        #: hash a different column set than the manifest expects.
+        self.checksum_columns = checksum_columns
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame]:
         frames = {
@@ -213,20 +270,25 @@ class DecodeIntegrity(TableConstraint):
             seed=self.seed,
             colocate=self.colocate,
             hash_snapshots=("raw",) if self.carry_checksum else (),
+            hash_columns=self.checksum_columns,
+            partial_checksums=self.carry_checksum,
         )
         if self.carry_checksum:
-            from bigdime_spark.functions.hashes import checksum_agg_exprs
-
-            # the full checked frame is small (a few dozen bytes/row, no
-            # payload) — persist it so the checksum aggregate AND the
-            # bad-row filter both read ONE execution of the Arrow stage
+            # the checked frame holds ONLY bad rows + per-batch checksum
+            # partials (decode_check_multi partial mode) — persisting it
+            # costs O(violations + partials), never O(rows). One Arrow
+            # execution feeds the checksum aggregate AND the bad-row
+            # verdict/violation filters.
             checked = checked.persist()
             ctx.extras.setdefault("persisted", []).append(checked)
             checked.count()  # eager: the one full-payload scan happens here
             ctx.extras["decode_checksum_frame"] = (
-                checked.filter(F.col("snapshot") == "raw")
+                checked.filter(F.col("psum").isNotNull() & (F.col("snapshot") == "raw"))
                 .groupBy("part")
-                .agg(*checksum_agg_exprs("rowhash"))
+                .agg(
+                    F.bit_xor("rowhash").alias("actual_xor"),
+                    F.sum(F.col("psum").cast("decimal(38,0)")).alias("actual_sum"),
+                )
             )
             bad = checked.filter(~F.col("ok"))
         else:

@@ -25,9 +25,10 @@ class ColumnProfile:
     column: str
     numeric: bool = False
     stringlike: bool = False
-    #: binary payload column (B8): octet_length min/max/avg. Opt-in —
-    #: requesting it forces the scan to read the binary pages, so the
-    #: suite only sets it when the checksum pass reads them anyway.
+    #: binary payload column (B8): octet_length min/max/sum. Opt-in —
+    #: requesting it forces the stats scan to read the binary pages
+    #: (the suite keeps requested binary columns in the stats
+    #: projection even when the checksum rides the decode scan).
     bytelike: bool = False
     distinct: bool = False
     quantiles: tuple[float, ...] = ()

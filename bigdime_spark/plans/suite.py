@@ -232,6 +232,15 @@ class ValidationSuite:
         stats = self.stats or default_image_stats()
         light = [c for c in agg_constraints if not isinstance(c, Checksum)]
         heavy = [c for c in agg_constraints if isinstance(c, Checksum)]
+        if len(heavy) > 1:
+            # two Checksum instances would collide on the shared
+            # actual_xor/actual_sum agg aliases (and only one could
+            # ride the decode scan) — fail loudly instead of silently
+            # feeding both verdicts from one column set
+            raise ValueError(
+                "at most one Checksum constraint per suite run "
+                f"(got {len(heavy)})"
+            )
 
         persisted: list = []
         ctx = SuiteContext(
@@ -248,13 +257,18 @@ class ValidationSuite:
             if self.check_decode
             else ()
         )
-        ride = bool(heavy) and "raw" in decode_snaps
+        ride = len(heavy) == 1 and "raw" in decode_snaps
         decode_tc = None
         decode_found = None
         decode_viol = None
         if decode_snaps:
             decode_tc = DecodeIntegrity(
-                seed=self.decode_seed, snapshots=decode_snaps, carry_checksum=ride
+                seed=self.decode_seed,
+                snapshots=decode_snaps,
+                carry_checksum=ride,
+                # the riding hash must cover the SAME column set the
+                # Checksum constraint (and its manifest) uses
+                checksum_columns=heavy[0].columns if ride else None,
             )
         if ride:
             decode_found, decode_viol = decode_tc.run(ctx)
@@ -280,11 +294,16 @@ class ValidationSuite:
             fused = pre.groupBy("part").agg(*exprs)
         else:
             # the stats pass must NEVER touch binary columns (SURVEY
-            # B0b): parquet prunes the image pages.
+            # B0b): parquet prunes the image pages — EXCEPT columns an
+            # explicit bytelike profile requests (octet_length stats are
+            # an opt-in full-payload read; dropping them here would make
+            # the fused agg reference an unresolved column).
+            bytelike_cols = {p.column for p in stats.columns if p.bytelike}
             stats_cols = [
                 f.name
                 for f in raw.schema.fields
-                if f.name != "part" and not isinstance(f.dataType, BinaryType)
+                if f.name != "part"
+                and (not isinstance(f.dataType, BinaryType) or f.name in bytelike_cols)
             ]
             fused = raw.select("part", *stats_cols).groupBy("part").agg(*exprs)
             if ride:
