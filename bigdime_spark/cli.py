@@ -109,7 +109,23 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("bigdime-rollup", master=args.master)
         frames = [spark.read.parquet(d) for d in args.stats]
-        row = rollup_distinct(frames).collect()[0].asDict()
+        missing = [
+            d for d, f in zip(args.stats, frames)
+            if not any(c.endswith("__hll") for c in f.columns)
+        ]
+        if missing:
+            print(
+                "rollup: no __hll sketch columns in: "
+                + ", ".join(missing)
+                + " (was the profile run with distinct=True columns?)",
+                file=sys.stderr,
+            )
+            return 2
+        rows = rollup_distinct(frames).collect()
+        if not rows:
+            print("rollup: stats dirs contain no rows", file=sys.stderr)
+            return 2
+        row = rows[0].asDict()
         print(json.dumps({"cmd": "rollup", "sources": args.stats,
                           "distincts": {k: int(v) for k, v in row.items()}}))
         return 0
@@ -126,8 +142,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "synth", "rows": args.rows, "parts": args.parts, "out": args.out}))
         return 0
 
+    from pyspark.sql import functions as F
+
     from bigdime_spark.plans.suite import ValidationSuite
-    from bigdime_spark.schema import FAIL
 
     spark = get_spark("bigdime-validate", master=args.master)
     t0 = time.monotonic()
@@ -156,10 +173,16 @@ def main(argv: list[str] | None = None) -> int:
     # rescan (B6 mergeable-sketch requirement)
     write_table(res.stats, f"{args.out}/stats", partition_by=None)
 
-    lineage_rows = res.lineage.collect()
-    n_parts = len(lineage_rows)
-    rows_scanned = sum(r["rows_scanned"] for r in lineage_rows)
-    n_failed = sum(1 for r in lineage_rows if r["status"] == "FAILED")
+    # one row per partition can be 10^6+ at scale — the four summary
+    # numbers are a single aggregate, never a full-frame collect
+    summary = res.lineage.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.coalesce(F.sum("rows_scanned"), F.lit(0)).alias("rows_scanned"),
+        F.count_if(F.col("status") == "FAILED").alias("n_failed"),
+    ).collect()[0]
+    n_parts = summary["n_parts"]
+    rows_scanned = summary["rows_scanned"]
+    n_failed = summary["n_failed"]
     n_violations = res.violations.count()
     wall = time.monotonic() - t0
     print(

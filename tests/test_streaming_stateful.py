@@ -1,51 +1,41 @@
 """applyInPandasWithState running checksums: batch-order independence
-(commutative XOR/SUM folds), bounded per-part state, and resume via
-the streaming checkpoint (a second drain re-reads nothing)."""
+(commutative XOR + EXACT SUM folds — the same decimal ring as the
+batch validators), bounded per-part state, resume via the streaming
+checkpoint, and streaming_verdicts == batch suite verdicts on the
+same drained input."""
 
 from __future__ import annotations
 
 import glob
 
-import pytest
 from pyspark.sql import functions as F
 
-from bigdime_spark.functions.hashes import row_checksum_col
+from bigdime_spark.functions.hashes import checksum_agg_exprs, row_checksum_col
 from bigdime_spark.schema import IMAGE_SCHEMA_PARTITIONED
 from bigdime_spark.sources.synth import build_fixture
 from bigdime_spark.streaming import stateful
 
-_MASK = (1 << 64) - 1
-
 
 def _expected_totals(df):
-    """Driver-side fold of the same per-row digests (exact oracle)."""
-    rows = df.select("part", row_checksum_col().alias("_h")).collect()
-    out: dict[str, list[int]] = {}
-    for r in rows:
-        out.setdefault(r["part"], []).append(r["_h"])
-    exp = {}
-    for part, hs in out.items():
-        x, s = 0, 0
-        for h in hs:
-            x ^= h & _MASK
-            s = (s + (h & _MASK)) & _MASK
-        exp[part] = (len(hs), stateful._to_signed(x), stateful._to_signed(s))
-    return exp
+    """The BATCH validators' own aggregates (checksum_agg_exprs) — the
+    exact ring the stream state must match: xor int64, sum
+    decimal(38,0) exact."""
+    rows = (
+        df.withColumn("_h", row_checksum_col())
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"), *checksum_agg_exprs("_h"))
+        .collect()
+    )
+    return {r["part"]: (r["n"], r["actual_xor"], int(r["actual_sum"])) for r in rows}
 
 
 def _final_rows(spark, out_dir):
     files = glob.glob(f"{out_dir}/*.parquet")
     assert files
-    df = spark.read.parquet(out_dir)
-    # last update per part = the max rows_total row (totals only grow)
-    w_rows = (
-        df.groupBy("part")
-        .agg(F.max("rows_total").alias("rows_total"))
-        .join(df, ["part", "rows_total"])
-    )
+    final = stateful.latest_totals(spark.read.parquet(out_dir))
     return {
-        r["part"]: (r["rows_total"], r["checksum_xor"], r["checksum_sum"])
-        for r in w_rows.collect()
+        r["part"]: (r["rows_total"], r["checksum_xor"], int(r["checksum_sum"]))
+        for r in final.collect()
     }
 
 
@@ -84,3 +74,52 @@ def test_second_drain_without_new_files_is_noop(spark, tmp_path):
     stateful.run_to_completion(spark, src, IMAGE_SCHEMA_PARTITIONED, ckpt, out)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1
+
+
+def test_streaming_verdicts_equal_batch_suite(spark, tmp_path):
+    """The round-2 verdict's missing piece: drain a stream, join the
+    manifest, and get byte-identical record_count/checksum verdict
+    rows to a batch ValidationSuite run on the same input — including
+    a FAIL (count off by one on one part) and a SKIPPED_CONFIG (part
+    absent from the manifest)."""
+    from bigdime_spark.plans.suite import ValidationSuite
+    from bigdime_spark.sources.synth import InjectionSpec
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    fx = build_fixture(
+        spark,
+        n_rows=160,
+        n_parts=4,
+        spec=InjectionSpec(
+            count_mismatch=("p0001",), missing_manifest=("p0003",)
+        ),
+    )
+    fx.raw.write.mode("append").parquet(src)
+
+    stateful.run_to_completion(spark, src, IMAGE_SCHEMA_PARTITIONED, ckpt, out)
+    stream_v = stateful.streaming_verdicts(
+        spark.read.parquet(out), fx.manifest
+    )
+
+    suite = ValidationSuite(
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_domains=False,
+        not_null=(),
+    )
+    res = suite.run(spark, spark.read.parquet(src), manifest=fx.manifest, run_id="sv")
+    batch_v = res.verdicts.filter(
+        F.col("constraint").isin("record_count", "checksum")
+    )
+
+    got = {tuple(r) for r in stream_v.collect()}
+    want = {tuple(r) for r in batch_v.collect()}
+    assert got == want
+    # the fixture really exercised all three outcomes
+    verdicts = {r[2] for r in got}
+    assert verdicts == {"PASS", "FAIL", "SKIPPED_CONFIG"}
+    res.release()
