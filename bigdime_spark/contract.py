@@ -37,7 +37,7 @@ from bigdime_spark.functions.text import (
 from bigdime_spark.operators import dedup, similarity
 from bigdime_spark.operators.drift import DriftColumn, two_sample_drift
 from bigdime_spark.operators.record_count import RecordCount
-from bigdime_spark.operators.row_checks import DomainCheck
+from bigdime_spark.operators.row_checks import DomainCheck, TypeConformance
 from bigdime_spark.operators.stats import ColumnProfile, StatsProfile
 from bigdime_spark.plans.suite import ValidationSuite
 
@@ -1001,29 +1001,100 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_hamming_pairs(d, "doc_id", "text", bits=16, k=3)
 
 
-def _simhash_hamming_sql(bits: int = 16, k: int = 3) -> str:
+def _hex_to_int_sql(expr: str, nchars: int) -> str:
+    """First ``nchars`` hex digits of ``expr`` as an integer — DuckDB
+    has no hex→int conv, so rebuild digit by digit (same trick as the
+    checksum oracle)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    ) + ")"
+
+
+def _banded_hamming_sql(
+    fp_cte: str, fp_col: str, bits: int, k: int, max_bucket: int | None = None
+) -> str:
+    """Pigeonhole band join over a non-negative int fingerprint CTE
+    ``fp`` with columns (id, <fp_col>) — mirrors
+    dedup.hamming_pairs_on_column 1:1 (integer // and % replay the
+    shift+mask chunking exactly because the fingerprint is
+    non-negative in every oracle query). ``max_bucket`` replays the
+    degenerate-bucket drop."""
     from bigdime_spark.operators.dedup import _hamming_chunks
 
-    fp = _simhash_sql(bits)
     bands = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id AS id, simhash, {i} AS ck,"
-        f" ((simhash // {1 << off}) % {1 << w}) AS cv FROM fp"
+        f"  SELECT id, {fp_col}, {i} AS ck,"
+        f" (({fp_col} // {1 << off}) % {1 << w}) AS cv FROM fp"
         for i, (off, w) in enumerate(_hamming_chunks(bits, k))
     )
+    cap = ""
+    banded_src = "banded0"
+    if max_bucket is not None:
+        cap = f""", sizes AS (
+  SELECT ck, cv, count(*) AS bn FROM banded0 GROUP BY 1, 2
+), banded AS (
+  SELECT b.* FROM banded0 b JOIN sizes s USING (ck, cv) WHERE s.bn <= {max_bucket}
+)"""
+        banded_src = "banded"
     return f"""
-WITH fp AS ({fp}),
-banded AS (
+WITH fp AS ({fp_cte}),
+banded0 AS (
 {bands}
-), cand AS (
+){cap}, cand AS (
   SELECT DISTINCT l.id AS id1, r.id AS id2,
-         CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
-  FROM banded l JOIN banded r ON l.ck = r.ck AND l.cv = r.cv AND l.id < r.id
+         CAST(bit_count(xor(l.{fp_col}, r.{fp_col})) AS INT) AS hamming
+  FROM {banded_src} l JOIN {banded_src} r ON l.ck = r.ck AND l.cv = r.cv AND l.id < r.id
 )
 SELECT id1, id2, hamming FROM cand WHERE hamming <= {k}
 """
 
 
+def _simhash_hamming_sql(bits: int = 16, k: int = 3, max_bucket: int | None = None) -> str:
+    fp = _simhash_sql(bits).replace("SELECT id AS doc_id,", "SELECT id,")
+    return _banded_hamming_sql(fp, "simhash", bits, k, max_bucket)
+
+
 SQL_DEDUP_SIMHASH_HAMMING = _simhash_hamming_sql()
+
+
+def q_dedup_simhash_hamming_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented web-scale simhash recipe, oracle-checked: WIDE
+    fingerprint (24 bits → 6-bit pigeonhole chunks at k=3) with the
+    degenerate-bucket cap ENGAGED (max_bucket=10 — small enough to
+    genuinely drop buckets at sf0.01, proving the capped path, not
+    just the uncapped 16-bit oracle form)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(d, "doc_id", "text", bits=24, k=3, max_bucket=10)
+
+
+SQL_DEDUP_SIMHASH_HAMMING_WIDE = _simhash_hamming_sql(bits=24, k=3, max_bucket=10)
+
+
+def q_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup search directly on an EXISTING int64 perceptual-hash
+    column (the image table's ``phash`` axis, BASELINE.json:15) — no
+    tokenization, just the pigeonhole band join. The oracle-portable
+    fingerprint is md5-derived (16 bits) so DuckDB replays it
+    bit-identically; the engine path is identical for the real 64-bit
+    phash (hamming_pairs_on_column(bits=64), exercised against the
+    synthetic image fixture in pytest)."""
+    d = _t(spark, sf_dir, "documents")
+    ph = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    return dedup.hamming_pairs_on_column(ph, "doc_id", "phash", bits=16, k=2)
+
+
+SQL_DEDUP_PHASH_HAMMING = _banded_hamming_sql(
+    f"SELECT doc_id AS id, {_hex_to_int_sql('md5(doc_id::VARCHAR)', 4)} AS phash FROM documents",
+    "phash",
+    16,
+    2,
+)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,17 +1286,6 @@ def q_embedding_sim_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-def _hex_to_int_sql(expr: str, nchars: int) -> str:
-    """First ``nchars`` hex digits of ``expr`` as an integer — DuckDB
-    has no hex→int conv, so rebuild digit by digit (same trick as the
-    checksum oracle)."""
-    return "(" + " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
-        f" * {16 ** (nchars - 1 - i)}"
-        for i in range(nchars)
-    ) + ")"
-
-
 _PAIR_H4 = _hex_to_int_sql(
     "md5(concat_ws('|', q.vec_id::VARCHAR, c.vec_id::VARCHAR))", 4
 )
@@ -1288,9 +1348,22 @@ def q_suite_verdicts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_returnflag, synthetic key = orderkey-linenumber). The SQL oracle
     reproduces every verdict row independently."""
     li = _t(spark, sf_dir, "lineitem")
-    raw = li.withColumn("part", F.col("l_returnflag")).withColumn(
-        "image_id",
-        F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")),
+    raw = (
+        li.withColumn("part", F.col("l_returnflag"))
+        .withColumn(
+            "image_id",
+            F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")),
+        )
+        # B11 through the fused pass: a string ingest column that fails
+        # int-parsing on a rare deterministic subset (linestatus letters on
+        # ~0.1% of rows) — TypeConformance must FAIL those parts with
+        # exact nonconforming counts
+        .withColumn(
+            "mixed_str",
+            F.when(F.col("l_orderkey") % 997 == 0, F.col("l_linestatus")).otherwise(
+                F.col("l_orderkey").cast("string")
+            ),
+        )
     )
     counts = _lineitem_counts(li)
     manifest = (
@@ -1325,6 +1398,7 @@ def q_suite_verdicts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             DomainCheck(
                 "discount_range", F.col("l_discount").between(0.0, 1.0), "l_discount"
             ),
+            TypeConformance("mixed_str", "int"),
         ],
     )
     result = suite.run(spark, raw, manifest=manifest, run_id="contract")
@@ -1361,6 +1435,21 @@ SELECT l_returnflag, 'domain.discount_range',
        CASE WHEN count(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 1.0)) = 0 THEN 'PASS' ELSE 'FAIL' END,
        'bad_rows=' || (count(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 1.0)))::VARCHAR, 'bad_rows=0'
 FROM lineitem GROUP BY 1
+UNION ALL
+SELECT l_returnflag, 'type_conformance.mixed_str',
+       CASE WHEN bad = 0 THEN 'PASS' ELSE 'FAIL' END,
+       'nonconforming=' || bad::VARCHAR, 'nonconforming=0'
+FROM (
+  SELECT l_returnflag,
+         count(*) FILTER (
+           WHERE TRY_CAST(
+             CASE WHEN l_orderkey % 997 = 0 THEN l_linestatus
+                  ELSE l_orderkey::VARCHAR END AS INT) IS NULL
+           AND (CASE WHEN l_orderkey % 997 = 0 THEN l_linestatus
+                     ELSE l_orderkey::VARCHAR END) IS NOT NULL
+         ) AS bad
+  FROM lineitem GROUP BY 1
+)
 UNION ALL
 SELECT c.part, 'uniqueness.image_id',
        CASE WHEN d.cnt IS NULL THEN 'PASS' ELSE 'FAIL' END,
@@ -1418,6 +1507,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_hamming": QuerySpec(q_dedup_simhash_hamming, SQL_DEDUP_SIMHASH_HAMMING),
+    "dedup_simhash_hamming_wide": QuerySpec(
+        q_dedup_simhash_hamming_wide, SQL_DEDUP_SIMHASH_HAMMING_WIDE
+    ),
+    "dedup_phash_hamming": QuerySpec(q_dedup_phash_hamming, SQL_DEDUP_PHASH_HAMMING),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),

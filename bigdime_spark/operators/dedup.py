@@ -279,6 +279,89 @@ def _hamming_chunks(bits: int, k: int) -> list[tuple[int, int]]:
     return out
 
 
+def hamming_pairs_on_column(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    k: int = 3,
+    max_bucket: int | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Near-dup search at hamming distance ≤ k over an EXISTING int64
+    fingerprint column — e.g. the image table's perceptual ``phash``
+    (BASELINE.json:15: the drift + skew axis). Standard pigeonhole
+    banding: split the fingerprint into k+1 disjoint chunks,
+    bucket-join on (chunk_idx, chunk_value) — any pair within distance
+    k agrees exactly on ≥1 chunk — then verify exact hamming via
+    bit_count(xor). Join cost is Σ chunk-bucket², never O(n²).
+
+    ``bits=64`` covers the full signed long: ``shiftright`` is
+    arithmetic, but the chunk mask keeps exactly ``w`` bits, so sign
+    extension never leaks between chunks.
+
+    ``carry_cols``: extra columns (e.g. ``part`` for violation
+    lineage) carried through the banding and emitted as ``<c>_1`` /
+    ``<c>_2`` — attribution rides the existing bucket join instead of
+    two extra joins against the full id map.
+
+    ``max_bucket`` drops degenerate chunk values (a constant
+    fingerprint region shared by millions of rows) exactly like the
+    MinHash band join drops boilerplate buckets — the web-scale knob.
+    → (id1, id2, hamming [, carry_1..., carry_2...]), distinct, hamming ≤ k."""
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).cast("long").alias("fp"),
+        *[F.col(c) for c in carry_cols],
+    )
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ck"),
+            F.shiftright(F.col("fp"), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("cv"),
+        )
+        for i, (off, w) in enumerate(_hamming_chunks(bits, k))
+    ]
+    banded = fp.select(
+        "id", "fp", *carry_cols, F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "fp", *carry_cols, F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("ck", "cv").agg(F.count(F.lit(1)).alias("bn"))
+        banded = banded.join(
+            sizes.filter(F.col("bn") <= max_bucket).select("ck", "cv"),
+            ["ck", "cv"],
+            "left_semi",
+        )
+    left = banded.select(
+        F.col("id").alias("id1"),
+        F.col("fp").alias("fp1"),
+        *[F.col(c).alias(f"{c}_1") for c in carry_cols],
+        "ck",
+        "cv",
+    )
+    right = banded.select(
+        F.col("id").alias("id2"),
+        F.col("fp").alias("fp2"),
+        *[F.col(c).alias(f"{c}_2") for c in carry_cols],
+        "ck",
+        "cv",
+    )
+    carried = [f"{c}_1" for c in carry_cols] + [f"{c}_2" for c in carry_cols]
+    cand = (
+        left.join(right, ["ck", "cv"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).alias("hamming"),
+            *carried,
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= k)
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -289,51 +372,19 @@ def simhash_hamming_pairs(
 ) -> DataFrame:
     """SimHash near-dup search at hamming distance ≤ k — the use case
     SimHash exists for (hamming-0 grouping only finds identical
-    fingerprints). Standard pigeonhole banding: split the fingerprint
-    into k+1 chunks, bucket-join on (chunk_idx, chunk_value) — any
-    pair within distance k collides in ≥1 chunk — then verify exact
-    hamming via bit_count(xor). Join cost is Σ chunk-bucket², never
-    O(n²).
+    fingerprints). Computes the fingerprint, then delegates to the
+    generic pigeonhole band join (hamming_pairs_on_column).
 
-    At web scale: use WIDE fingerprints (bits=64, k=3 → 16-bit chunks
-    = 65536 buckets per chunk) so buckets stay small, and set
+    At web scale: use WIDE fingerprints (bits=60, k=3 → 15-bit chunks
+    = 32768 buckets per chunk) so buckets stay small, and set
     ``max_bucket`` to drop degenerate chunk values exactly like the
     MinHash band join drops boilerplate buckets (the 16-bit contract
-    query keeps no cap so the DuckDB oracle replays it 1:1).
+    query keeps no cap so the DuckDB oracle replays it 1:1; the
+    capped wide recipe has its own oracle-checked contract entry,
+    ``dedup_simhash_hamming_wide``).
     → (id1, id2, hamming) with hamming ≤ k, distinct."""
     fp = simhash(df, id_col, text_col, bits)
-    chunk_structs = [
-        F.struct(
-            F.lit(i).alias("ck"),
-            F.shiftright(F.col("simhash"), off)
-            .bitwiseAND(F.lit((1 << w) - 1))
-            .alias("cv"),
-        )
-        for i, (off, w) in enumerate(_hamming_chunks(bits, k))
-    ]
-    banded = fp.select(
-        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
-    ).select("id", "simhash", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
-    if max_bucket is not None:
-        sizes = banded.groupBy("ck", "cv").agg(F.count(F.lit(1)).alias("bn"))
-        banded = banded.join(
-            sizes.filter(F.col("bn") <= max_bucket).select("ck", "cv"),
-            ["ck", "cv"],
-            "left_semi",
-        )
-    left = banded.select(F.col("id").alias("id1"), F.col("simhash").alias("sh1"), "ck", "cv")
-    right = banded.select(F.col("id").alias("id2"), F.col("simhash").alias("sh2"), "ck", "cv")
-    cand = (
-        left.join(right, ["ck", "cv"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select(
-            "id1",
-            "id2",
-            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
-        )
-        .distinct()
-    )
-    return cand.filter(F.col("hamming") <= k)
+    return hamming_pairs_on_column(fp, "id", "simhash", bits=bits, k=k, max_bucket=max_bucket)
 
 
 # -------------------------------------------------- n-gram Jaccard (blocked)
@@ -380,3 +431,91 @@ def ngram_jaccard_pairs(
         )
     )
     return scored.filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------- image phash near-dup constraint
+
+class PhashNearDup:
+    """Optional suite constraint (TableConstraint protocol): flag
+    partitions containing images whose perceptual ``phash`` is within
+    hamming distance ≤ k of another image's — near-duplicate image
+    detection over the BASELINE.json:15 input, riding
+    hamming_pairs_on_column's pigeonhole band join (never O(n²)).
+
+    Partition lineage for both pair members is carried THROUGH the
+    band join (carry_cols), so attribution costs no extra join against
+    the full table. Violations: one row per pair member, detail names
+    the partner and the exact hamming distance."""
+
+    partial_verdicts = True
+
+    def __init__(
+        self,
+        k: int = 2,
+        bits: int = 64,
+        max_bucket: int | None = 100_000,
+        key: str = "image_id",
+        phash_col: str = "phash",
+    ):
+        self.k = k
+        self.bits = bits
+        self.max_bucket = max_bucket
+        self.key = key
+        self.phash_col = phash_col
+        self.name = f"phash_near_dup.k{k}"
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]
+
+    def run(self, ctx):
+        from bigdime_spark.operators.base import violation_rows
+        from bigdime_spark.schema import FAIL
+
+        pairs = hamming_pairs_on_column(
+            ctx.raw.select(self.key, "part", self.phash_col),
+            self.key,
+            self.phash_col,
+            bits=self.bits,
+            k=self.k,
+            max_bucket=self.max_bucket,
+            carry_cols=("part",),
+        )
+        # one member row per pair side, each with its own partition
+        members = pairs.select(
+            F.col("id1").alias("image_id"),
+            F.col("part_1").alias("part"),
+            F.col("id2").alias("other"),
+            "hamming",
+        ).unionByName(
+            pairs.select(
+                F.col("id2").alias("image_id"),
+                F.col("part_2").alias("part"),
+                F.col("id1").alias("other"),
+                "hamming",
+            )
+        )
+        violations = violation_rows(
+            members,
+            self.name,
+            self.phash_col,
+            F.concat(
+                F.lit("near-dup of "),
+                F.col("other"),
+                F.lit(" (hamming="),
+                F.col("hamming").cast("string"),
+                F.lit(")"),
+            ),
+            "raw",
+        )
+        failed = (
+            members.groupBy("part")
+            .agg(F.count(F.lit(1)).alias("near_dups"))
+            .select(
+                "part",
+                F.lit(self.name).alias("constraint"),
+                F.lit(FAIL).alias("verdict"),
+                F.concat(F.lit("near_dups="), F.col("near_dups").cast("string")).alias("observed"),
+                F.lit("near_dups=0").alias("expected"),
+            )
+        )
+        return failed, violations

@@ -121,6 +121,12 @@ class ValidationSuite:
     check_caption: bool = True
     check_drift: bool = True
     check_domains: bool = True
+    #: optional near-duplicate IMAGE detection: pigeonhole band join on
+    #: the int64 phash column at hamming ≤ phash_k (operators/dedup.py
+    #: PhashNearDup) — off by default, like the reference's optional
+    #: validators
+    check_phash_dedup: bool = False
+    phash_k: int = 2
     check_decode: bool = False
     decode_seed: int | None = None
     #: which snapshots the decode pass validates. The reference's DVS
@@ -166,6 +172,10 @@ class ValidationSuite:
                 out.append(CaptionEquality())
         if has_curated and self.check_drift:
             out.append(DriftCheck(self.drift_specs))
+        if self.check_phash_dedup:
+            from bigdime_spark.operators.dedup import PhashNearDup
+
+            out.append(PhashNearDup(k=self.phash_k))
         if decode_tc is not None:
             out.append(decode_tc)
         out += list(self.extra_table_constraints)
