@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_hamming",
+    "dedup_simhash_hamming_wide",
+    "dedup_phash_hamming",
     "ann_cosine_topk",
     "ann_lsh_nn",
     "ann_hyperplane_recall",
@@ -93,11 +95,11 @@ def bench_suite(spark, fx_dir: str, rows: int, parts: int) -> dict:
     man = spark.read.parquet(f"{fx_dir}/manifest")
     raw.select("part").count()  # warm metadata/scan paths
 
-    def one_run(run_id: str) -> tuple[float, int, dict]:
+    def one_run(run_id: str, decode: bool = True) -> tuple[float, int, dict]:
         t0 = time.monotonic()
         res = ValidationSuite(
             not_null=("image_id", "caption", "w", "h", "fmt"),
-            check_decode=True,
+            check_decode=decode,
             decode_seed=42,
         ).run(spark, raw, cur, man, run_id=run_id, resume=False)
         n_verdicts = res.verdicts.count()
@@ -116,6 +118,10 @@ def bench_suite(spark, fx_dir: str, rows: int, parts: int) -> dict:
     # best-of-runs reported as a secondary capability field.
     cold_wall, _, _ = one_run("bench-cold")
     wall, scanned, extra = one_run("bench-steady")
+    # decode-off run: breaks the Arrow-boundary cost out of the
+    # headline so the decode regime is visible per round (the full
+    # suite, incl. the (2,8) scaling evidence, runs WITH decode)
+    core_wall, _, _ = one_run("bench-core", decode=False)
     n_parts = raw.select("part").distinct().count()
     best = min(cold_wall, wall)
     return {
@@ -125,7 +131,9 @@ def bench_suite(spark, fx_dir: str, rows: int, parts: int) -> dict:
         **extra,
         "cold_wall_sec": round(cold_wall, 2),
         "wall_sec": round(wall, 2),
+        "core_wall_sec": round(core_wall, 2),
         "images_per_sec": round(scanned / wall, 1) if wall > 0 else None,
+        "core_images_per_sec": round(scanned / core_wall, 1) if core_wall > 0 else None,
         "best_images_per_sec": round(scanned / best, 1) if best > 0 else None,
         "best_run": "steady" if wall <= cold_wall else "cold",
     }
@@ -157,6 +165,7 @@ def main() -> int:
     if not args.skip_suite:
         suite = bench_suite(spark, fx_dir, rows, parts)
         queries["image_suite_full"] = suite["wall_sec"]
+        queries["image_suite_core"] = suite["core_wall_sec"]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
