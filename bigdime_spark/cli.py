@@ -57,6 +57,15 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ru.add_argument("--stats", nargs="+", required=True, help="one or more stats output dirs")
     ru.add_argument("--master", default=None)
+
+    dr = sub.add_parser(
+        "drift",
+        help="cross-run KS/PSI drift from two runs' persisted stats "
+        "histograms — no rescan of either snapshot (B18/B19 over B9 arrays)",
+    )
+    dr.add_argument("--stats-a", required=True, help="baseline run's stats dir")
+    dr.add_argument("--stats-b", required=True, help="candidate run's stats dir")
+    dr.add_argument("--master", default=None)
     return p
 
 
@@ -128,6 +137,32 @@ def main(argv: list[str] | None = None) -> int:
         row = rows[0].asDict()
         print(json.dumps({"cmd": "rollup", "sources": args.stats,
                           "distincts": {k: int(v) for k, v in row.items()}}))
+        return 0
+
+    if args.cmd == "drift":
+        from bigdime_spark.operators.drift import KS_ALPHA_COEFF, PSI_FAIL, drift_from_stats  # noqa: F401
+
+        spark = get_spark("bigdime-drift", master=args.master)
+        scores = drift_from_stats(
+            spark.read.parquet(args.stats_a), spark.read.parquet(args.stats_b)
+        )
+        rows = [
+            {
+                "part": r["part"],
+                "column": r["column"],
+                "ks_d": round(r["ks_d"], 6) if r["ks_d"] is not None else None,
+                "ks_exceeds": (
+                    None
+                    if r["ks_d"] is None or r["ks_threshold"] is None
+                    else bool(r["ks_d"] > r["ks_threshold"])
+                ),
+                "psi": round(r["psi"], 6) if r["psi"] is not None else None,
+                "psi_fail": None if r["psi"] is None else bool(r["psi"] >= PSI_FAIL),
+            }
+            for r in scores.collect()  # tiny: parts × columns rows
+        ]
+        print(json.dumps({"cmd": "drift", "a": args.stats_a, "b": args.stats_b,
+                          "scores": rows}))
         return 0
 
     if args.cmd == "synth":

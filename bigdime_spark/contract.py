@@ -568,6 +568,51 @@ SQL_DRIFT_EVENTS = _drift_sql(
 )
 
 
+def q_drift_cross_run_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-RUN drift (B18/B19 over persisted B9 arrays): the two
+    'runs' are profiled independently — each side reduces to its
+    stats frame with a stored bucket-count array — and KS/PSI come
+    from drift_from_stats with NO rescan of either source. The oracle
+    computes the same drift directly from the rows: factoring through
+    the stored histograms must be value-invisible."""
+    from bigdime_spark.operators.drift import drift_from_stats
+
+    o = _t(spark, sf_dir, "orders")
+    prof = StatsProfile(
+        columns=[ColumnProfile("o_totalprice", histogram=(900.0, 600000.0, 64))]
+    )
+
+    def run_stats(status: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .withColumn("part", F.lit("*"))
+            .groupBy("part")
+            .agg(*prof.agg_exprs())
+        )
+
+    d = drift_from_stats(run_stats("O"), run_stats("F"))
+    return d.select(
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round("ks_threshold", 6).alias("ks_threshold"),
+        F.round("psi", 6).alias("psi"),
+        F.col("n").alias("n"),
+        F.col("m").alias("m"),
+        F.when(F.col("ks_d") <= F.col("ks_threshold"), F.lit("PASS"))
+        .otherwise(F.lit("FAIL"))
+        .alias("ks_verdict"),
+    )
+
+
+SQL_DRIFT_CROSS_RUN = _drift_sql(
+    "SELECT o_totalprice FROM orders WHERE o_orderstatus = 'O'",
+    "SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+    "o_totalprice",
+    900.0,
+    600000.0,
+    64,
+)
+
+
 def _drift_sql_grouped(
     source_sql_r: str, source_sql_c: str, col: str, lo: float, hi: float, nbins: int
 ) -> str:
@@ -1490,6 +1535,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "drift_extendedprice": QuerySpec(q_drift_extendedprice, SQL_DRIFT_EXTENDEDPRICE),
     "drift_events_value": QuerySpec(q_drift_events_value, SQL_DRIFT_EVENTS),
     "drift_not_ready_events": QuerySpec(q_drift_not_ready_events, SQL_DRIFT_NOT_READY),
+    "drift_cross_run_orders": QuerySpec(q_drift_cross_run_orders, SQL_DRIFT_CROSS_RUN),
     "drift_multipart_lineitem": QuerySpec(q_drift_multipart_lineitem, SQL_DRIFT_MULTIPART),
     # windows / scalar funcs (B23–B25, §2.6)
     "topk_orders_per_priority": QuerySpec(q_topk_orders_per_priority, SQL_TOPK_ORDERS),

@@ -80,6 +80,68 @@ def two_sample_drift_multi(
     columns are being tested."""
     hr = _melted_histogram(raw, specs, "cnt_r")
     hc = _melted_histogram(curated, specs, "cnt_c")
+    return _score_histograms(hr, hc)
+
+
+def _melt_stats_histograms(stats: DataFrame, cnt_alias: str) -> DataFrame:
+    """Melt the dense ``stat__<col>__hist`` bucket-count arrays of a
+    persisted stats frame (operators/stats.ColumnProfile.histogram)
+    into the same sparse (part, column, bucket, cnt) shape
+    _melted_histogram produces from raw data. Zero-count buckets are
+    dropped so the downstream full-outer join — and therefore every
+    KS/PSI value — is IDENTICAL to scanning the snapshots directly
+    (PSI's ε-smoothing is sensitive to which buckets the join keeps)."""
+    hist_cols = [c for c in stats.columns if c.endswith("__hist")]
+    if not hist_cols:
+        raise ValueError(
+            "stats frame has no stat__<col>__hist columns — was the "
+            "profile run with histogram=(lo, hi, nbins) columns?"
+        )
+    structs = [
+        F.struct(
+            F.lit(c[len("stat__"): -len("__hist")]).alias("column"),
+            F.col(c).alias("counts"),
+        )
+        for c in hist_cols
+    ]
+    return (
+        stats.select("part", F.explode(F.array(*structs)).alias("mb"))
+        .select(
+            "part",
+            F.col("mb.column").alias("column"),
+            (F.size("mb.counts") - 2).alias("nbins"),
+            F.posexplode("mb.counts").alias("bucket", "cnt"),
+        )
+        .where(F.col("cnt") > 0)
+        .select(
+            "part",
+            "column",
+            "bucket",
+            F.col("cnt").alias(cnt_alias),
+            F.col("nbins").alias(f"_nb_{cnt_alias}"),
+        )
+    )
+
+
+def drift_from_stats(stats_r: DataFrame, stats_c: DataFrame) -> DataFrame:
+    """CROSS-RUN drift with zero data rescan: KS + PSI per
+    (part, column) computed from the bucket-count arrays two runs
+    persisted in their stats outputs — the histogram analogue of the
+    HLL-sketch roll-up (B6). At 10^12 rows the old snapshot never has
+    to exist anymore: its few-KB stats rows are enough. Value-exact
+    vs two_sample_drift_multi on the original snapshots when both
+    profiles used the same (lo, hi, nbins) spec (asserted in tests).
+    Each input must hold one row per part (filter to a single run_id
+    first when a stats table accumulates runs)."""
+    return _score_histograms(
+        _melt_stats_histograms(stats_r, "cnt_r"),
+        _melt_stats_histograms(stats_c, "cnt_c"),
+    )
+
+
+def _score_histograms(hr: DataFrame, hc: DataFrame) -> DataFrame:
+    """Shared KS/PSI scoring over two sparse melted histogram relations
+    (tiny: ≤ parts × columns × (nbins+2) rows)."""
     joined = (
         hr.join(hc, ["part", "column", "bucket"], "full_outer")
         .select(

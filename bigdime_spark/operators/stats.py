@@ -34,6 +34,12 @@ class ColumnProfile:
     quantiles: tuple[float, ...] = ()
     #: most-frequent value (SURVEY B10 — hot-phash detection feed)
     mode: bool = False
+    #: (lo, hi, nbins) fixed-bin histogram persisted as a per-part
+    #: bucket-count array (buckets 0..nbins+1, same clamping as
+    #: functions/histograms.bucket_col). Like the HLL sketches, the
+    #: stored array makes CROSS-RUN drift (drift.drift_from_stats) a
+    #: metadata-sized computation — no rescan of the old snapshot.
+    histogram: tuple[float, float, int] | None = None
 
 
 @dataclass
@@ -43,7 +49,17 @@ class StatsProfile:
     columns: list[ColumnProfile] = field(default_factory=list)
     hll_lg_k: int = 12
 
-    def agg_exprs(self) -> list[Column]:
+    def histogram_specs(self) -> list[tuple[str, float, float, int]]:
+        return [
+            (p.column, *p.histogram) for p in self.columns if p.histogram is not None
+        ]
+
+    def agg_exprs(self, include_histograms: bool = True) -> list[Column]:
+        """``include_histograms=False`` is the suite's path: dense
+        count_if bucket arrays inside a wide fused aggregation defeat
+        whole-stage codegen (~6x slower, measured at 1M rows), so the
+        suite builds them with ``histogram_frames`` (melted scan +
+        pivot) instead and joins the arrays into the stats output."""
         out: list[Column] = [F.count(F.lit(1)).alias("stat__rows")]
         for p in self.columns:
             c = F.col(p.column)
@@ -81,6 +97,19 @@ class StatsProfile:
                 )
             if p.mode:
                 out.append(F.mode(c).alias(f"stat__{n}__mode"))
+            if p.histogram is not None and include_histograms:
+                from bigdime_spark.functions.histograms import bucket_col
+
+                lo, hi, nbins = p.histogram
+                b = bucket_col(c.cast("double"), lo, hi, nbins)
+                # dense counts, one slot per bucket id 0..nbins+1 —
+                # fine for small standalone profiles; the suite uses
+                # histogram_frames instead (see agg_exprs docstring)
+                out.append(
+                    F.array(
+                        *[F.count_if(b == i) for i in range(nbins + 2)]
+                    ).alias(f"stat__{n}__hist")
+                )
         return out
 
     @staticmethod
@@ -94,6 +123,55 @@ class StatsProfile:
                     F.hll_sketch_estimate(F.col(name)).alias(name.replace("__hll", "__distinct"))
                 )
         return out
+
+
+def histogram_frames(
+    df: DataFrame, specs: list[tuple[str, float, float, int]]
+) -> DataFrame:
+    """Per-part dense bucket-count arrays for ALL requested columns
+    from ONE melted scan: explode (column, bucket) structs, one
+    (part, column, bucket) hash-agg (map-side combined), densify via a
+    bounded map (≤ nbins+2 entries per (part, column)), pivot to one
+    ``stat__<col>__hist`` array column each. 6× faster at 1M rows than
+    count_if arrays inside a wide fused agg (which fall out of
+    whole-stage codegen). → (part, stat__<col>__hist ...)."""
+    from bigdime_spark.functions.histograms import bucket_col
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            bucket_col(F.col(c).cast("double"), lo, hi, nbins).alias("bucket"),
+            F.lit(nbins).alias("nbins"),
+        )
+        for c, lo, hi, nbins in specs
+    ]
+    counts = (
+        df.select("part", F.explode(F.array(*structs)).alias("mb"))
+        .select("part", "mb.column", "mb.bucket", "mb.nbins")
+        .where(F.col("bucket").isNotNull())
+        .groupBy("part", "column", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("nbins").alias("nbins"))
+    )
+    dense = counts.groupBy("part", "column").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("cnt")))
+        ).alias("m"),
+        F.first("nbins").alias("nbins"),
+    )
+    dense = dense.select(
+        "part",
+        "column",
+        F.transform(
+            F.sequence(F.lit(0), F.col("nbins") + 1),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
+        ).alias("arr"),
+    )
+    arrays = dense.groupBy("part").pivot("column", [c for c, *_ in specs]).agg(
+        F.first("arr")
+    )
+    for c, *_ in specs:
+        arrays = arrays.withColumnRenamed(c, f"stat__{c}__hist")
+    return arrays
 
 
 def rollup_distinct(stats_frames: list[DataFrame], group_cols: tuple[str, ...] = ()) -> DataFrame:
@@ -125,10 +203,12 @@ def default_image_stats() -> StatsProfile:
     return StatsProfile(
         columns=[
             ColumnProfile("image_id", stringlike=True, distinct=True),
-            ColumnProfile("w", numeric=True, quantiles=(0.25, 0.5, 0.75)),
-            ColumnProfile("h", numeric=True, quantiles=(0.25, 0.5, 0.75)),
+            # histograms match DEFAULT_DRIFT_COLUMNS so every run's
+            # stats output is cross-run-drift-ready (drift_from_stats)
+            ColumnProfile("w", numeric=True, quantiles=(0.25, 0.5, 0.75), histogram=(0.0, 256.0, 32)),
+            ColumnProfile("h", numeric=True, quantiles=(0.25, 0.5, 0.75), histogram=(0.0, 256.0, 32)),
             ColumnProfile("fmt", stringlike=True, distinct=True),
             ColumnProfile("caption", stringlike=True),
-            ColumnProfile("phash", numeric=False, distinct=True, mode=True),
+            ColumnProfile("phash", numeric=False, distinct=True, mode=True, histogram=(-9.3e18, 9.3e18, 64)),
         ]
     )

@@ -288,7 +288,10 @@ class ValidationSuite:
         # bytes (any binary column) never scanned in the stats pass —
         # SURVEY B0b; Catalyst further prunes to the columns the fused
         # agg actually references.
-        exprs = list(stats.agg_exprs())
+        # histograms go through histogram_frames (melted scan + pivot),
+        # NOT the fused agg — dense count_if arrays defeat whole-stage
+        # codegen there (see StatsProfile.agg_exprs docstring)
+        exprs = list(stats.agg_exprs(include_histograms=False))
         for c in light:
             exprs.extend(c.agg_exprs())  # aliases are unique by construction
 
@@ -538,6 +541,18 @@ class ValidationSuite:
             *[c for c in fused.columns if c.startswith("stat__")],
             *StatsProfile.finalize_exprs(fused.columns),
         )
+        hspecs = stats.histogram_specs()
+        if hspecs:
+            # persisted per-part bucket arrays (B9) — the cross-run
+            # drift feed (drift_from_stats), built from one bytes-free
+            # melted scan; parts with no bucketable rows stay NULL
+            from bigdime_spark.operators.stats import histogram_frames
+
+            stats_out = stats_out.join(
+                histogram_frames(raw.select("part", *[c for c, *_ in hspecs]), hspecs),
+                "part",
+                "left",
+            )
 
         part_status = (
             verdicts.filter(F.col("part") != "*")

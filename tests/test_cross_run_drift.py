@@ -1,0 +1,94 @@
+"""Cross-run drift from persisted stats histograms (round-3 addition):
+drift_from_stats over the stored bucket-count arrays must be
+VALUE-IDENTICAL to two_sample_drift_multi over the original rows —
+the histogram analogue of the HLL-sketch roll-up, so the old snapshot
+never needs rescanning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators.drift import (
+    DriftColumn,
+    drift_from_stats,
+    two_sample_drift_multi,
+)
+from bigdime_spark.operators.stats import ColumnProfile, StatsProfile
+from bigdime_spark.sources.synth import build_fixture
+
+SPECS = (DriftColumn("w", 0.0, 256.0, 32), DriftColumn("h", 0.0, 256.0, 32))
+PROFILE = StatsProfile(
+    columns=[
+        ColumnProfile("w", histogram=(0.0, 256.0, 32)),
+        ColumnProfile("h", histogram=(0.0, 256.0, 32)),
+    ]
+)
+
+
+def _stats_of(df):
+    return df.groupBy("part").agg(*PROFILE.agg_exprs())
+
+
+def _rows(df):
+    return {
+        (r["part"], r["column"]): (
+            round(r["ks_d"], 12) if r["ks_d"] is not None else None,
+            round(r["ks_threshold"], 12) if r["ks_threshold"] is not None else None,
+            round(r["psi"], 12) if r["psi"] is not None else None,
+            r["n"],
+            r["m"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_drift_from_stats_equals_direct_drift(spark):
+    # drift_parts shifts w/h on part index 1 → a real drifted part plus
+    # undrifted ones; both paths must agree on every number
+    fx = build_fixture(spark, n_rows=400, n_parts=4, drift_parts=(1,))
+    direct = two_sample_drift_multi(fx.raw, fx.curated, SPECS)
+    stored = drift_from_stats(_stats_of(fx.raw), _stats_of(fx.curated))
+    assert _rows(stored) == _rows(direct)
+    # sanity: the drifted part actually drifts and a clean part doesn't
+    d = _rows(direct)
+    assert d[("p0001", "w")][0] > d[("p0000", "w")][0]
+
+
+def test_suite_stats_output_is_drift_ready(spark):
+    """The default image profile persists w/h/phash histograms, so two
+    ValidationSuite runs' stats outputs feed drift_from_stats as-is."""
+    from bigdime_spark.plans.suite import ValidationSuite
+
+    fx = build_fixture(spark, n_rows=200, n_parts=2, drift_parts=(1,))
+    suite = ValidationSuite(
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_checksum=False,
+        check_record_count=False,
+        check_domains=False,
+        not_null=(),
+    )
+    res_a = suite.run(spark, fx.raw, run_id="a")
+    res_b = suite.run(spark, fx.curated, run_id="b")
+    hist_cols = [c for c in res_a.stats.columns if c.endswith("__hist")]
+    assert sorted(hist_cols) == [
+        "stat__h__hist", "stat__phash__hist", "stat__w__hist",
+    ]
+    scores = drift_from_stats(res_a.stats, res_b.stats)
+    got = _rows(scores)
+    assert set(got) == {
+        (p, c) for p in ("p0000", "p0001") for c in ("w", "h", "phash")
+    }
+    # the drifted part's w distribution drifts; the clean part's doesn't
+    assert got[("p0001", "w")][0] > got[("p0000", "w")][0]
+    res_a.release()
+    res_b.release()
+
+
+def test_melt_raises_without_histograms(spark):
+    df = spark.createDataFrame([("p0", 1)], "part string, stat__w__nulls long")
+    with pytest.raises(ValueError, match="no stat__<col>__hist"):
+        drift_from_stats(df, df)
