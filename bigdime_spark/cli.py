@@ -44,6 +44,12 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--decode", action="store_true", help="enable the pixel-decode pass")
     r.add_argument("--decode-seed", type=int, default=None)
     r.add_argument("--topk-violations", type=int, default=None)
+    r.add_argument(
+        "--no-quarantine",
+        action="store_true",
+        help="skip writing <out>/quarantine on failure (reference "
+        "semantics: FAILED units are quarantined by default)",
+    )
     r.add_argument("--master", default=None)
 
     rep = sub.add_parser("report", help="summarize a run's output dir (no Spark — DuckDB)")
@@ -219,6 +225,24 @@ def main(argv: list[str] | None = None) -> int:
     rows_scanned = summary["rows_scanned"]
     n_failed = summary["n_failed"]
     n_violations = res.violations.count()
+
+    # reference lifecycle parity: a FAILED validation quarantines the
+    # offending input unit [PK, SURVEY A10/A14]. The engine's analogue
+    # is a machine-readable quarantine manifest — one row per failed
+    # partition with the constraints that failed it — NOT a data copy
+    # (at 10^12 rows quarantine-by-copy is its own outage; consumers
+    # prune the listed partitions instead).
+    quarantined = 0
+    if n_failed and not args.no_quarantine:
+        q = (
+            res.verdicts.filter((F.col("verdict") == "FAIL") & (F.col("part") != "*"))
+            .groupBy("part")
+            .agg(F.sort_array(F.collect_set("constraint")).alias("failed_constraints"))
+            .select(F.lit(res.run_id).alias("run_id"), "part", "failed_constraints")
+        )
+        write_table(q, f"{args.out}/quarantine", partition_by=None)
+        quarantined = n_failed
+
     wall = time.monotonic() - t0
     print(
         json.dumps(
@@ -230,6 +254,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows_scanned": rows_scanned,
                 "violations": n_violations,
                 "schema_mismatches": len(res.schema_violations),
+                "parts_quarantined": quarantined,
                 "images_per_sec": round(rows_scanned / wall, 1) if wall > 0 else None,
                 "wall_sec": round(wall, 2),
             }

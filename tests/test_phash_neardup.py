@@ -90,3 +90,40 @@ def test_suite_flags_planted_near_dup_images(spark):
     detail = viol.filter(F.col("image_id") == a["image_id"]).first()["detail"]
     assert b["image_id"] in detail and "hamming=1" in detail
     res.release()
+
+
+# ------------------------------ completeness property (hypothesis)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_MASK64 = (1 << 64) - 1
+
+# clustered small ints make hamming<=k pairs common; the occasional
+# full-range value exercises sign/chunk boundaries
+_fp = st.one_of(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(fps=st.lists(_fp, min_size=2, max_size=20, unique=True), k=st.integers(1, 3))
+def test_hamming_band_join_is_exactly_brute_force(spark, fps, k):
+    """Pigeonhole guarantee: the band join must find EXACTLY the
+    brute-force hamming<=k pairs — no candidate within distance k can
+    be lost by chunking (completeness), and the bit_count verify kills
+    every false candidate (soundness)."""
+    rows = [(str(i), v) for i, v in enumerate(fps)]
+    df = spark.createDataFrame(rows, "id string, fp long")
+    got = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in hamming_pairs_on_column(df, "id", "fp", bits=64, k=k).collect()
+    }
+    want = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            d = bin((fps[i] ^ fps[j]) & _MASK64).count("1")
+            if d <= k:
+                a, b = str(i), str(j)
+                want.add((min(a, b), max(a, b), d))
+    assert got == want
