@@ -1096,7 +1096,8 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= {k}
 
 
 def _simhash_hamming_sql(bits: int = 16, k: int = 3, max_bucket: int | None = None) -> str:
-    fp = _simhash_sql(bits).replace("SELECT id AS doc_id,", "SELECT id,")
+    # wrap (no string surgery on the generated SQL): expose doc_id as id
+    fp = f"SELECT doc_id AS id, simhash FROM ({_simhash_sql(bits)})"
     return _banded_hamming_sql(fp, "simhash", bits, k, max_bucket)
 
 

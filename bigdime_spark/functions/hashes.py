@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 #: full-content columns covered by the checksum (everything incl. bytes)
 CHECKSUM_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
+#: unsigned-64 mask for python-side xor folds (python ints are
+#: unbounded, Spark longs wrap) — shared by the decode ride partials
+#: and the streaming state so their wrap semantics can never diverge
+U64_MASK = (1 << 64) - 1
+
+
+def to_signed64(v: int) -> int:
+    """Re-wrap a python int into two's-complement int64."""
+    v &= U64_MASK
+    return v - (1 << 64) if v >= (1 << 63) else v
+
 
 def row_checksum_col(columns: list[str] | None = None) -> Column:
     """Per-row 64-bit content digest (JVM-side, codegen'd)."""

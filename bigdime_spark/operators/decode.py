@@ -69,13 +69,8 @@ RESULT_DDL = (
     "psnr double, reason string, rowhash long, psum string"
 )
 
-#: unsigned-64 mask for the xor fold (python ints are unbounded)
-_MASK = (1 << 64) - 1
-
-
-def _to_signed(v: int) -> int:
-    v &= _MASK
-    return v - (1 << 64) if v >= (1 << 63) else v
+from bigdime_spark.functions.hashes import U64_MASK as _MASK
+from bigdime_spark.functions.hashes import to_signed64 as _to_signed
 
 
 def _check_row(image_id, payload, w, h, fmt, stored_phash, seed):

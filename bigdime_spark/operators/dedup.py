@@ -479,7 +479,8 @@ class PhashNearDup:
             k=self.k,
             max_bucket=self.max_bucket,
             carry_cols=("part",),
-        )
+        ).persist()  # rare rows; violations AND verdicts read ONE band join
+        ctx.extras.setdefault("persisted", []).append(pairs)
         # one member row per pair side, each with its own partition
         members = pairs.select(
             F.col("id1").alias("image_id"),

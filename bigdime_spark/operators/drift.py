@@ -123,6 +123,22 @@ def _melt_stats_histograms(stats: DataFrame, cnt_alias: str) -> DataFrame:
     )
 
 
+def _hist_spec_map(stats: DataFrame) -> dict[str, str]:
+    """column → "lo:hi:nbins" from the persisted spec columns (empty
+    when the frame predates spec persistence or is empty)."""
+    spec_cols = [c for c in stats.columns if c.endswith("__hist_spec")]
+    if not spec_cols:
+        return {}
+    row = stats.select(*spec_cols).first()
+    if row is None:
+        return {}
+    return {
+        c[len("stat__"): -len("__hist_spec")]: row[c]
+        for c in spec_cols
+        if row[c] is not None
+    }
+
+
 def drift_from_stats(stats_r: DataFrame, stats_c: DataFrame) -> DataFrame:
     """CROSS-RUN drift with zero data rescan: KS + PSI per
     (part, column) computed from the bucket-count arrays two runs
@@ -132,7 +148,17 @@ def drift_from_stats(stats_r: DataFrame, stats_c: DataFrame) -> DataFrame:
     vs two_sample_drift_multi on the original snapshots when both
     profiles used the same (lo, hi, nbins) spec (asserted in tests).
     Each input must hold one row per part (filter to a single run_id
-    first when a stats table accumulates runs)."""
+    first when a stats table accumulates runs). Runs profiled with
+    DIFFERENT binning specs are refused (bucket ids would denote
+    different value ranges → confidently-wrong scores)."""
+    sa, sb = _hist_spec_map(stats_r), _hist_spec_map(stats_c)
+    for col in sorted(set(sa) & set(sb)):
+        if sa[col] != sb[col]:
+            raise ValueError(
+                f"histogram spec mismatch for '{col}': {sa[col]} vs "
+                f"{sb[col]} — both runs must profile with the same "
+                "(lo, hi, nbins) to be drift-comparable"
+            )
     return _score_histograms(
         _melt_stats_histograms(stats_r, "cnt_r"),
         _melt_stats_histograms(stats_c, "cnt_c"),

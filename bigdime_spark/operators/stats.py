@@ -110,6 +110,11 @@ class StatsProfile:
                         *[F.count_if(b == i) for i in range(nbins + 2)]
                     ).alias(f"stat__{n}__hist")
                 )
+                # binning spec persisted beside the counts so cross-run
+                # drift can refuse to compare incompatible histograms
+                out.append(
+                    F.max(F.lit(f"{lo}:{hi}:{nbins}")).alias(f"stat__{n}__hist_spec")
+                )
         return out
 
     @staticmethod
@@ -169,8 +174,10 @@ def histogram_frames(
     arrays = dense.groupBy("part").pivot("column", [c for c, *_ in specs]).agg(
         F.first("arr")
     )
-    for c, *_ in specs:
-        arrays = arrays.withColumnRenamed(c, f"stat__{c}__hist")
+    for c, lo, hi, nbins in specs:
+        arrays = arrays.withColumnRenamed(c, f"stat__{c}__hist").withColumn(
+            f"stat__{c}__hist_spec", F.lit(f"{lo}:{hi}:{nbins}")
+        )
     return arrays
 
 

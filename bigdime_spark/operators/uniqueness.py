@@ -1,15 +1,19 @@
 """Uniqueness on image_id (SURVEY B16; BASELINE.json:6,14).
 
 Global (cross-partition!) key uniqueness with per-partition verdict
-attribution: duplicate groups carry ``collect_list(part)``, and every
-partition containing a copy FAILs — a documented extension of the
-reference, which only ever validated one input unit at a time
+attribution: every partition containing a copy of a duplicated key
+FAILs, with EXACT per-part copy counts — a documented extension of
+the reference, which only ever validated one input unit at a time
 [public knowledge, SURVEY §7].
 
-Plan shape: one hash aggregation on the key (partial+final; the key
-is high-cardinality and near-unique, so per-group state is tiny),
-then an explode of the (rare) duplicate groups. No join against the
-full table is needed for verdicts or violations.
+Plan shape (bounded state): ``repartition(key)`` is the only
+exchange; a (key, part) count aggregation (counters only — a key
+duplicated 10^7 times in one partition costs ONE aggregation row)
+feeds a per-key roll-up whose collected part list is one small struct
+per DISTINCT involved partition, inherently bounded by the table's
+partition count and capped at ``max_parts``. No join against the
+full table is needed for verdicts or violations; violation detail is
+one row per (key, part) with the exact global copy count.
 """
 
 from __future__ import annotations
@@ -27,45 +31,53 @@ from bigdime_spark.schema import FAIL
 
 
 class Uniqueness(TableConstraint):
-    def __init__(self, key: str = "image_id", snapshot: str = "raw", max_copies: int = 100):
+    def __init__(self, key: str = "image_id", snapshot: str = "raw", max_parts: int = 100_000):
         self.key = key
         self.snapshot = snapshot
         self.name = f"uniqueness.{key}"
-        #: bound on the per-key collected part list — a dup storm (one
-        #: key duplicated millions of times by an ingestion bug) must
-        #: not materialize every copy in one aggregation row. ``n``
-        #: stays exact; violation detail beyond the cap is top-K
-        #: sampled (deterministic: sort_array order), same bound as B25.
-        self.max_copies = max_copies
+        #: bound on the per-key collected distinct-part structs (module
+        #: docstring) — counts stay exact regardless.
+        self.max_parts = max_parts
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame]:
         df = ctx.raw if self.snapshot == "raw" else ctx.curated
+        kp = (
+            df.select(self.key, "part")
+            .repartition(self.key)
+            .groupBy(self.key, "part")
+            .agg(F.count(F.lit(1)).alias("n_kp"))
+        )
         dups = (
-            df.groupBy(self.key)
+            kp.groupBy(self.key)
             .agg(
-                F.count(F.lit(1)).alias("n"),
+                F.sum("n_kp").alias("n"),
                 F.slice(
-                    F.sort_array(F.collect_list("part")), 1, self.max_copies
+                    F.sort_array(F.collect_list(F.struct("part", "n_kp"))),
+                    1,
+                    self.max_parts,
                 ).alias("parts"),
             )
             .filter(F.col("n") > 1)
         )
-        # one violation row per duplicate *copy*, each with its partition
-        copies = dups.select(
+        # one violation row per (duplicate key × involved partition),
+        # each carrying the exact global copy count
+        entries = dups.select(
             F.col(self.key).alias("image_id"),
             F.col("n"),
-            F.explode("parts").alias("part"),
+            F.explode("parts").alias("c"),
+        ).select(
+            "image_id", "n", F.col("c.part").alias("part"), F.col("c.n_kp").alias("n_kp")
         )
         violations = violation_rows(
-            copies,
+            entries,
             self.name,
             self.key,
             F.concat(F.lit("duplicate key ("), F.col("n").cast("string"), F.lit(" copies)")),
             self.snapshot,
         )
         failed_parts = (
-            copies.groupBy("part")
-            .agg(F.count(F.lit(1)).alias("dup_copies"))
+            entries.groupBy("part")
+            .agg(F.sum("n_kp").alias("dup_copies"))  # EXACT copies per part
             .select(
                 "part",
                 F.lit(FAIL).alias("verdict"),

@@ -37,22 +37,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from bigdime_spark.functions.hashes import CHECKSUM_COLUMNS, row_checksum_col
+from bigdime_spark.functions.hashes import (
+    CHECKSUM_COLUMNS,
+    U64_MASK as _MASK,
+    row_checksum_col,
+    to_signed64 as _to_signed,
+)
 from bigdime_spark.schema import FAIL, PASS, SKIPPED_CONFIG
 
-#: unsigned-64 mask for the xor fold (python ints are unbounded,
-#: Spark longs wrap — xor in uint64 space, re-wrap to signed)
-_MASK = (1 << 64) - 1
 
+#: STATE/OUTPUT SCHEMA v2 (round 3): the running sum moved from a
+#: wrapping int64 to an exact decimal STRING. Streaming checkpoints
+#: and append-mode totals sinks written by the v1 (long) schema are
+#: NOT compatible — Spark's state store rejects the changed state
+#: schema, and a sink dir mixing long/string checksum_sum files fails
+#: schema merge on read. Drain v1 checkpoints with the v1 build, or
+#: start a fresh checkpoint_dir + out_dir (the stream re-reads the
+#: source from scratch; totals are reproducible).
 OUTPUT_DDL = (
     "part string, rows_total long, checksum_xor long, checksum_sum string"
 )
 STATE_DDL = "rows long, x long, s string"
 
 
-def _to_signed(v: int) -> int:
-    v &= _MASK
-    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def _fold_part(

@@ -92,3 +92,13 @@ def test_melt_raises_without_histograms(spark):
     df = spark.createDataFrame([("p0", 1)], "part string, stat__w__nulls long")
     with pytest.raises(ValueError, match="no stat__<col>__hist"):
         drift_from_stats(df, df)
+
+
+def test_mismatched_specs_refused(spark):
+    a = StatsProfile(columns=[ColumnProfile("w", histogram=(0.0, 256.0, 32))])
+    b = StatsProfile(columns=[ColumnProfile("w", histogram=(0.0, 512.0, 64))])
+    fx = build_fixture(spark, n_rows=80, n_parts=2)
+    sa = fx.raw.groupBy("part").agg(*a.agg_exprs())
+    sb = fx.raw.groupBy("part").agg(*b.agg_exprs())
+    with pytest.raises(ValueError, match="histogram spec mismatch for 'w'"):
+        drift_from_stats(sa, sb)

@@ -1,8 +1,9 @@
-"""Dup-storm scale safety (round-2 verdict item 1): a single key
-duplicated 10^5 times — the exact pathology a uniqueness validator
-exists to survive — must flow through the keyed pass with BOUNDED
-copy arrays (max_copies cap) while every count-derived verdict stays
-exact."""
+"""Dup-storm scale safety (round-2 verdict item 1, round-3 review
+hardening): a single key duplicated 10^5 times — the exact pathology
+a uniqueness validator exists to survive — flows through the keyed
+pass with BOUNDED aggregation state (level-1 (key, part) counters
+only; level-2 one struct per distinct involved partition) while every
+verdict, per-part dup count, and FAIL attribution stays EXACT."""
 
 from __future__ import annotations
 
@@ -13,9 +14,10 @@ from bigdime_spark.operators.keyed import KeyedSnapshotPass
 from bigdime_spark.operators.uniqueness import Uniqueness
 
 STORM_COPIES = 100_000
+N_PARTS = 4
 
 
-def _storm_frame(spark, n_parts: int = 4, cap_prefix: str = "cap-"):
+def _storm_frame(spark, n_parts: int = N_PARTS, cap_prefix: str = "cap-"):
     """(image_id, part, caption): one hot key with 10^5 copies spread
     over n_parts partitions + 50 healthy unique keys."""
     storm = spark.range(STORM_COPIES).select(
@@ -31,58 +33,77 @@ def _storm_frame(spark, n_parts: int = 4, cap_prefix: str = "cap-"):
     return storm.unionByName(healthy)
 
 
-def test_keyed_pass_survives_dup_storm_with_bounded_arrays(spark):
+def test_keyed_pass_survives_dup_storm_with_bounded_state(spark):
     raw = _storm_frame(spark)
-    # curated captions differ for the hot key → the mismatch is visible
-    # inside the capped sample (identical tables would only mismatch in
-    # the sampled-away tail, the documented detail degradation)
+    # curated captions differ for the hot key → caption mismatch must
+    # be detected exactly from the min/max aggregates
     cur = _storm_frame(spark, cap_prefix="CUR-")
     ctx = SuiteContext(spark=spark, raw=raw, curated=cur, manifest=None, parts=None)
-    keyed = KeyedSnapshotPass(max_copies=100)
+    keyed = KeyedSnapshotPass(max_parts=100)
 
     j = keyed._joined(ctx)
     hot = j.filter(F.col("image_id") == "hot-key").select(
         "n_r", "n_c", F.size("copies_r").alias("sr"), F.size("copies_c").alias("sc")
     ).collect()[0]
-    # counts EXACT, arrays bounded by the cap
+    # counts EXACT; arrays hold one struct per DISTINCT part, never
+    # one per copy (100k copies → 4 structs)
     assert hot["n_r"] == STORM_COPIES
     assert hot["n_c"] == STORM_COPIES
-    assert hot["sr"] == 100
-    assert hot["sc"] == 100
+    assert hot["sr"] == N_PARTS
+    assert hot["sc"] == N_PARTS
 
-    results = dict(
-        (name, (v, viol)) for name, v, viol in keyed.run(ctx)
-    )
-    name = "uniqueness.image_id"
-    verdicts, violations = results[name]
+    results = dict((name, (v, viol)) for name, v, viol in keyed.run(ctx))
+
+    verdicts, violations = results["uniqueness.image_id"]
     vrows = {r["part"]: r for r in verdicts.collect()}
-    # the hot key's sampled copies are sort_array-deterministic: the
-    # first 100 (part, caption) structs in sorted order all land in p0
-    # (caption sorts after part), so p0 carries the FAIL attribution
-    assert "p0" in vrows and vrows["p0"]["verdict"] == "FAIL"
-    # violation detail is top-K sampled — bounded, never 10^5 rows
-    n_viol = violations.filter(F.col("image_id") == "hot-key").count()
-    assert 0 < n_viol <= 100
-    # detail message still reports the EXACT copy count
-    detail = violations.filter(F.col("image_id") == "hot-key").select("detail").first()[0]
-    assert f"({STORM_COPIES} copies)" in detail
+    # EVERY involved partition FAILs, with exact per-part copy counts
+    assert set(vrows) == {"p0", "p1", "p2", "p3"}
+    for r in vrows.values():
+        assert r["verdict"] == "FAIL"
+        assert r["observed"] == "dup_copies=25000"  # exact: 100k / 4 parts
+    # violation detail: one row per (key, part) with the exact count
+    hot_viol = violations.filter(F.col("image_id") == "hot-key").collect()
+    assert len(hot_viol) == N_PARTS
+    assert all(f"({STORM_COPIES} copies)" in r["detail"] for r in hot_viol)
 
-    # caption-equality mismatch detection still fires (mixed captions
-    # exist inside the sampled arrays)
-    cap_verdicts, _ = results["caption_equality"]
-    assert cap_verdicts.filter(F.col("verdict") == "FAIL").count() > 0
+    # caption mismatch detected exactly (per raw part) from aggregates
+    cap_verdicts, cap_viol = results["caption_equality"]
+    cv = {r["part"]: r["verdict"] for r in cap_verdicts.collect()}
+    assert cv == {f"p{i}": "FAIL" for i in range(N_PARTS)}
+    # bounded: one violation row per (key, raw part), not m×n pairs
+    assert cap_viol.filter(F.col("image_id") == "hot-key").count() == N_PARTS
 
     for df in ctx.extras.get("persisted", []):
         df.unpersist()
 
 
-def test_standalone_uniqueness_bounded(spark):
+def test_keyed_pass_single_exchange_per_side(spark):
+    """The two-level agg must reuse ONE repartition(key) exchange per
+    side: level-1 (key,part) agg, level-2 (key) agg, and the
+    full-outer join all cluster on hash(key)."""
+    raw = _storm_frame(spark)
+    cur = _storm_frame(spark)
+    ctx = SuiteContext(spark=spark, raw=raw, curated=cur, manifest=None, parts=None)
+    j = KeyedSnapshotPass()._joined(ctx)
+    plan = j._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        j._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # range→union sides contribute no exchange; exactly the two
+    # repartition(key) exchanges may appear (formatted explain lists
+    # operators as "(N) Exchange")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected 2 key exchanges, plan has {n_exchanges}:\n{plan}"
+
+
+def test_standalone_uniqueness_bounded_and_exact(spark):
     raw = _storm_frame(spark)
     ctx = SuiteContext(spark=spark, raw=raw, curated=None, manifest=None, parts=None)
     ctx.parts = raw.select("part").distinct()
-    verdicts, violations = Uniqueness("image_id", max_copies=100).run(ctx)
-    assert violations.filter(F.col("image_id") == "hot-key").count() <= 100
-    # exact count survives in the message
-    detail = violations.filter(F.col("image_id") == "hot-key").select("detail").first()[0]
-    assert f"({STORM_COPIES} copies)" in detail
-    assert verdicts.filter(F.col("verdict") == "FAIL").count() >= 1
+    verdicts, violations = Uniqueness("image_id", max_parts=100).run(ctx)
+    hot_viol = violations.filter(F.col("image_id") == "hot-key").collect()
+    assert len(hot_viol) == N_PARTS  # one per involved part, not per copy
+    assert all(f"({STORM_COPIES} copies)" in r["detail"] for r in hot_viol)
+    vmap = {r["part"]: (r["verdict"], r["observed"]) for r in verdicts.collect()}
+    assert all(vmap[f"p{i}"] == ("FAIL", "dup_copies=25000") for i in range(N_PARTS))

@@ -94,6 +94,16 @@ def main() -> int:
     c_lo = results[lo]["suite"].get("core_images_per_sec")
     c_hi = results[hi]["suite"].get("core_images_per_sec")
     core_eff = round((c_hi / c_lo) / 4, 3) if c_lo and c_hi else None
+    core_para = (
+        f"""
+The suite above INCLUDES the Arrow decode/PSNR pass — the efficiency
+covers the JVM<->Python-boundary regime a 100-TB image job lives in.
+Decode-off (core) pair for the same runs: local[{lo}] {c_lo} img/s vs
+local[{hi}] {c_hi} img/s → core efficiency **{core_eff}**.
+"""
+        if core_eff is not None
+        else ""
+    )
 
     extra_rows = "".join(
         f"| r{3 + i} | local[{c}] (informational: single-box bandwidth ceiling) "
@@ -130,11 +140,7 @@ measurement excludes session startup and fixture generation.
 {extra_rows}
 scaling efficiency = (T_4N / T_N) / 4 = ({t_hi} / {t_lo}) / 4 = **{eff}**
 (target >= 0.8 per BASELINE.json north rule)
-
-The suite above INCLUDES the Arrow decode/PSNR pass — the efficiency
-covers the JVM↔Python-boundary regime a 100-TB image job lives in.
-Decode-off (core) pair for the same runs: local[{lo}] {c_lo} img/s vs
-local[{hi}] {c_hi} img/s → core efficiency **{core_eff}**.
+{core_para}
 
 Decode layout note: `repartition("part")` before the Arrow decode
 stage (DecodeIntegrity colocate=True) was measured at 600k images on
