@@ -13,6 +13,8 @@ Env:
     BENCH_ROWS           image fixture rows (default 1000000)
     BENCH_PARTS          image fixture partitions (default 64)
     BENCH_FIXTURE        fixture cache dir (default .cache/bench_fx_<rows>)
+    BENCH_QUERY_REPS     in-JVM reps per corpus query, median reported (default 2)
+    BENCH_SUITE_REPS     steady/core suite reps, median reported (default 2)
 
 Flags:
     --suite-only         skip corpus queries (used by the scaling harness)
@@ -58,17 +60,32 @@ HEADLINE = [
 ]
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, reps: int) -> dict[str, float]:
+    """Per-query MEDIAN of ``reps`` in-JVM repetitions (round-3 verdict:
+    single-run artifacts chase host noise). clearCache() between reps
+    kills plan-matched cache reuse — Spark substitutes persisted frames
+    by logical-plan equality, so without it rep 2 of a query that
+    persists internally would silently replay rep 1's caches."""
+    import statistics
+
     from bigdime_spark import contract
 
     qs = contract.queries()
     out: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        n = df.count() if len(df.columns) > 6 else len(df.collect())
-        out[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        walls = []
+        for _ in range(max(1, reps)):
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            n = df.count() if len(df.columns) > 6 else len(df.collect())
+            walls.append(time.monotonic() - t0)
+            spark.catalog.clearCache()
+        out[name] = round(statistics.median(walls), 3)
+        print(
+            f"# {name}: median {out[name]}s of "
+            f"{[round(w, 2) for w in walls]} ({n} rows)",
+            file=sys.stderr,
+        )
     return out
 
 
@@ -111,25 +128,35 @@ def bench_suite(spark, fx_dir: str, rows: int, parts: int) -> dict:
         scanned = sum(r["rows_scanned"] for r in lineage)
         return wall, scanned, {"verdicts": n_verdicts, "violations": n_violations}
 
-    # run twice: rep1 pays one-time JVM/codegen/footer warmup, rep2 is
-    # the steady-state throughput (the regime a 10^12-row run lives in;
-    # BASELINE.md measurement excludes one-time startup). The HEADLINE
-    # is the steady-state run — matching the declared protocol — with
-    # best-of-runs reported as a secondary capability field.
+    # rep 1 pays one-time JVM/codegen/footer warmup (the "cold" wall);
+    # steady-state reps follow — the regime a 10^12-row run lives in
+    # (BASELINE.md measurement excludes one-time startup). The HEADLINE
+    # is the MEDIAN of the steady reps (round-3 verdict: single-run
+    # artifacts chase host noise); every per-rep wall is reported.
+    import statistics
+
+    steady_reps = max(1, int(os.environ.get("BENCH_SUITE_REPS", "2")))
     cold_wall, _, _ = one_run("bench-cold")
-    wall, scanned, extra = one_run("bench-steady")
-    # decode-off run: breaks the Arrow-boundary cost out of the
+    steady_walls, scanned, extra = [], 0, {}
+    for i in range(steady_reps):
+        w, scanned, extra = one_run(f"bench-steady-{i}")
+        steady_walls.append(w)
+    wall = statistics.median(steady_walls)
+    # decode-off runs: break the Arrow-boundary cost out of the
     # headline so the decode regime is visible per round (the full
     # suite, incl. the (2,8) scaling evidence, runs WITH decode)
-    core_wall, _, _ = one_run("bench-core", decode=False)
+    core_walls = [one_run(f"bench-core-{i}", decode=False)[0] for i in range(steady_reps)]
+    core_wall = statistics.median(core_walls)
     n_parts = raw.select("part").distinct().count()
-    best = min(cold_wall, wall)
+    best = min(cold_wall, *steady_walls)
     return {
         "rows": rows,
         "parts": n_parts,
         "rows_scanned": scanned,
         **extra,
         "cold_wall_sec": round(cold_wall, 2),
+        "steady_walls_sec": [round(w, 2) for w in steady_walls],
+        "core_walls_sec": [round(w, 2) for w in core_walls],
         "wall_sec": round(wall, 2),
         "core_wall_sec": round(core_wall, 2),
         "images_per_sec": round(scanned / wall, 1) if wall > 0 else None,
@@ -158,10 +185,11 @@ def main() -> int:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    query_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     queries: dict[str, float] = {}
     suite: dict = {}
     if not args.suite_only:
-        queries = bench_queries(spark, sf_dir)
+        queries = bench_queries(spark, sf_dir, query_reps)
     if not args.skip_suite:
         suite = bench_suite(spark, fx_dir, rows, parts)
         queries["image_suite_full"] = suite["wall_sec"]

@@ -32,6 +32,14 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--out", required=True)
     s.add_argument("--drift-parts", type=str, default="", help="comma-separated part indexes with shifted w/h")
+    s.add_argument(
+        "--phash-near-pairs",
+        type=int,
+        default=0,
+        help="plant N near-duplicate phash pairs (hamming distance 1); "
+        "pair j links img-{2j} and img-{2j+1}, which land in "
+        "consecutive partitions",
+    )
 
     r = sub.add_parser("run", help="run the validation suite")
     r.add_argument("--raw", required=True, help="raw snapshot (Iceberg table id or parquet dir)")
@@ -43,6 +51,18 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-resume", action="store_true")
     r.add_argument("--decode", action="store_true", help="enable the pixel-decode pass")
     r.add_argument("--decode-seed", type=int, default=None)
+    r.add_argument(
+        "--phash-dedup",
+        action="store_true",
+        help="enable the perceptual-hash near-duplicate constraint "
+        "(pigeonhole band join over the phash column)",
+    )
+    r.add_argument(
+        "--phash-k",
+        type=int,
+        default=2,
+        help="max hamming distance for --phash-dedup (default 2)",
+    )
     r.add_argument("--topk-violations", type=int, default=None)
     r.add_argument(
         "--no-quarantine",
@@ -63,6 +83,32 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ru.add_argument("--stats", nargs="+", required=True, help="one or more stats output dirs")
     ru.add_argument("--master", default=None)
+
+    st = sub.add_parser(
+        "stream",
+        help="incremental validation of a directory-shaped stream "
+        "(Trigger.AvailableNow drain; re-runs resume from the "
+        "checkpoint and re-validate nothing)",
+    )
+    st.add_argument("--source", required=True, help="streaming source dir (parquet appends)")
+    st.add_argument("--out", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--manifest", default=None)
+    st.add_argument("--decode", action="store_true")
+    st.add_argument(
+        "--key-uniqueness",
+        action="store_true",
+        help="also run the CROSS-micro-batch key-uniqueness operator "
+        "(bounded per-distinct-key state; duplicates spanning batches)",
+    )
+    st.add_argument(
+        "--uniqueness-ttl",
+        default=None,
+        help='evict idle key state after this duration (e.g. "30 minutes"); '
+        "duplicates spaced further apart escape detection",
+    )
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+    st.add_argument("--master", default=None)
 
     dr = sub.add_parser(
         "drift",
@@ -149,9 +195,16 @@ def main(argv: list[str] | None = None) -> int:
         from bigdime_spark.operators.drift import KS_ALPHA_COEFF, PSI_FAIL, drift_from_stats  # noqa: F401
 
         spark = get_spark("bigdime-drift", master=args.master)
-        scores = drift_from_stats(
-            spark.read.parquet(args.stats_a), spark.read.parquet(args.stats_b)
-        )
+        try:
+            scores = drift_from_stats(
+                spark.read.parquet(args.stats_a), spark.read.parquet(args.stats_b)
+            )
+        except ValueError as e:
+            # spec mismatch / duplicate per-part rows — operator error,
+            # not a crash: clean message + exit 2 (same contract as the
+            # rollup guard above)
+            print(f"drift: {e}", file=sys.stderr)
+            return 2
         rows = [
             {
                 "part": r["part"],
@@ -171,12 +224,75 @@ def main(argv: list[str] | None = None) -> int:
                           "scores": rows}))
         return 0
 
+    if args.cmd == "stream":
+        from pyspark.sql import functions as F
+
+        from bigdime_spark.schema import IMAGE_SCHEMA_PARTITIONED
+        from bigdime_spark.streaming.incremental import StreamingValidator
+        from bigdime_spark.streaming.stateful import run_uniqueness_to_completion
+
+        spark = get_spark("bigdime-stream", master=args.master)
+        manifest = read_table(spark, args.manifest) if args.manifest else None
+        validator = StreamingValidator(manifest=manifest)
+        validator.suite.check_decode = args.decode
+        q = validator.start(
+            spark,
+            args.source,
+            args.out,
+            f"{args.checkpoint}/validate",
+            available_now=True,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        dup_keys = None
+        if args.key_uniqueness:
+            run_uniqueness_to_completion(
+                spark,
+                args.source,
+                IMAGE_SCHEMA_PARTITIONED,
+                f"{args.checkpoint}/uniqueness",
+                f"{args.out}/dup_keys",
+                ttl=args.uniqueness_ttl,
+            )
+            try:
+                dup_keys = (
+                    spark.read.parquet(f"{args.out}/dup_keys")
+                    .select("image_id").distinct().count()
+                )
+            except Exception:
+                dup_keys = 0  # no duplicates ever emitted → no sink files
+        try:
+            verdict_counts = {
+                r["verdict"]: r["n"]
+                for r in spark.read.parquet(f"{args.out}/verdicts")
+                .groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+        except Exception:
+            verdict_counts = {}  # stream drained zero batches
+        print(
+            json.dumps(
+                {
+                    "cmd": "stream",
+                    "batches": len(validator.results),
+                    "verdict_counts": verdict_counts,
+                    "dup_keys": dup_keys,
+                }
+            )
+        )
+        return 1 if verdict_counts.get("FAIL") or dup_keys else 0
+
     if args.cmd == "synth":
         from bigdime_spark.sources.synth import build_fixture
 
+        from bigdime_spark.sources.synth import InjectionSpec, near_pair_ids
+
         spark = get_spark("bigdime-synth")
         drift = tuple(int(x) for x in args.drift_parts.split(",") if x != "")
-        fx = build_fixture(spark, n_rows=args.rows, n_parts=args.parts, seed=args.seed, drift_parts=drift)
+        spec = InjectionSpec(phash_near_pair=near_pair_ids(args.phash_near_pairs))
+        fx = build_fixture(
+            spark, n_rows=args.rows, n_parts=args.parts, seed=args.seed,
+            drift_parts=drift, spec=spec,
+        )
         write_table(fx.raw, f"{args.out}/raw")
         write_table(fx.curated, f"{args.out}/curated")
         write_table(fx.manifest, f"{args.out}/manifest", partition_by=None)
@@ -197,6 +313,8 @@ def main(argv: list[str] | None = None) -> int:
         check_decode=args.decode,
         decode_seed=args.decode_seed,
         topk_violations=args.topk_violations,
+        check_phash_dedup=args.phash_dedup,
+        phash_k=args.phash_k,
     )
     res = suite.run(
         spark,

@@ -184,6 +184,22 @@ def q_hll_distinct_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_partkey_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/B6 — the value-exact twin of the HLL estimator row: same
+    grouping, exact countDistinct, so the distinct family has an
+    oracle-checked member beside the tolerance-tested sketch."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("part")).agg(
+        F.countDistinct("l_partkey").alias("distinct_parts")
+    )
+
+
+SQL_DISTINCT_EXACT = """
+SELECT l_returnflag AS part, count(DISTINCT l_partkey) AS distinct_parts
+FROM lineitem GROUP BY 1
+"""
+
+
 # =====================================================================
 # §2.3 constraint validators
 # =====================================================================
@@ -932,15 +948,33 @@ SELECT doc_id, min(hv) AS rfp FROM hashes GROUP BY doc_id
 # =====================================================================
 
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_ids is the bounded member sample (MAX_GROUP_IDS smallest
+    ids) — projected as a csv string so the oracle compare is
+    format-stable across engines."""
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dup_groups(d, "doc_id", ["text"]).select(
-        "content_hash", "n_copies", "keeper"
+        "content_hash",
+        "n_copies",
+        "keeper",
+        F.array_join(
+            F.transform("dup_ids", lambda x: x.cast("string")), ","
+        ).alias("dup_ids_csv"),
     )
 
 
-SQL_DEDUP_EXACT = """
-SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
-FROM documents GROUP BY 1 HAVING count(*) > 1
+SQL_DEDUP_EXACT = f"""
+WITH t AS (
+  SELECT md5(text) AS content_hash, doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT content_hash, count(*) AS n_copies, min(doc_id) AS keeper,
+       array_to_string(
+         list_transform(
+           list_sort(list(doc_id) FILTER (rn <= {dedup.MAX_GROUP_IDS})),
+           x -> x::VARCHAR),
+         ',') AS dup_ids_csv
+FROM t GROUP BY 1 HAVING count(*) > 1
 """
 
 
@@ -1523,6 +1557,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "quantiles_lineitem": QuerySpec(q_quantiles_lineitem, SQL_QUANTILES),
     "null_rate_events": QuerySpec(q_null_rate_events, SQL_NULL_RATE),
     "hll_distinct_partkey": QuerySpec(q_hll_distinct_partkey, None),  # B6: estimator-specific
+    "distinct_partkey_exact": QuerySpec(q_distinct_partkey_exact, SQL_DISTINCT_EXACT),
     # validators (B12–B17, B22)
     "record_count_check": QuerySpec(q_record_count_check, SQL_RECORD_COUNT),
     "uniqueness_lineitem_key": QuerySpec(q_uniqueness_lineitem_key, SQL_UNIQUENESS_LINEITEM),

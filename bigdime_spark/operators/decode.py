@@ -183,7 +183,13 @@ def decode_check_multi(
                 reasons.append(reason)
                 hashes.append(rh)
                 psums.append(None)
-            for (snap, part), (x, s) in sorted(partials.items()):
+            # None-safe key: the schema allows NULL part values, and
+            # None is not orderable against str; output order is
+            # irrelevant (commutative folds) but determinism is nice.
+            for (snap, part), (x, s) in sorted(
+                partials.items(),
+                key=lambda kv: tuple("" if v is None else v for v in kv[0]),
+            ):
                 snaps.append(snap)
                 parts.append(part)
                 ids.append(None)

@@ -25,27 +25,49 @@ pipelines drop degenerate buckets, and AQE skew-join splitting
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdime_spark.functions.text import tokens_col
 
 HEX = "0123456789abcdef"
 
+#: member-id sample cap for dup-group reports: counts stay exact, the
+#: id list is the MAX_GROUP_IDS smallest members (deterministic) — a
+#: boilerplate document duplicated 10^7 times must not materialize a
+#: 10^7-element array inside one aggregation row. The sample is
+#: selected with a row_number window over the SAME hash(group)
+#: clustering the aggregation needs (Catalyst satisfies both from one
+#: exchange; the window sort is spillable), and collect_list skips the
+#: NULLs the when() emits past the cap, so its agg buffer holds
+#: ≤ MAX_GROUP_IDS elements no matter how hot the group — the same
+#: bounded-state discipline as the keyed pass (keyed.py).
+MAX_GROUP_IDS = 100
+
 
 # --------------------------------------------------------------- exact
 
-def exact_dup_groups(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+def exact_dup_groups(
+    df: DataFrame, id_col: str, cols: list[str], max_ids: int = MAX_GROUP_IDS
+) -> DataFrame:
     """Exact dedup: md5 over the unit-separated column tuple, groups
-    with >1 member. → (content_hash, n_copies, keeper, dup_ids)."""
+    with >1 member. → (content_hash, n_copies, keeper, dup_ids).
+
+    ``n_copies``/``keeper`` are exact; ``dup_ids`` is the BOUNDED
+    deterministic sample of the ``max_ids`` smallest member ids (see
+    MAX_GROUP_IDS for the state bound)."""
     h = F.md5(F.concat_ws("", *[F.col(c) for c in cols]))
+    w = Window.partitionBy("content_hash").orderBy("_id")
     return (
         df.select(F.col(id_col).alias("_id"), h.alias("content_hash"))
+        .withColumn("_rn", F.row_number().over(w))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
             F.min("_id").alias("keeper"),
-            F.sort_array(F.collect_list("_id")).alias("dup_ids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("_id")))
+            ).alias("dup_ids"),
         )
         .filter(F.col("n_copies") > 1)
     )
@@ -254,13 +276,25 @@ def simhash(
     return agg.select("id", out.alias("simhash"))
 
 
-def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+def simhash_dup_groups(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16,
+    max_ids: int = MAX_GROUP_IDS,
+) -> DataFrame:
     """Docs sharing an identical simhash (hamming distance 0 blocking).
-    → (simhash, n, ids)."""
+    → (simhash, n, ids). ``n`` is exact; ``ids`` is the bounded
+    deterministic sample of the ``max_ids`` smallest member ids (see
+    MAX_GROUP_IDS for the state bound)."""
+    w = Window.partitionBy("simhash").orderBy("id")
     return (
         simhash(df, id_col, text_col, bits)
+        .withColumn("_rn", F.row_number().over(w))
         .groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("id")))
+            ).alias("ids"),
+        )
         .filter(F.col("n") > 1)
     )
 

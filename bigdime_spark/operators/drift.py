@@ -125,18 +125,50 @@ def _melt_stats_histograms(stats: DataFrame, cnt_alias: str) -> DataFrame:
 
 def _hist_spec_map(stats: DataFrame) -> dict[str, str]:
     """column → "lo:hi:nbins" from the persisted spec columns (empty
-    when the frame predates spec persistence or is empty)."""
+    when the frame predates spec persistence or is empty).
+
+    Validated across ALL rows, not just the first: a stats table that
+    accumulated several runs, or parts profiled under different specs
+    in separate rows, must not slip past the mismatch guard on the
+    strength of row one. One aggregate over a parts-sized frame —
+    collect_set state is bounded by the number of DISTINCT specs."""
     spec_cols = [c for c in stats.columns if c.endswith("__hist_spec")]
     if not spec_cols:
         return {}
-    row = stats.select(*spec_cols).first()
-    if row is None:
-        return {}
-    return {
-        c[len("stat__"): -len("__hist_spec")]: row[c]
-        for c in spec_cols
-        if row[c] is not None
-    }
+    row = stats.agg(*[F.collect_set(c).alias(c) for c in spec_cols]).first()
+    out: dict[str, str] = {}
+    for c in spec_cols:
+        col = c[len("stat__"): -len("__hist_spec")]
+        vals = sorted(row[c])
+        if len(vals) > 1:
+            raise ValueError(
+                f"histogram spec varies WITHIN one stats frame for "
+                f"'{col}': {vals} — the frame mixes runs or parts "
+                "profiled under different (lo, hi, nbins); filter to a "
+                "single run before computing drift"
+            )
+        if vals:
+            out[col] = vals[0]
+    return out
+
+
+def _assert_one_row_per_part(stats: DataFrame, side: str) -> None:
+    """drift_from_stats requires one stats row per part — duplicate
+    per-part rows would silently double histogram counts. Cheap: the
+    stats frame is parts-sized."""
+    dup = (
+        stats.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"stats frame '{side}' has {dup[0]['n']} rows for part "
+            f"'{dup[0]['part']}' — drift_from_stats needs exactly one "
+            "row per part (filter to a single run_id first)"
+        )
 
 
 def drift_from_stats(stats_r: DataFrame, stats_c: DataFrame) -> DataFrame:
@@ -150,7 +182,10 @@ def drift_from_stats(stats_r: DataFrame, stats_c: DataFrame) -> DataFrame:
     Each input must hold one row per part (filter to a single run_id
     first when a stats table accumulates runs). Runs profiled with
     DIFFERENT binning specs are refused (bucket ids would denote
-    different value ranges → confidently-wrong scores)."""
+    different value ranges → confidently-wrong scores), as are frames
+    with duplicate per-part rows (counts would silently double)."""
+    _assert_one_row_per_part(stats_r, "stats_r")
+    _assert_one_row_per_part(stats_c, "stats_c")
     sa, sb = _hist_spec_map(stats_r), _hist_spec_map(stats_c)
     for col in sorted(set(sa) & set(sb)):
         if sa[col] != sb[col]:

@@ -166,6 +166,13 @@ class KeyedSnapshotPass:
                 & F.col("n_c").isNotNull()
                 & ~self._caption_match_pred()
             )
+        if not preds:
+            raise ValueError(
+                "KeyedSnapshotPass constructed with all checks disabled "
+                "(uniqueness/referential/caption) — nothing to run; the "
+                "suite guards this via _keyed_fusable, direct callers "
+                "must enable at least one check"
+            )
         interesting = preds[0]
         for p in preds[1:]:
             interesting = interesting | p

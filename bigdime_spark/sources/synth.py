@@ -228,6 +228,11 @@ class InjectionSpec:
     # manifest-side
     count_mismatch: tuple[str, ...] = ()  # parts with expected_rows off by one
     missing_manifest: tuple[str, ...] = ()  # parts absent from manifest
+    # phash-side: (id_a, id_b) pairs whose phash is REPLACED by a
+    # deterministic literal pair at hamming distance 1 — plants a
+    # near-duplicate image pair for the PhashNearDup constraint without
+    # needing to know the generated phash values driver-side
+    phash_near_pair: tuple[tuple[str, str], ...] = ()
 
     def all_raw_ids(self) -> set[str]:
         return set(self.null_caption) | set(self.null_w) | set(self.bitflip_bytes) | set(self.bad_fmt)
@@ -235,6 +240,29 @@ class InjectionSpec:
 
 def _isin(col: str, ids: tuple[str, ...]):
     return F.col(col).isin(list(ids))
+
+
+def near_pair_ids(n_pairs: int) -> tuple[tuple[str, str], ...]:
+    """Pair j links the consecutive generated ids (img-{2j}, img-{2j+1})
+    — consecutive i land in consecutive partitions (part = i mod
+    n_parts), so every planted pair is CROSS-partition whenever
+    n_parts > 1."""
+    return tuple(
+        (f"img-{2 * j:012d}", f"img-{2 * j + 1:012d}") for j in range(n_pairs)
+    )
+
+
+def planted_phash(pair_idx: int, side: int) -> int:
+    """Deterministic phash literal for planted near-dup pairs: the two
+    sides of a pair differ ONLY in bit 0 (hamming 1); the per-pair base
+    is md5-derived, so DISTINCT pairs sit ~32 bits apart (they must not
+    cross-match at small k) and a small-hamming collision with a
+    generated phash is vanishingly unlikely at fixture scale. Positive
+    63-bit so int64 signedness never matters."""
+    base = int.from_bytes(
+        hashlib.md5(f"phash-plant-{pair_idx}".encode()).digest()[:8], "big"
+    ) >> 1
+    return (base & ~1) | side
 
 
 def apply_raw_violations(df: DataFrame, spec: InjectionSpec) -> DataFrame:
@@ -259,6 +287,15 @@ def apply_raw_violations(df: DataFrame, spec: InjectionSpec) -> DataFrame:
                 F.expr("substring(bytes, 1, octet_length(bytes)-1)"),
             ).otherwise(F.col("bytes")),
         )
+    if spec.phash_near_pair:
+        expr = F.col("phash")
+        for j, (a, b) in enumerate(spec.phash_near_pair):
+            expr = (
+                F.when(F.col("image_id") == a, F.lit(planted_phash(j, 0)))
+                .when(F.col("image_id") == b, F.lit(planted_phash(j, 1)))
+                .otherwise(expr)
+            )
+        out = out.withColumn("phash", expr)
     if spec.dup_image_id:
         for image_id, target_part in spec.dup_image_id:
             dup = df.filter(F.col("image_id") == image_id).withColumn("part", F.lit(target_part))

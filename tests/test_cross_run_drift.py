@@ -102,3 +102,34 @@ def test_mismatched_specs_refused(spark):
     sb = fx.raw.groupBy("part").agg(*b.agg_exprs())
     with pytest.raises(ValueError, match="histogram spec mismatch for 'w'"):
         drift_from_stats(sa, sb)
+
+
+def test_spec_mismatch_within_one_frame_refused(spark):
+    """A stats table accumulating rows profiled under DIFFERENT specs
+    must be refused even when the first row looks consistent (round-4
+    ADVICE: the guard used to read only row one)."""
+    fx = build_fixture(spark, n_rows=64, n_parts=2)
+    p32 = StatsProfile(columns=[ColumnProfile("w", histogram=(0.0, 256.0, 32))])
+    p16 = StatsProfile(columns=[ColumnProfile("w", histogram=(0.0, 256.0, 16))])
+    a32 = fx.raw.filter(F.col("part") == "p0000").groupBy("part").agg(*p32.agg_exprs())
+    b16 = (
+        fx.raw.filter(F.col("part") == "p0001")
+        .groupBy("part")
+        .agg(*p16.agg_exprs())
+        # align array length so the union is legal but the SPEC differs
+    )
+    mixed = a32.unionByName(b16, allowMissingColumns=True)
+    clean = fx.curated.groupBy("part").agg(*p32.agg_exprs())
+    with pytest.raises(ValueError, match="varies WITHIN"):
+        drift_from_stats(mixed, clean)
+
+
+def test_duplicate_part_rows_refused(spark):
+    """Two stats rows for one part (an accumulated table not filtered
+    to a single run) would silently double counts — must be refused."""
+    fx = build_fixture(spark, n_rows=64, n_parts=2)
+    p32 = StatsProfile(columns=[ColumnProfile("w", histogram=(0.0, 256.0, 32))])
+    stats = fx.raw.groupBy("part").agg(*p32.agg_exprs())
+    doubled = stats.unionByName(stats)
+    with pytest.raises(ValueError, match="exactly one"):
+        drift_from_stats(doubled, stats)

@@ -135,3 +135,33 @@ def test_similarity_histogram_counts(vecs):
     hist = similarity.similarity_histogram(vecs, block_col="label", nbins=20).collect()
     total = sum(r["cnt"] for r in hist)
     assert total == 3 + 1  # C(3,2) within label 0 + C(2,2) within label 1
+
+
+def test_exact_dup_group_storm_bounded(spark):
+    """10^5 copies of one text: counts stay exact while the member
+    array is capped at MAX_GROUP_IDS — the agg-buffer bound that keeps
+    a boilerplate-document storm from OOMing an executor (the same
+    pathology the keyed pass fixed in round 3)."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate page").alias("text")
+    )
+    groups = dedup.exact_dup_groups(df, "doc_id", ["text"]).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_copies"] == n
+    assert g["keeper"] == 0
+    assert g["dup_ids"] == list(range(dedup.MAX_GROUP_IDS))
+
+
+def test_simhash_dup_group_storm_bounded(spark):
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same tokens every time forever").alias("text"),
+    )
+    groups = dedup.simhash_dup_groups(df, "doc_id", "text", bits=16).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n"] == n
+    assert g["ids"] == list(range(dedup.MAX_GROUP_IDS))

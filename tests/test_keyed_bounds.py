@@ -107,3 +107,18 @@ def test_standalone_uniqueness_bounded_and_exact(spark):
     assert all(f"({STORM_COPIES} copies)" in r["detail"] for r in hot_viol)
     vmap = {r["part"]: (r["verdict"], r["observed"]) for r in verdicts.collect()}
     assert all(vmap[f"p{i}"] == ("FAIL", "dup_copies=25000") for i in range(N_PARTS))
+
+
+def test_keyed_pass_all_checks_off_raises(spark):
+    """Constructing the pass with every check disabled is a caller bug
+    (the suite guards it via _keyed_fusable) — it must be a loud
+    ValueError, not an IndexError in _rare."""
+    import pytest as _pytest
+
+    raw = _storm_frame(spark)
+    ctx = SuiteContext(spark=spark, raw=raw, curated=None, manifest=None, parts=None)
+    keyed = KeyedSnapshotPass(
+        check_uniqueness=False, check_referential=False, check_caption=False
+    )
+    with _pytest.raises(ValueError, match="all checks disabled"):
+        keyed.run(ctx)

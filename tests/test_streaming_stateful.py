@@ -123,3 +123,100 @@ def test_streaming_verdicts_equal_batch_suite(spark, tmp_path):
     verdicts = {r[2] for r in got}
     assert verdicts == {"PASS", "FAIL", "SKIPPED_CONFIG"}
     res.release()
+
+
+# ------------------------------------------- cross-batch key uniqueness
+
+KEYPART = "image_id string, part string"
+
+
+def _drain_uniq(spark, src, ckpt, out):
+    stateful.run_uniqueness_to_completion(
+        spark, src, KEYPART, ckpt, out
+    )
+
+
+def test_cross_batch_duplicate_detected(spark, tmp_path):
+    """The round-3 verdict gap: a key landing once per micro-batch is
+    invisible to within-batch uniqueness — the stateful operator must
+    flag it with first-seen attribution."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [("dup-key", "p0"), ("ok-1", "p0"), ("ok-2", "p1")], KEYPART
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    _drain_uniq(spark, src, ckpt, out)
+    # no duplicates yet → nothing emitted (sink may not even exist)
+    import glob as _glob
+
+    assert not any(
+        spark.read.parquet(f).count()
+        for f in _glob.glob(f"{out}/*.parquet")
+    )
+
+    b2 = spark.createDataFrame([("dup-key", "p1"), ("ok-3", "p2")], KEYPART)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    _drain_uniq(spark, src, ckpt, out)
+
+    rows = {r["image_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"dup-key"}
+    r = rows["dup-key"]
+    assert r["n_seen"] == 2
+    assert r["first_part"] == "p0"
+    assert r["parts_sample"] == "p0,p1"
+
+
+def test_within_batch_duplicate_also_detected(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    b = spark.createDataFrame(
+        [("k", "p0"), ("k", "p0"), ("k", "p1"), ("solo", "p0")], KEYPART
+    )
+    b.coalesce(1).write.mode("append").parquet(src)
+    _drain_uniq(spark, src, ckpt, out)
+    rows = {r["image_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"k"}
+    assert rows["k"]["n_seen"] == 3
+    assert rows["k"]["parts_sample"] == "p0,p1"
+
+
+def test_streaming_uniqueness_verdict_shape(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame([("k", "p0")], KEYPART)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    _drain_uniq(spark, src, ckpt, out)
+    b2 = spark.createDataFrame([("k", "p1"), ("j", "p1"), ("j", "p1")], KEYPART)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    _drain_uniq(spark, src, ckpt, out)
+
+    verdicts = {
+        (r["part"], r["constraint"]): r
+        for r in stateful.streaming_uniqueness_verdicts(
+            spark.read.parquet(out)
+        ).collect()
+    }
+    assert set(verdicts) == {
+        ("p0", "uniqueness.image_id"),
+        ("p1", "uniqueness.image_id"),
+    }
+    assert verdicts[("p0", "uniqueness.image_id")]["observed"] == "dup_keys=1"  # k
+    assert verdicts[("p1", "uniqueness.image_id")]["observed"] == "dup_keys=2"  # k + j
+    assert all(v["verdict"] == "FAIL" for v in verdicts.values())
+
+
+def test_uniqueness_resume_is_noop_without_new_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    b = spark.createDataFrame([("k", "p0"), ("k", "p1")], KEYPART)
+    b.coalesce(1).write.mode("append").parquet(src)
+    _drain_uniq(spark, src, ckpt, out)
+    n1 = spark.read.parquet(out).count()
+    _drain_uniq(spark, src, ckpt, out)
+    assert spark.read.parquet(out).count() == n1 == 1
