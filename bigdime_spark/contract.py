@@ -978,6 +978,42 @@ FROM t GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_dedup_exact_bounded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded member-sample logic exercised against REAL dup
+    groups larger than the cap: events.user_id has ~150 groups of up
+    to hundreds of copies; with max_ids=5 the counts stay exact while
+    dup_ids keeps only the 5 smallest event_ids — value-checked
+    against the DuckDB row_number FILTER twin."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("uid")
+    )
+    return dedup.exact_dup_groups(ev, "event_id", ["uid"], max_ids=5).select(
+        "content_hash",
+        "n_copies",
+        "keeper",
+        F.array_join(
+            F.transform("dup_ids", lambda x: x.cast("string")), ","
+        ).alias("dup_ids_csv"),
+    )
+
+
+SQL_DEDUP_EXACT_BOUNDED = """
+WITH t AS (
+  SELECT md5(user_id::VARCHAR) AS content_hash, event_id,
+         row_number() OVER (
+           PARTITION BY md5(user_id::VARCHAR) ORDER BY event_id
+         ) AS rn
+  FROM events
+)
+SELECT content_hash, count(*) AS n_copies, min(event_id) AS keeper,
+       array_to_string(
+         list_transform(
+           list_sort(list(event_id) FILTER (rn <= 5)), x -> x::VARCHAR),
+         ',') AS dup_ids_csv
+FROM t GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_dedup(
@@ -1586,6 +1622,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # dedup
     "dedup_exact_documents": QuerySpec(q_dedup_exact_documents, SQL_DEDUP_EXACT),
+    "dedup_exact_bounded_sample": QuerySpec(
+        q_dedup_exact_bounded_sample, SQL_DEDUP_EXACT_BOUNDED
+    ),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_hamming": QuerySpec(q_dedup_simhash_hamming, SQL_DEDUP_SIMHASH_HAMMING),

@@ -110,3 +110,19 @@ def test_keyed_pass_single_exchange_pair(spark, parquet_fixture):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges == 2, plan
     assert "FullOuter" in plan
+
+
+def test_bounded_dup_groups_single_exchange(spark, parquet_fixture):
+    """The round-4 bounded dup_ids sample (row_number window +
+    conditional collect_list) must not buy its memory bound with an
+    extra shuffle: the window's hashpartitioning(content_hash) must
+    satisfy the groupBy's clustering too — exactly ONE exchange in the
+    whole plan."""
+    from bigdime_spark.operators import dedup
+
+    import re
+
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    plan = _explain(dedup.exact_dup_groups(raw, "image_id", ["caption"]))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan

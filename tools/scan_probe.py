@@ -43,11 +43,19 @@ def main() -> int:
         "scan-probe", master=f"local[{cpus}]", shuffle_partitions=max(32, cpus * 2)
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
-    raw = spark.read.parquet(raw_dir)
-    probe = raw.select(F.sum(F.xxhash64(*raw.columns)).alias("s"))
-    probe.collect()  # warm rep: page cache + codegen
+    # bit_xor, not sum: ANSI mode (session default) raises on long
+    # overflow, and a 1M-row sum of xxhash64 overflows immediately;
+    # xor folds the same bytes with no overflow semantics at all.
+    # The plan is REBUILT per collect — re-collecting one DataFrame
+    # object reuses its AQE-materialized stages (measured 0.05 s for a
+    # 16 GB scan), which would fake the bandwidth number.
+    def probe():
+        raw = spark.read.parquet(raw_dir)
+        return raw.select(F.bit_xor(F.xxhash64(*raw.columns)).alias("s"))
+
+    probe().collect()  # warm rep: page cache + codegen
     t0 = time.monotonic()
-    probe.collect()
+    probe().collect()
     wall = time.monotonic() - t0
     gb = dir_bytes(raw_dir) / 1e9
     print(
