@@ -49,6 +49,13 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--lineage", default=None, help="lineage table dir (enables resume)")
     r.add_argument("--run-id", default=None)
     r.add_argument("--no-resume", action="store_true")
+    r.add_argument(
+        "--parts",
+        default=None,
+        help="comma-separated partition values: validate ONLY these "
+        "(the quarantine → fix → re-validate loop); the IN-filter on "
+        "the partition column prunes whole files at the scan",
+    )
     r.add_argument("--decode", action="store_true", help="enable the pixel-decode pass")
     r.add_argument("--decode-seed", type=int, default=None)
     r.add_argument(
@@ -150,6 +157,12 @@ def main(argv: list[str] | None = None) -> int:
             )
         except Exception:
             summary["violations_by_constraint"] = {}
+        try:
+            summary["stream_dup_keys"] = con.execute(
+                f"SELECT count(DISTINCT image_id) FROM read_parquet('{args.out}/dup_keys/*.parquet')"
+            ).fetchone()[0]
+        except Exception:
+            pass  # not a stream output dir / no duplicates ever emitted
         try:
             summary["lineage"] = [
                 {"part": p, "status": st, "rows_scanned": rs, "violations": v}
@@ -308,6 +321,13 @@ def main(argv: list[str] | None = None) -> int:
     raw = read_table(spark, args.raw)
     curated = read_table(spark, args.curated) if args.curated else None
     manifest = read_table(spark, args.manifest) if args.manifest else None
+    if args.parts:
+        sel = [p.strip() for p in args.parts.split(",") if p.strip()]
+        raw = raw.filter(F.col("part").isin(sel))
+        if curated is not None:
+            curated = curated.filter(F.col("part").isin(sel))
+        if manifest is not None:
+            manifest = manifest.filter(F.col("part").isin(sel))
     suite = ValidationSuite(
         not_null=("image_id", "caption", "w", "h", "fmt"),
         check_decode=args.decode,

@@ -152,3 +152,27 @@ def test_stream_cli_cross_batch_dup(spark, tmp_path_factory, capsys):
     assert dups[0]["n_seen"] == 2
     # first-seen attribution: the original landing partition
     assert dups[0]["first_part"] == "p0001"
+
+
+def test_run_parts_filter_revalidates_only_selected(spark, tmp_path_factory, capsys):
+    """--parts restricts validation to the named partitions (the
+    quarantine → fix → re-validate loop): only those parts appear in
+    verdicts/lineage, and the partition IN-filter prunes at the scan."""
+    fx = str(tmp_path_factory.mktemp("fxp"))
+    out = str(tmp_path_factory.mktemp("outp"))
+    rc, _, _ = _run_cli(
+        capsys, ["synth", "--rows", "128", "--parts", "4", "--out", fx]
+    )
+    assert rc == 0
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--curated", f"{fx}/curated",
+         "--manifest", f"{fx}/manifest", "--out", out,
+         "--parts", "p0001,p0002"],
+    )
+    assert rc == 0
+    assert summary["parts_validated"] == 2
+    assert summary["rows_scanned"] == 64  # 128 rows / 4 parts x 2 parts
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    parts = {r["part"] for r in verdicts.select("part").distinct().collect()}
+    assert parts == {"p0001", "p0002", "*"}  # * = table-level schema row

@@ -220,3 +220,34 @@ def test_uniqueness_resume_is_noop_without_new_files(spark, tmp_path):
     n1 = spark.read.parquet(out).count()
     _drain_uniq(spark, src, ckpt, out)
     assert spark.read.parquet(out).count() == n1 == 1
+
+
+def test_uniqueness_invariant_to_batch_split(spark, tmp_path_factory):
+    """Determinism under arrival batching (SURVEY §5.4 for C19): the
+    SAME row multiset split into micro-batches at every possible point
+    must yield identical final duplicate state — counts, first-seen
+    part, and bounded parts sample."""
+    rows = [
+        ("a", "p0"), ("a", "p1"), ("b", "p2"), ("c", "p3"),
+        ("a", "p4"), ("d", "p5"), ("b", "p6"),
+    ]
+    expected = {
+        "a": (3, "p0", "p0,p1,p4"),
+        "b": (2, "p2", "p2,p6"),
+    }
+    for split in (1, 2, 3, 5, 6):
+        base = tmp_path_factory.mktemp(f"uniq-split{split}")
+        src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+        spark.createDataFrame(rows[:split], KEYPART).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _drain_uniq(spark, src, ckpt, out)
+        spark.createDataFrame(rows[split:], KEYPART).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _drain_uniq(spark, src, ckpt, out)
+        final = {
+            r["image_id"]: (r["n_seen"], r["first_part"], r["parts_sample"])
+            for r in stateful.latest_dupes(spark.read.parquet(out)).collect()
+        }
+        assert final == expected, f"split={split}: {final}"
