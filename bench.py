@@ -60,6 +60,24 @@ HEADLINE = [
 ]
 
 
+def _force(df) -> int:
+    """Evaluate a query fully without shipping its rows to the driver:
+    one-row count + bit_xor(xxhash64(*)) fold over EVERY output column
+    — every row and every column must be computed JVM-side (the hash
+    consumes them), but the action returns one row, so the timing
+    measures the operator, not py4j serialization of large diagnostic
+    row sets (pre-r04 bench numbers for multi-row queries included
+    that driver-side transfer: dedup_simhash_hamming shipped 1.7M pair
+    rows through collect)."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("digest"),
+    ).collect()[0]
+    return row["n"]
+
+
 def bench_queries(spark, sf_dir: str, reps: int) -> dict[str, float]:
     """Per-query MEDIAN of ``reps`` in-JVM repetitions (round-3 verdict:
     single-run artifacts chase host noise). clearCache() between reps
@@ -76,8 +94,7 @@ def bench_queries(spark, sf_dir: str, reps: int) -> dict[str, float]:
         walls = []
         for _ in range(max(1, reps)):
             t0 = time.monotonic()
-            df = qs[name](spark, sf_dir)
-            n = df.count() if len(df.columns) > 6 else len(df.collect())
+            n = _force(qs[name](spark, sf_dir))
             walls.append(time.monotonic() - t0)
             spark.catalog.clearCache()
         out[name] = round(statistics.median(walls), 3)

@@ -122,13 +122,23 @@ FROM orders
 
 
 def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 — ONE array-percentile aggregate, not three scalar ones:
+    exact percentile buffers every group value, so three separate aggs
+    hold three copies of the buffer (measured 4.3 s → 1.6 s at sf0.1).
+    Spark F.percentile(array) == DuckDB quantile_cont per element
+    (both linear interpolation)."""
     li = _t(spark, sf_dir, "lineitem")
+    qs = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
     return (
         li.groupBy(F.col("l_returnflag").alias("part"))
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        .agg(qs.alias("_qs"))
+        .select(
+            "part",
+            F.round(F.col("_qs")[0], 4).alias("p25"),
+            F.round(F.col("_qs")[1], 4).alias("p50"),
+            F.round(F.col("_qs")[2], 4).alias("p75"),
         )
     )
 

@@ -193,11 +193,19 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+def jaccard_for_pairs(
+    pairs: DataFrame, shingles: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard for candidate pairs via a shingle-intersection
     count (shuffle bounded by candidate count × shingle size).
-    → (id1, id2, inter, size1, size2, jaccard)."""
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    → (id1, id2, inter, size1, size2, jaccard).
+
+    ``sizes`` (id, sz): optional precomputed shingle-set sizes — the
+    signature aggregation already counts them (set_size), so passing
+    them here saves one full re-pass over the shingle relation (the
+    tokenise+ngram explode is the dominant map-side cost)."""
+    if sizes is None:
+        sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     s1 = shingles.withColumnRenamed("id", "id1")
     s2 = shingles.withColumnRenamed("id", "id2")
     inter = (
@@ -240,7 +248,8 @@ def minhash_lsh_dedup(
     shingles = word_ngram_shingles(df, id_col, text_col, ngram)
     sigs = minhash_signatures(shingles, num_hashes, hash_mode)
     pairs = lsh_candidate_pairs(sigs, num_hashes, bands)
-    scored = jaccard_for_pairs(pairs, shingles)
+    sizes = sigs.select("id", F.col("set_size").alias("sz"))
+    scored = jaccard_for_pairs(pairs, shingles, sizes=sizes)
     return scored.filter(F.col("jaccard") >= threshold).select("id1", "id2", "jaccard")
 
 
