@@ -1223,6 +1223,57 @@ SQL_DEDUP_PHASH_HAMMING = _banded_hamming_sql(
 )
 
 
+def q_dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the phash candidate
+    pairs (transitive closure — A~B, B~C is ONE boilerplate cluster),
+    exact member counts, members sampled at 10. The DuckDB twin walks
+    the same graph with a recursive reachability CTE and takes
+    min-reachable-id as the component label — the same fixpoint the
+    min-label propagation converges to."""
+    d = _t(spark, sf_dir, "documents")
+    ph = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    pairs = dedup.hamming_pairs_on_column(ph, "doc_id", "phash", bits=16, k=2)
+    clusters = dedup.near_dup_clusters(pairs, max_ids=10)
+    return clusters.select(
+        "component",
+        "n_members",
+        F.array_join(
+            F.transform("members", lambda x: x.cast("string")), ","
+        ).alias("members_csv"),
+    )
+
+
+SQL_DEDUP_PHASH_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+{SQL_DEDUP_PHASH_HAMMING}
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2 AS src, id1 AS dst FROM pairs
+), reach(src, node) AS (
+  SELECT src, src AS node FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+), cc AS (
+  SELECT src AS id, min(node) AS component FROM reach GROUP BY 1
+), ranked AS (
+  SELECT id, component,
+         row_number() OVER (PARTITION BY component ORDER BY id) AS rn
+  FROM cc
+)
+SELECT component, count(*) AS n_members,
+       array_to_string(
+         list_transform(list_sort(list(id) FILTER (rn <= 10)), x -> x::VARCHAR),
+         ',') AS members_csv
+FROM ranked GROUP BY 1
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -1642,6 +1693,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_dedup_simhash_hamming_wide, SQL_DEDUP_SIMHASH_HAMMING_WIDE
     ),
     "dedup_phash_hamming": QuerySpec(q_dedup_phash_hamming, SQL_DEDUP_PHASH_HAMMING),
+    "dedup_phash_clusters": QuerySpec(q_dedup_phash_clusters, SQL_DEDUP_PHASH_CLUSTERS),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),

@@ -563,3 +563,116 @@ class PhashNearDup:
             )
         )
         return failed, violations
+
+
+# ------------------------------------- near-dup clustering (components)
+
+def connected_components(
+    pairs: DataFrame, id1: str = "id1", id2: str = "id2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph —
+    the transitive-closure step between pair generation (MinHash /
+    SimHash / phash banding) and keeper selection: near-duplication is
+    transitive in practice (A~B, B~C → one boilerplate cluster), so
+    dedup must group by component, not by pair.
+
+    Min-label propagation: every node starts labeled with itself; each
+    iteration joins labels across edges and keeps the min. Converges
+    in O(component diameter) iterations — tiny for near-dup clusters
+    (dense blobs of copies), NOT O(V). Per iteration: one join + one
+    aggregation, both on the hash(id) clustering, with
+    ``localCheckpoint`` truncating the lineage so the plan does not
+    grow per round (the classic iterate-in-Spark trap). The
+    convergence check rides a 1-row limit/count action per iteration.
+    Raises if ``max_iter`` is hit — silent non-convergence would ship
+    wrong groups. For graphs with continent-sized diameter (not the
+    near-dup case) the two-phase large-star/small-star algorithm
+    [Kiveris et al., "Connected Components in MapReduce and Beyond"]
+    halves the round count; this engine ships the simple form because
+    its input graphs are banding candidates whose diameter is bounded
+    by design (a chain of near-dups longer than a few hops means the
+    banding threshold is wrong, not that the CC operator is).
+
+    Only ids that appear in ``pairs`` are returned (singletons have no
+    component by construction). → (id, component), component = min
+    member id."""
+    edges = (
+        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        .unionByName(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "component")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "id"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — the pair graph has a longer path than any "
+            "plausible near-dup cluster; check the banding threshold"
+        )
+    edges.unpersist()
+    return labels
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_ids: int = MAX_GROUP_IDS,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Candidate pairs → duplicate CLUSTERS with the same bounded-state
+    discipline as the dup-group reports: exact member count per
+    component, member ids sampled at ``max_ids`` (smallest first).
+    → (component, n_members, members) with n_members ≥ 2."""
+    cc = connected_components(pairs, id1, id2, max_iter)
+    w = Window.partitionBy("component").orderBy("id")
+    return (
+        cc.withColumn("_rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("id")))
+            ).alias("members"),
+        )
+    )
+
+
+def drop_near_dups(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Keep ONE row per near-dup cluster (the min-id keeper) plus every
+    row not in any cluster. The components frame is pairs-sized (rare
+    by construction), so the anti-join broadcasts in practice."""
+    cc = connected_components(pairs, max_iter=max_iter)
+    losers = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

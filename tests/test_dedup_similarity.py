@@ -165,3 +165,56 @@ def test_simhash_dup_group_storm_bounded(spark):
     g = groups[0]
     assert g["n"] == n
     assert g["ids"] == list(range(dedup.MAX_GROUP_IDS))
+
+
+# ---------------------------------------- near-dup clustering (components)
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C must land in ONE cluster even though (A,C) was never a
+    candidate pair — the property pair-level dedup misses."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id1 long, id2 long"
+    )
+    cc = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_near_dup_clusters_counts_and_sample(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 10)], "id1 long, id2 long"
+    )
+    rows = {r["component"]: r for r in dedup.near_dup_clusters(pairs, max_ids=3).collect()}
+    assert set(rows) == {1, 9}
+    assert rows[1]["n_members"] == 4  # exact even past the sample cap
+    assert rows[1]["members"] == [1, 2, 3]  # bounded sample, smallest first
+    assert rows[9]["members"] == [9, 10]
+
+
+def test_drop_near_dups_keeps_one_per_cluster(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id1 long, id2 long")
+    kept = sorted(r["doc_id"] for r in dedup.drop_near_dups(df, "doc_id", pairs).collect())
+    # keepers 1 and 4 survive; 6 was never in any pair
+    assert kept == [1, 4, 6]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path longer than max_iter hops must fail loudly, not ship
+    wrong components."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id1 long, id2 long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_components_match_simhash_groups(docs):
+    """Hamming-0 simhash groups are cliques in the hamming<=k pair
+    graph, so every group must be contained in one component."""
+    pairs = dedup.simhash_hamming_pairs(docs, "doc_id", "text", bits=16, k=0)
+    cc = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    for g in dedup.simhash_dup_groups(docs, "doc_id", "text", bits=16).collect():
+        comps = {cc[i] for i in g["ids"]}
+        assert len(comps) == 1
