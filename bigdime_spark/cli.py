@@ -91,6 +91,26 @@ def _build_parser() -> argparse.ArgumentParser:
     ru.add_argument("--stats", nargs="+", required=True, help="one or more stats output dirs")
     ru.add_argument("--master", default=None)
 
+    dd = sub.add_parser(
+        "dedup",
+        help="near-duplicate image detection over an int64 perceptual-"
+        "hash column: pigeonhole band join at hamming <= k, then "
+        "connected-components clustering (transitive closure)",
+    )
+    dd.add_argument("--input", required=True, help="table dir with the id + phash columns")
+    dd.add_argument("--out", required=True, help="writes <out>/pairs and <out>/clusters")
+    dd.add_argument("--id-col", default="image_id")
+    dd.add_argument("--phash-col", default="phash")
+    dd.add_argument("--k", type=int, default=2, help="max hamming distance")
+    dd.add_argument("--bits", type=int, default=64)
+    dd.add_argument(
+        "--max-bucket",
+        type=int,
+        default=100_000,
+        help="drop degenerate band buckets wider than this (boilerplate valve)",
+    )
+    dd.add_argument("--master", default=None)
+
     st = sub.add_parser(
         "stream",
         help="incremental validation of a directory-shaped stream "
@@ -235,6 +255,47 @@ def main(argv: list[str] | None = None) -> int:
         ]
         print(json.dumps({"cmd": "drift", "a": args.stats_a, "b": args.stats_b,
                           "scores": rows}))
+        return 0
+
+    if args.cmd == "dedup":
+        from pyspark.sql import functions as F
+
+        from bigdime_spark.operators.dedup import (
+            hamming_pairs_on_column,
+            near_dup_clusters,
+        )
+
+        spark = get_spark("bigdime-dedup", master=args.master)
+        table = read_table(spark, args.input)
+        pairs = hamming_pairs_on_column(
+            table.select(args.id_col, args.phash_col),
+            args.id_col,
+            args.phash_col,
+            bits=args.bits,
+            k=args.k,
+            max_bucket=args.max_bucket,
+        ).persist()  # rare by construction; pairs sink + clustering share it
+        write_table(pairs, f"{args.out}/pairs", partition_by=None)
+        clusters = near_dup_clusters(pairs)
+        write_table(clusters, f"{args.out}/clusters", partition_by=None)
+        summary = clusters.agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.coalesce(F.sum("n_members"), F.lit(0)).alias("members_total"),
+            F.coalesce(F.max("n_members"), F.lit(0)).alias("largest"),
+        ).collect()[0]
+        n_pairs = pairs.count()
+        pairs.unpersist()
+        print(
+            json.dumps(
+                {
+                    "cmd": "dedup",
+                    "pairs": n_pairs,
+                    "clusters": int(summary["n_clusters"]),
+                    "members_total": int(summary["members_total"]),
+                    "largest_cluster": int(summary["largest"]),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "stream":

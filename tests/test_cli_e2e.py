@@ -176,3 +176,32 @@ def test_run_parts_filter_revalidates_only_selected(spark, tmp_path_factory, cap
     verdicts = spark.read.parquet(f"{out}/verdicts")
     parts = {r["part"] for r in verdicts.select("part").distinct().collect()}
     assert parts == {"p0001", "p0002", "*"}  # * = table-level schema row
+
+
+def test_dedup_cli_clusters_planted_pairs(spark, tmp_path_factory, capsys):
+    """`dedup` subcommand: band join + connected-components clustering
+    over the raw table's real 64-bit phash column; the planted pairs
+    come out as 2 clusters of 2."""
+    fx = str(tmp_path_factory.mktemp("fxd"))
+    out = str(tmp_path_factory.mktemp("outd"))
+    rc, _, _ = _run_cli(
+        capsys,
+        ["synth", "--rows", "128", "--parts", "4", "--out", fx,
+         "--phash-near-pairs", "2"],
+    )
+    assert rc == 0
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["dedup", "--input", f"{fx}/raw", "--out", out, "--k", "2"],
+    )
+    assert rc == 0
+    assert summary == {
+        "cmd": "dedup", "pairs": 2, "clusters": 2,
+        "members_total": 4, "largest_cluster": 2,
+    }
+    clusters = spark.read.parquet(f"{out}/clusters")
+    members = sorted(tuple(r["members"]) for r in clusters.collect())
+    assert members == [
+        ("img-000000000000", "img-000000000001"),
+        ("img-000000000002", "img-000000000003"),
+    ]
