@@ -1334,6 +1334,65 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C8's inverted-file sibling: IVF-flat top-5 with 17 data-point
+    centroids (vec_id % 31 == 0, deterministic — no k-means iterations
+    to replay cross-engine) and nprobe=2. The oracle replays cell
+    assignment (argmax rounded cosine, ties → min cid), query probing,
+    and the within-cell ranking exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(
+        e, queries, centroids, "vec_id", "embedding", k=5, nprobe=2
+    )
+
+
+_COS9_SQL = (
+    "round(list_dot_product(a.v, c.cv) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9)"
+)
+SQL_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+ascore AS (
+  SELECT a.vec_id AS id, c.cid AS cid, {_COS9_SQL} AS cos
+  FROM e a, cent c
+),
+cells AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore WHERE id < 8
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT q.query_id, cl.id AS neighbor_id,
+         round(list_dot_product(qe.v, n.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+  FROM qcells q
+  JOIN cells cl ON cl.cid = q.cid AND cl.id <> q.query_id
+  JOIN e n ON n.vec_id = cl.id
+  JOIN e qe ON qe.vec_id = q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_lsh_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_nearest_in_bucket(e, "vec_id", "embedding", nbits=4)
@@ -1697,6 +1756,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
+    "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_lsh_nn": QuerySpec(q_ann_lsh_nn, SQL_ANN_LSH),
     "ann_hyperplane_recall": QuerySpec(q_ann_hyperplane_recall, SQL_ANN_HYPERPLANE_RECALL),
     "embedding_sim_histogram": QuerySpec(q_embedding_sim_histogram, SQL_SIM_HISTOGRAM),

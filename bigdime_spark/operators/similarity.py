@@ -393,3 +393,95 @@ def similarity_histogram(
     return pairs.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+# ------------------------------------------------- IVF (coarse-cell ANN)
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (rounded to 9 decimals so a 1-ulp difference
+    cannot flip an assignment cross-engine; ties → min centroid id).
+
+    Plan shape for 10^12 vectors: the centroid table is broadcast
+    (hundreds to thousands of rows), the argmax is ONE max-struct
+    aggregation — no window sort over the full table, no shuffle
+    beyond the hash(id) agg. ``centroids``: (cid, cvec).
+    → (id, cid)."""
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "id",
+            "cid",
+            F.round(cosine_col(F.col("_v"), F.col("cvec")), 9).alias("_cos"),
+        )
+    )
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(F.col("_cos").alias("c"), (-F.col("cid")).alias("n"))
+        ).alias("_b")
+    )
+    return best.select("id", (-F.col("_b.n")).alias("cid"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN — the inverted-file scale path beside the LSH
+    family (C6–C8): search only the ``nprobe`` cells nearest each
+    query instead of the full table. Exact within the probed cells;
+    recall is governed by (num centroids, nprobe) exactly as in a
+    production IVF index.
+
+    Shape at scale: cell assignment is the broadcast argmax above; the
+    candidate join is keyed on the CELL id, so each query's work is
+    |probed cells| — the table-sized side shuffles once on cid and the
+    query side is tiny. No O(n) per query anywhere.
+    → (query_id, rank, neighbor_id, cosine), rank ≤ k."""
+    cells = ivf_assign(df, centroids, id_col, vec_col)
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    qscore = qs.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "_qv",
+        "cid",
+        F.round(cosine_col(F.col("_qv"), F.col("cvec")), 9).alias("_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cid"))
+    qcells = (
+        qscore.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_qv", "cid")
+    )
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    scored = (
+        qcells.join(cand, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

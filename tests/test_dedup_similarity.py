@@ -218,3 +218,36 @@ def test_components_match_simhash_groups(docs):
     for g in dedup.simhash_dup_groups(docs, "doc_id", "text", bits=16).collect():
         comps = {cc[i] for i in g["ids"]}
         assert len(comps) == 1
+
+
+def test_ivf_topk_structure_and_recall(spark, vecs):
+    """IVF with every vector as its own centroid and nprobe=1 reduces
+    to exact search within the query's own cell; with a small corpus
+    and all cells probed it must equal brute force."""
+    centroids = vecs.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = vecs.filter(F.col("vec_id") == 0)
+    # probe ALL cells → candidate set = whole table → equals brute force
+    ivf = similarity.ivf_topk(
+        vecs, queries, centroids, "vec_id", "embedding", k=3, nprobe=5
+    ).collect()
+    brute = similarity.brute_force_topk(
+        vecs, queries, "vec_id", "embedding", k=3
+    ).collect()
+    assert [(r["rank"], r["neighbor_id"]) for r in ivf] == [
+        (r["rank"], r["neighbor_id"]) for r in brute
+    ]
+
+
+def test_ivf_assign_deterministic_argmax(spark, vecs):
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid long, cvec array<double>",
+    )
+    cells = {r["id"]: r["cid"] for r in similarity.ivf_assign(vecs, centroids).collect()}
+    assert cells[0] == 0  # x-axis vector → x centroid
+    assert cells[2] == 1  # y-axis vector → y centroid
+    assert cells[3] == 1  # -x: cos(-1) vs 0 → y centroid wins
+    assert cells[4] in (0, 1)  # diagonal ties at cos=0.7071 → min cid = 0
+    assert cells[4] == 0
