@@ -129,10 +129,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "(bounded per-distinct-key state; duplicates spanning batches)",
     )
     st.add_argument(
-        "--uniqueness-ttl",
+        "--uniqueness-ttl-sec",
+        type=float,
         default=None,
-        help='evict idle key state after this duration (e.g. "30 minutes"); '
-        "duplicates spaced further apart escape detection",
+        help="evict idle key state after this many seconds; duplicates "
+        "spaced further apart escape detection",
     )
     st.add_argument("--max-files-per-trigger", type=int, default=None)
     st.add_argument("--master", default=None)
@@ -326,7 +327,11 @@ def main(argv: list[str] | None = None) -> int:
                 IMAGE_SCHEMA_PARTITIONED,
                 f"{args.checkpoint}/uniqueness",
                 f"{args.out}/dup_keys",
-                ttl=args.uniqueness_ttl,
+                ttl_ms=(
+                    int(args.uniqueness_ttl_sec * 1000)
+                    if args.uniqueness_ttl_sec is not None
+                    else None
+                ),
             )
             try:
                 dup_keys = (

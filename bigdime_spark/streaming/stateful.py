@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import time
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -225,6 +227,12 @@ def _fold_key_uniqueness(
         # drop its (n, first_part, parts) triple. Duplicates spaced
         # further apart than the TTL escape detection; that is the
         # documented state-size/recall trade, chosen by the caller.
+        # The (empty) batch iterator MUST still be drained: returning
+        # without consuming it deadlocks the Arrow stream between the
+        # JVM and the python worker (measured: processAllAvailable
+        # never returns).
+        for _ in batches:
+            pass
         state.remove()
         return
     if state.exists:
@@ -263,7 +271,7 @@ def _fold_key_uniqueness(
 
 
 def streaming_key_uniqueness(
-    stream: DataFrame, key: str = "image_id", ttl: str | None = None
+    stream: DataFrame, key: str = "image_id", ttl_ms: int | None = None
 ) -> DataFrame:
     """CROSS-micro-batch uniqueness (round-3 verdict gap 2): detect a
     key landing more than once across the whole stream scope, not just
@@ -283,13 +291,13 @@ def streaming_key_uniqueness(
     per-unit validators lived in."""
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
-        if ttl is not None
+        if ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
 
     def fold(key_, batches, state):
-        if ttl is not None and not state.hasTimedOut:
-            state.setTimeoutDuration(ttl)
+        if ttl_ms is not None and not state.hasTimedOut:
+            state.setTimeoutDuration(int(ttl_ms))
         yield from _fold_key_uniqueness(key_, batches, state)
 
     return (
@@ -342,18 +350,42 @@ def streaming_uniqueness_verdicts(sink: DataFrame) -> DataFrame:
 
 def run_uniqueness_to_completion(
     spark, source_dir: str, schema, checkpoint_dir: str, out_dir: str,
-    key: str = "image_id", ttl: str | None = None,
+    key: str = "image_id", ttl_ms: int | None = None,
 ) -> None:
     """Drain a directory-shaped stream with Trigger.AvailableNow,
     appending per-batch duplicate emissions to parquet."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    dupes = streaming_key_uniqueness(stream, key=key, ttl=ttl)
-    q = (
+    dupes = streaming_key_uniqueness(stream, key=key, ttl_ms=ttl_ms)
+    writer = (
         dupes.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    if ttl_ms is None:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        # With ProcessingTimeTimeout the engine schedules no-data
+        # micro-batches indefinitely while any timeout deadline is
+        # pending, so neither Trigger.AvailableNow nor
+        # processAllAvailable() ever returns (measured on pyspark
+        # 4.1: hundreds of empty batches, both calls hang). TTL-mode
+        # drains therefore quiesce manually: run the default trigger,
+        # stop once two distinct committed batches in a row carried
+        # zero input rows. Timeout deadlines persist in the state
+        # store, so evictions that have not fired yet fire on the
+        # first batch of a later drain.
+        q = writer.start()
+        empty_batches: set[int] = set()
+        deadline = time.monotonic() + 300
+        while len(empty_batches) < 2 and time.monotonic() < deadline:
+            lp = q.lastProgress
+            if lp is not None:
+                if lp["numInputRows"] == 0:
+                    empty_batches.add(lp["batchId"])
+                else:
+                    empty_batches.clear()
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()

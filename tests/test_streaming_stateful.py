@@ -251,3 +251,45 @@ def test_uniqueness_invariant_to_batch_split(spark, tmp_path_factory):
             for r in stateful.latest_dupes(spark.read.parquet(out)).collect()
         }
         assert final == expected, f"split={split}: {final}"
+
+
+def test_uniqueness_ttl_evicts_idle_keys(spark, tmp_path):
+    """TTL semantics: a key idle past the TTL loses its state during
+    the NEXT batch containing other data (Spark invokes timed-out
+    groups only when a batch fires), so a later re-landing counts as
+    first-seen — the documented state-size/recall trade."""
+    import time as _time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stateful.run_uniqueness_to_completion(
+            spark, src, KEYPART, ckpt, out, ttl_ms=1000
+        )
+
+    spark.createDataFrame([("k", "p0")], KEYPART).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    _time.sleep(2)  # key k idles past the TTL
+    spark.createDataFrame([("other", "p2")], KEYPART).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()  # this batch evicts k's state
+    spark.createDataFrame([("k", "p1")], KEYPART).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()  # k re-lands as first-seen — NOT a duplicate
+
+    import glob as _glob
+
+    # read the DIRECTORY (the sink's _spark_metadata log filters any
+    # file a stopped batch left uncommitted), not individual files
+    emitted = (
+        spark.read.parquet(out).count()
+        if _glob.glob(f"{out}/*.parquet")
+        else 0
+    )
+    assert emitted == 0
