@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_simhash_hamming_wide",
     "dedup_phash_hamming",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "ann_lsh_nn",
     "ann_hyperplane_recall",
     "suite_verdicts_lineitem",
