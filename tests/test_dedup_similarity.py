@@ -251,3 +251,52 @@ def test_ivf_assign_deterministic_argmax(spark, vecs):
     assert cells[3] == 1  # -x: cos(-1) vs 0 → y centroid wins
     assert cells[4] in (0, 1)  # diagonal ties at cos=0.7071 → min cid = 0
     assert cells[4] == 0
+
+
+def _union_find_components(edges):
+    """Reference implementation: classic union-find, min member id as
+    the component label."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label = {}
+    for node in list(parent):
+        root = find(node)
+        label.setdefault(root, []).append(node)
+    out = {}
+    for members in label.values():
+        lo = min(members)
+        for m in members:
+            out[m] = lo
+    return out
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property check: min-label propagation must equal a union-find
+    ground truth on adversarial small graphs (chains, stars, cycles,
+    self-loops, disjoint blobs) — seeded, no flaky randomness."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(6):
+        n_edges = rng.randint(1, 18)
+        edges = [
+            (rng.randint(0, 14), rng.randint(0, 14)) for _ in range(n_edges)
+        ]
+        expected = _union_find_components(edges)
+        pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == expected, f"trial {trial}: {edges}"
