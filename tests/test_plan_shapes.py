@@ -126,3 +126,23 @@ def test_bounded_dup_groups_single_exchange(spark, parquet_fixture):
     plan = _explain(dedup.exact_dup_groups(raw, "image_id", ["caption"]))
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges == 1, plan
+
+
+def test_ivf_assign_broadcasts_and_avoids_full_table_window(spark):
+    """IVF cell assignment must be a broadcast join + hash aggregation:
+    a Window (row_number) over the full vector table would sort 10^12
+    rows; the max-struct argmax needs no sort at all."""
+    from bigdime_spark.operators.similarity import ivf_assign
+    from pyspark.sql import functions as F
+
+    vecs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(4)]).alias("embedding"),
+    )
+    centroids = spark.range(4).select(
+        F.col("id").alias("cid"),
+        F.array(*[F.rand(seed=10 + i) for i in range(4)]).alias("cvec"),
+    )
+    plan = _explain(ivf_assign(vecs, centroids))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
