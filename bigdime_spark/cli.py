@@ -149,6 +149,39 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _committed_sink_files(sink_dir: str) -> list[str]:
+    """COMMITTED parquet files of a streaming sink, per its
+    _spark_metadata log — a stopped TTL-mode drain can leave an
+    uncommitted batch's files on disk, and counting those would report
+    phantom rows a Spark read of the sink correctly filters out. Falls
+    back to a plain glob when no metadata log exists (not a streaming
+    sink)."""
+    import glob as _glob
+    import os as _os
+
+    meta = f"{sink_dir}/_spark_metadata"
+    if not _os.path.isdir(meta):
+        return sorted(_glob.glob(f"{sink_dir}/*.parquet"))
+    committed: list[str] = []
+    for log in sorted(_glob.glob(f"{meta}/*")):
+        if _os.path.basename(log).endswith(".crc"):
+            continue
+        with open(log) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                entry = json.loads(line)
+                path = entry.get("path", "")
+                if path.startswith("file:"):
+                    path = path[len("file:"):]
+                if path and entry.get("action", "add") == "add":
+                    committed.append(path)
+    # .compact files replay earlier entries — dedupe before handing
+    # the list to read_parquet or rows would double-count
+    return sorted({p for p in committed if _os.path.exists(p)})
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.cmd == "report":
@@ -179,9 +212,12 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             summary["violations_by_constraint"] = {}
         try:
-            summary["stream_dup_keys"] = con.execute(
-                f"SELECT count(DISTINCT image_id) FROM read_parquet('{args.out}/dup_keys/*.parquet')"
-            ).fetchone()[0]
+            committed = _committed_sink_files(f"{args.out}/dup_keys")
+            if committed:
+                summary["stream_dup_keys"] = con.execute(
+                    "SELECT count(DISTINCT image_id) FROM read_parquet(?)",
+                    [committed],
+                ).fetchone()[0]
         except Exception:
             pass  # not a stream output dir / no duplicates ever emitted
         try:

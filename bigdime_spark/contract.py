@@ -994,8 +994,14 @@ def q_dedup_exact_bounded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     to hundreds of copies; with max_ids=5 the counts stay exact while
     dup_ids keeps only the 5 smallest event_ids — value-checked
     against the DuckDB row_number FILTER twin."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", F.col("user_id").cast("string").alias("uid")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", F.col("user_id").cast("string").alias("uid"))
+        # no-op on current testdata, but Spark md5(concat_ws) maps NULL
+        # to md5('') while DuckDB md5(NULL) is NULL — keep NULL keys
+        # out of BOTH sides so a future fixture with null user_ids
+        # cannot silently diverge the oracle
+        .filter(F.col("uid").isNotNull())
     )
     return dedup.exact_dup_groups(ev, "event_id", ["uid"], max_ids=5).select(
         "content_hash",
@@ -1013,7 +1019,7 @@ WITH t AS (
          row_number() OVER (
            PARTITION BY md5(user_id::VARCHAR) ORDER BY event_id
          ) AS rn
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 )
 SELECT content_hash, count(*) AS n_copies, min(event_id) AS keeper,
        array_to_string(

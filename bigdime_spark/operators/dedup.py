@@ -606,18 +606,26 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    for _ in range(max_iter):
+    labels.count()  # eager, so the loop below reuses one materialization
+    converged = False
+    for it in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "component")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+        new_labels = labels.unionByName(prop).groupBy("id").agg(
+            F.min("component").alias("component")
         )
+        # memory discipline: persist each round and UNPERSIST the
+        # previous round once the new one has materialized, so the
+        # loop holds at most two label snapshots in executor storage;
+        # every 4th round a localCheckpoint truncates the lineage
+        # (the plan otherwise deepens per iteration)
+        if (it + 1) % 4 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("component", "old"), "id"
@@ -626,17 +634,21 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    else:
-        edges.unpersist()
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
         raise ValueError(
             f"connected_components did not converge in {max_iter} "
             "iterations — the pair graph has a longer path than any "
             "plausible near-dup cluster; check the banding threshold"
         )
-    edges.unpersist()
+    # returned frame keeps its cache/checkpoint; callers that are done
+    # with it may .unpersist()
     return labels
 
 

@@ -135,17 +135,28 @@ def _hist_spec_map(stats: DataFrame) -> dict[str, str]:
     spec_cols = [c for c in stats.columns if c.endswith("__hist_spec")]
     if not spec_cols:
         return {}
-    row = stats.agg(*[F.collect_set(c).alias(c) for c in spec_cols]).first()
+    aggs = []
+    for c in spec_cols:
+        aggs.append(F.collect_set(c).alias(c))
+        # collect_set drops NULLs, so count them separately: a frame
+        # mixing spec-less rows (a pre-spec-persistence run) with
+        # spec-bearing rows is exactly the mixed-era union the guard
+        # exists to refuse — one non-null spec must not make it look
+        # uniform
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"_nulls_{c}"))
+    row = stats.agg(*aggs).first()
     out: dict[str, str] = {}
     for c in spec_cols:
         col = c[len("stat__"): -len("__hist_spec")]
         vals = sorted(row[c])
-        if len(vals) > 1:
+        if len(vals) > 1 or (vals and row[f"_nulls_{c}"] > 0):
             raise ValueError(
                 f"histogram spec varies WITHIN one stats frame for "
-                f"'{col}': {vals} — the frame mixes runs or parts "
-                "profiled under different (lo, hi, nbins); filter to a "
-                "single run before computing drift"
+                f"'{col}': {vals} "
+                f"(+{row[f'_nulls_{c}']} spec-less rows) — the frame "
+                "mixes runs or parts profiled under different "
+                "(lo, hi, nbins); filter to a single run before "
+                "computing drift"
             )
         if vals:
             out[col] = vals[0]

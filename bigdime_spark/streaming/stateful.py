@@ -193,8 +193,14 @@ def run_to_completion(
 ) -> None:
     """Drain a directory-shaped stream with Trigger.AvailableNow,
     appending each micro-batch's updated running totals to parquet.
-    The LAST row per part in the output is the stream's final state."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    The LAST row per part in the output is the stream's final state.
+    recursiveFileLookup matches the StreamingValidator's reader (same
+    --source ⇒ same files for every operator on it)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+    )
     totals = running_part_checksums(stream, columns)
     q = (
         totals.writeStream.format("parquet")
@@ -249,8 +255,12 @@ def _fold_key_uniqueness(
         batch_parts.update(p for p in pdf["part"].tolist() if p is not None)
     if batch_n == 0:
         return
-    if first_part is None:
-        # deterministic regardless of within-batch arrival order
+    if n == 0:
+        # first-seen attribution is FROZEN at the key's first batch —
+        # gating on n (new state) rather than first_part is None, so a
+        # first landing whose part was NULL stays recorded as partless
+        # instead of being overwritten by a later re-landing's part.
+        # Deterministic regardless of within-batch arrival order.
         first_part = min(batch_parts) if batch_parts else None
     for p in sorted(batch_parts):
         if len(parts) >= UNIQ_MAX_PARTS:
@@ -353,8 +363,15 @@ def run_uniqueness_to_completion(
     key: str = "image_id", ttl_ms: int | None = None,
 ) -> None:
     """Drain a directory-shaped stream with Trigger.AvailableNow,
-    appending per-batch duplicate emissions to parquet."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    appending per-batch duplicate emissions to parquet.
+    recursiveFileLookup matches the StreamingValidator's reader — the
+    same --source must mean the same files to BOTH operators (nested
+    per-day layouts would otherwise validate but skip dup detection)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+    )
     dupes = streaming_key_uniqueness(stream, key=key, ttl_ms=ttl_ms)
     writer = (
         dupes.writeStream.format("parquet")
@@ -376,16 +393,28 @@ def run_uniqueness_to_completion(
         # zero input rows. Timeout deadlines persist in the state
         # store, so evictions that have not fired yet fire on the
         # first batch of a later drain.
+        # A data batch RESETS the idle clock, so an arbitrarily long
+        # backlog drains fully; only a genuine stall (no progress of
+        # any kind) trips the guard — which RAISES rather than
+        # silently returning a partial drain.
         q = writer.start()
         empty_batches: set[int] = set()
-        deadline = time.monotonic() + 300
-        while len(empty_batches) < 2 and time.monotonic() < deadline:
+        last_activity = time.monotonic()
+        while len(empty_batches) < 2:
             lp = q.lastProgress
             if lp is not None:
                 if lp["numInputRows"] == 0:
                     empty_batches.add(lp["batchId"])
                 else:
                     empty_batches.clear()
+                    last_activity = time.monotonic()
+            if time.monotonic() - last_activity > 600:
+                q.stop()
+                raise RuntimeError(
+                    "TTL-mode drain stalled: no micro-batch progress "
+                    "for 600 s — sink/checkpoint state is consistent "
+                    "but the source was NOT fully drained"
+                )
             time.sleep(0.3)
         q.stop()
         q.awaitTermination()

@@ -51,21 +51,30 @@ PROBE_LEVELS = (2, 8, 32)
 REPS_LOG = "BENCH/scaling_reps.jsonl"
 
 
-def _load_done(path: str) -> dict[tuple, dict]:
+def _load_done(path: str, rows: int) -> dict[tuple, dict]:
     """(level, rep) → result from a prior partial run — a crash after
-    30 minutes of suite reps must never cost the reps again."""
+    30 minutes of suite reps must never cost the reps again. Records
+    from a DIFFERENT --rows are skipped: mixing fixture sizes into one
+    median would publish a bogus efficiency without a warning."""
     done = {}
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 rec = json.loads(line)
+                if rec.get("rows") not in (None, rows):
+                    continue
                 done[(rec["level"], rec["rep"])] = rec["result"]
     return done
 
 
-def _record(path: str, level: int, rep, result: dict) -> None:
+def _record(path: str, level: int, rep, result: dict, rows: int) -> None:
     with open(path, "a") as f:
-        f.write(json.dumps({"level": level, "rep": rep, "result": result}) + "\n")
+        f.write(
+            json.dumps(
+                {"level": level, "rep": rep, "rows": rows, "result": result}
+            )
+            + "\n"
+        )
 
 
 def run_level(cpus: int, rows: int) -> dict:
@@ -116,7 +125,7 @@ def main() -> int:
 
     reps_path = f"{REPO}/{REPS_LOG}"
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    done = _load_done(reps_path) if args.resume else {}
+    done = _load_done(reps_path, args.rows) if args.resume else {}
     if not args.resume and os.path.exists(reps_path):
         os.remove(reps_path)
 
@@ -129,7 +138,7 @@ def main() -> int:
                 print(f"local[{cpus}] rep{rep}: reused from {REPS_LOG}", file=sys.stderr)
             else:
                 r = run_level(cpus, args.rows)
-                _record(reps_path, cpus, rep, r)
+                _record(reps_path, cpus, rep, r, args.rows)
             s = r["suite"]
             print(
                 f"local[{cpus}] rep{rep}: cold {s['cold_wall_sec']}s, "
@@ -164,7 +173,7 @@ def main() -> int:
             r = done[(cpus, "extra")]
         else:
             r = run_level(cpus, args.rows)
-            _record(reps_path, cpus, "extra", r)
+            _record(reps_path, cpus, "extra", r, args.rows)
         print(
             f"local[{cpus}] (informational): "
             f"{r['suite']['images_per_sec']} img/s ({r['suite']['wall_sec']}s)",
@@ -182,7 +191,7 @@ def main() -> int:
                 p = done[(cpus, "probe")]
             else:
                 p = run_probe(cpus, f"{fx_dir}/raw")
-                _record(reps_path, cpus, "probe", p)
+                _record(reps_path, cpus, "probe", p, args.rows)
             print(
                 f"probe local[{cpus}]: {p['gb_per_sec']} GB/s "
                 f"({p['wall_sec']}s over {p['gb']} GB)",
@@ -206,6 +215,25 @@ def main() -> int:
     probe_rows = "".join(
         f"| local[{p['cpus']}] | {p['wall_sec']} | {p['gb_per_sec']} |\n" for p in probes
     )
+    headroom_sentence = ""
+    if probes:
+        by_cpus = {p["cpus"]: p["gb_per_sec"] for p in probes}
+        g8, g32 = by_cpus.get(8), by_cpus.get(32)
+        if g8 is not None and g32 is not None:
+            if g32 <= g8 * 1.1:
+                headroom_sentence = (
+                    f"measured {g8} GB/s at 8 threads vs {g32} GB/s at 32 — "
+                    "no meaningful headroom, so a payload-streaming job "
+                    "gains nothing past ~8 concurrent tasks on this "
+                    "machine (memory-bandwidth/oversubscription ceiling)."
+                )
+            else:
+                headroom_sentence = (
+                    f"measured {g8} GB/s at 8 threads vs {g32} GB/s at 32 — "
+                    "real headroom exists on this machine, so sub-linear "
+                    "core scaling here should be investigated as an engine "
+                    "property, not excused as a machine ceiling."
+                )
     probe_section = (
         f"""
 ## Core-regime ceiling evidence — pure-scan bandwidth probe
@@ -221,15 +249,13 @@ the payload, engine logic aside.
 | threads | wall s | GB/s |
 |---|---|---|
 {probe_rows}
-The probe's 8→32-thread delta is the box's scan-bandwidth headroom —
-and it is NEGATIVE here: 32 threads decode parquet no faster than 8
-(memory-bandwidth/oversubscription ceiling), so a payload-streaming
-job gains nothing past ~8 concurrent tasks on this machine. The
-decode-off (core) suite cannot exceed that ceiling; its core-pair
-efficiency (N→4N from median core walls) = **{core_eff}** is read
-against the probe curve, not against the 0.8 target — which the
-decode-on headline (the regime BASELINE.json names, where per-image
-Python work hides the scan behind compute) meets above.
+The probe's 8→32-thread delta is the box's scan-bandwidth headroom:
+{headroom_sentence} The decode-off (core) suite cannot exceed the
+probe ceiling; its core-pair efficiency (N→4N from median core
+walls) = **{core_eff}** is read against the probe curve, not against
+the 0.8 target — which the decode-on headline (the regime
+BASELINE.json names, where per-image Python work hides the scan
+behind compute) meets above.
 """
         if probes
         else ""
