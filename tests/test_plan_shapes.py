@@ -146,3 +146,25 @@ def test_ivf_assign_broadcasts_and_avoids_full_table_window(spark):
     plan = _explain(ivf_assign(vecs, centroids))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_ivf_topk_never_shuffles_corpus_on_cell_id(spark):
+    """Round-4 verdict #1: the candidate join must broadcast the tiny
+    (|Q| × nprobe)-row query-cells frame — a hashpartitioning(cid)
+    exchange would funnel 10^12 corpus rows into #centroid shuffle
+    groups (cid cardinality = #centroids), collapsing parallelism."""
+    from bigdime_spark.operators.similarity import ivf_topk
+    from pyspark.sql import functions as F
+
+    vecs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(4)]).alias("embedding"),
+    )
+    centroids = spark.range(4).select(
+        F.col("id").alias("cid"),
+        F.array(*[F.rand(seed=10 + i) for i in range(4)]).alias("cvec"),
+    )
+    queries = vecs.filter(F.col("vec_id") < 3)
+    plan = _explain(ivf_topk(vecs, queries, centroids, k=3, nprobe=2))
+    assert "hashpartitioning(cid" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
