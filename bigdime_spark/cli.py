@@ -109,6 +109,13 @@ def _build_parser() -> argparse.ArgumentParser:
         default=100_000,
         help="drop degenerate band buckets wider than this (boilerplate valve)",
     )
+    dd.add_argument(
+        "--max-iter",
+        type=int,
+        default=25,
+        help="connected-components iteration cap (raise for a "
+        "legitimately long-diameter pair graph)",
+    )
     dd.add_argument("--master", default=None)
 
     st = sub.add_parser(
@@ -313,7 +320,14 @@ def main(argv: list[str] | None = None) -> int:
             max_bucket=args.max_bucket,
         ).persist()  # rare by construction; pairs sink + clustering share it
         write_table(pairs, f"{args.out}/pairs", partition_by=None)
-        clusters = near_dup_clusters(pairs)
+        try:
+            clusters = near_dup_clusters(pairs, max_iter=args.max_iter)
+        except ValueError as e:
+            # non-convergence — operator error, not a crash: same clean
+            # stderr + exit-2 contract as the drift subcommand
+            print(f"dedup: {e}", file=sys.stderr)
+            pairs.unpersist()
+            return 2
         write_table(clusters, f"{args.out}/clusters", partition_by=None)
         summary = clusters.agg(
             F.count(F.lit(1)).alias("n_clusters"),
@@ -322,6 +336,7 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()[0]
         n_pairs = pairs.count()
         pairs.unpersist()
+        clusters.unpersist()
         print(
             json.dumps(
                 {

@@ -71,6 +71,9 @@ def test_phash_dedup_end_to_end(spark, tmp_path_factory, capsys):
     details = [r["detail"] for r in v.collect()]
     assert len(details) == 4  # 2 planted pairs x 2 members each
     assert all("hamming=1" in d for d in details)
+    # round-5: violations carry the transitive CLUSTER, not just the
+    # pair edge — component id (min member) + exact member count
+    assert all("cluster=" in d and "n=2" in d for d in details)
 
 
 def test_run_without_phash_flag_passes_clean_fixture(spark, tmp_path_factory, capsys):
@@ -205,3 +208,24 @@ def test_dedup_cli_clusters_planted_pairs(spark, tmp_path_factory, capsys):
         ("img-000000000000", "img-000000000001"),
         ("img-000000000002", "img-000000000003"),
     ]
+
+
+def test_dedup_cli_nonconvergence_exits_2(spark, tmp_path_factory, capsys):
+    """--max-iter too low for the pair graph: connected_components'
+    ValueError must surface as a clean stderr message + exit 2 (the
+    drift subcommand's operator-error contract), never a traceback."""
+    fx = str(tmp_path_factory.mktemp("fxn"))
+    out = str(tmp_path_factory.mktemp("outn"))
+    rc, _, _ = _run_cli(
+        capsys,
+        ["synth", "--rows", "128", "--parts", "4", "--out", fx,
+         "--phash-near-pairs", "2"],
+    )
+    assert rc == 0
+    rc = cli.main(
+        ["dedup", "--input", f"{fx}/raw", "--out", out, "--k", "2",
+         "--max-iter", "1"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "did not converge" in err and "Traceback" not in err

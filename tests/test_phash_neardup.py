@@ -89,6 +89,9 @@ def test_suite_flags_planted_near_dup_images(spark):
     assert flagged == {(a["image_id"], "p0000"), (b["image_id"], "p0001")}
     detail = viol.filter(F.col("image_id") == a["image_id"]).first()["detail"]
     assert b["image_id"] in detail and "hamming=1" in detail
+    # cluster annotation: component = min member id, n = exact size
+    comp = min(a["image_id"], b["image_id"])
+    assert f"cluster={comp} n=2" in detail
     res.release()
 
 
