@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_phash_hamming",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_trained_topk",
     "ann_lsh_nn",
     "ann_hyperplane_recall",
     "suite_verdicts_lineitem",
@@ -224,6 +225,14 @@ def main() -> int:
                 "metric": "headline_total_sec",
                 "value": round(sum(queries.values()), 2),
                 "unit": "sec",
+                # measurement contract marker (round-4 changed per-query
+                # timing to a 1-row count+bit_xor(xxhash64) fold, medians
+                # of N in-JVM reps): cross-round tooling must not compare
+                # r3-era transfer-inclusive numbers with these
+                "methodology": (
+                    f"operator-only digest fold, median-of-{query_reps} "
+                    "in-JVM reps, clearCache between reps"
+                ),
                 "queries": queries,
                 "sf": sf_val,
                 "cpus": cpus,

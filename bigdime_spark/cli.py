@@ -142,6 +142,14 @@ def _build_parser() -> argparse.ArgumentParser:
         help="evict idle key state after this many seconds; duplicates "
         "spaced further apart escape detection",
     )
+    st.add_argument(
+        "--histograms",
+        action="store_true",
+        help="also accumulate per-partition drift histograms across "
+        "micro-batches (bounded per-part state) and write a "
+        "drift-ready stats table to <out>/stats — feed it straight "
+        "to the `drift` subcommand, zero rescan of the stream",
+    )
     st.add_argument("--max-files-per-trigger", type=int, default=None)
     st.add_argument("--master", default=None)
 
@@ -391,6 +399,26 @@ def main(argv: list[str] | None = None) -> int:
                 )
             except Exception:
                 dup_keys = 0  # no duplicates ever emitted → no sink files
+        hist_parts = None
+        if args.histograms:
+            from bigdime_spark.streaming.stateful import (
+                latest_histograms,
+                run_histograms_to_completion,
+            )
+
+            run_histograms_to_completion(
+                spark,
+                args.source,
+                IMAGE_SCHEMA_PARTITIONED,
+                f"{args.checkpoint}/histograms",
+                f"{args.out}/hist_sink",
+            )
+            # collapse the append sink to one CURRENT row per part —
+            # the exact persisted-stats shape the drift subcommand
+            # (drift_from_stats) consumes
+            cur = latest_histograms(spark.read.parquet(f"{args.out}/hist_sink"))
+            cur.write.mode("overwrite").parquet(f"{args.out}/stats")
+            hist_parts = spark.read.parquet(f"{args.out}/stats").count()
         try:
             verdict_counts = {
                 r["verdict"]: r["n"]
@@ -406,6 +434,7 @@ def main(argv: list[str] | None = None) -> int:
                     "batches": len(validator.results),
                     "verdict_counts": verdict_counts,
                     "dup_keys": dup_keys,
+                    "hist_parts": hist_parts,
                 }
             )
         )

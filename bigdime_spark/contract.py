@@ -1399,6 +1399,90 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-5 with TRAINED centroids (round-5): one
+    deterministic spherical-k-means iteration from 12 md5-seeded
+    data-point inits, then nprobe=2 search. The oracle replays the
+    ENTIRE pipeline in SQL — init ordering (md5('42|'||vec_id)),
+    argmax assignment (cos rounded to 9, ties → min cid), per-cell
+    element-wise means (rounded to 9, empty cells keep their init),
+    probing and ranking — proving the training step itself is
+    engine-portable, not just the search."""
+    e = _t(spark, sf_dir, "embeddings")
+    trained = similarity.ivf_train_centroids(
+        e, k=12, iters=1, id_col="vec_id", vec_col="embedding", seed=42
+    )
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(
+        e, queries, trained, "vec_id", "embedding", k=5, nprobe=2
+    )
+
+
+_COS9_CV_SQL = (
+    "round(list_dot_product(a.v, c.cv) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9)"
+)
+SQL_ANN_IVF_TRAINED = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+init AS (
+  SELECT row_number() OVER (ORDER BY md5('42|' || vec_id)) - 1 AS cid, v AS cv
+  FROM e ORDER BY md5('42|' || vec_id) LIMIT 12
+),
+a0 AS (
+  SELECT a.vec_id AS id, c.cid, {_COS9_CV_SQL} AS cos
+  FROM e a, init c
+),
+cells0 AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM a0
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT c0.cid, r.i AS ord, round(avg(e2.v[r.i]), 9)::DOUBLE AS m
+  FROM cells0 c0 JOIN e e2 ON e2.vec_id = c0.id CROSS JOIN range(1, 65) r(i)
+  GROUP BY c0.cid, r.i
+),
+newc AS (SELECT cid, list(m ORDER BY ord) AS cv FROM means GROUP BY cid),
+cent AS (
+  SELECT i.cid, coalesce(n.cv, i.cv) AS cv FROM init i LEFT JOIN newc n USING (cid)
+),
+ascore AS (
+  SELECT a.vec_id AS id, c.cid, {_COS9_CV_SQL} AS cos FROM e a, cent c
+),
+cells AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore WHERE id < 8
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT q.query_id, cl.id AS neighbor_id,
+         round(list_dot_product(qe.v, n.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+  FROM qcells q
+  JOIN cells cl ON cl.cid = q.cid AND cl.id <> q.query_id
+  JOIN e n ON n.vec_id = cl.id
+  JOIN e qe ON qe.vec_id = q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_lsh_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_nearest_in_bucket(e, "vec_id", "embedding", nbits=4)
@@ -1763,6 +1847,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_IVF),
+    "ann_ivf_trained_topk": QuerySpec(q_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED),
     "ann_lsh_nn": QuerySpec(q_ann_lsh_nn, SQL_ANN_LSH),
     "ann_hyperplane_recall": QuerySpec(q_ann_hyperplane_recall, SQL_ANN_HYPERPLANE_RECALL),
     "embedding_sim_histogram": QuerySpec(q_embedding_sim_histogram, SQL_SIM_HISTOGRAM),

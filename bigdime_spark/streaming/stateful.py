@@ -213,6 +213,126 @@ def run_to_completion(
     q.awaitTermination()
 
 
+# ---------------------------------------- streaming drift histograms (C18 twin)
+
+def running_part_histograms(stream: DataFrame, specs=None) -> DataFrame:
+    """Streaming per-partition fixed-bin histogram accumulation — the
+    streaming twin of the persisted-stats drift path (C18): each
+    micro-batch folds its rows into one dense bucket-count array per
+    (part, drift column), emitted in EXACTLY the persisted stats shape
+    (``stat__<col>__hist`` array + ``stat__<col>__hist_spec``), so
+    ``operators.drift.drift_from_stats`` scores a streamed table
+    against any other run with ZERO rescan of either.
+
+    Design for scale: the bucket id is computed JVM-side per row
+    (``bucket_col``, whole-stage codegen) BEFORE the groupBy — the
+    Python side folds small ints into per-part arrays via
+    ``np.bincount`` over Arrow batches. State is BOUNDED: one
+    (nbins+2)-long count array per (part, column), never per row —
+    identical to what the batch suite persists per part. Counts are
+    exact and batch-split invariant (addition commutes).
+
+    ``specs``: tuple of DriftColumn (default: the suite's
+    DEFAULT_DRIFT_COLUMNS — w/h/phash, BASELINE.json's drift axis).
+    Output (append mode): (part, rows_total, stat__*__hist,
+    stat__*__hist_spec); the max-rows_total row per part is current."""
+    from bigdime_spark.functions.histograms import bucket_col
+    from bigdime_spark.operators.drift import DEFAULT_DRIFT_COLUMNS
+
+    specs = tuple(specs) if specs is not None else DEFAULT_DRIFT_COLUMNS
+    nb = [s.nbins for s in specs]
+    cols = [
+        bucket_col(F.col(s.column).cast("double"), s.lo, s.hi, s.nbins).alias(f"_b{i}")
+        for i, s in enumerate(specs)
+    ]
+    out_ddl = "part string, rows_total long, " + ", ".join(
+        f"stat__{s.column}__hist array<long>, stat__{s.column}__hist_spec string"
+        for s in specs
+    )
+    state_ddl = "rows long, " + ", ".join(
+        f"h{i} array<long>" for i in range(len(specs))
+    )
+    spec_strs = [f"{s.lo}:{s.hi}:{s.nbins}" for s in specs]
+
+    def fold(key, batches, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            got = state.get
+            rows = got[0]
+            hists = [np.asarray(h, dtype="int64") for h in got[1:]]
+        else:
+            rows = 0
+            hists = [np.zeros(n + 2, dtype="int64") for n in nb]
+        batch_rows = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            batch_rows += len(pdf)
+            for i, n in enumerate(nb):
+                b = pdf[f"_b{i}"].dropna().to_numpy(dtype="int64")
+                if len(b):
+                    hists[i] += np.bincount(b, minlength=n + 2)[: n + 2]
+        if batch_rows == 0:
+            return
+        rows += batch_rows
+        state.update((rows, *[h.tolist() for h in hists]))
+        out = {"part": [key[0]], "rows_total": [rows]}
+        for s, h, sp in zip(specs, hists, spec_strs):
+            out[f"stat__{s.column}__hist"] = [h.tolist()]
+            out[f"stat__{s.column}__hist_spec"] = [sp]
+        yield pd.DataFrame(out)
+
+    return (
+        stream.select("part", *cols)
+        .groupBy("part")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_ddl,
+            stateStructType=state_ddl,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def latest_histograms(sink: DataFrame) -> DataFrame:
+    """Collapse an append-mode histogram sink to the CURRENT state
+    (max-rows_total row per part — running totals only grow, and a
+    part only emits when a batch added rows, so the max is unique).
+    The result is a drop-in ``drift_from_stats`` input."""
+    w = Window.partitionBy("part").orderBy(F.desc("rows_total"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_histograms_to_completion(
+    spark, source_dir: str, schema, checkpoint_dir: str, out_dir: str,
+    specs=None,
+) -> None:
+    """Drain a directory-shaped stream with Trigger.AvailableNow,
+    appending per-batch running histogram rows to ``out_dir`` (the
+    last row per part is current; collapse with ``latest_histograms``)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+    )
+    hists = running_part_histograms(stream, specs)
+    q = (
+        hists.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ------------------------------------------- cross-batch key uniqueness
 
 #: one emission per (key, batch-with-new-copies) once the key is a
@@ -358,9 +478,62 @@ def streaming_uniqueness_verdicts(sink: DataFrame) -> DataFrame:
     )
 
 
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class _DrainListener(StreamingQueryListener):
+    """StreamingQueryListener recording EVERY committed batch of one
+    query, in commit order — the airtight replacement for polling
+    ``lastProgress`` at an interval (round-4 verdict #3: a data batch
+    and an empty batch both committing between polls could leave the
+    data batch unobserved). ``on_first_batch`` is an optional hook
+    fired once, after the first committed batch — the deterministic
+    test seam for "a file lands mid-drain"."""
+
+    def __init__(self, on_first_batch=None):
+        import threading
+
+        self.lock = threading.Lock()
+        self.events: list[tuple[str, int, int]] = []  # (qid, batchId, rows)
+        self.last_event = time.monotonic()
+        self._on_first_batch = on_first_batch
+
+    def onQueryStarted(self, event):  # noqa: N802 (listener API)
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        p = event.progress
+        fire = None
+        with self.lock:
+            self.events.append((str(p.id), p.batchId, p.numInputRows))
+            self.last_event = time.monotonic()
+            if self._on_first_batch is not None:
+                fire, self._on_first_batch = self._on_first_batch, None
+        if fire is not None:
+            fire()
+
+    def onQueryIdle(self, event):  # noqa: N802
+        with self.lock:
+            self.last_event = time.monotonic()
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass
+
+    def tail(self, qid: str, n: int = 2) -> list[tuple[str, int, int]]:
+        with self.lock:
+            return [e for e in self.events if e[0] == qid][-n:]
+
+
+def _source_has_files(source_dir: str) -> bool:
+    import glob as _glob
+
+    return bool(_glob.glob(f"{source_dir}/**/*.parquet", recursive=True))
+
+
 def run_uniqueness_to_completion(
     spark, source_dir: str, schema, checkpoint_dir: str, out_dir: str,
     key: str = "image_id", ttl_ms: int | None = None,
+    on_first_batch=None,
 ) -> None:
     """Drain a directory-shaped stream with Trigger.AvailableNow,
     appending per-batch duplicate emissions to parquet.
@@ -389,32 +562,39 @@ def run_uniqueness_to_completion(
         # processAllAvailable() ever returns (measured on pyspark
         # 4.1: hundreds of empty batches, both calls hang). TTL-mode
         # drains therefore quiesce manually: run the default trigger,
-        # stop once two distinct committed batches in a row carried
-        # zero input rows. Timeout deadlines persist in the state
-        # store, so evictions that have not fired yet fire on the
-        # first batch of a later drain.
-        # A data batch RESETS the idle clock, so an arbitrarily long
-        # backlog drains fully; only a genuine stall (no progress of
-        # any kind) trips the guard — which RAISES rather than
-        # silently returning a partial drain.
-        q = writer.start()
-        empty_batches: set[int] = set()
-        last_activity = time.monotonic()
-        while len(empty_batches) < 2:
-            lp = q.lastProgress
-            if lp is not None:
-                if lp["numInputRows"] == 0:
-                    empty_batches.add(lp["batchId"])
-                else:
-                    empty_batches.clear()
-                    last_activity = time.monotonic()
-            if time.monotonic() - last_activity > 600:
-                q.stop()
-                raise RuntimeError(
-                    "TTL-mode drain stalled: no micro-batch progress "
-                    "for 600 s — sink/checkpoint state is consistent "
-                    "but the source was NOT fully drained"
-                )
-            time.sleep(0.3)
-        q.stop()
-        q.awaitTermination()
+        # stop once the two MOST RECENT committed batches both carried
+        # zero input rows. A StreamingQueryListener records every
+        # committed batch in order (round-4 verdict #3: polling
+        # lastProgress could miss a data batch committing between
+        # polls — the listener has no observation gaps). Timeout
+        # deadlines persist in the state store, so evictions that have
+        # not fired yet fire on the first batch of a later drain.
+        # A trivially-empty source short-circuits (round-4 advice: it
+        # would otherwise spin the full stall window — lastProgress
+        # stays None with zero committed batches); TTL evictions its
+        # drain would have fired still fire on the next real drain.
+        if not _source_has_files(source_dir):
+            return
+        listener = _DrainListener(on_first_batch)
+        spark.streams.addListener(listener)
+        try:
+            q = writer.start()
+            qid = str(q.id)
+            while True:
+                recent = listener.tail(qid, 2)
+                if len(recent) == 2 and all(r[2] == 0 for r in recent):
+                    break
+                with listener.lock:
+                    stalled = time.monotonic() - listener.last_event > 600
+                if stalled:
+                    q.stop()
+                    raise RuntimeError(
+                        "TTL-mode drain stalled: no micro-batch progress "
+                        "for 600 s — sink/checkpoint state is consistent "
+                        "but the source was NOT fully drained"
+                    )
+                time.sleep(0.2)
+            q.stop()
+            q.awaitTermination()
+        finally:
+            spark.streams.removeListener(listener)

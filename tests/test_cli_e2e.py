@@ -229,3 +229,38 @@ def test_dedup_cli_nonconvergence_exits_2(spark, tmp_path_factory, capsys):
     err = capsys.readouterr().err
     assert rc == 2
     assert "did not converge" in err and "Traceback" not in err
+
+
+def test_stream_cli_histograms_feed_drift(spark, tmp_path_factory, capsys):
+    """`stream --histograms` accumulates drift histograms across
+    micro-batches into <out>/stats (bounded per-part state), which the
+    `drift` subcommand consumes directly — cross-engine drift of a
+    STREAMED table with zero rescan."""
+    base = tmp_path_factory.mktemp("streamh")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+
+    from bigdime_spark.operators.drift import DEFAULT_DRIFT_COLUMNS
+    from bigdime_spark.operators.stats import histogram_frames
+    from bigdime_spark.sources.synth import build_fixture
+
+    fx = build_fixture(spark, n_rows=256, n_parts=4, drift_parts=(1,))
+    fx.raw.coalesce(1).write.mode("append").parquet(src)
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["stream", "--source", src, "--out", out, "--checkpoint", ckpt,
+         "--histograms"],
+    )
+    assert rc == 0
+    assert summary["hist_parts"] == 4
+
+    specs = [(s.column, s.lo, s.hi, s.nbins) for s in DEFAULT_DRIFT_COLUMNS]
+    histogram_frames(fx.curated, specs).write.parquet(f"{base}/bstats")
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["drift", "--stats-a", f"{out}/stats", "--stats-b", f"{base}/bstats"],
+    )
+    assert rc == 0
+    scores = {(s["part"], s["column"]): s for s in summary["scores"]}
+    # the drift-injected part shows up; undrifted parts stay quiet
+    assert scores[("p0001", "w")]["psi_fail"] is True
+    assert scores[("p0000", "w")]["psi_fail"] is False

@@ -293,3 +293,122 @@ def test_uniqueness_ttl_evicts_idle_keys(spark, tmp_path):
         else 0
     )
     assert emitted == 0
+
+
+# ---------------------------------------- streaming drift histograms
+
+def test_streamed_histograms_equal_batch_stats_and_drift(spark, tmp_path):
+    """C18's streaming twin (round-4 verdict #5): histogram bucket
+    counts accumulated per micro-batch must equal the batch
+    histogram_frames arrays VALUE-EXACTLY, and drift_from_stats over
+    (streamed stats of A, batch stats of B) must equal batch drift
+    (batch stats of A, batch stats of B) row-for-row."""
+    from bigdime_spark.operators.drift import DEFAULT_DRIFT_COLUMNS, drift_from_stats
+    from bigdime_spark.operators.stats import histogram_frames
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    fx = build_fixture(spark, n_rows=160, n_parts=4, drift_parts=(1,))
+    # two appends → two micro-batches; counts must be split-invariant
+    first = fx.raw.filter(F.col("image_id") < "img-000000000080")
+    second = fx.raw.filter(F.col("image_id") >= "img-000000000080")
+    first.repartition(2).write.mode("append").parquet(src)
+    stateful.run_histograms_to_completion(
+        spark, src, IMAGE_SCHEMA_PARTITIONED, ckpt, out
+    )
+    second.repartition(3).write.mode("append").parquet(src)
+    stateful.run_histograms_to_completion(
+        spark, src, IMAGE_SCHEMA_PARTITIONED, ckpt, out
+    )
+
+    streamed = stateful.latest_histograms(spark.read.parquet(out))
+    specs = [(s.column, s.lo, s.hi, s.nbins) for s in DEFAULT_DRIFT_COLUMNS]
+    batch = histogram_frames(fx.raw, specs)
+
+    s_rows = {r["part"]: r for r in streamed.collect()}
+    b_rows = {r["part"]: r for r in batch.collect()}
+    assert set(s_rows) == set(b_rows)
+    for part, br in b_rows.items():
+        for s in DEFAULT_DRIFT_COLUMNS:
+            assert (
+                s_rows[part][f"stat__{s.column}__hist"]
+                == br[f"stat__{s.column}__hist"]
+            ), (part, s.column)
+            assert (
+                s_rows[part][f"stat__{s.column}__hist_spec"]
+                == br[f"stat__{s.column}__hist_spec"]
+            )
+
+    # drift(streamed A, batch B) == drift(batch A, batch B) value-exact
+    other = histogram_frames(fx.curated, specs)
+    key = lambda r: (r["part"], r["column"])  # noqa: E731
+    d_stream = {key(r): r for r in drift_from_stats(streamed, other).collect()}
+    d_batch = {key(r): r for r in drift_from_stats(batch, other).collect()}
+    assert set(d_stream) == set(d_batch)
+    for k, br in d_batch.items():
+        sr = d_stream[k]
+        for fld in ("ks_d", "ks_threshold", "psi", "n", "m"):
+            assert sr[fld] == br[fld], (k, fld, sr[fld], br[fld])
+
+    # self-drift of the streamed stats is exactly zero
+    zero = drift_from_stats(streamed, batch).collect()
+    assert zero and all(r["ks_d"] == 0.0 and r["psi"] == 0.0 for r in zero)
+
+
+def test_ttl_drain_catches_file_landing_mid_drain(spark, tmp_path):
+    """Round-4 verdict #3 done-bar: a file landing WHILE the TTL-mode
+    drain is quiescing must still be fully drained. The on_first_batch
+    listener hook moves a pre-staged duplicate file into the source the
+    instant the first batch commits — deterministically mid-drain —
+    and the drain must then observe the new data batch (the listener
+    records every commit; no polling gap) and keep going until it too
+    is consumed."""
+    import glob as _glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    staging = str(tmp_path / "staging")
+
+    spark.createDataFrame([("k", "p0"), ("x", "p0")], KEYPART).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    # the mid-drain landing: key k again, different part
+    spark.createDataFrame([("k", "p1")], KEYPART).coalesce(1).write.parquet(staging)
+    staged = _glob.glob(f"{staging}/part-*.parquet")
+    assert staged
+
+    def land_late_file():
+        for f in staged:
+            shutil.copy(f, src)
+
+    stateful.run_uniqueness_to_completion(
+        spark, src, KEYPART, ckpt, out,
+        ttl_ms=600_000, on_first_batch=land_late_file,
+    )
+    dups = {r["image_id"]: r for r in spark.read.parquet(out).collect()}
+    assert "k" in dups, "mid-drain file was not drained"
+    assert dups["k"]["n_seen"] == 2
+    assert dups["k"]["first_part"] == "p0"
+
+
+def test_ttl_drain_empty_source_returns_promptly(spark, tmp_path):
+    """Round-4 advice: an empty source dir must not spin the 600 s
+    stall window (zero committed batches leave lastProgress None
+    forever) — the drain short-circuits before starting the query."""
+    import os
+    import time as _time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t0 = _time.monotonic()
+    stateful.run_uniqueness_to_completion(
+        spark, src, KEYPART, ckpt, out, ttl_ms=1000
+    )
+    assert _time.monotonic() - t0 < 30
+    assert not os.path.isdir(out) or not os.listdir(out)
