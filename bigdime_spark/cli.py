@@ -118,6 +118,34 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     dd.add_argument("--master", default=None)
 
+    an = sub.add_parser(
+        "ann",
+        help="approximate-nearest-neighbor top-k over an embedding "
+        "column: ivf (trained coarse quantizer, the production "
+        "default), hyperplane (banded LSH + multi-probe), or brute "
+        "(exact, small query sets)",
+    )
+    an.add_argument("--input", required=True, help="table dir with id + embedding columns")
+    an.add_argument("--out", required=True, help="writes <out>/topk")
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--vec-col", default="embedding")
+    an.add_argument(
+        "--queries",
+        required=True,
+        help="comma-separated query ids (matched as strings against "
+        "--id-col); the query VECTORS come from the input table",
+    )
+    an.add_argument("--k", type=int, default=5)
+    an.add_argument("--mode", choices=("ivf", "hyperplane", "brute"), default="ivf")
+    an.add_argument("--train-k", type=int, default=64, help="ivf: number of centroids to train")
+    an.add_argument("--train-iters", type=int, default=4, help="ivf: Lloyd's iterations")
+    an.add_argument("--nprobe", type=int, default=4, help="ivf: cells probed per query")
+    an.add_argument("--nbits", type=int, default=16, help="hyperplane: signature bits")
+    an.add_argument("--bands", type=int, default=4, help="hyperplane: band tables")
+    an.add_argument("--multiprobe", type=int, default=1, help="hyperplane: probe radius (0-2)")
+    an.add_argument("--seed", type=int, default=42)
+    an.add_argument("--master", default=None)
+
     st = sub.add_parser(
         "stream",
         help="incremental validation of a directory-shaped stream "
@@ -353,6 +381,60 @@ def main(argv: list[str] | None = None) -> int:
                     "clusters": int(summary["n_clusters"]),
                     "members_total": int(summary["members_total"]),
                     "largest_cluster": int(summary["largest"]),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "ann":
+        from pyspark.sql import functions as F
+
+        from bigdime_spark.operators import similarity
+
+        spark = get_spark("bigdime-ann", master=args.master)
+        table = read_table(spark, args.input)
+        qids = [q.strip() for q in args.queries.split(",") if q.strip()]
+        queries = table.filter(F.col(args.id_col).cast("string").isin(qids))
+        n_queries = queries.count()
+        if n_queries == 0:
+            print(f"ann: no rows match --queries {args.queries}", file=sys.stderr)
+            return 2
+        try:
+            if args.mode == "ivf":
+                centroids = similarity.ivf_train_centroids(
+                    table, k=args.train_k, iters=args.train_iters,
+                    id_col=args.id_col, vec_col=args.vec_col, seed=args.seed,
+                )
+                topk = similarity.ivf_topk(
+                    table, queries, centroids, args.id_col, args.vec_col,
+                    k=args.k, nprobe=args.nprobe,
+                )
+            elif args.mode == "hyperplane":
+                dim = table.select(
+                    F.size(F.col(args.vec_col)).alias("d")
+                ).first()["d"]
+                topk = similarity.hyperplane_topk(
+                    table, queries, args.id_col, args.vec_col,
+                    nbits=args.nbits, bands=args.bands, k=args.k,
+                    seed=args.seed, multiprobe=args.multiprobe, dim=dim,
+                )
+            else:
+                topk = similarity.brute_force_topk(
+                    table, queries, args.id_col, args.vec_col, k=args.k
+                )
+        except ValueError as e:
+            print(f"ann: {e}", file=sys.stderr)
+            return 2
+        write_table(topk, f"{args.out}/topk", partition_by=None)
+        n_rows = spark.read.parquet(f"{args.out}/topk").count()
+        print(
+            json.dumps(
+                {
+                    "cmd": "ann",
+                    "mode": args.mode,
+                    "queries": n_queries,
+                    "k": args.k,
+                    "rows": n_rows,
                 }
             )
         )

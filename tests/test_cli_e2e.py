@@ -264,3 +264,49 @@ def test_stream_cli_histograms_feed_drift(spark, tmp_path_factory, capsys):
     # the drift-injected part shows up; undrifted parts stay quiet
     assert scores[("p0001", "w")]["psi_fail"] is True
     assert scores[("p0000", "w")]["psi_fail"] is False
+
+
+def test_ann_cli_ivf_and_hyperplane(spark, tmp_path_factory, capsys):
+    """`ann` subcommand: trained-IVF (production default) and
+    hyperplane-LSH top-k from the CLI; brute mode is the exactness
+    anchor — IVF/LSH results must be subsets of the corpus and carry
+    k rows per query when enough candidates exist."""
+    out_base = tmp_path_factory.mktemp("ann")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["ann", "--input", src, "--out", f"{out_base}/ivf",
+         "--queries", "0,1,2,3", "--mode", "ivf",
+         "--train-k", "12", "--train-iters", "2", "--nprobe", "3"],
+    )
+    assert rc == 0
+    assert summary["mode"] == "ivf" and summary["queries"] == 4
+    got = spark.read.parquet(f"{out_base}/ivf/topk")
+    per_q = {r["query_id"]: r["cnt"] for r in got.groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(per_q) == {0, 1, 2, 3}
+    assert all(c == 5 for c in per_q.values())
+
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["ann", "--input", src, "--out", f"{out_base}/hp",
+         "--queries", "0,1", "--mode", "hyperplane", "--multiprobe", "1"],
+    )
+    assert rc == 0 and summary["rows"] == 10
+
+    # operator-error contract: unsupported probe radius → stderr + 2
+    rc = cli.main(
+        ["ann", "--input", src, "--out", f"{out_base}/bad",
+         "--queries", "0", "--mode", "hyperplane", "--multiprobe", "9"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "multiprobe=9" in err and "Traceback" not in err
+
+    # no matching query ids → stderr + 2
+    rc = cli.main(
+        ["ann", "--input", src, "--out", f"{out_base}/none",
+         "--queries", "zzz"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "no rows match" in err
