@@ -466,23 +466,52 @@ def ivf_train_centroids(
         )
 
     for _ in range(iters):
-        assign = ivf_assign(
-            base.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
-            _cdf(cents),
-            id_col,
-            vec_col,
-        )
-        joined = base.join(assign, "id")
+        # assignment carries the vector through the argmax agg — one
+        # corpus shuffle per iteration, no join back to the vectors
+        assigned = _ivf_assign_with_vec(base, _cdf(cents), "id", "v")
         aggs = [
-            F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(dim)
+            F.avg(F.element_at("_v", i + 1)).alias(f"m{i}") for i in range(dim)
         ]
-        rows = joined.groupBy("cid").agg(*aggs).collect()
+        rows = assigned.groupBy("cid").agg(*aggs).collect()
         new = {
             int(r["cid"]): [round(float(r[f"m{i}"]), 9) for i in range(dim)]
             for r in rows
         }
         cents = [new.get(i, cents[i]) for i in range(k)]
     return _cdf(cents)
+
+
+def _ivf_assign_with_vec(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ivf_assign, carrying the vector THROUGH the argmax aggregation —
+    (id, cid, _v). ``first(_v)`` is value-deterministic (the broadcast
+    crossJoin replicates the identical vector per centroid row), and
+    carrying it saves the join-back-to-vectors exchange: consumers that
+    need (assignment AND vector) pay ONE corpus shuffle, not two
+    (round-5; the partial agg collapses to one row per id map-side, so
+    the exchange carries n rows either way — the join's second
+    full-corpus exchange was pure waste)."""
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "id",
+            "_v",
+            "cid",
+            F.round(cosine_col(F.col("_v"), F.col("cvec")), 9).alias("_cos"),
+        )
+    )
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(F.col("_cos").alias("c"), (-F.col("cid")).alias("n"))
+        ).alias("_b"),
+        F.first("_v").alias("_v"),
+    )
+    return best.select("id", (-F.col("_b.n")).alias("cid"), "_v")
 
 
 def ivf_assign(
@@ -532,15 +561,17 @@ def ivf_topk(
     recall is governed by (num centroids, nprobe) exactly as in a
     production IVF index.
 
-    Shape at scale: cell assignment is the broadcast argmax above; the
-    candidate join BROADCASTS the (|Q| × nprobe)-row query-cells frame
-    against the corpus side, so the corpus NEVER shuffles on the
-    low-cardinality cell id — hashing 10^12 rows into #centroid shuffle
-    groups would collapse parallelism to the centroid count (round-4
-    verdict finding #1; plan-asserted in tests/test_plan_shapes.py).
-    No O(n) per query anywhere.
+    Shape at scale: the corpus shuffles exactly ONCE — the broadcast
+    argmax assignment carries each vector through its hash(id) agg
+    (``_ivf_assign_with_vec``), so there is no join-back-to-vectors
+    second exchange; and the candidate join BROADCASTS the
+    (|Q| × nprobe)-row query-cells frame, so the corpus never
+    hash-partitions on the low-cardinality cell id — 10^12 rows into
+    #centroid shuffle groups would collapse parallelism to the
+    centroid count (round-4 verdict finding #1; both properties
+    plan-asserted in tests/test_plan_shapes.py). No O(n) per query
+    anywhere.
     → (query_id, rank, neighbor_id, cosine), rank ≤ k."""
-    cells = ivf_assign(df, centroids, id_col, vec_col)
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -556,9 +587,12 @@ def ivf_topk(
         .filter(F.col("_r") <= nprobe)
         .select("query_id", "_qv", "cid")
     )
-    cand = df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    # assignment + vector from ONE corpus shuffle (the argmax agg);
+    # joining ivf_assign's (id, cid) back onto df would re-shuffle the
+    # whole corpus on id a second time for nothing
+    cand = _ivf_assign_with_vec(df, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cid", F.col("_v").alias("_cv")
+    )
     scored = (
         cand.join(F.broadcast(qcells), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))

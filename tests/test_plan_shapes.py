@@ -148,18 +148,25 @@ def test_ivf_assign_broadcasts_and_avoids_full_table_window(spark):
     assert "Window" not in plan, plan
 
 
-def test_ivf_topk_never_shuffles_corpus_on_cell_id(spark):
-    """Round-4 verdict #1: the candidate join must broadcast the tiny
-    (|Q| × nprobe)-row query-cells frame — a hashpartitioning(cid)
-    exchange would funnel 10^12 corpus rows into #centroid shuffle
-    groups (cid cardinality = #centroids), collapsing parallelism."""
+def test_ivf_topk_shuffles_corpus_exactly_once(spark, tmp_path):
+    """Round-4 verdict #1 + round-5 fusion. Two properties at 10^12
+    rows: (a) NO hashpartitioning(cid) exchange — the candidate join
+    broadcasts the tiny query-cells frame instead of funneling the
+    corpus into #centroid shuffle groups; (b) the corpus shuffles
+    EXACTLY once (the argmax agg carries the vector — a join back to
+    the vectors would re-shuffle the whole corpus on id a second
+    time). Parquet-backed corpus so range-specific optimizer shortcuts
+    don't mask the shape."""
+    import re
+
     from bigdime_spark.operators.similarity import ivf_topk
     from pyspark.sql import functions as F
 
-    vecs = spark.range(100).select(
+    spark.range(100).select(
         F.col("id").alias("vec_id"),
         F.array(*[F.rand(seed=i) for i in range(4)]).alias("embedding"),
-    )
+    ).write.parquet(str(tmp_path / "vecs"))
+    vecs = spark.read.parquet(str(tmp_path / "vecs"))
     centroids = spark.range(4).select(
         F.col("id").alias("cid"),
         F.array(*[F.rand(seed=10 + i) for i in range(4)]).alias("cvec"),
@@ -167,4 +174,8 @@ def test_ivf_topk_never_shuffles_corpus_on_cell_id(spark):
     queries = vecs.filter(F.col("vec_id") < 3)
     plan = _explain(ivf_topk(vecs, queries, centroids, k=3, nprobe=2))
     assert "hashpartitioning(cid" not in plan, plan
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # corpus-id exchanges: the argmax agg's hashpartitioning(id) — and
+    # ONLY that one (every other exchange keys on query_id, whose row
+    # count is |Q| × candidates, not the corpus)
+    corpus_exchanges = re.findall(r"hashpartitioning\(id#", plan)
+    assert len(corpus_exchanges) == 1, plan
