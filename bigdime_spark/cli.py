@@ -188,6 +188,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     dr.add_argument("--stats-a", required=True, help="baseline run's stats dir")
     dr.add_argument("--stats-b", required=True, help="candidate run's stats dir")
+    dr.add_argument(
+        "--table-level",
+        action="store_true",
+        help="roll the per-part bucket arrays up to ONE whole-table "
+        "KS/PSI per column (fixed-bin counts are additive across "
+        "parts) instead of per-part scores",
+    )
     dr.add_argument("--master", default=None)
     return p
 
@@ -310,7 +317,9 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("bigdime-drift", master=args.master)
         try:
             scores = drift_from_stats(
-                spark.read.parquet(args.stats_a), spark.read.parquet(args.stats_b)
+                spark.read.parquet(args.stats_a),
+                spark.read.parquet(args.stats_b),
+                table_level=args.table_level,
             )
         except ValueError as e:
             # spec mismatch / duplicate per-part rows — operator error,

@@ -639,6 +639,42 @@ SQL_DRIFT_CROSS_RUN = _drift_sql(
 )
 
 
+def q_drift_table_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-LEVEL drift from PER-PART stats (round-5): both runs are
+    profiled per o_orderpriority partition, then the stored bucket
+    arrays roll up across parts to one whole-table KS/PSI — the
+    histogram analogue of the HLL roll-up. The oracle computes the
+    drift directly from the unpartitioned rows: additivity of
+    fixed-bin counts must make the per-part factoring value-invisible
+    (same SQL as the cross-run query, which never partitioned)."""
+    from bigdime_spark.operators.drift import drift_from_stats
+
+    o = _t(spark, sf_dir, "orders")
+    prof = StatsProfile(
+        columns=[ColumnProfile("o_totalprice", histogram=(900.0, 600000.0, 64))]
+    )
+
+    def run_stats(status: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .withColumn("part", F.col("o_orderpriority"))
+            .groupBy("part")
+            .agg(*prof.agg_exprs())
+        )
+
+    d = drift_from_stats(run_stats("O"), run_stats("F"), table_level=True)
+    return d.select(
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round("ks_threshold", 6).alias("ks_threshold"),
+        F.round("psi", 6).alias("psi"),
+        F.col("n").alias("n"),
+        F.col("m").alias("m"),
+        F.when(F.col("ks_d") <= F.col("ks_threshold"), F.lit("PASS"))
+        .otherwise(F.lit("FAIL"))
+        .alias("ks_verdict"),
+    )
+
+
 def _drift_sql_grouped(
     source_sql_r: str, source_sql_c: str, col: str, lo: float, hi: float, nbins: int
 ) -> str:
@@ -1818,6 +1854,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "drift_events_value": QuerySpec(q_drift_events_value, SQL_DRIFT_EVENTS),
     "drift_not_ready_events": QuerySpec(q_drift_not_ready_events, SQL_DRIFT_NOT_READY),
     "drift_cross_run_orders": QuerySpec(q_drift_cross_run_orders, SQL_DRIFT_CROSS_RUN),
+    "drift_table_rollup_orders": QuerySpec(
+        q_drift_table_rollup_orders, SQL_DRIFT_CROSS_RUN
+    ),
     "drift_multipart_lineitem": QuerySpec(q_drift_multipart_lineitem, SQL_DRIFT_MULTIPART),
     # windows / scalar funcs (B23–B25, §2.6)
     "topk_orders_per_priority": QuerySpec(q_topk_orders_per_priority, SQL_TOPK_ORDERS),

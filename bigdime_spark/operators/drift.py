@@ -182,7 +182,9 @@ def _assert_one_row_per_part(stats: DataFrame, side: str) -> None:
         )
 
 
-def drift_from_stats(stats_r: DataFrame, stats_c: DataFrame) -> DataFrame:
+def drift_from_stats(
+    stats_r: DataFrame, stats_c: DataFrame, table_level: bool = False
+) -> DataFrame:
     """CROSS-RUN drift with zero data rescan: KS + PSI per
     (part, column) computed from the bucket-count arrays two runs
     persisted in their stats outputs — the histogram analogue of the
@@ -194,7 +196,16 @@ def drift_from_stats(stats_r: DataFrame, stats_c: DataFrame) -> DataFrame:
     first when a stats table accumulates runs). Runs profiled with
     DIFFERENT binning specs are refused (bucket ids would denote
     different value ranges → confidently-wrong scores), as are frames
-    with duplicate per-part rows (counts would silently double)."""
+    with duplicate per-part rows (counts would silently double).
+
+    ``table_level=True`` rolls the per-part bucket arrays up to ONE
+    whole-table score per column before scoring (part = "*") —
+    value-identical to profiling the unpartitioned table directly,
+    because fixed-bin counts are additive across parts (the histogram
+    analogue of the HLL cross-part roll-up; asserted against the
+    direct SQL in the ``drift_table_rollup_orders`` oracle). Still a
+    metadata-sized computation: #parts × #columns × nbins rows in,
+    #columns rows out."""
     _assert_one_row_per_part(stats_r, "stats_r")
     _assert_one_row_per_part(stats_c, "stats_c")
     sa, sb = _hist_spec_map(stats_r), _hist_spec_map(stats_c)
@@ -205,10 +216,26 @@ def drift_from_stats(stats_r: DataFrame, stats_c: DataFrame) -> DataFrame:
                 f"{sb[col]} — both runs must profile with the same "
                 "(lo, hi, nbins) to be drift-comparable"
             )
-    return _score_histograms(
-        _melt_stats_histograms(stats_r, "cnt_r"),
-        _melt_stats_histograms(stats_c, "cnt_c"),
-    )
+    hr = _melt_stats_histograms(stats_r, "cnt_r")
+    hc = _melt_stats_histograms(stats_c, "cnt_c")
+    if table_level:
+        hr = (
+            hr.groupBy("column", "bucket")
+            .agg(
+                F.sum("cnt_r").alias("cnt_r"),
+                F.first("_nb_cnt_r").alias("_nb_cnt_r"),
+            )
+            .withColumn("part", F.lit("*"))
+        )
+        hc = (
+            hc.groupBy("column", "bucket")
+            .agg(
+                F.sum("cnt_c").alias("cnt_c"),
+                F.first("_nb_cnt_c").alias("_nb_cnt_c"),
+            )
+            .withColumn("part", F.lit("*"))
+        )
+    return _score_histograms(hr, hc)
 
 
 def _score_histograms(hr: DataFrame, hc: DataFrame) -> DataFrame:

@@ -133,3 +133,20 @@ def test_duplicate_part_rows_refused(spark):
     doubled = stats.unionByName(stats)
     with pytest.raises(ValueError, match="exactly one"):
         drift_from_stats(doubled, stats)
+
+
+def test_table_level_rollup_equals_unpartitioned_drift(spark):
+    """table_level=True sums the per-part bucket arrays before scoring
+    — value-identical to profiling the WHOLE table as one part
+    (fixed-bin counts are additive), with part = '*'."""
+    fx = build_fixture(spark, n_rows=200, n_parts=4, drift_parts=(2,))
+    per_part = drift_from_stats(
+        _stats_of(fx.raw), _stats_of(fx.curated), table_level=True
+    )
+    one_part = drift_from_stats(
+        _stats_of(fx.raw.withColumn("part", F.lit("*"))),
+        _stats_of(fx.curated.withColumn("part", F.lit("*"))),
+    )
+    got, want = _rows(per_part), _rows(one_part)
+    assert set(got) == set(want) and got == want
+    assert all(p == "*" for p, _ in got)
