@@ -419,9 +419,18 @@ def main(argv: list[str] | None = None) -> int:
                     k=args.k, nprobe=args.nprobe,
                 )
             elif args.mode == "hyperplane":
-                dim = table.select(
-                    F.size(F.col(args.vec_col)).alias("d")
-                ).first()["d"]
+                dim_row = (
+                    table.where(F.col(args.vec_col).isNotNull())
+                    .select(F.size(F.col(args.vec_col)).alias("d"))
+                    .first()
+                )
+                if dim_row is None:
+                    print(
+                        f"ann: no non-null {args.vec_col} values in "
+                        f"{args.input}", file=sys.stderr,
+                    )
+                    return 2
+                dim = dim_row["d"]
                 topk = similarity.hyperplane_topk(
                     table, queries, args.id_col, args.vec_col,
                     nbits=args.nbits, bands=args.bands, k=args.k,
@@ -507,9 +516,14 @@ def main(argv: list[str] | None = None) -> int:
             # collapse the append sink to one CURRENT row per part —
             # the exact persisted-stats shape the drift subcommand
             # (drift_from_stats) consumes
-            cur = latest_histograms(spark.read.parquet(f"{args.out}/hist_sink"))
-            cur.write.mode("overwrite").parquet(f"{args.out}/stats")
-            hist_parts = spark.read.parquet(f"{args.out}/stats").count()
+            try:
+                cur = latest_histograms(
+                    spark.read.parquet(f"{args.out}/hist_sink")
+                )
+                cur.write.mode("overwrite").parquet(f"{args.out}/stats")
+                hist_parts = spark.read.parquet(f"{args.out}/stats").count()
+            except Exception:
+                hist_parts = 0  # rowless source → sink has no data files
         try:
             verdict_counts = {
                 r["verdict"]: r["n"]

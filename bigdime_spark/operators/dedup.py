@@ -557,21 +557,32 @@ class PhashNearDup:
         )
         if self.cluster:
             # transitive closure over the (persisted, rare) pairs frame:
-            # annotate each member with its component id + exact size
-            cc = connected_components(pairs, max_iter=self.max_iter)
-            ctx.extras.setdefault("persisted", []).append(cc)
-            sizes = cc.groupBy("component").agg(
-                F.count(F.lit(1)).alias("cluster_size")
-            )
-            labeled = cc.join(sizes, "component").withColumnRenamed("id", "image_id")
-            members = members.join(F.broadcast(labeled), "image_id", "left")
-            detail = F.concat(
-                detail,
-                F.lit(" cluster="),
-                F.col("component").cast("string"),
-                F.lit(" n="),
-                F.col("cluster_size").cast("string"),
-            )
+            # annotate each member with its component id + exact size.
+            # Non-convergence (a pair graph with a chain longer than
+            # max_iter — the banding threshold is wrong, not the run)
+            # must NOT abort the whole validation suite for the sake of
+            # an annotation: degrade to pair-level detail, exactly the
+            # pre-clustering output.
+            try:
+                cc = connected_components(pairs, max_iter=self.max_iter)
+            except ValueError:
+                cc = None
+            if cc is not None:
+                ctx.extras.setdefault("persisted", []).append(cc)
+                sizes = cc.groupBy("component").agg(
+                    F.count(F.lit(1)).alias("cluster_size")
+                )
+                labeled = cc.join(sizes, "component").withColumnRenamed(
+                    "id", "image_id"
+                )
+                members = members.join(F.broadcast(labeled), "image_id", "left")
+                detail = F.concat(
+                    detail,
+                    F.lit(" cluster="),
+                    F.col("component").cast("string"),
+                    F.lit(" n="),
+                    F.col("cluster_size").cast("string"),
+                )
         violations = violation_rows(
             members,
             self.name,
@@ -736,13 +747,16 @@ def drop_near_dups(
     by construction), so the anti-join broadcasts in practice.
 
     The CC labels frame is released after the (smaller) losers set
-    materializes; the returned plan reads only the persisted losers."""
+    materializes; the returned plan reads only the checkpointed losers
+    — localCheckpoint, not persist, so the snapshot is reclaimed by
+    the ContextCleaner once the returned frame goes out of scope (a
+    persist() here would pin one CacheManager entry per call with no
+    handle for the caller to release)."""
     cc = connected_components(pairs, max_iter=max_iter)
     losers = (
         cc.filter(F.col("id") != F.col("component"))
         .select(F.col("id").alias(id_col))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    losers.count()  # materialize before dropping the labels cache
     cc.unpersist()
     return df.join(losers, id_col, "left_anti")

@@ -219,6 +219,31 @@ def drift_from_stats(
     hr = _melt_stats_histograms(stats_r, "cnt_r")
     hc = _melt_stats_histograms(stats_c, "cnt_c")
     if table_level:
+        # spec-bearing frames were already validated uniform above; a
+        # SPEC-LESS frame (pre-spec-persistence era) could still mix
+        # per-part array lengths, and summing bucket id 5 of a 32-bin
+        # part into bucket id 5 of a 64-bin part is confidently wrong —
+        # refuse before rolling up (cheap: melted frames are
+        # parts × columns × nbins rows)
+        for melted, nb_col, side in (
+            (hr, "_nb_cnt_r", "stats_r"),
+            (hc, "_nb_cnt_c", "stats_c"),
+        ):
+            mixed = (
+                melted.groupBy("column")
+                .agg(F.count_distinct(nb_col).alias("nb"))
+                .filter(F.col("nb") > 1)
+                .limit(1)
+                .collect()
+            )
+            if mixed:
+                raise ValueError(
+                    f"table_level rollup refused: '{side}' has parts "
+                    f"profiled with different bin counts for column "
+                    f"'{mixed[0]['column']}' — bucket ids would denote "
+                    "different value ranges; re-profile with one "
+                    "(lo, hi, nbins)"
+                )
         hr = (
             hr.groupBy("column", "bucket")
             .agg(

@@ -299,9 +299,20 @@ def running_part_histograms(stream: DataFrame, specs=None) -> DataFrame:
 def latest_histograms(sink: DataFrame) -> DataFrame:
     """Collapse an append-mode histogram sink to the CURRENT state
     (max-rows_total row per part — running totals only grow, and a
-    part only emits when a batch added rows, so the max is unique).
-    The result is a drop-in ``drift_from_stats`` input."""
-    w = Window.partitionBy("part").orderBy(F.desc("rows_total"))
+    part only emits when a batch added rows, so the max is unique
+    WITHIN one checkpoint lineage; a deterministic xxhash64 tiebreak
+    covers exact ties). The result is a drop-in ``drift_from_stats``
+    input.
+
+    Operational note: like every append sink here, rows_total resets
+    with the CHECKPOINT — reusing an out_dir with a fresh checkpoint
+    leaves the old run's (possibly larger) totals in the sink, and the
+    max-pick would prefer them. Pair a fresh checkpoint with a fresh
+    out_dir (the CLI nests both under --out / --checkpoint)."""
+    hist_cols = [c for c in sink.columns if c != "part"]
+    w = Window.partitionBy("part").orderBy(
+        F.desc("rows_total"), F.desc(F.xxhash64(*[F.col(c) for c in hist_cols]))
+    )
     return (
         sink.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -483,19 +494,28 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 class _DrainListener(StreamingQueryListener):
     """StreamingQueryListener recording EVERY committed batch of one
-    query, in commit order — the airtight replacement for polling
-    ``lastProgress`` at an interval (round-4 verdict #3: a data batch
-    and an empty batch both committing between polls could leave the
-    data batch unobserved). ``on_first_batch`` is an optional hook
-    fired once, after the first committed batch — the deterministic
-    test seam for "a file lands mid-drain"."""
+    TARGET query, in commit order — the airtight replacement for
+    polling ``lastProgress`` at an interval (round-4 verdict #3: a
+    data batch and an empty batch both committing between polls could
+    leave the data batch unobserved). All bookkeeping is filtered by
+    the target query id (set right after ``start()`` returns), so an
+    unrelated stream in the same session can neither mask a stall of
+    the drain query nor fire the test hook. ``on_first_batch`` is an
+    optional hook fired once, after the target's first committed batch
+    — the deterministic test seam for "a file lands mid-drain"."""
 
     def __init__(self, on_first_batch=None):
         import threading
 
         self.lock = threading.Lock()
+        self.target_qid: str | None = None
+        # events are buffered for ALL queries (the target id is only
+        # known after start() returns — dropping pre-registration
+        # events would lose the first batch) and filtered by qid at
+        # read time
         self.events: list[tuple[str, int, int]] = []  # (qid, batchId, rows)
-        self.last_event = time.monotonic()
+        self._progress_t: dict[str, float] = {}  # qid → last progress time
+        self._idle_after: dict[str, bool] = {}  # qid → idled after ≥1 batch
         self._on_first_batch = on_first_batch
 
     def onQueryStarted(self, event):  # noqa: N802 (listener API)
@@ -503,18 +523,27 @@ class _DrainListener(StreamingQueryListener):
 
     def onQueryProgress(self, event):  # noqa: N802
         p = event.progress
+        qid = str(p.id)
         fire = None
         with self.lock:
-            self.events.append((str(p.id), p.batchId, p.numInputRows))
-            self.last_event = time.monotonic()
-            if self._on_first_batch is not None:
+            self.events.append((qid, p.batchId, p.numInputRows))
+            self._progress_t[qid] = time.monotonic()
+            self._idle_after[qid] = False
+            if self._on_first_batch is not None and qid == self.target_qid:
                 fire, self._on_first_batch = self._on_first_batch, None
         if fire is not None:
             fire()
 
     def onQueryIdle(self, event):  # noqa: N802
+        # an idle event means the engine found NO pending work for the
+        # query (no new data, no due timeout): record it as a drain
+        # signal, but do NOT refresh the stall clock — resetting it on
+        # idle would turn the 600 s stall guard into an infinite hang
+        # for a query that idles forever with <2 trailing empty batches
         with self.lock:
-            self.last_event = time.monotonic()
+            qid = str(event.id)
+            if any(e[0] == qid for e in self.events):
+                self._idle_after[qid] = True
 
     def onQueryTerminated(self, event):  # noqa: N802
         pass
@@ -522,6 +551,14 @@ class _DrainListener(StreamingQueryListener):
     def tail(self, qid: str, n: int = 2) -> list[tuple[str, int, int]]:
         with self.lock:
             return [e for e in self.events if e[0] == qid][-n:]
+
+    def idle_after_progress(self, qid: str) -> bool:
+        with self.lock:
+            return self._idle_after.get(qid, False)
+
+    def last_progress_time(self, qid: str, default: float) -> float:
+        with self.lock:
+            return self._progress_t.get(qid, default)
 
 
 def _source_has_files(source_dir: str) -> bool:
@@ -580,12 +617,26 @@ def run_uniqueness_to_completion(
         try:
             q = writer.start()
             qid = str(q.id)
+            with listener.lock:
+                listener.target_qid = qid
+            started = time.monotonic()
             while True:
                 recent = listener.tail(qid, 2)
                 if len(recent) == 2 and all(r[2] == 0 for r in recent):
                     break
-                with listener.lock:
-                    stalled = time.monotonic() - listener.last_event > 600
+                # the engine declaring the query IDLE after ≥1 committed
+                # batch also means drained (no new data, no due timeout
+                # — e.g. every deadline already fired, so no more
+                # no-data batches are scheduled and the two-empty rule
+                # could never be met); pending evictions fire on the
+                # first batch of a later drain, as documented
+                if recent and listener.idle_after_progress(qid):
+                    break
+                stalled = (
+                    time.monotonic()
+                    - listener.last_progress_time(qid, started)
+                    > 600
+                )
                 if stalled:
                     q.stop()
                     raise RuntimeError(

@@ -150,3 +150,19 @@ def test_table_level_rollup_equals_unpartitioned_drift(spark):
     got, want = _rows(per_part), _rows(one_part)
     assert set(got) == set(want) and got == want
     assert all(p == "*" for p, _ in got)
+
+
+def test_table_level_refuses_mixed_bins_in_specless_frame(spark):
+    """A spec-less stats frame (pre-spec-persistence era) whose parts
+    were profiled with different nbins must be refused by the rollup —
+    summing bucket ids across different bin widths is confidently
+    wrong, and no hist_spec column exists to catch it upstream."""
+    fx = build_fixture(spark, n_rows=64, n_parts=2)
+    p32 = StatsProfile(columns=[ColumnProfile("w", histogram=(0.0, 256.0, 32))])
+    p64 = StatsProfile(columns=[ColumnProfile("w", histogram=(0.0, 256.0, 64))])
+    a = fx.raw.filter(F.col("part") == "p0000").groupBy("part").agg(*p32.agg_exprs())
+    b = fx.raw.filter(F.col("part") == "p0001").groupBy("part").agg(*p64.agg_exprs())
+    mixed = a.unionByName(b).drop("stat__w__hist_spec")
+    ok = _stats_of(fx.curated).drop("stat__w__hist_spec", "stat__h__hist")
+    with pytest.raises(ValueError, match="different bin counts"):
+        drift_from_stats(mixed, ok.select("part", "stat__w__hist"), table_level=True)

@@ -130,3 +130,21 @@ def test_hamming_band_join_is_exactly_brute_force(spark, fps, k):
                 a, b = str(i), str(j)
                 want.add((min(a, b), max(a, b), d))
     assert got == want
+
+
+def test_cluster_nonconvergence_degrades_to_pair_detail(spark):
+    """PhashNearDup with an unreachable max_iter must NOT abort the
+    suite (round-5 review finding): the clustering annotation degrades
+    to pair-level detail, exactly the pre-clustering output."""
+    from bigdime_spark.operators.base import SuiteContext
+    from bigdime_spark.operators.dedup import PhashNearDup
+
+    rows = [("a", 7, "p0"), ("b", 7 ^ 1, "p0"), ("c", 999_999, "p1")]
+    df = spark.createDataFrame(rows, "image_id string, phash long, part string")
+    ctx = SuiteContext(spark=spark, raw=df, curated=df, parts=df.select("part").distinct())
+    failed, violations = PhashNearDup(k=1, cluster=True, max_iter=0).run(ctx)
+    details = [r["detail"] for r in violations.collect()]
+    assert len(details) == 2
+    assert all("hamming=1" in d and "cluster=" not in d for d in details)
+    for frame in ctx.extras.get("persisted", []):
+        frame.unpersist()
