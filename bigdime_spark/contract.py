@@ -1700,6 +1700,48 @@ SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.4
 """
 
 
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with IVF cells as the DATA-DRIVEN
+    blocking key (round-5; the scale path when no domain block column
+    exists): same deterministic data-point centroids as ann_ivf_topk,
+    pairs compared only within their argmax cell. The oracle replays
+    assignment and the within-cell pair scan exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return similarity.cosine_dup_pairs_ivf(
+        e, centroids, "vec_id", "embedding", threshold=0.4
+    )
+
+
+SQL_DEDUP_EMBEDDING_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+ascore AS (
+  SELECT a.vec_id AS id, c.cid AS cid, {_COS9_CV_SQL} AS cos
+  FROM e a, cent c
+),
+cells AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT l.id AS id1, r.id AS id2,
+         round(list_dot_product(e1.v, e2.v) /
+               (sqrt(list_dot_product(e1.v, e1.v)) * sqrt(list_dot_product(e2.v, e2.v))), 6) AS cosine
+  FROM cells l
+  JOIN cells r ON l.cid = r.cid AND l.id < r.id
+  JOIN e e1 ON e1.vec_id = l.id
+  JOIN e e2 ON e2.vec_id = r.id
+)
+SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.4
+"""
+
+
 # =====================================================================
 # Flagship: the ValidationSuite itself, verdict table vs SQL oracle
 # =====================================================================
@@ -1894,6 +1936,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_embedding_sim_histogram_sampled, SQL_SIM_HISTOGRAM_SAMPLED
     ),
     "dedup_embedding_cosine": QuerySpec(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
+    "dedup_embedding_ivf": QuerySpec(q_dedup_embedding_ivf, SQL_DEDUP_EMBEDDING_IVF),
     # skew (B27)
     "salted_groupby_events": QuerySpec(q_salted_groupby_events, SQL_SALTED_GROUPBY),
     # flagship suite

@@ -384,6 +384,53 @@ def cosine_dup_pairs(
     )
 
 
+def cosine_dup_pairs_ivf(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup with DATA-DRIVEN blocking (round-5):
+    the IVF coarse quantizer's cells replace the caller-supplied
+    ``block_col`` of ``cosine_dup_pairs`` — vectors are compared only
+    within their nearest-centroid cell, so no domain blocking key is
+    needed and cell sizes follow the data's own density.
+
+    Scale posture: assignment is ONE corpus shuffle (the argmax agg
+    carries the vector); the within-cell self-join costs Σ cell² — the
+    caller sizes #centroids ≈ √n (trained via ``ivf_train_centroids``)
+    so the expected total is O(n), exactly the IVF-blocked dedup trade.
+    The self-join's shuffle keys on cid, whose cardinality IS
+    #centroids — fine precisely because #centroids grows with n (at
+    10^12 rows, ~10^6 cells), unlike the fixed-cardinality query-cell
+    join in ``ivf_topk`` which must broadcast instead. ``max_cell``
+    drops degenerate cells (a dead-center boilerplate blob) like the
+    band joins drop boilerplate buckets; AQE skew-split handles the
+    residue. Recall trade: near-dups straddling a cell boundary are
+    missed — the standard single-probe IVF dedup behavior.
+    → (id1, id2, cosine ≥ threshold), id1 < id2."""
+    cells = _ivf_assign_with_vec(df, centroids, id_col, vec_col)
+    if max_cell is not None:
+        sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("cn"))
+        cells = cells.join(
+            sizes.filter(F.col("cn") <= max_cell).select("cid"), "cid", "left_semi"
+        )
+    a = cells.select("cid", F.col("id").alias("id1"), F.col("_v").alias("_v1"))
+    b = cells.select("cid", F.col("id").alias("id2"), F.col("_v").alias("_v2"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine_col(F.col("_v1"), F.col("_v2")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def similarity_histogram(
     df: DataFrame,
     id_col: str = "vec_id",

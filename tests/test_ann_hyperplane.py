@@ -165,3 +165,22 @@ def test_ivf_trained_centroids_beat_datapoint_centroids(spark, emb):
     r_data = sum(mean_recall(datapoint, np_) for np_ in (1, 2))
     r_trained = sum(mean_recall(trained4, np_) for np_ in (1, 2))
     assert r_trained >= r_data, (r_trained, r_data)
+
+
+def test_cosine_dup_pairs_ivf_sound_and_capped(spark, emb):
+    """IVF-celled near-dup (C9's data-driven blocking): every emitted
+    pair must be a true >= threshold pair of the UNBLOCKED all-pairs
+    scan (soundness — cells can only lose straddling pairs, never
+    invent them), and max_cell=1 drops every cell."""
+    cent = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    got = similarity.cosine_dup_pairs_ivf(emb, cent, threshold=0.4).collect()
+    assert got
+    assert all(r["cosine"] >= 0.4 and r["id1"] < r["id2"] for r in got)
+    full = {
+        (r["id1"], r["id2"])
+        for r in similarity.cosine_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert {(r["id1"], r["id2"]) for r in got} <= full
+    assert similarity.cosine_dup_pairs_ivf(emb, cent, threshold=0.4, max_cell=1).count() == 0
