@@ -44,6 +44,7 @@ HEADLINE = [
     "referential_counts",
     "checksum_lineitem",
     "drift_extendedprice",
+    "drift_table_rollup_orders",
     "topk_orders_per_priority",
     "events_json_extract",
     "quality_documents",
@@ -53,6 +54,7 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "dedup_simhash_hamming_wide",
     "dedup_phash_hamming",
+    "dedup_embedding_ivf",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
