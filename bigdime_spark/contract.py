@@ -602,18 +602,14 @@ def q_drift_cross_run_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same drift directly from the rows: factoring through
     the stored histograms must be value-invisible."""
     from bigdime_spark.operators.drift import drift_from_stats
+    from bigdime_spark.operators.stats import histogram_frames
 
     o = _t(spark, sf_dir, "orders")
-    prof = StatsProfile(
-        columns=[ColumnProfile("o_totalprice", histogram=(900.0, 600000.0, 64))]
-    )
 
     def run_stats(status: str) -> DataFrame:
-        return (
-            o.filter(F.col("o_orderstatus") == status)
-            .withColumn("part", F.lit("*"))
-            .groupBy("part")
-            .agg(*prof.agg_exprs())
+        return histogram_frames(
+            o.filter(F.col("o_orderstatus") == status).withColumn("part", F.lit("*")),
+            [("o_totalprice", 900.0, 600000.0, 64)],
         )
 
     d = drift_from_stats(run_stats("O"), run_stats("F"))
@@ -648,18 +644,16 @@ def q_drift_table_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-bin counts must make the per-part factoring value-invisible
     (same SQL as the cross-run query, which never partitioned)."""
     from bigdime_spark.operators.drift import drift_from_stats
+    from bigdime_spark.operators.stats import histogram_frames
 
     o = _t(spark, sf_dir, "orders")
-    prof = StatsProfile(
-        columns=[ColumnProfile("o_totalprice", histogram=(900.0, 600000.0, 64))]
-    )
 
     def run_stats(status: str) -> DataFrame:
-        return (
-            o.filter(F.col("o_orderstatus") == status)
-            .withColumn("part", F.col("o_orderpriority"))
-            .groupBy("part")
-            .agg(*prof.agg_exprs())
+        return histogram_frames(
+            o.filter(F.col("o_orderstatus") == status).withColumn(
+                "part", F.col("o_orderpriority")
+            ),
+            [("o_totalprice", 900.0, 600000.0, 64)],
         )
 
     d = drift_from_stats(run_stats("O"), run_stats("F"), table_level=True)

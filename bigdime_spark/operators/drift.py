@@ -123,28 +123,65 @@ def _melt_stats_histograms(stats: DataFrame, cnt_alias: str) -> DataFrame:
     )
 
 
-def _hist_spec_map(stats: DataFrame) -> dict[str, str]:
-    """column → "lo:hi:nbins" from the persisted spec columns (empty
-    when the frame predates spec persistence or is empty).
+def _validate_stats_frame(
+    stats: DataFrame, side: str, table_level: bool
+) -> dict[str, str]:
+    """ONE eager aggregate per stats frame covering every refusal
+    guard, returning the column → "lo:hi:nbins" spec map (empty when
+    the frame predates spec persistence or has no rows). Guards:
 
-    Validated across ALL rows, not just the first: a stats table that
-    accumulated several runs, or parts profiled under different specs
-    in separate rows, must not slip past the mismatch guard on the
-    strength of row one. One aggregate over a parts-sized frame —
-    collect_set state is bounded by the number of DISTINCT specs."""
+    - duplicate per-part rows (would silently double histogram counts)
+      — detected as count(*) ≠ count_distinct(part); the per-part
+      detail query runs only on the failure path
+    - spec variance WITHIN the frame, validated across ALL rows: a
+      stats table that accumulated several runs, or parts profiled
+      under different specs, must not slip past on the strength of row
+      one. collect_set drops NULLs, so spec-less rows (a
+      pre-spec-persistence run mixed in) are counted separately — one
+      non-null spec must not make a mixed-era union look uniform
+    - under ``table_level``: per-column bucket-array length variance
+      (collect_set(size(hist))) — a SPEC-LESS frame whose parts were
+      profiled with different nbins has no spec column to catch it,
+      and summing bucket id 5 of a 32-bin part into bucket id 5 of a
+      64-bin part is confidently wrong. size(NULL array) is NULL and
+      collect_set drops it, matching the melted form where a NULL
+      array explodes to nothing.
+
+    Fused into one job because the caller may hand us an
+    INLINE-COMPUTED stats frame (the contract queries do): each guard
+    as its own job re-executes the whole upstream aggregation, tripling
+    driver-side latency; on persisted parts-sized frames the fusion is
+    merely tidy."""
     spec_cols = [c for c in stats.columns if c.endswith("__hist_spec")]
-    if not spec_cols:
-        return {}
-    aggs = []
+    hist_cols = [c for c in stats.columns if c.endswith("__hist")]
+    aggs = [
+        F.count(F.lit(1)).alias("_rows"),
+        F.count_distinct(F.col("part")).alias("_parts"),
+    ]
     for c in spec_cols:
         aggs.append(F.collect_set(c).alias(c))
-        # collect_set drops NULLs, so count them separately: a frame
-        # mixing spec-less rows (a pre-spec-persistence run) with
-        # spec-bearing rows is exactly the mixed-era union the guard
-        # exists to refuse — one non-null spec must not make it look
-        # uniform
         aggs.append(F.count_if(F.col(c).isNull()).alias(f"_nulls_{c}"))
+    if table_level:
+        for c in hist_cols:
+            aggs.append(F.collect_set(F.size(c)).alias(f"_size_{c}"))
     row = stats.agg(*aggs).first()
+    if row["_rows"] != row["_parts"]:
+        dup = (
+            stats.groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        detail = (
+            f"has {dup[0]['n']} rows for part '{dup[0]['part']}'"
+            if dup
+            else f"has {row['_rows']} rows over {row['_parts']} parts"
+        )
+        raise ValueError(
+            f"stats frame '{side}' {detail} — drift_from_stats needs "
+            "exactly one row per part (filter to a single run_id first)"
+        )
     out: dict[str, str] = {}
     for c in spec_cols:
         col = c[len("stat__"): -len("__hist_spec")]
@@ -160,26 +197,17 @@ def _hist_spec_map(stats: DataFrame) -> dict[str, str]:
             )
         if vals:
             out[col] = vals[0]
+    if table_level:
+        for c in hist_cols:
+            col = c[len("stat__"): -len("__hist")]
+            if len(row[f"_size_{c}"]) > 1:
+                raise ValueError(
+                    f"table_level rollup refused: '{side}' has parts "
+                    f"profiled with different bin counts for column "
+                    f"'{col}' — bucket ids would denote different "
+                    "value ranges; re-profile with one (lo, hi, nbins)"
+                )
     return out
-
-
-def _assert_one_row_per_part(stats: DataFrame, side: str) -> None:
-    """drift_from_stats requires one stats row per part — duplicate
-    per-part rows would silently double histogram counts. Cheap: the
-    stats frame is parts-sized."""
-    dup = (
-        stats.groupBy("part")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"stats frame '{side}' has {dup[0]['n']} rows for part "
-            f"'{dup[0]['part']}' — drift_from_stats needs exactly one "
-            "row per part (filter to a single run_id first)"
-        )
 
 
 def drift_from_stats(
@@ -206,9 +234,8 @@ def drift_from_stats(
     direct SQL in the ``drift_table_rollup_orders`` oracle). Still a
     metadata-sized computation: #parts × #columns × nbins rows in,
     #columns rows out."""
-    _assert_one_row_per_part(stats_r, "stats_r")
-    _assert_one_row_per_part(stats_c, "stats_c")
-    sa, sb = _hist_spec_map(stats_r), _hist_spec_map(stats_c)
+    sa = _validate_stats_frame(stats_r, "stats_r", table_level)
+    sb = _validate_stats_frame(stats_c, "stats_c", table_level)
     for col in sorted(set(sa) & set(sb)):
         if sa[col] != sb[col]:
             raise ValueError(
@@ -219,31 +246,8 @@ def drift_from_stats(
     hr = _melt_stats_histograms(stats_r, "cnt_r")
     hc = _melt_stats_histograms(stats_c, "cnt_c")
     if table_level:
-        # spec-bearing frames were already validated uniform above; a
-        # SPEC-LESS frame (pre-spec-persistence era) could still mix
-        # per-part array lengths, and summing bucket id 5 of a 32-bin
-        # part into bucket id 5 of a 64-bin part is confidently wrong —
-        # refuse before rolling up (cheap: melted frames are
-        # parts × columns × nbins rows)
-        for melted, nb_col, side in (
-            (hr, "_nb_cnt_r", "stats_r"),
-            (hc, "_nb_cnt_c", "stats_c"),
-        ):
-            mixed = (
-                melted.groupBy("column")
-                .agg(F.count_distinct(nb_col).alias("nb"))
-                .filter(F.col("nb") > 1)
-                .limit(1)
-                .collect()
-            )
-            if mixed:
-                raise ValueError(
-                    f"table_level rollup refused: '{side}' has parts "
-                    f"profiled with different bin counts for column "
-                    f"'{mixed[0]['column']}' — bucket ids would denote "
-                    "different value ranges; re-profile with one "
-                    "(lo, hi, nbins)"
-                )
+        # per-part bucket-array length uniformity was validated inside
+        # _validate_stats_frame's single guard job
         hr = (
             hr.groupBy("column", "bucket")
             .agg(
