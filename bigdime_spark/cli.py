@@ -116,6 +116,16 @@ def _build_parser() -> argparse.ArgumentParser:
         help="connected-components iteration cap (raise for a "
         "legitimately long-diameter pair graph)",
     )
+    dd.add_argument(
+        "--cc-algo",
+        choices=("label", "star"),
+        default="label",
+        help="components strategy: label = min-label propagation "
+        "(O(diameter) rounds — banding candidates are shallow by "
+        "design), star = large-star/small-star contraction "
+        "(O(log^2 n) rounds regardless of diameter — for pair graphs "
+        "that legitimately chain)",
+    )
     dd.add_argument("--master", default=None)
 
     an = sub.add_parser(
@@ -366,7 +376,9 @@ def main(argv: list[str] | None = None) -> int:
         ).persist()  # rare by construction; pairs sink + clustering share it
         write_table(pairs, f"{args.out}/pairs", partition_by=None)
         try:
-            clusters = near_dup_clusters(pairs, max_iter=args.max_iter)
+            clusters = near_dup_clusters(
+                pairs, max_iter=args.max_iter, algo=args.cc_algo
+            )
         except ValueError as e:
             # non-convergence — operator error, not a crash: same clean
             # stderr + exit-2 contract as the drift subcommand

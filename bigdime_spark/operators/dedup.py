@@ -701,17 +701,136 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame, id1: str = "id1", id2: str = "id2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction [Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14] — same contract as ``connected_components``
+    (→ (id, component = min member id); only ids appearing in
+    ``pairs`` are returned), complementary convergence envelope:
+    O(log² n) rounds INDEPENDENT of component diameter, vs the
+    min-label propagator's O(diameter). This is the tool for pair
+    graphs that legitimately chain (path-shaped near-dup drift, edit
+    chains) where one-hop-per-round label propagation hits max_iter.
+    For the engine's default inputs — banding candidates whose
+    diameter is bounded by design — the label propagator finishes in
+    fewer, cheaper rounds (one join per round vs two), so it stays
+    the default (``algo="label"``).
+
+    One round = large-star(u): for every neighbor v > u emit
+    (v, min(Γ(u) ∪ {u})); then small-star(u): for every neighbor
+    v < u and u itself emit (x, min(Γ⁻(u) ∪ {u})). Both preserve
+    connectivity and never grow the edge set beyond 2|E|; the
+    fixpoint is a star forest rooted at each component's min id,
+    detected as exact edge-set stability on the canonical undirected
+    form. Per round: two symmetrize+groupBy+join passes, each on the
+    hash(u) clustering; ``localCheckpoint`` truncates lineage per
+    round (snapshots are reclaimed by the ContextCleaner as the loop
+    drops references, ≤3 live at a time)."""
+    nodes = (
+        pairs.select(F.col(id1).alias("id"))
+        .unionByName(pairs.select(F.col(id2).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.least(id1, id2).alias("a"), F.greatest(id1, id2).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        nbrs = _sym(edges)
+        # m(u) = min(Γ(u) ∪ {u}); emission (v, m) for v > u ≥ m can
+        # never self-loop
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.least("mv", F.col("u")).alias("b"))
+        )
+        ls = _canon(large).localCheckpoint(eager=True)
+
+        nbrs2 = _sym(ls)
+        lt = nbrs2.filter(F.col("v") < F.col("u"))
+        mins2 = lt.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            lt.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        new_edges = _canon(small).localCheckpoint(eager=True)
+
+        changed = (
+            new_edges.exceptAll(edges)
+            .unionByName(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
+        )
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — pathological for star contraction (expected "
+            "O(log² n)); raise max_iter"
+        )
+    # fixpoint star edges are canonical (root=a < child=b); roots and
+    # self-pair-only nodes miss the join and label themselves
+    labels = (
+        nodes.join(
+            edges.select(F.col("b").alias("id"), F.col("a").alias("component")),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        .persist()
+    )
+    labels.count()
+    return labels
+
+
+#: connected-components strategies: "label" = min-label propagation
+#: (O(diameter) rounds, one join per round — right for banding
+#: candidates, whose diameter is bounded by design), "star" =
+#: large-star/small-star contraction (O(log² n) rounds regardless of
+#: diameter — right for chain-shaped graphs)
+CC_ALGOS = {
+    "label": connected_components,
+    "star": connected_components_star,
+}
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     id1: str = "id1",
     id2: str = "id2",
     max_ids: int = MAX_GROUP_IDS,
     max_iter: int = 25,
+    algo: str = "label",
 ) -> DataFrame:
     """Candidate pairs → duplicate CLUSTERS with the same bounded-state
     discipline as the dup-group reports: exact member count per
     component, member ids sampled at ``max_ids`` (smallest first).
     → (component, n_members, members) with n_members ≥ 2.
+    ``algo`` picks the components strategy (see ``CC_ALGOS``).
 
     Memory discipline (round-4 advice): the node-sized CC labels frame
     is released once the (cluster-count-sized) aggregate has
@@ -719,7 +838,7 @@ def near_dup_clusters(
     longer accumulates label snapshots in executor storage. The
     returned frame is persisted (it is small by construction: one row
     per cluster); callers may ``.unpersist()`` it when done."""
-    cc = connected_components(pairs, id1, id2, max_iter)
+    cc = CC_ALGOS[algo](pairs, id1, id2, max_iter)
     w = Window.partitionBy("component").orderBy("id")
     out = (
         cc.withColumn("_rn", F.row_number().over(w))
@@ -740,7 +859,11 @@ def near_dup_clusters(
 
 
 def drop_near_dups(
-    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 25
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iter: int = 25,
+    algo: str = "label",
 ) -> DataFrame:
     """Keep ONE row per near-dup cluster (the min-id keeper) plus every
     row not in any cluster. The components frame is pairs-sized (rare
@@ -752,7 +875,7 @@ def drop_near_dups(
     the ContextCleaner once the returned frame goes out of scope (a
     persist() here would pin one CacheManager entry per call with no
     handle for the caller to release)."""
-    cc = connected_components(pairs, max_iter=max_iter)
+    cc = CC_ALGOS[algo](pairs, max_iter=max_iter)
     losers = (
         cc.filter(F.col("id") != F.col("component"))
         .select(F.col("id").alias(id_col))

@@ -282,9 +282,11 @@ def _union_find_components(edges):
 
 
 def test_cc_matches_union_find_on_random_graphs(spark):
-    """Property check: min-label propagation must equal a union-find
-    ground truth on adversarial small graphs (chains, stars, cycles,
-    self-loops, disjoint blobs) — seeded, no flaky randomness."""
+    """Property check: BOTH components strategies (min-label
+    propagation and large-star/small-star contraction) must equal a
+    union-find ground truth on adversarial small graphs (chains,
+    stars, cycles, self-loops, disjoint blobs) — seeded, no flaky
+    randomness."""
     import random
 
     rng = random.Random(20260817)
@@ -295,8 +297,32 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         ]
         expected = _union_find_components(edges)
         pairs = spark.createDataFrame(edges, "id1 long, id2 long")
-        got = {
-            r["id"]: r["component"]
-            for r in dedup.connected_components(pairs).collect()
-        }
-        assert got == expected, f"trial {trial}: {edges}"
+        for algo, fn in dedup.CC_ALGOS.items():
+            got = {r["id"]: r["component"] for r in fn(pairs).collect()}
+            assert got == expected, f"trial {trial} [{algo}]: {edges}"
+
+
+def test_cc_star_converges_on_long_chains_where_label_cannot(spark):
+    """The complementary envelopes, asserted: a 40-hop path exceeds a
+    12-round label-propagation budget (one hop per round) but star
+    contraction converges in O(log² n) rounds and still produces
+    min-id components. String ids too — the operators only need an
+    orderable id type (the image table keys are strings)."""
+    chain = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(chain, "id1 long, id2 long")
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=12)
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components_star(pairs, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+    spairs = spark.createDataFrame(
+        [(f"img{a:04d}", f"img{b:04d}") for a, b in chain], "id1 string, id2 string"
+    )
+    sgot = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components_star(spairs, max_iter=12).collect()
+    }
+    assert sgot == {f"img{i:04d}": "img0000" for i in range(41)}
