@@ -45,6 +45,7 @@ HEADLINE = [
     "checksum_lineitem",
     "drift_extendedprice",
     "drift_table_rollup_orders",
+    "stats_outlier_parts",
     "topk_orders_per_priority",
     "events_json_extract",
     "quality_documents",

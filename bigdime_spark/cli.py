@@ -206,6 +206,29 @@ def _build_parser() -> argparse.ArgumentParser:
         "parts) instead of per-part scores",
     )
     dr.add_argument("--master", default=None)
+
+    ol = sub.add_parser(
+        "outliers",
+        help="per-part anomaly detection over a run's persisted stats "
+        "table: robust (median/MAD) modified z-score per metric, "
+        "flagging parts whose profile deviates from their siblings — "
+        "no rescan of the data the stats describe",
+    )
+    ol.add_argument("--stats", required=True, help="a run's stats dir")
+    ol.add_argument(
+        "--metrics",
+        default=None,
+        help="comma-separated metric columns (default: every numeric "
+        "scalar stat__ column)",
+    )
+    ol.add_argument(
+        "--threshold",
+        type=float,
+        default=3.5,
+        help="|modified z| cutoff (Iglewicz-Hoaglin recommend 3.5)",
+    )
+    ol.add_argument("--out", default=None, help="optionally write full scores here")
+    ol.add_argument("--master", default=None)
     return p
 
 
@@ -355,6 +378,65 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "drift", "a": args.stats_a, "b": args.stats_b,
                           "scores": rows}))
         return 0
+
+    if args.cmd == "outliers":
+        from pyspark.sql import functions as F
+
+        from bigdime_spark.operators.outliers import robust_part_outliers
+
+        spark = get_spark("bigdime-outliers", master=args.master)
+        stats = read_table(spark, args.stats)
+        numeric = ("int", "bigint", "double", "float", "smallint", "tinyint")
+        if args.metrics:
+            metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
+        else:
+            metrics = [
+                name
+                for name, dtype in stats.dtypes
+                if name.startswith("stat__") and dtype in numeric
+            ]
+        try:
+            scores = robust_part_outliers(
+                stats, metrics, threshold=args.threshold
+            ).persist()
+            flagged = [
+                {
+                    "part": r["part"],
+                    "metric": r["metric"],
+                    "value": r["value"],
+                    "med": r["med"],
+                    "mad": r["mad"],
+                    "robust_z": r["robust_z"],
+                }
+                # OUTLIER rows are rare by construction (|z| > 3.5);
+                # the full frame stays distributed
+                for r in scores.filter(F.col("verdict") == "OUTLIER").collect()
+            ]
+            if args.out:
+                write_table(scores, args.out, partition_by=None)
+            n_scored = scores.count()
+        except ValueError as e:
+            # missing/empty metric columns — operator error, not a
+            # crash: same clean stderr + exit-2 contract as drift
+            print(f"outliers: {e}", file=sys.stderr)
+            return 2
+        finally:
+            try:
+                scores.unpersist()
+            except NameError:
+                pass
+        print(
+            json.dumps(
+                {
+                    "cmd": "outliers",
+                    "stats": args.stats,
+                    "metrics": metrics,
+                    "scored": n_scored,
+                    "outliers": flagged,
+                }
+            )
+        )
+        return 1 if flagged else 0
 
     if args.cmd == "dedup":
         from pyspark.sql import functions as F

@@ -625,6 +625,66 @@ def q_drift_cross_run_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_outlier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part anomaly detection over a per-group stats profile
+    (operators/outliers.robust_part_outliers): lineitem profiled per
+    l_suppkey (row count + mean price in exact integer cents), then
+    each (part, metric) scored with the Iglewicz–Hoaglin modified
+    z-score over the cross-part median/MAD. The oracle replays median,
+    MAD, and the 3.5 cutoff with quantile_cont — Spark's exact
+    F.percentile interpolates identically. Cents arithmetic keeps the
+    mean free of float-sum order nondeterminism."""
+    from bigdime_spark.operators.outliers import robust_part_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy(
+        F.col("l_suppkey").cast("string").alias("part")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_cents"),
+    )
+    return robust_part_outliers(stats, ["n_rows", "mean_cents"])
+
+
+SQL_STATS_OUTLIERS = """
+WITH s AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS part,
+         CAST(count(*) AS DOUBLE) AS n_rows,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / count(*) AS mean_cents
+  FROM lineitem GROUP BY 1
+), melted AS (
+  SELECT part, 'n_rows' AS metric, n_rows AS value FROM s
+  UNION ALL
+  SELECT part, 'mean_cents' AS metric, mean_cents AS value FROM s
+), med AS (
+  SELECT metric, quantile_cont(value, 0.5) AS med FROM melted GROUP BY 1
+), dev AS (
+  SELECT melted.part, melted.metric, melted.value, med.med
+  FROM melted JOIN med USING (metric)
+), mad AS (
+  SELECT metric, quantile_cont(abs(value - med), 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.part, dev.metric,
+       round(dev.value, 6) AS value,
+       round(dev.med, 6) AS med,
+       round(mad.mad, 6) AS mad,
+       round(0.6745 * (dev.value - dev.med) / mad.mad, 6) AS robust_z,
+       CASE WHEN dev.value IS NULL THEN 'NOT_READY'
+            WHEN mad.mad > 0 THEN
+              CASE WHEN abs(0.6745 * (dev.value - dev.med) / mad.mad) > 3.5
+                   THEN 'OUTLIER' ELSE 'OK' END
+            WHEN dev.value <> dev.med THEN 'OUTLIER'
+            ELSE 'OK' END AS verdict
+FROM dev JOIN mad USING (metric)
+"""
+
+
 SQL_DRIFT_CROSS_RUN = _drift_sql(
     "SELECT o_totalprice FROM orders WHERE o_orderstatus = 'O'",
     "SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F'",
@@ -1890,6 +1950,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "drift_events_value": QuerySpec(q_drift_events_value, SQL_DRIFT_EVENTS),
     "drift_not_ready_events": QuerySpec(q_drift_not_ready_events, SQL_DRIFT_NOT_READY),
     "drift_cross_run_orders": QuerySpec(q_drift_cross_run_orders, SQL_DRIFT_CROSS_RUN),
+    "stats_outlier_parts": QuerySpec(q_stats_outlier_parts, SQL_STATS_OUTLIERS),
     "drift_table_rollup_orders": QuerySpec(
         q_drift_table_rollup_orders, SQL_DRIFT_CROSS_RUN
     ),

@@ -1,0 +1,103 @@
+"""Per-part anomaly detection over persisted per-part stats (SURVEY
+§2 extension): flag partitions whose profile metrics sit far outside
+the table's own cross-part distribution.
+
+The reference's RecordCountValidator compares a part against a
+DECLARED expectation (manifest row counts — B12); at 10^12 rows most
+metrics have no declared expectation, so the complementary check is
+LEARNED bounds: a part whose row count / null rate / mean is an
+outlier against all sibling parts is the one an operator should look
+at first (a short file, a corrupted shard, a schema-drifted producer).
+
+Estimator: the Iglewicz–Hoaglin modified z-score over median/MAD —
+robust to the outliers it hunts (mean/stddev would be dragged by the
+very parts it should flag):
+
+    z = 0.6745 · (x − median) / MAD,   flag |z| > 3.5
+
+Plan shape: the input is a PARTS-sized stats frame (one row per
+part), so everything here is metadata-scale at any data size — melt
+the chosen metric columns to (part, metric, value), two exact-median
+aggregations (median, then MAD over |x − median|), broadcast-join the
+#metrics-row summaries back, pure column arithmetic for the score.
+Zero rescans of the data the stats describe.
+
+MAD = 0 (≥half the parts share one value) degrades loudly, not
+silently: the z-score is NULL (try_divide) and the verdict falls back
+to exact inequality — any deviating part is OUTLIER.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdime_spark.schema import NOT_READY
+
+#: Iglewicz–Hoaglin consistency constant (0.6745 ≈ Φ⁻¹(0.75)) and
+#: their recommended cutoff
+MODIFIED_Z_COEFF = 0.6745
+DEFAULT_Z_THRESHOLD = 3.5
+
+OUTLIER = "OUTLIER"
+OK = "OK"
+
+
+def robust_part_outliers(
+    stats: DataFrame,
+    metrics: list[str],
+    part_col: str = "part",
+    threshold: float = DEFAULT_Z_THRESHOLD,
+) -> DataFrame:
+    """→ (part, metric, value, med, mad, robust_z, verdict), one row
+    per (part × metric), floats rounded to 6 decimals (oracle
+    discipline). ``stats`` must hold ONE row per part (the suite's
+    persisted stats output, or any per-group profile); ``metrics``
+    names numeric columns in it."""
+    if not metrics:
+        raise ValueError("robust_part_outliers needs at least one metric column")
+    missing = [m for m in metrics if m not in stats.columns]
+    if missing:
+        raise ValueError(f"metric columns not in stats frame: {missing}")
+
+    melted = stats.select(
+        F.col(part_col).alias("part"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        F.col(m).cast("double").alias("value"),
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("mv"),
+    ).select("part", "mv.metric", "mv.value")
+
+    med = melted.groupBy("metric").agg(F.percentile("value", 0.5).alias("med"))
+    dev = melted.join(F.broadcast(med), "metric")
+    mad = dev.groupBy("metric").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "metric")
+
+    z = F.lit(MODIFIED_Z_COEFF) * F.try_divide(
+        F.col("value") - F.col("med"), F.col("mad")
+    )
+    return scored.select(
+        "part",
+        "metric",
+        F.round("value", 6).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round(z, 6).alias("robust_z"),
+        F.when(F.col("value").isNull(), F.lit(NOT_READY))
+        .when(
+            F.col("mad") > 0,
+            F.when(F.abs(z) > threshold, F.lit(OUTLIER)).otherwise(F.lit(OK)),
+        )
+        .when(F.col("value") != F.col("med"), F.lit(OUTLIER))
+        .otherwise(F.lit(OK))
+        .alias("verdict"),
+    )

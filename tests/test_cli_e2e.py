@@ -310,3 +310,33 @@ def test_ann_cli_ivf_and_hyperplane(spark, tmp_path_factory, capsys):
     )
     err = capsys.readouterr().err
     assert rc == 2 and "no rows match" in err
+
+
+def test_outliers_cli_flags_anomalous_part(spark, tmp_path_factory, capsys):
+    """`outliers` subcommand: a stats table with one grossly short part
+    → exit 1 + that part in the flagged list; the same table minus the
+    anomaly → exit 0, empty list. Default metric selection must pick
+    numeric scalar stat__ columns only (no blobs/arrays/specs)."""
+    from bigdime_spark.sources.tables import write_table
+
+    base = str(tmp_path_factory.mktemp("outl"))
+    rows = [(f"p{i:02d}", 1000 + (i % 7), 0) for i in range(16)] + [("p16", 3, 0)]
+    stats = spark.createDataFrame(
+        rows, "part string, stat__rows long, stat__caption__nulls long"
+    )
+    write_table(stats, f"{base}/stats", partition_by=None)
+    rc, summary, _ = _run_cli(capsys, ["outliers", "--stats", f"{base}/stats"])
+    assert rc == 1
+    assert summary["metrics"] == ["stat__rows", "stat__caption__nulls"]
+    assert [o["part"] for o in summary["outliers"]] == ["p16"]
+    assert summary["outliers"][0]["metric"] == "stat__rows"
+    assert summary["scored"] == 34
+
+    write_table(stats.filter(F.col("part") != "p16"), f"{base}/clean", partition_by=None)
+    rc, summary, _ = _run_cli(capsys, ["outliers", "--stats", f"{base}/clean"])
+    assert rc == 0 and summary["outliers"] == []
+
+    rc, _, err = _run_cli(
+        capsys, ["outliers", "--stats", f"{base}/stats", "--metrics", "nope"]
+    )
+    assert rc == 2 and "not in stats frame" in err

@@ -161,3 +161,54 @@ def test_profile_emits_moments_and_byte_stats(spark):
     assert row["stat__payload__min_bytes"] == 1
     assert row["stat__payload__max_bytes"] == 100
     assert row["stat__payload__sum_bytes"] == 100 * 101 // 2
+
+
+# --------------------------------------------- per-part outlier scores
+
+def test_robust_outliers_flag_planted_part(spark):
+    """20 well-behaved parts plus one with 10x the rows: exactly that
+    part is OUTLIER on the row-count metric, and the median/MAD are
+    not dragged by the outlier itself (the point of robust scoring —
+    a mean/stddev z-score over this frame scores the outlier at
+    ~4.4 but inflates sigma so siblings look compressed)."""
+    from bigdime_spark.operators.outliers import robust_part_outliers
+
+    rows = [(f"p{i:02d}", 100.0 + (i % 5)) for i in range(20)] + [("p20", 1000.0)]
+    stats = spark.createDataFrame(rows, "part string, n_rows double")
+    got = {r["part"]: r for r in robust_part_outliers(stats, ["n_rows"]).collect()}
+    assert got["p20"]["verdict"] == "OUTLIER"
+    assert [p for p, r in got.items() if r["verdict"] == "OUTLIER"] == ["p20"]
+    # robust center stays at the sibling level, untouched by the outlier
+    assert 100.0 <= got["p20"]["med"] <= 104.0
+    assert got["p20"]["robust_z"] > 3.5
+
+
+def test_robust_outliers_mad_zero_degrades_to_exact_inequality(spark):
+    """>=half the parts identical → MAD = 0: z is NULL (no division
+    blow-up) and ANY deviating part is OUTLIER via exact inequality."""
+    from bigdime_spark.operators.outliers import robust_part_outliers
+
+    rows = [(f"p{i}", 50.0) for i in range(9)] + [("px", 51.0)]
+    stats = spark.createDataFrame(rows, "part string, n_rows double")
+    got = {r["part"]: r for r in robust_part_outliers(stats, ["n_rows"]).collect()}
+    assert got["px"]["verdict"] == "OUTLIER" and got["px"]["robust_z"] is None
+    assert got["p0"]["verdict"] == "OK"
+
+
+def test_robust_outliers_null_metric_is_not_ready(spark):
+    from bigdime_spark.operators.outliers import robust_part_outliers
+
+    rows = [("p0", 1.0), ("p1", 2.0), ("p2", 3.0), ("p3", None)]
+    stats = spark.createDataFrame(rows, "part string, m double")
+    got = {r["part"]: r["verdict"] for r in robust_part_outliers(stats, ["m"]).collect()}
+    assert got["p3"] == "NOT_READY" and got["p1"] == "OK"
+
+
+def test_robust_outliers_refuses_missing_metric(spark):
+    from bigdime_spark.operators.outliers import robust_part_outliers
+
+    stats = spark.createDataFrame([("p0", 1.0)], "part string, m double")
+    with pytest.raises(ValueError, match="not in stats frame"):
+        robust_part_outliers(stats, ["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        robust_part_outliers(stats, [])
