@@ -70,6 +70,13 @@ def _build_parser() -> argparse.ArgumentParser:
         default=2,
         help="max hamming distance for --phash-dedup (default 2)",
     )
+    r.add_argument(
+        "--profile-outliers",
+        action="store_true",
+        help="enable per-part anomaly scoring (robust median/MAD z "
+        "over the fused stats — zero extra scans); flagged parts FAIL "
+        "profile_outlier.<metric>",
+    )
     r.add_argument("--topk-violations", type=int, default=None)
     r.add_argument(
         "--no-quarantine",
@@ -680,6 +687,7 @@ def main(argv: list[str] | None = None) -> int:
         topk_violations=args.topk_violations,
         check_phash_dedup=args.phash_dedup,
         phash_k=args.phash_k,
+        check_profile_outliers=args.profile_outliers,
     )
     res = suite.run(
         spark,

@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bigdime_spark.schema import NOT_READY
+from bigdime_spark.operators.base import SuiteContext, TableConstraint
+from bigdime_spark.schema import FAIL, NOT_READY
 
 #: Iglewicz–Hoaglin consistency constant (0.6745 ≈ Φ⁻¹(0.75)) and
 #: their recommended cutoff
@@ -101,3 +102,74 @@ def robust_part_outliers(
         .otherwise(F.lit(OK))
         .alias("verdict"),
     )
+
+
+#: dtypes eligible for automatic metric selection (scalar numerics —
+#: no sketch blobs, histogram arrays, or spec strings)
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def numeric_stat_metrics(stats: DataFrame) -> list[str]:
+    """Every numeric SCALAR ``stat__`` column of a stats frame — the
+    default metric set for outlier scoring."""
+    return [
+        name
+        for name, dtype in stats.dtypes
+        if name.startswith("stat__") and dtype in _NUMERIC_DTYPES
+    ]
+
+
+class ProfileOutliers(TableConstraint):
+    """Suite integration (partial_verdicts): one
+    ``profile_outlier.<metric>`` FAIL per flagged (part × metric) out
+    of the ALREADY-CACHED fused stats frame (``ctx.extras
+    ["fused_stats"]``) — the scorer adds two metadata-scale
+    aggregations and ZERO data scans to the run. Parts inside the
+    cutoff are omitted; the suite's shared grid join fills PASS.
+    NULL metrics surface as NOT_READY (a part whose profile could not
+    be computed is exactly the part to look at)."""
+
+    def __init__(
+        self,
+        metrics: list[str] | None = None,
+        threshold: float = DEFAULT_Z_THRESHOLD,
+    ):
+        self.metrics = metrics
+        self.threshold = threshold
+        self.name = "profile_outlier"
+        self._resolved: list[str] = list(metrics or [])
+
+    def run(self, ctx: SuiteContext) -> tuple[DataFrame, None]:
+        fused = ctx.extras["fused_stats"]
+        self._resolved = self.metrics or numeric_stat_metrics(fused)
+        scores = robust_part_outliers(
+            fused, self._resolved, threshold=self.threshold
+        )
+        found = scores.filter(F.col("verdict") != OK).select(
+            "part",
+            F.concat(F.lit("profile_outlier."), F.col("metric")).alias("constraint"),
+            F.when(F.col("verdict") == NOT_READY, F.lit(NOT_READY))
+            .otherwise(F.lit(FAIL))
+            .alias("verdict"),
+            F.concat(
+                F.lit("z="),
+                F.coalesce(F.col("robust_z").cast("string"), F.lit("null")),
+                F.lit(" value="),
+                F.coalesce(F.col("value").cast("string"), F.lit("null")),
+            ).alias("observed"),
+            F.concat(
+                F.lit(f"|z|<={self.threshold} (med="),
+                F.coalesce(F.col("med").cast("string"), F.lit("null")),
+                F.lit(" mad="),
+                F.coalesce(F.col("mad").cast("string"), F.lit("null")),
+                F.lit(")"),
+            ).alias("expected"),
+        )
+        return found, None
+
+    @property
+    def partial_verdicts(self) -> bool:
+        return True
+
+    def verdict_names(self) -> list[str]:
+        return [f"profile_outlier.{m}" for m in self._resolved]

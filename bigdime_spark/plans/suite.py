@@ -127,6 +127,14 @@ class ValidationSuite:
     #: validators
     check_phash_dedup: bool = False
     phash_k: int = 2
+    #: optional per-part anomaly scoring (operators/outliers.
+    #: ProfileOutliers): robust median/MAD z over the fused stats frame
+    #: — zero extra scans; off by default like the reference's optional
+    #: validators. outlier_metrics=None auto-selects every numeric
+    #: scalar stat__ column.
+    check_profile_outliers: bool = False
+    outlier_metrics: tuple[str, ...] | None = None
+    outlier_threshold: float = 3.5
     check_decode: bool = False
     decode_seed: int | None = None
     #: which snapshots the decode pass validates. The reference's DVS
@@ -176,6 +184,15 @@ class ValidationSuite:
             from bigdime_spark.operators.dedup import PhashNearDup
 
             out.append(PhashNearDup(k=self.phash_k))
+        if self.check_profile_outliers:
+            from bigdime_spark.operators.outliers import ProfileOutliers
+
+            out.append(
+                ProfileOutliers(
+                    metrics=list(self.outlier_metrics) if self.outlier_metrics else None,
+                    threshold=self.outlier_threshold,
+                )
+            )
         if decode_tc is not None:
             out.append(decode_tc)
         out += list(self.extra_table_constraints)
@@ -330,6 +347,9 @@ class ValidationSuite:
                 fused = fused.withColumn(col, F.lit(None))
         fused = fused.cache()  # tiny: one row per partition
         persisted.append(fused)
+        # the cached per-part stats double as the ProfileOutliers input
+        # (and any extra table constraint that wants them) — zero rescan
+        ctx.extras["fused_stats"] = fused
         # materialize NOW: a dozen verdict branches reference this
         # frame inside one union action, and branches hitting a
         # not-yet-materialized cache each recompute its plan (the
@@ -499,7 +519,7 @@ class ValidationSuite:
         # (BASELINE.json:6) — synthesize it from the verdict itself.
         partition_level = verdicts.filter(
             (F.col("verdict") == FAIL)
-            & F.col("constraint").rlike(r"^(record_count|checksum|drift_)")
+            & F.col("constraint").rlike(r"^(record_count|checksum|drift_|profile_outlier)")
         ).select(
             "constraint",
             "part",

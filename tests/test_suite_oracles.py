@@ -138,3 +138,42 @@ def test_lineage_statuses(result):
     rows_scanned = {r["part"]: r["rows_scanned"] for r in result.lineage.collect()}
     assert rows_scanned["p0002"] == N_ROWS // N_PARTS + 1  # the duplicate copy
     assert rows_scanned["p0000"] == N_ROWS // N_PARTS
+
+
+def test_profile_outliers_flag_starved_part(spark):
+    """check_profile_outliers: a part starved to ~5% of its siblings'
+    rows must FAIL profile_outlier.stat__rows (robust z over the fused
+    stats — no extra scan), a violation row must be synthesized with
+    the z in its detail, and every healthy (part × outlier constraint)
+    cell must be grid-filled PASS."""
+    fx = build_fixture(spark, n_rows=30 * 16, n_parts=16)
+    # ids are round-robin over parts (id i → part i%16), so "starve
+    # p0003" must cut on the id VALUE: keep only its ids < 100
+    # (7 rows vs 30 in every sibling)
+    starved = fx.raw.filter(
+        (F.col("part") != "p0003")
+        | (F.substring("image_id", -4, 4).cast("int") < 100)
+    )
+    suite = ValidationSuite(
+        check_drift=False,
+        check_profile_outliers=True,
+        outlier_metrics=("stat__rows",),
+    )
+    res = suite.run(spark, starved, fx.curated, manifest=None, resume=False)
+    got = {
+        (r["part"], r["constraint"]): r["verdict"]
+        for r in res.verdicts.filter(
+            F.col("constraint") == "profile_outlier.stat__rows"
+        ).collect()
+    }
+    assert got[("p0003", "profile_outlier.stat__rows")] == FAIL
+    others = {k: v for k, v in got.items() if k[0] not in ("p0003", "*")}
+    assert len(others) == 15 and set(others.values()) == {PASS}
+    viol = res.violations.filter(
+        F.col("constraint") == "profile_outlier.stat__rows"
+    ).collect()
+    # siblings are EXACTLY uniform → MAD=0 degenerate path: z is null,
+    # the deviating value itself carries the evidence
+    assert [v["part"] for v in viol] == ["p0003"]
+    assert "value=7.0" in viol[0]["detail"] and "med=30.0" in viol[0]["detail"]
+    res.release()
