@@ -161,6 +161,13 @@ def _build_parser() -> argparse.ArgumentParser:
     an.add_argument("--bands", type=int, default=4, help="hyperplane: band tables")
     an.add_argument("--multiprobe", type=int, default=1, help="hyperplane: probe radius (0-2)")
     an.add_argument("--seed", type=int, default=42)
+    an.add_argument(
+        "--recall",
+        action="store_true",
+        help="also report macro-averaged recall@k vs a brute-force "
+        "pass over the same queries (adds one full corpus scan) — "
+        "the (train_k, nprobe) / (nbits, multiprobe) tuning readout",
+    )
     an.add_argument("--master", default=None)
 
     st = sub.add_parser(
@@ -545,18 +552,47 @@ def main(argv: list[str] | None = None) -> int:
             print(f"ann: {e}", file=sys.stderr)
             return 2
         write_table(topk, f"{args.out}/topk", partition_by=None)
-        n_rows = spark.read.parquet(f"{args.out}/topk").count()
-        print(
-            json.dumps(
-                {
-                    "cmd": "ann",
-                    "mode": args.mode,
-                    "queries": n_queries,
-                    "k": args.k,
-                    "rows": n_rows,
-                }
+        written = spark.read.parquet(f"{args.out}/topk")
+        n_rows = written.count()
+        summary = {
+            "cmd": "ann",
+            "mode": args.mode,
+            "queries": n_queries,
+            "k": args.k,
+            "rows": n_rows,
+        }
+        if args.recall:
+            # ground truth from one brute pass over the SAME queries;
+            # ANN results read back from the written sink (no ANN
+            # recompute). recall@k = |ANN ∩ brute| / |brute| per
+            # query, macro-averaged. brute mode trivially reports 1.0.
+            brute = similarity.brute_force_topk(
+                table, queries, args.id_col, args.vec_col, k=args.k
             )
-        )
+            hits = brute.join(
+                written.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            per_q = (
+                brute.groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .join(
+                    hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h")),
+                    "query_id",
+                    "left",
+                )
+                .agg(
+                    F.avg(
+                        F.coalesce(F.col("h"), F.lit(0)) / F.col("n")
+                    ).alias("r")
+                )
+                .collect()[0]
+            )
+            summary["recall_at_k"] = (
+                round(per_q["r"], 4) if per_q["r"] is not None else None
+            )
+        print(json.dumps(summary))
         return 0
 
     if args.cmd == "stream":

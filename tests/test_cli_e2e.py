@@ -278,10 +278,25 @@ def test_ann_cli_ivf_and_hyperplane(spark, tmp_path_factory, capsys):
         capsys,
         ["ann", "--input", src, "--out", f"{out_base}/ivf",
          "--queries", "0,1,2,3", "--mode", "ivf",
-         "--train-k", "12", "--train-iters", "2", "--nprobe", "3"],
+         "--train-k", "12", "--train-iters", "2", "--nprobe", "3",
+         "--recall"],
     )
     assert rc == 0
     assert summary["mode"] == "ivf" and summary["queries"] == 4
+    # the tuning readout: macro recall@k vs a brute pass on the same
+    # queries. This corpus's neighbors are deliberately weak (top-5
+    # cosines 0.26-0.49), so partial probing is lossy — but probing
+    # ALL 12 cells is exhaustive search and must hit recall 1.0 exactly
+    assert 0.0 < summary["recall_at_k"] <= 1.0
+    partial_recall = summary["recall_at_k"]
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["ann", "--input", src, "--out", f"{out_base}/ivf_all",
+         "--queries", "0,1,2,3", "--mode", "ivf",
+         "--train-k", "12", "--train-iters", "2", "--nprobe", "12",
+         "--recall"],
+    )
+    assert rc == 0 and summary["recall_at_k"] == 1.0 >= partial_recall
     got = spark.read.parquet(f"{out_base}/ivf/topk")
     per_q = {r["query_id"]: r["cnt"] for r in got.groupBy("query_id")
              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
