@@ -1370,6 +1370,30 @@ FROM ranked GROUP BY 1
 """
 
 
+def q_dedup_phash_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clusters via the alternating large-star/small-star
+    contraction (operators/dedup.connected_components_star) — both
+    components strategies must land on the identical min-id-rooted
+    fixpoint, so this query shares the label-propagation query's
+    recursive-CTE oracle verbatim."""
+    d = _t(spark, sf_dir, "documents")
+    ph = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    pairs = dedup.hamming_pairs_on_column(ph, "doc_id", "phash", bits=16, k=2)
+    clusters = dedup.near_dup_clusters(pairs, max_ids=10, algo="star")
+    return clusters.select(
+        "component",
+        "n_members",
+        F.array_join(
+            F.transform("members", lambda x: x.cast("string")), ","
+        ).alias("members_csv"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -1979,6 +2003,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_phash_hamming": QuerySpec(q_dedup_phash_hamming, SQL_DEDUP_PHASH_HAMMING),
     "dedup_phash_clusters": QuerySpec(q_dedup_phash_clusters, SQL_DEDUP_PHASH_CLUSTERS),
+    "dedup_phash_clusters_star": QuerySpec(
+        q_dedup_phash_clusters_star, SQL_DEDUP_PHASH_CLUSTERS
+    ),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
