@@ -49,6 +49,7 @@ HEADLINE = [
     "topk_orders_per_priority",
     "events_json_extract",
     "quality_documents",
+    "repetition_documents",
     "fingerprint_documents",
     "dedup_minhash_lsh",
     "dedup_simhash",

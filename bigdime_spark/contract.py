@@ -939,6 +939,48 @@ def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *[m[k].alias(k) for k in m])
 
 
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (functions/text.
+    repetition_metrics): duplicate-line fraction + top-bigram
+    fraction, columnar per row. The oracle rebuilds lines/bigrams with
+    DuckDB list comprehensions and the same distinct-vs-scan
+    arithmetic."""
+    from bigdime_spark.functions.text import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    m = repetition_metrics(F.col("text"))
+    return d.select("doc_id", *[m[k].alias(k) for k in m])
+
+
+SQL_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(toks) >= 2 THEN
+           [toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks)-1)]
+         END AS grams
+  FROM base
+), counts AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE grams IS NOT NULL)
+  GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM counts GROUP BY 1
+)
+SELECT g.doc_id,
+       len(g.lines) AS n_lines,
+       round((len(g.lines) - len(list_distinct(g.lines)))::DOUBLE
+             / len(g.lines), 6) AS dup_line_frac,
+       round(top.top_c::DOUBLE / top.tot::DOUBLE, 6) AS top_bigram_frac
+FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+"""
+
+
 _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
 # PUNCT_CLASS contains a single quote; double it for the SQL literal
 _PUNCT_SQL = PUNCT_CLASS.replace("'", "''").replace('\\"', '"')
@@ -1985,6 +2027,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # text analysis
     "token_stats_documents": QuerySpec(q_token_stats_documents, SQL_TOKEN_STATS),
     "quality_documents": QuerySpec(q_quality_documents, SQL_QUALITY),
+    "repetition_documents": QuerySpec(q_repetition_documents, SQL_REPETITION),
     "langid_documents": QuerySpec(q_langid_documents, SQL_LANGID),
     "fingerprint_documents": QuerySpec(q_fingerprint_documents, SQL_FINGERPRINT),
     "rolling_fingerprint_documents": QuerySpec(

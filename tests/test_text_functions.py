@@ -109,3 +109,33 @@ def test_rolling_hash_is_shift_sensitive(spark):
     df2 = spark.createDataFrame([(0, "xyz xyz xyz"), (1, "xyz xyz xyz")], "doc_id long, text string")
     g2 = _col(df2, T.rolling_hash_col(F.col("text"), 8))
     assert g2[0] == g2[1]
+
+
+def test_repetition_metrics_planted_cases(spark):
+    """dup_line_frac counts exact duplicate lines; top_bigram_frac is
+    the dominant word-2gram's share; <2-word docs have NO bigram →
+    NULL, not 0 (absence of evidence, not evidence of quality)."""
+    from bigdime_spark.functions.text import repetition_metrics
+
+    rows = [
+        ("boiler", "buy now\nbuy now\nbuy now\nunique line"),
+        ("clean", "the quick brown fox jumps"),
+        ("loop", "spam spam spam spam"),
+        ("oneword", "hello"),
+        ("blank", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    m = repetition_metrics(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[m[k].alias(k) for k in m]).collect()
+    }
+    assert got["boiler"]["n_lines"] == 4
+    assert got["boiler"]["dup_line_frac"] == 0.5  # 2 of 4 lines are repeats
+    assert got["clean"]["dup_line_frac"] == 0.0
+    # "spam spam" occupies all 3 bigrams
+    assert got["loop"]["top_bigram_frac"] == 1.0
+    assert got["clean"]["top_bigram_frac"] == 0.25
+    assert got["oneword"]["top_bigram_frac"] is None
+    assert got["blank"]["top_bigram_frac"] is None
+    assert got["blank"]["dup_line_frac"] == 0.0
