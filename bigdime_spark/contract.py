@@ -981,6 +981,33 @@ FROM g LEFT JOIN top ON g.doc_id = top.doc_id
 """
 
 
+def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII surface scan (functions/text.pii_metrics): per-doc match
+    counts for RE2-safe email/phone/ipv4 patterns + has_pii flag. The
+    oracle runs the IDENTICAL pattern strings through DuckDB's
+    regexp_extract_all — pattern portability is the test."""
+    from bigdime_spark.functions.text import pii_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    m = pii_metrics(F.col("text"))
+    return d.select("doc_id", *[m[k].alias(k) for k in m])
+
+
+def _pii_sql() -> str:
+    from bigdime_spark.functions.text import PII_PATTERNS
+
+    cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"len(regexp_extract_all(text, '{pat}'))"
+                       for pat in PII_PATTERNS.values())
+    return f"SELECT doc_id,\n       {cols},\n       ({total}) > 0 AS has_pii\nFROM documents"
+
+
+SQL_PII = _pii_sql()
+
+
 _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
 # PUNCT_CLASS contains a single quote; double it for the SQL literal
 _PUNCT_SQL = PUNCT_CLASS.replace("'", "''").replace('\\"', '"')
@@ -2028,6 +2055,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_stats_documents": QuerySpec(q_token_stats_documents, SQL_TOKEN_STATS),
     "quality_documents": QuerySpec(q_quality_documents, SQL_QUALITY),
     "repetition_documents": QuerySpec(q_repetition_documents, SQL_REPETITION),
+    "pii_documents": QuerySpec(q_pii_documents, SQL_PII),
     "langid_documents": QuerySpec(q_langid_documents, SQL_LANGID),
     "fingerprint_documents": QuerySpec(q_fingerprint_documents, SQL_FINGERPRINT),
     "rolling_fingerprint_documents": QuerySpec(

@@ -189,6 +189,33 @@ def repetition_metrics(c: Column) -> dict[str, Column]:
     }
 
 
+#: PII surface patterns — deliberately RE2-safe (character classes +
+#: \b only, no lookaround) so the identical pattern runs in Spark's
+#: Java regex AND DuckDB's RE2 oracle. These are detection HEURISTICS
+#: for redaction/filter pipelines, not validators of the formats.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_metrics(c: Column) -> dict[str, Column]:
+    """Per-document PII surface counts (one regexp_extract_all per
+    pattern, whole-stage codegen) + an overall ``has_pii`` flag — the
+    filter/redaction gate a training-data pipeline runs before a
+    corpus ships. Counts, not booleans, so downstream can threshold
+    ("one email in a mailto: is fine, forty is a dump")."""
+    counts = {
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    return {**counts, "has_pii": (total > 0)}
+
+
 def lang_scores(c: Column) -> dict[str, Column]:
     """Marker-token hit count per candidate language."""
     toks = tokens_col(c)

@@ -139,3 +139,31 @@ def test_repetition_metrics_planted_cases(spark):
     assert got["oneword"]["top_bigram_frac"] is None
     assert got["blank"]["top_bigram_frac"] is None
     assert got["blank"]["dup_line_frac"] == 0.0
+
+
+def test_pii_metrics_planted_cases(spark):
+    """Counts per pattern, not booleans; has_pii is the union flag.
+    Near-miss strings (bare @, 2-part phone, trailing-dot host) must
+    NOT match."""
+    from bigdime_spark.functions.text import pii_metrics
+
+    rows = [
+        ("mail2", "write a@b.co or b@c.org today"),
+        ("phone", "call 555-867-5309 now"),
+        ("ip", "server at 10.0.0.1 and 192.168.1.255"),
+        ("mixed", "x@y.io from 10.0.0.1 dial 555.123.4567"),
+        ("clean", "no contact information here at all"),
+        ("nearmiss", "meet @ home, call 555-1234, version 1.2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    m = pii_metrics(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[m[k].alias(k) for k in m]).collect()
+    }
+    assert got["mail2"]["n_email"] == 2 and got["mail2"]["has_pii"]
+    assert got["phone"]["n_phone"] == 1
+    assert got["ip"]["n_ipv4"] == 2
+    assert (got["mixed"]["n_email"], got["mixed"]["n_phone"], got["mixed"]["n_ipv4"]) == (1, 1, 1)
+    assert not got["clean"]["has_pii"]
+    assert not got["nearmiss"]["has_pii"]
