@@ -396,42 +396,47 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "outliers":
         from pyspark.sql import functions as F
 
-        from bigdime_spark.operators.outliers import robust_part_outliers
+        from bigdime_spark.operators.outliers import (
+            numeric_stat_metrics,
+            robust_part_outliers,
+        )
 
         spark = get_spark("bigdime-outliers", master=args.master)
         stats = read_table(spark, args.stats)
-        numeric = ("int", "bigint", "double", "float", "smallint", "tinyint")
         if args.metrics:
             metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
         else:
-            metrics = [
-                name
-                for name, dtype in stats.dtypes
-                if name.startswith("stat__") and dtype in numeric
-            ]
+            metrics = numeric_stat_metrics(stats)
         try:
             scores = robust_part_outliers(
                 stats, metrics, threshold=args.threshold
             ).persist()
-            flagged = [
-                {
-                    "part": r["part"],
-                    "metric": r["metric"],
-                    "value": r["value"],
-                    "med": r["med"],
-                    "mad": r["mad"],
-                    "robust_z": r["robust_z"],
-                }
-                # OUTLIER rows are rare by construction (|z| > 3.5);
-                # the full frame stays distributed
-                for r in scores.filter(F.col("verdict") == "OUTLIER").collect()
-            ]
+            # flagged + not-scoreable rows are rare by construction;
+            # the full frame stays distributed. NOT_READY (NULL metric)
+            # must surface — a part whose profile could not be computed
+            # is exactly the part to look at, not one to hide.
+            def _rows(verdict: str) -> list[dict]:
+                return [
+                    {
+                        "part": r["part"],
+                        "metric": r["metric"],
+                        "value": r["value"],
+                        "med": r["med"],
+                        "mad": r["mad"],
+                        "robust_z": r["robust_z"],
+                    }
+                    for r in scores.filter(F.col("verdict") == verdict).collect()
+                ]
+
+            flagged = _rows("OUTLIER")
+            not_ready = _rows("NOT_READY")
             if args.out:
                 write_table(scores, args.out, partition_by=None)
             n_scored = scores.count()
         except ValueError as e:
-            # missing/empty metric columns — operator error, not a
-            # crash: same clean stderr + exit-2 contract as drift
+            # missing/empty/non-numeric metric columns — operator
+            # error, not a crash: same clean stderr + exit-2 contract
+            # as drift
             print(f"outliers: {e}", file=sys.stderr)
             return 2
         finally:
@@ -447,10 +452,11 @@ def main(argv: list[str] | None = None) -> int:
                     "metrics": metrics,
                     "scored": n_scored,
                     "outliers": flagged,
+                    "not_ready": not_ready,
                 }
             )
         )
-        return 1 if flagged else 0
+        return 1 if (flagged or not_ready) else 0
 
     if args.cmd == "dedup":
         from pyspark.sql import functions as F
@@ -561,11 +567,16 @@ def main(argv: list[str] | None = None) -> int:
             "k": args.k,
             "rows": n_rows,
         }
-        if args.recall:
+        if args.recall and args.mode == "brute":
+            # brute IS the ground truth — recall is 1.0 by definition;
+            # re-running the full-corpus scan to prove it would double
+            # the command's most expensive stage
+            summary["recall_at_k"] = 1.0
+        elif args.recall:
             # ground truth from one brute pass over the SAME queries;
             # ANN results read back from the written sink (no ANN
             # recompute). recall@k = |ANN ∩ brute| / |brute| per
-            # query, macro-averaged. brute mode trivially reports 1.0.
+            # query, macro-averaged.
             brute = similarity.brute_force_topk(
                 table, queries, args.id_col, args.vec_col, k=args.k
             )

@@ -156,7 +156,14 @@ def _validate_stats_frame(
     hist_cols = [c for c in stats.columns if c.endswith("__hist")]
     aggs = [
         F.count(F.lit(1)).alias("_rows"),
+        # count_distinct drops NULLs, but groupBy (which built the
+        # stats frame) keeps a NULL-part group — count it as one part
+        # or a frame with a legitimate NULL-part row is spuriously
+        # refused as "duplicate rows"
         F.count_distinct(F.col("part")).alias("_parts"),
+        F.coalesce(
+            F.max(F.col("part").isNull().cast("int")), F.lit(0)
+        ).alias("_null_parts"),
     ]
     for c in spec_cols:
         aggs.append(F.collect_set(c).alias(c))
@@ -165,7 +172,7 @@ def _validate_stats_frame(
         for c in hist_cols:
             aggs.append(F.collect_set(F.size(c)).alias(f"_size_{c}"))
     row = stats.agg(*aggs).first()
-    if row["_rows"] != row["_parts"]:
+    if row["_rows"] != row["_parts"] + row["_null_parts"]:
         dup = (
             stats.groupBy("part")
             .agg(F.count(F.lit(1)).alias("n"))

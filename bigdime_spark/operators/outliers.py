@@ -60,6 +60,21 @@ def robust_part_outliers(
     missing = [m for m in metrics if m not in stats.columns]
     if missing:
         raise ValueError(f"metric columns not in stats frame: {missing}")
+    dtypes = dict(stats.dtypes)
+    bad = [
+        m
+        for m in metrics
+        if dtypes[m] not in _NUMERIC_DTYPES
+        and not dtypes[m].startswith("decimal")
+    ]
+    if bad:
+        # refuse HERE with a ValueError (the CLI's clean exit-2
+        # contract) instead of letting cast("double") throw an
+        # AnalysisException/ANSI runtime error mid-plan
+        raise ValueError(
+            "metric columns must be numeric scalars: "
+            + ", ".join(f"{m} is {dtypes[m]}" for m in bad)
+        )
 
     melted = stats.select(
         F.col(part_col).alias("part"),

@@ -355,3 +355,31 @@ def test_outliers_cli_flags_anomalous_part(spark, tmp_path_factory, capsys):
         capsys, ["outliers", "--stats", f"{base}/stats", "--metrics", "nope"]
     )
     assert rc == 2 and "not in stats frame" in err
+
+
+def test_outliers_cli_surfaces_not_ready_and_refuses_non_numeric(spark, tmp_path_factory, capsys):
+    """A NULL metric (the part whose profile could not be computed) must
+    surface in `not_ready` and flip the exit code — hiding it would
+    contradict the operator's 'degrades loudly' contract. A non-numeric
+    --metrics column gets the clean exit-2 ValueError, not a Py4J cast
+    trace."""
+    from bigdime_spark.sources.tables import write_table
+
+    base = str(tmp_path_factory.mktemp("outlnr"))
+    rows = [(f"p{i:02d}", float(100 + i % 3), "spec") for i in range(8)] + [
+        ("p08", None, "spec")
+    ]
+    stats = spark.createDataFrame(
+        rows, "part string, stat__w__avg double, stat__w__hist_spec string"
+    )
+    write_table(stats, f"{base}/stats", partition_by=None)
+    rc, summary, _ = _run_cli(capsys, ["outliers", "--stats", f"{base}/stats"])
+    assert rc == 1 and summary["outliers"] == []
+    assert [r["part"] for r in summary["not_ready"]] == ["p08"]
+
+    rc, _, err = _run_cli(
+        capsys,
+        ["outliers", "--stats", f"{base}/stats",
+         "--metrics", "stat__w__hist_spec"],
+    )
+    assert rc == 2 and "must be numeric" in err

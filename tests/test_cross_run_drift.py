@@ -166,3 +166,24 @@ def test_table_level_refuses_mixed_bins_in_specless_frame(spark):
     ok = _stats_of(fx.curated).drop("stat__w__hist_spec", "stat__h__hist")
     with pytest.raises(ValueError, match="different bin counts"):
         drift_from_stats(mixed, ok.select("part", "stat__w__hist"), table_level=True)
+
+
+def test_null_part_row_is_one_part_not_a_duplicate(spark):
+    """A stats frame holding a NULL-part row (groupBy keeps the NULL
+    group) is ONE part per row — the fused guard must not refuse it as
+    'duplicate rows' just because count_distinct drops NULLs. Two
+    NULL-part rows ARE duplicates and must still be refused."""
+    fx = build_fixture(spark, n_rows=64, n_parts=2)
+    p32 = StatsProfile(columns=[ColumnProfile("w", histogram=(0.0, 256.0, 32))])
+    stats = fx.raw.groupBy("part").agg(*p32.agg_exprs())
+    with_null = stats.unionByName(
+        fx.raw.withColumn("part", F.lit(None).cast("string"))
+        .groupBy("part")
+        .agg(*p32.agg_exprs())
+    )
+    other = fx.curated.groupBy("part").agg(*p32.agg_exprs())
+    # must NOT raise; NULL part scores like any other part key
+    assert drift_from_stats(with_null, other).count() > 0
+    doubled_null = with_null.unionByName(with_null.filter(F.col("part").isNull()))
+    with pytest.raises(ValueError, match="exactly one"):
+        drift_from_stats(doubled_null, other)
