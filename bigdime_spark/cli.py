@@ -246,6 +246,20 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _collapse_streaming_sink(stats):
+    """An append-mode streaming stats sink (stream --histograms) holds
+    one row per (part, micro-batch); scoring or drifting it raw would
+    hit the one-row-per-part refusal. The ``rows_total`` column is the
+    streamed-sink signature — collapse to the current state per part
+    (latest_histograms) when present; batch stats frames pass through
+    untouched."""
+    if "rows_total" in stats.columns:
+        from bigdime_spark.streaming.stateful import latest_histograms
+
+        return latest_histograms(stats)
+    return stats
+
+
 def _committed_sink_files(sink_dir: str) -> list[str]:
     """COMMITTED parquet files of a streaming sink, per its
     _spark_metadata log — a stopped TTL-mode drain can leave an
@@ -364,8 +378,8 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("bigdime-drift", master=args.master)
         try:
             scores = drift_from_stats(
-                spark.read.parquet(args.stats_a),
-                spark.read.parquet(args.stats_b),
+                _collapse_streaming_sink(spark.read.parquet(args.stats_a)),
+                _collapse_streaming_sink(spark.read.parquet(args.stats_b)),
                 table_level=args.table_level,
             )
         except ValueError as e:
@@ -402,7 +416,7 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         spark = get_spark("bigdime-outliers", master=args.master)
-        stats = read_table(spark, args.stats)
+        stats = _collapse_streaming_sink(read_table(spark, args.stats))
         if args.metrics:
             metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
         else:

@@ -75,6 +75,25 @@ def robust_part_outliers(
             "metric columns must be numeric scalars: "
             + ", ".join(f"{m} is {dtypes[m]}" for m in bad)
         )
+    # ONE eager guard job (parts-sized frame): duplicate per-part rows
+    # would skew every median AND emit duplicate score rows — refuse
+    # loudly, like drift_from_stats does. A NULL part key counts as
+    # one part (count_distinct drops NULLs; groupBy keeps the group).
+    row = stats.agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.count_distinct(F.col(part_col)).alias("_parts"),
+        F.coalesce(
+            F.max(F.col(part_col).isNull().cast("int")), F.lit(0)
+        ).alias("_null_parts"),
+    ).first()
+    if row["_rows"] != row["_parts"] + row["_null_parts"]:
+        raise ValueError(
+            f"stats frame has {row['_rows']} rows over "
+            f"{row['_parts'] + row['_null_parts']} parts — "
+            "robust_part_outliers needs exactly one row per part "
+            "(collapse an append-mode streaming sink with "
+            "latest_histograms, or filter to a single run_id, first)"
+        )
 
     melted = stats.select(
         F.col(part_col).alias("part"),

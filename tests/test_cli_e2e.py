@@ -265,6 +265,32 @@ def test_stream_cli_histograms_feed_drift(spark, tmp_path_factory, capsys):
     assert scores[("p0001", "w")]["psi_fail"] is True
     assert scores[("p0000", "w")]["psi_fail"] is False
 
+    # second micro-batch → the RAW append sink (<out>/hist_sink) now
+    # holds TWO rows per part. drift and outliers pointed at it must
+    # auto-collapse to the current state (rows_total is the
+    # streamed-sink signature) instead of refusing with the
+    # one-row-per-part guard — <out>/stats stays the pre-collapsed
+    # convenience copy
+    fx.raw.coalesce(1).write.mode("append").parquet(src)
+    rc, _, _ = _run_cli(
+        capsys,
+        ["stream", "--source", src, "--out", out, "--checkpoint", ckpt,
+         "--histograms"],
+    )
+    assert rc == 0
+    assert spark.read.parquet(f"{out}/hist_sink").count() == 8  # 2 rows/part
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["drift", "--stats-a", f"{out}/hist_sink", "--stats-b", f"{base}/bstats"],
+    )
+    assert rc == 0 and len(summary["scores"]) == 12
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["outliers", "--stats", f"{out}/hist_sink", "--metrics", "rows_total"],
+    )
+    # every part doubled identically → uniform, nothing flagged
+    assert rc == 0 and summary["scored"] == 4 and summary["outliers"] == []
+
 
 def test_ann_cli_ivf_and_hyperplane(spark, tmp_path_factory, capsys):
     """`ann` subcommand: trained-IVF (production default) and
