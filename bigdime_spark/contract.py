@@ -1503,6 +1503,43 @@ _COS_SQL = (
 )
 
 
+def q_embedding_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table pre-flight (operators/similarity.
+    embedding_integrity): the invariants every ANN/dedup path assumes
+    — uniform dims, no NULL/NaN/Inf/zero vectors, sane norms — as ONE
+    fused single-scan aggregate."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_integrity(e, "vec_id", "embedding")
+
+
+SQL_EMBEDDING_INTEGRITY = """
+WITH per AS (
+  SELECT embedding AS v,
+         embedding IS NULL AS is_null,
+         CASE WHEN embedding IS NOT NULL THEN
+           len(list_filter(embedding,
+               x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) > 0
+         END AS nonfinite,
+         CASE WHEN embedding IS NOT NULL THEN
+           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))
+         END AS sumsq
+  FROM embeddings
+)
+SELECT count(*) AS n_rows,
+       count(*) FILTER (is_null) AS n_null_vec,
+       count(DISTINCT CASE WHEN NOT is_null THEN len(v) END) AS n_dims,
+       count(*) FILTER (coalesce(nonfinite, false)) AS n_nonfinite,
+       count(*) FILTER (NOT is_null AND NOT nonfinite AND sumsq = 0.0) AS n_zero,
+       round(min(CASE WHEN NOT is_null AND NOT nonfinite THEN sqrt(sumsq) END), 6)
+         AS min_norm,
+       round(max(CASE WHEN NOT is_null AND NOT nonfinite THEN sqrt(sumsq) END), 6)
+         AS max_norm,
+       round(avg(CASE WHEN NOT is_null AND NOT nonfinite THEN sqrt(sumsq) END), 6)
+         AS avg_norm
+FROM per
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
@@ -2080,6 +2117,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
+    "embedding_integrity": QuerySpec(q_embedding_integrity, SQL_EMBEDDING_INTEGRITY),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_ivf_trained_topk": QuerySpec(q_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED),
     "ann_lsh_nn": QuerySpec(q_ann_lsh_nn, SQL_ANN_LSH),

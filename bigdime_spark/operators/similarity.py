@@ -657,3 +657,39 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def embedding_integrity(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Pre-flight validation of an embedding table — the invariants
+    every ANN / embedding-dedup path in this module silently assumes:
+    uniform dimensionality, no NULL vectors, no NaN/Inf components, no
+    zero vectors (cosine against them is undefined), sane norm range.
+    → ONE summary row (single fused aggregation over one scan):
+
+      n_rows, n_null_vec, n_dims (distinct dimensionalities among
+      non-null vectors — anything but 1 breaks every dot product),
+      n_nonfinite (vectors containing NaN/Inf), n_zero (all-zero
+      vectors), min/max/avg L2 norm over clean vectors, rounded 6.
+
+    Counts are exact; norm stats exclude null/non-finite vectors so a
+    single poisoned row cannot hide the healthy population's range."""
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    nonfinite = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    sumsq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    clean = ~is_null & ~nonfinite
+    norm = F.when(clean, F.sqrt(sumsq))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(is_null).alias("n_null_vec"),
+        F.count_distinct(F.when(~is_null, F.size(v))).alias("n_dims"),
+        F.count_if(F.coalesce(nonfinite, F.lit(False))).alias("n_nonfinite"),
+        F.count_if(clean & (sumsq == 0.0)).alias("n_zero"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+    )

@@ -184,3 +184,29 @@ def test_cosine_dup_pairs_ivf_sound_and_capped(spark, emb):
     }
     assert {(r["id1"], r["id2"]) for r in got} <= full
     assert similarity.cosine_dup_pairs_ivf(emb, cent, threshold=0.4, max_cell=1).count() == 0
+
+
+def test_embedding_integrity_counts_planted_defects(spark):
+    """One fused aggregate must count each defect class exactly: NULL
+    vector, NaN component, Inf component, all-zero vector, and a
+    mixed-dimensionality row — while norm stats cover only the clean
+    population (a poisoned row must not drag min/max/avg)."""
+    from bigdime_spark.operators.similarity import embedding_integrity
+
+    rows = [
+        (0, [3.0, 4.0]),          # norm 5
+        (1, [0.0, 0.0]),          # zero vector (clean but degenerate)
+        (2, None),                # null vector
+        (3, [float("nan"), 1.0]), # NaN
+        (4, [float("inf"), 1.0]), # Inf
+        (5, [1.0, 2.0, 2.0]),     # second dimensionality, norm 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_integrity(df, "vec_id", "embedding").collect()[0]
+    assert got["n_rows"] == 6
+    assert got["n_null_vec"] == 1
+    assert got["n_dims"] == 2
+    assert got["n_nonfinite"] == 2
+    assert got["n_zero"] == 1
+    assert (got["min_norm"], got["max_norm"]) == (0.0, 5.0)
+    assert got["avg_norm"] == round((5.0 + 0.0 + 3.0) / 3, 6)
