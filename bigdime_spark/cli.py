@@ -168,6 +168,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "pass over the same queries (adds one full corpus scan) — "
         "the (train_k, nprobe) / (nbits, multiprobe) tuning readout",
     )
+    an.add_argument(
+        "--integrity",
+        action="store_true",
+        help="pre-flight the embedding table first (NULL/NaN/Inf/zero "
+        "vectors, mixed dims, norm range — one scan); abort with exit "
+        "2 on any defect instead of silently computing cosines over "
+        "poisoned vectors",
+    )
     an.add_argument("--master", default=None)
 
     st = sub.add_parser(
@@ -530,6 +538,26 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("bigdime-ann", master=args.master)
         table = read_table(spark, args.input)
+        if args.integrity:
+            integ = similarity.embedding_integrity(
+                table, args.id_col, args.vec_col
+            ).collect()[0]
+            defects = {
+                k: integ[k]
+                for k in ("n_null_vec", "n_nonfinite", "n_zero")
+                if integ[k] > 0
+            }
+            if integ["n_dims"] > 1:
+                defects["n_dims"] = integ["n_dims"]
+            if defects:
+                print(
+                    "ann: embedding integrity pre-flight failed: "
+                    + ", ".join(f"{k}={v}" for k, v in sorted(defects.items()))
+                    + f" over {integ['n_rows']} rows — clean the table "
+                    "before searching it",
+                    file=sys.stderr,
+                )
+                return 2
         qids = [q.strip() for q in args.queries.split(",") if q.strip()]
         queries = table.filter(F.col(args.id_col).cast("string").isin(qids))
         n_queries = queries.count()

@@ -409,3 +409,31 @@ def test_outliers_cli_surfaces_not_ready_and_refuses_non_numeric(spark, tmp_path
          "--metrics", "stat__w__hist_spec"],
     )
     assert rc == 2 and "must be numeric" in err
+
+
+def test_ann_cli_integrity_preflight(spark, tmp_path_factory, capsys):
+    """--integrity: a clean table proceeds to search; a table with one
+    NaN vector aborts with the defect counts on stderr and exit 2 —
+    before any cosine is computed over poisoned data."""
+    base = tmp_path_factory.mktemp("annint")
+    out = str(base / "out")
+    clean = "/root/testdata/sf0.001/embeddings.parquet"
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["ann", "--input", clean, "--out", out, "--queries", "0,1",
+         "--mode", "brute", "--integrity"],
+    )
+    assert rc == 0 and summary["rows"] == 10
+
+    poisoned = spark.read.parquet(clean).limit(50).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 3, F.array(*[F.lit(float("nan"))] * 64))
+        .otherwise(F.col("embedding")),
+    )
+    poisoned.write.parquet(f"{base}/bad")
+    rc, _, err = _run_cli(
+        capsys,
+        ["ann", "--input", f"{base}/bad", "--out", f"{base}/out2",
+         "--queries", "0,1", "--mode", "brute", "--integrity"],
+    )
+    assert rc == 2 and "n_nonfinite=1" in err
