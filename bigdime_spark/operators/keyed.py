@@ -73,6 +73,7 @@ class KeyedSnapshotPass:
         check_referential: bool = True,
         check_caption: bool = True,
         max_parts: int = 100_000,
+        assume_clustered: bool = False,
     ):
         self.key = key
         self.caption_col = caption_col
@@ -81,6 +82,19 @@ class KeyedSnapshotPass:
         self.check_caption = check_caption
         #: per-key distinct-part struct bound (module docstring)
         self.max_parts = max_parts
+        #: True when both snapshots are ALREADY hash-clustered on the
+        #: key — bucketed tables (``df.write.bucketBy(n, key)
+        #: .saveAsTable``) with matching bucket counts. Skips the
+        #: explicit ``repartition(key)``: Catalyst satisfies the
+        #: groupBy clustering from the scan's bucket distribution, so
+        #: the whole uniqueness/referential/caption pass runs with
+        #: ZERO shuffle exchanges (plan-asserted in
+        #: test_plan_shapes) — at 10^12 rows, bucketing the snapshots
+        #: at write time buys the entire keyed shuffle back on every
+        #: validation run. With an unbucketed input this flag is
+        #: merely slower (Spark inserts the exchange anyway), never
+        #: wrong.
+        self.assume_clustered = assume_clustered
 
     # ------------------------------------------------------------ plan
 
@@ -94,12 +108,10 @@ class KeyedSnapshotPass:
                 F.count_if(cap.isNull()).alias("cap_nulls"),
             ]
         cols = [self.key, "part"] + ([self.caption_col] if need_caption else [])
-        kp = (
-            df.select(*cols)
-            .repartition(self.key)  # the side's ONLY exchange
-            .groupBy(self.key, "part")
-            .agg(*lvl1)
-        )
+        side = df.select(*cols)
+        if not self.assume_clustered:
+            side = side.repartition(self.key)  # the side's ONLY exchange
+        kp = side.groupBy(self.key, "part").agg(*lvl1)
         struct_fields = ["part", "n_kp"] + (
             ["cap_min", "cap_max", "cap_nulls"] if need_caption else []
         )

@@ -144,6 +144,12 @@ class ValidationSuite:
     decode_snapshots: tuple[str, ...] = ("raw", "curated")
     unique_key: str = "image_id"
     ref_key: str = "image_id"
+    #: True when raw/curated are BUCKETED tables on the keyed-pass key
+    #: (bucketBy at write time, matching bucket counts): the keyed
+    #: uniqueness/referential/caption pass then skips its
+    #: repartition(key) and runs with ZERO shuffle exchanges
+    #: (operators/keyed.KeyedSnapshotPass.assume_clustered)
+    keyed_assume_clustered: bool = False
     drift_specs: tuple = DEFAULT_DRIFT_COLUMNS
     stats: StatsProfile | None = None
     topk_violations: int | None = None
@@ -461,6 +467,7 @@ class ValidationSuite:
                 check_uniqueness=self.check_uniqueness,
                 check_referential=self.check_referential,
                 check_caption=self.check_caption,
+                assume_clustered=self.keyed_assume_clustered,
             )
             for name, v_df, viol in keyed.run(ctx):
                 partial_frames.append(v_df)

@@ -179,3 +179,50 @@ def test_ivf_topk_shuffles_corpus_exactly_once(spark, tmp_path):
     # count is |Q| × candidates, not the corpus)
     corpus_exchanges = re.findall(r"hashpartitioning\(id#", plan)
     assert len(corpus_exchanges) == 1, plan
+
+
+def test_keyed_pass_zero_exchange_on_bucketed_tables(spark, tmp_path_factory):
+    """The 100-TB shuffle buy-back: snapshots BUCKETED on the key
+    (bucketBy at write time) + assume_clustered=True run the whole
+    keyed uniqueness/referential/caption pass with ZERO shuffle
+    exchanges — Catalyst satisfies the groupBy clustering from the
+    scan's bucket distribution and the join reuses it. Values must be
+    identical to the repartition path."""
+    import re
+
+    from bigdime_spark.operators.base import SuiteContext
+    from bigdime_spark.operators.keyed import KeyedSnapshotPass
+
+    d = str(tmp_path_factory.mktemp("bktfx"))
+    fx = build_fixture(spark, n_rows=200, n_parts=4)
+    for name, df in (("kb_raw", fx.raw), ("kb_cur", fx.curated)):
+        (
+            df.write.bucketBy(8, "image_id")
+            .sortBy("image_id")
+            .option("path", f"{d}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    try:
+        raw_b, cur_b = spark.table("kb_raw"), spark.table("kb_cur")
+        ctx = SuiteContext(
+            spark=spark, raw=raw_b, curated=cur_b,
+            parts=raw_b.select("part").distinct(),
+        )
+        j = KeyedSnapshotPass(assume_clustered=True)._joined(ctx)
+        plan = _explain(j)
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchanges == 0, plan
+
+        ctx_plain = SuiteContext(
+            spark=spark, raw=fx.raw, curated=fx.curated,
+            parts=fx.raw.select("part").distinct(),
+        )
+        j_plain = KeyedSnapshotPass()._joined(ctx_plain)
+        key = lambda rows: sorted(map(str, rows))  # noqa: E731
+        assert key(j.select("image_id", "n_r", "n_c").collect()) == key(
+            j_plain.select("image_id", "n_r", "n_c").collect()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kb_raw")
+        spark.sql("DROP TABLE IF EXISTS kb_cur")
