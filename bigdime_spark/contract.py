@@ -1927,6 +1927,133 @@ SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.4
 
 
 # =====================================================================
+# Sampling / curation (C23–C24): deterministic hash sampling, domain
+# mix planning, token-budget shard packing (operators/sampling.py).
+# The 40-bit md5 sample hash is rebuilt in DuckDB with the same
+# strpos digit expansion the checksum oracle uses (_DIGITS).
+# =====================================================================
+
+_SAMPLE_SEED = "r5"
+_SAMPLE_RATE = 0.25
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+_MIX_TARGET = 60
+_SHARD_BUDGET = 2000
+
+
+def q_sample_uniform_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23a: deterministic uniform hash sample — keep ~25% of documents
+    by md5(doc_id, seed), a pure scan-local predicate (zero shuffles;
+    identical subset under any repartitioning or resume)."""
+    from bigdime_spark.operators.sampling import uniform_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = uniform_sample(d, "doc_id", _SAMPLE_RATE, _SAMPLE_SEED, keep_hash=True)
+    return out.select("doc_id", F.col("_sample_h").alias("sample_h"))
+
+
+_SAMPLE_H_SQL = (
+    "SELECT doc_id, source, "
+    f"substr(md5(concat_ws(':', doc_id::VARCHAR, '{_SAMPLE_SEED}')), 1, 10) AS h "
+    "FROM documents"
+)
+
+SQL_SAMPLE_UNIFORM: str  # assigned below once sampling constants import
+
+
+def q_mix_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23b: per-domain sampling plan for a 4:2:1:1 target mixture over
+    src0-3 (other domains excluded) at 60 target rows — one
+    domains-sized aggregate; thresholds are exact integers."""
+    from bigdime_spark.operators.sampling import mix_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_plan(d, "source", _MIX_WEIGHTS, _MIX_TARGET)
+
+
+def q_sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23c: deterministic stratified sample hitting the mix plan —
+    broadcast plan join + hash predicate; the corpus never shuffles."""
+    from bigdime_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = stratified_sample(
+        d, "source", "doc_id", _MIX_WEIGHTS, _MIX_TARGET, _SAMPLE_SEED, keep_hash=True
+    )
+    return out.select("doc_id", "source", F.col("_sample_h").alias("sample_h"))
+
+
+def q_shard_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24: token-budget shard packing — distributed exclusive prefix
+    sum of whitespace token counts in doc_id order, shards of ~2000
+    tokens. n_buckets=16 here; assignments are provably invariant to
+    the bucket count (tests/test_sampling.py asserts 1 vs 16)."""
+    from bigdime_spark.functions.text import ws_token_count
+    from bigdime_spark.operators.sampling import shard_pack
+
+    d = _t(spark, sf_dir, "documents")
+    return shard_pack(
+        d, "doc_id", ws_token_count(F.col("text")), _SHARD_BUDGET, n_buckets=16
+    )
+
+
+def _mix_values_sql() -> str:
+    from bigdime_spark.operators.sampling import normalized_weights
+
+    norm = normalized_weights(_MIX_WEIGHTS)
+    return ", ".join(
+        f"('{dom}', {int(_MIX_TARGET * p)})" for dom, p in sorted(norm.items())
+    )
+
+
+def _sampling_sql() -> tuple[str, str, str, str]:
+    from bigdime_spark.operators.sampling import SAMPLE_SPACE, threshold_for_rate
+
+    uniform = f"""
+WITH hv AS ({_SAMPLE_H_SQL})
+SELECT doc_id, ({_DIGITS}) AS sample_h
+FROM hv
+WHERE ({_DIGITS}) < {threshold_for_rate(_SAMPLE_RATE)}
+"""
+    plan_cte = f"""
+quotas(source, quota) AS (VALUES {_mix_values_sql()}),
+counts AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+plan AS (
+  SELECT q.source AS source,
+         coalesce(c.n_rows, 0) AS n_rows,
+         CAST(q.quota AS BIGINT) AS quota,
+         CASE WHEN coalesce(c.n_rows, 0) = 0 THEN 0
+              ELSE CAST(floor(least(q.quota / c.n_rows, 1.0) * {SAMPLE_SPACE})
+                        AS BIGINT) END AS threshold
+  FROM quotas q LEFT JOIN counts c USING (source)
+)"""
+    mix = f"""
+WITH {plan_cte}
+SELECT source, n_rows, quota, threshold FROM plan
+"""
+    stratified = f"""
+WITH {plan_cte},
+hv AS ({_SAMPLE_H_SQL})
+SELECT hv.doc_id AS doc_id, hv.source AS source, ({_DIGITS}) AS sample_h
+FROM hv JOIN plan ON hv.source = plan.source
+WHERE ({_DIGITS}) < plan.threshold
+"""
+    shard = f"""
+WITH t AS (
+  SELECT doc_id, CAST({_WS_TOKENS_SQL} AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+FROM t
+"""
+    return uniform, mix, stratified, shard
+
+
+SQL_SAMPLE_UNIFORM, SQL_MIX_PLAN, SQL_SAMPLE_STRATIFIED, SQL_SHARD_PACK = _sampling_sql()
+
+
+# =====================================================================
 # Flagship: the ValidationSuite itself, verdict table vs SQL oracle
 # =====================================================================
 
@@ -2130,6 +2257,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding_ivf": QuerySpec(q_dedup_embedding_ivf, SQL_DEDUP_EMBEDDING_IVF),
     # skew (B27)
     "salted_groupby_events": QuerySpec(q_salted_groupby_events, SQL_SALTED_GROUPBY),
+    # sampling / curation (C23–C24)
+    "sample_uniform_documents": QuerySpec(q_sample_uniform_documents, SQL_SAMPLE_UNIFORM),
+    "mix_plan_documents": QuerySpec(q_mix_plan_documents, SQL_MIX_PLAN),
+    "sample_stratified_documents": QuerySpec(
+        q_sample_stratified_documents, SQL_SAMPLE_STRATIFIED
+    ),
+    "shard_pack_documents": QuerySpec(q_shard_pack_documents, SQL_SHARD_PACK),
     # flagship suite
     "suite_verdicts_lineitem": QuerySpec(q_suite_verdicts_lineitem, SQL_SUITE_VERDICTS),
 }
