@@ -251,6 +251,42 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ol.add_argument("--out", default=None, help="optionally write full scores here")
     ol.add_argument("--master", default=None)
+
+    cu = sub.add_parser(
+        "curate",
+        help="end-to-end corpus curation: row-local quality/lang/PII "
+        "gates → exact + MinHash near-dup dedup → deterministic "
+        "mixture sampling → token-budget shard packing; writes "
+        "<out>/curated and prints per-stage counts",
+    )
+    cu.add_argument("--input", required=True, help="documents-shaped table dir")
+    cu.add_argument("--out", required=True, help="writes <out>/curated")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--domain-col", default="source")
+    cu.add_argument("--min-tokens", type=int, default=None)
+    cu.add_argument(
+        "--max-dup-line-frac",
+        type=float,
+        default=None,
+        help="drop docs whose duplicate-line fraction exceeds this",
+    )
+    cu.add_argument("--langs", default=None, help="comma-separated language allow-list")
+    cu.add_argument("--drop-pii", action="store_true")
+    cu.add_argument("--exact-dedup", action="store_true")
+    cu.add_argument("--minhash-dedup", action="store_true")
+    cu.add_argument("--minhash-threshold", type=float, default=0.5)
+    cu.add_argument(
+        "--mix",
+        default=None,
+        help="domain mixture weights, e.g. src0=4,src1=2,src2=1 "
+        "(requires --target-rows; domains not listed are excluded)",
+    )
+    cu.add_argument("--target-rows", type=int, default=None)
+    cu.add_argument("--sample-rate", type=float, default=None)
+    cu.add_argument("--seed", default="curate")
+    cu.add_argument("--shard-budget", type=int, default=None)
+    cu.add_argument("--master", default=None)
     return p
 
 
@@ -479,6 +515,51 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 1 if (flagged or not_ready) else 0
+
+    if args.cmd == "curate":
+        from bigdime_spark.plans.curate import CurateConfig, curate
+
+        mix = None
+        if args.mix is not None:
+            try:
+                mix = {
+                    k.strip(): float(v)
+                    for k, v in (pair.split("=", 1) for pair in args.mix.split(","))
+                }
+            except ValueError:
+                print(f"curate: bad --mix spec {args.mix!r}", file=sys.stderr)
+                return 2
+        try:
+            cfg = CurateConfig(
+                id_col=args.id_col,
+                text_col=args.text_col,
+                domain_col=args.domain_col,
+                min_tokens=args.min_tokens,
+                max_dup_line_frac=args.max_dup_line_frac,
+                langs=tuple(args.langs.split(",")) if args.langs else None,
+                drop_pii=args.drop_pii,
+                exact_dedup=args.exact_dedup,
+                minhash_dedup=args.minhash_dedup,
+                minhash_threshold=args.minhash_threshold,
+                mix_weights=mix,
+                target_rows=args.target_rows,
+                sample_rate=args.sample_rate,
+                seed=args.seed,
+                shard_budget=args.shard_budget,
+            )
+        except ValueError as e:
+            print(f"curate: {e}", file=sys.stderr)
+            return 2
+        spark = get_spark("bigdime-curate", master=args.master)
+        try:
+            result = curate(read_table(spark, args.input), cfg)
+        except ValueError as e:
+            print(f"curate: {e}", file=sys.stderr)
+            return 2
+        write_table(result.curated, f"{args.out}/curated", partition_by=None)
+        result.release()
+        print(json.dumps({"cmd": "curate", **result.counts}))
+        return 0
 
     if args.cmd == "dedup":
         from pyspark.sql import functions as F

@@ -1,0 +1,209 @@
+"""End-to-end corpus curation: filter → dedup → sample → shard.
+
+The composition a training-data pipeline runs before a corpus ships,
+built entirely from this engine's operators (SURVEY §2.C):
+
+1. row-local quality gates — token floor (C11), duplicate-line
+   ceiling (Gopher repetition, C11b), language allow-list (C13),
+   PII rejection (C22);
+2. exact dedup — one row per content hash, min-id keeper (C1);
+3. near-dup drop — MinHash-LSH pairs → connected components →
+   min-id keeper per cluster (C2 + C20);
+4. mixture sampling — deterministic stratified (or uniform) hash
+   sample (C23);
+5. shard packing — token-budget shard ids (C24).
+
+Scale posture: the row-local gates are ONE scan-local predicate (all
+stage-drop accounting comes from a single fused ``count_if``
+aggregate — no per-stage rescans of the raw input); each surviving
+frame is persisted once, counted with a cheap aggregate, and released
+as soon as the next stage materializes, so at most one intermediate
+snapshot is live at a time. Dedup/sampling stages reuse the bounded
+operators (banded joins, broadcast plans) — nothing here is all-pairs
+or driver-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdime_spark.functions.text import (
+    pii_metrics,
+    predicted_lang,
+    repetition_metrics,
+    ws_token_count,
+)
+from bigdime_spark.operators.dedup import (
+    drop_exact_dups,
+    drop_near_dups,
+    minhash_lsh_dedup,
+)
+from bigdime_spark.operators.sampling import (
+    shard_pack,
+    stratified_sample,
+    uniform_sample,
+)
+
+
+@dataclass(frozen=True)
+class CurateConfig:
+    """Pipeline switches; every stage is optional and off by default."""
+
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    domain_col: str = "source"
+    # stage 1: row-local gates
+    min_tokens: int | None = None
+    max_dup_line_frac: float | None = None
+    langs: tuple[str, ...] | None = None
+    drop_pii: bool = False
+    # stage 2/3: dedup
+    exact_dedup: bool = False
+    minhash_dedup: bool = False
+    minhash_threshold: float = 0.5
+    minhash_ngram: int = 3
+    # stage 4: sampling (mix and rate are mutually exclusive)
+    mix_weights: dict[str, float] | None = None
+    target_rows: int | None = None
+    sample_rate: float | None = None
+    seed: str = "curate"
+    # stage 5: shard packing
+    shard_budget: int | None = None
+    shard_buckets: int = 64
+
+    def __post_init__(self) -> None:
+        if self.mix_weights is not None and self.sample_rate is not None:
+            raise ValueError("mix_weights and sample_rate are mutually exclusive")
+        if self.mix_weights is not None and self.target_rows is None:
+            raise ValueError("mix_weights requires target_rows")
+
+
+@dataclass
+class CurateResult:
+    """Curated frame + per-stage row accounting.
+
+    ``counts`` maps stage → rows SURVIVING that stage (monotone
+    non-increasing), plus ``drop_*`` entries for each row-local gate
+    (how many the gate would reject on its own — overlaps allowed, so
+    they need not sum to the filtered total)."""
+
+    curated: DataFrame
+    counts: dict[str, int] = field(default_factory=dict)
+
+    def release(self) -> None:
+        """Unpersist the curated frame's cached snapshot."""
+        self.curated.unpersist()
+
+
+def _gate_predicates(cfg: CurateConfig) -> dict[str, Column]:
+    """Named row-local gates; a row must pass ALL of them."""
+    text = F.col(cfg.text_col)
+    preds: dict[str, Column] = {}
+    if cfg.min_tokens is not None:
+        preds["min_tokens"] = ws_token_count(text) >= cfg.min_tokens
+    if cfg.max_dup_line_frac is not None:
+        rep = repetition_metrics(text)
+        preds["dup_line_frac"] = rep["dup_line_frac"] <= cfg.max_dup_line_frac
+    if cfg.langs is not None:
+        preds["lang"] = predicted_lang(text).isin(*cfg.langs)
+    if cfg.drop_pii:
+        preds["pii"] = ~pii_metrics(text)["has_pii"]
+    return preds
+
+
+def curate(df: DataFrame, cfg: CurateConfig) -> CurateResult:
+    """Run the configured pipeline; see module docstring for stages.
+
+    The returned ``curated`` frame is persisted (callers read or write
+    it more than once — call :meth:`CurateResult.release` when done).
+    """
+    counts: dict[str, int] = {}
+    preds = _gate_predicates(cfg)
+
+    # ONE fused pass over the raw input: total, per-gate solo drops,
+    # and the all-gates survivor count — no per-gate rescans.
+    agg_cols = [F.count(F.lit(1)).alias("n_input")]
+    keep_all = F.lit(True)
+    for name, p in preds.items():
+        agg_cols.append(F.count_if(~F.coalesce(p, F.lit(False))).alias(f"drop_{name}"))
+        keep_all = keep_all & F.coalesce(p, F.lit(False))
+    row = df.agg(*agg_cols).collect()[0]
+    counts["input"] = int(row["n_input"])
+    for name in preds:
+        counts[f"drop_{name}"] = int(row[f"drop_{name}"])
+
+    cur = df.filter(keep_all) if preds else df
+    cur = cur.persist()
+    counts["after_gates"] = cur.count()
+
+    prev = cur
+
+    def _advance(nxt: DataFrame, stage: str) -> DataFrame:
+        nonlocal prev
+        nxt = nxt.persist()
+        counts[stage] = nxt.count()  # materializes nxt before the release
+        prev.unpersist()
+        prev = nxt
+        return nxt
+
+    if cfg.exact_dedup:
+        cur = _advance(
+            drop_exact_dups(cur, [cfg.text_col], cfg.id_col), "after_exact_dedup"
+        )
+
+    if cfg.minhash_dedup:
+        pairs = minhash_lsh_dedup(
+            cur,
+            cfg.id_col,
+            cfg.text_col,
+            ngram=cfg.minhash_ngram,
+            threshold=cfg.minhash_threshold,
+        )
+        cur = _advance(
+            drop_near_dups(cur, cfg.id_col, pairs), "after_neardup"
+        )
+
+    if cfg.mix_weights is not None:
+        cur = _advance(
+            stratified_sample(
+                cur,
+                cfg.domain_col,
+                cfg.id_col,
+                cfg.mix_weights,
+                cfg.target_rows,
+                cfg.seed,
+            ),
+            "after_sample",
+        )
+    elif cfg.sample_rate is not None:
+        cur = _advance(
+            uniform_sample(cur, cfg.id_col, cfg.sample_rate, cfg.seed),
+            "after_sample",
+        )
+
+    if cfg.shard_budget is not None:
+        shards = shard_pack(
+            cur,
+            cfg.id_col,
+            ws_token_count(F.col(cfg.text_col)),
+            cfg.shard_budget,
+            n_buckets=cfg.shard_buckets,
+        ).select(cfg.id_col, "shard_id")
+        # slim (id, shard_id) frame joins back; at mixture-sized outputs
+        # it broadcasts, at corpus-sized outputs it is a co-keyed join
+        cur = _advance(cur.join(shards, cfg.id_col), "after_shards")
+
+    counts["output"] = counts.get(
+        "after_shards",
+        counts.get(
+            "after_sample",
+            counts.get(
+                "after_neardup",
+                counts.get("after_exact_dedup", counts["after_gates"]),
+            ),
+        ),
+    )
+    return CurateResult(curated=cur, counts=counts)

@@ -1,0 +1,161 @@
+"""End-to-end corpus curation (plans/curate.py + CLI `curate`).
+
+Planted corpus: 24 clean English docs across 3 domains, plus one doc
+per failure mode (short, repetitive, German, PII), one exact-dup pair
+and one near-dup pair. Every stage must drop exactly its plants and
+the per-stage accounting must say so.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdime_spark import cli
+from bigdime_spark.plans.curate import CurateConfig, CurateResult, curate
+
+
+def _clean_text(i: int) -> str:
+    # per-doc unique tail keeps clean docs below the 0.5 Jaccard
+    # near-dup bar (a shared ~10-token prefix alone is ~0.24)
+    unique = " ".join(f"u{i}w{j}" for j in range(12))
+    return "the cat and the dog is to walk in town " + unique + f" tail{i}"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"dom{i % 3}", _clean_text(i)) for i in range(24)]
+    base = " ".join(f"word{j} the of and is" for j in range(10))
+    rows += [
+        (100, "dom0", "the cat is"),                                    # min_tokens (still 'en')
+        (101, "dom1", "the line is a line\n" * 12),                     # dup lines
+        (102, "dom2", "der hund und die katze ist ein tier nicht da"),  # German
+        (103, "dom0", "the mail of and is a to in reach me a@b.com"),   # PII
+        (110, "dom1", base),                                            # exact dup
+        (111, "dom1", base),                                            #   twin
+        (120, "dom2", base + " extra"),                                 # near dup of 110
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+FULL = CurateConfig(
+    min_tokens=5,
+    max_dup_line_frac=0.5,
+    langs=("en",),
+    drop_pii=True,
+    exact_dedup=True,
+    minhash_dedup=True,
+    minhash_threshold=0.5,
+)
+
+
+def test_gates_drop_exactly_the_plants(corpus):
+    res = curate(corpus, CurateConfig(
+        min_tokens=5, max_dup_line_frac=0.5, langs=("en",), drop_pii=True
+    ))
+    c = res.counts
+    assert c["input"] == 31
+    assert c["drop_min_tokens"] == 1
+    assert c["drop_dup_line_frac"] == 1
+    assert c["drop_lang"] == 1
+    assert c["drop_pii"] == 1
+    assert c["after_gates"] == 27 == c["output"]
+    ids = {r["doc_id"] for r in res.curated.select("doc_id").collect()}
+    assert ids == set(range(24)) | {110, 111, 120}
+    res.release()
+
+
+def test_dedup_stages_keep_min_id(corpus):
+    res = curate(corpus, FULL)
+    c = res.counts
+    assert c["after_gates"] == 27
+    assert c["after_exact_dedup"] == 26          # 111 collapsed into 110
+    assert c["after_neardup"] == 25 == c["output"]  # 120 near-dup of 110
+    ids = {r["doc_id"] for r in res.curated.select("doc_id").collect()}
+    assert 110 in ids and 111 not in ids and 120 not in ids
+    res.release()
+
+
+def test_counts_monotone_and_stage_order(corpus):
+    res = curate(corpus, FULL)
+    stages = ["input", "after_gates", "after_exact_dedup", "after_neardup"]
+    vals = [res.counts[s] for s in stages]
+    assert vals == sorted(vals, reverse=True)
+    res.release()
+
+
+def test_mix_sampling_and_shards(corpus):
+    res = curate(corpus, CurateConfig(
+        mix_weights={"dom0": 1.0, "dom1": 1.0},
+        target_rows=12,
+        seed="t",
+        shard_budget=40,
+    ))
+    out = res.curated
+    assert "shard_id" in out.columns
+    doms = {r["source"] for r in out.select("source").distinct().collect()}
+    assert doms <= {"dom0", "dom1"}           # dom2 excluded from the mix
+    assert res.counts["after_sample"] >= res.counts["after_shards"] - 0  # shards add no rows
+    assert res.counts["output"] == res.counts["after_shards"] == out.count()
+    # shard ids form a dense 0..max prefix (global prefix sum)
+    sids = sorted({r["shard_id"] for r in out.select("shard_id").collect()})
+    assert sids == list(range(len(sids)))
+    res.release()
+
+
+def test_uniform_rate_path_and_config_validation(corpus):
+    res = curate(corpus, CurateConfig(sample_rate=0.5, seed="u"))
+    assert 0 < res.counts["after_sample"] < 31
+    res.release()
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CurateConfig(mix_weights={"a": 1}, sample_rate=0.5, target_rows=5)
+    with pytest.raises(ValueError, match="target_rows"):
+        CurateConfig(mix_weights={"a": 1})
+
+
+def test_noop_config_passes_everything_through(corpus):
+    res = curate(corpus, CurateConfig())
+    assert res.counts == {"input": 31, "after_gates": 31, "output": 31}
+    res.release()
+
+
+def _run_cli(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr()
+    lines = [ln for ln in out.out.strip().splitlines() if ln.startswith("{")]
+    return rc, (json.loads(lines[-1]) if lines else None), out.err
+
+
+def test_cli_curate_end_to_end(spark, corpus, tmp_path_factory, capsys):
+    base = str(tmp_path_factory.mktemp("curate"))
+    corpus.write.parquet(f"{base}/docs")
+    rc, summary, _ = _run_cli(capsys, [
+        "curate", "--input", f"{base}/docs", "--out", f"{base}/out",
+        "--min-tokens", "5", "--langs", "en", "--drop-pii",
+        "--exact-dedup", "--mix", "dom0=1,dom1=1,dom2=1",
+        "--target-rows", "15", "--shard-budget", "60",
+    ])
+    assert rc == 0
+    assert summary["cmd"] == "curate"
+    assert summary["input"] == 31
+    assert summary["after_exact_dedup"] == summary["after_gates"] - 1
+    written = spark.read.parquet(f"{base}/out/curated")
+    assert written.count() == summary["output"]
+    assert "shard_id" in written.columns
+
+
+def test_cli_curate_bad_mix_exits_2(corpus, tmp_path_factory, capsys):
+    base = str(tmp_path_factory.mktemp("curate2"))
+    corpus.write.parquet(f"{base}/docs")
+    rc, _, err = _run_cli(capsys, [
+        "curate", "--input", f"{base}/docs", "--out", f"{base}/out",
+        "--mix", "dom0=notanumber",
+    ])
+    assert rc == 2 and "bad --mix" in err
+    rc2, _, err2 = _run_cli(capsys, [
+        "curate", "--input", f"{base}/docs", "--out", f"{base}/out",
+        "--mix", "dom0=1",
+    ])
+    assert rc2 == 2 and "target_rows" in err2
