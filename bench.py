@@ -45,12 +45,14 @@ HEADLINE = [
     "checksum_lineitem",
     "drift_extendedprice",
     "drift_table_rollup_orders",
+    "quantiles_from_stats_orders",
     "stats_outlier_parts",
     "topk_orders_per_priority",
     "events_json_extract",
     "quality_documents",
     "repetition_documents",
     "fingerprint_documents",
+    "contamination_documents",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_hamming",
@@ -62,6 +64,8 @@ HEADLINE = [
     "ann_ivf_trained_topk",
     "ann_lsh_nn",
     "ann_hyperplane_recall",
+    "sample_stratified_documents",
+    "shard_pack_documents",
     "suite_verdicts_lineitem",
 ]
 
@@ -238,6 +242,10 @@ def main() -> int:
                     "in-JVM reps, clearCache between reps"
                 ),
                 "queries": queries,
+                # headline membership grows across rounds (r5 added the
+                # sampling/shard-pack queries): compare per-query walls,
+                # not totals, across bench artifacts with different counts
+                "headline_n": len(HEADLINE),
                 "sf": sf_val,
                 "cpus": cpus,
                 "images_per_sec": suite.get("images_per_sec"),

@@ -287,6 +287,27 @@ def _build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--seed", default="curate")
     cu.add_argument("--shard-budget", type=int, default=None)
     cu.add_argument("--master", default=None)
+
+    dc = sub.add_parser(
+        "decontam",
+        help="benchmark decontamination: flag (and optionally drop) "
+        "corpus docs sharing word n-grams with a held-out eval set — "
+        "benchmark grams broadcast, the corpus side never shuffles",
+    )
+    dc.add_argument("--input", required=True, help="corpus table dir (id + text)")
+    dc.add_argument("--bench", required=True, help="benchmark table dir (text)")
+    dc.add_argument("--out", required=True, help="writes <out>/flagged (+/clean)")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--bench-text-col", default=None)
+    dc.add_argument("--n", type=int, default=8, help="word n-gram length")
+    dc.add_argument("--min-hits", type=int, default=1)
+    dc.add_argument(
+        "--drop",
+        action="store_true",
+        help="also write the decontaminated corpus to <out>/clean",
+    )
+    dc.add_argument("--master", default=None)
     return p
 
 
@@ -559,6 +580,50 @@ def main(argv: list[str] | None = None) -> int:
         write_table(result.curated, f"{args.out}/curated", partition_by=None)
         result.release()
         print(json.dumps({"cmd": "curate", **result.counts}))
+        return 0
+
+    if args.cmd == "decontam":
+        from pyspark.sql import functions as F
+
+        from bigdime_spark.operators.decontam import (
+            contamination_scan,
+            drop_contaminated,
+        )
+
+        spark = get_spark("bigdime-decontam", master=args.master)
+        corpus = read_table(spark, args.input)
+        bench = read_table(spark, args.bench)
+        try:
+            flagged = contamination_scan(
+                corpus,
+                bench,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                bench_text_col=args.bench_text_col,
+                n=args.n,
+                min_hits=args.min_hits,
+            ).persist()  # report-sized; sink + summary (+drop) share it
+            write_table(flagged, f"{args.out}/flagged", partition_by=None)
+            summary = flagged.agg(
+                F.count(F.lit(1)).alias("n_flagged"),
+                F.coalesce(F.sum("n_hits"), F.lit(0)).alias("hits_total"),
+                F.coalesce(F.max("n_hits"), F.lit(0)).alias("max_hits"),
+            ).collect()[0]
+            result = {
+                "cmd": "decontam",
+                "flagged": int(summary["n_flagged"]),
+                "hits_total": int(summary["hits_total"]),
+                "max_hits": int(summary["max_hits"]),
+            }
+            if args.drop:
+                clean = drop_contaminated(corpus, flagged, id_col=args.id_col)
+                write_table(clean, f"{args.out}/clean", partition_by=None)
+                result["clean_rows"] = clean.count()
+            flagged.unpersist()
+        except ValueError as e:
+            print(f"decontam: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps(result))
         return 0
 
     if args.cmd == "dedup":

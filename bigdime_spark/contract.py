@@ -729,6 +729,90 @@ def q_drift_table_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles_from_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from PERSISTED histogram arrays (stats.
+    quantiles_from_stats) — the quantile analogue of the cross-run
+    drift: the source is never rescanned, only the per-part
+    stat__<col>__hist arrays. The oracle reconstructs the same binned
+    inverse ECDF directly from the rows — factoring through the
+    stored histograms must be value-invisible."""
+    from bigdime_spark.operators.stats import histogram_frames, quantiles_from_stats
+
+    o = _t(spark, sf_dir, "orders")
+    sf = histogram_frames(
+        o.withColumn("part", F.col("o_orderstatus")),
+        [("o_totalprice", 900.0, 600000.0, 64)],
+    )
+    return quantiles_from_stats(sf, qs=(0.25, 0.5, 0.75))
+
+
+def q_quantiles_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-LEVEL quantiles from PER-PART histogram arrays: profiled
+    per o_orderpriority partition, bucket counts summed across parts
+    (additive) before the inverse-ECDF walk. The oracle never
+    partitions — additivity must make the per-part factoring
+    value-invisible (same discipline as drift_table_rollup_orders)."""
+    from bigdime_spark.operators.stats import histogram_frames, quantiles_from_stats
+
+    o = _t(spark, sf_dir, "orders")
+    sf = histogram_frames(
+        o.withColumn("part", F.col("o_orderpriority")),
+        [("o_totalprice", 900.0, 600000.0, 64)],
+    )
+    return quantiles_from_stats(sf, qs=(0.25, 0.5, 0.75), table_level=True)
+
+
+def _quantiles_sql(
+    col: str, lo: float, hi: float, nbins: int, part_expr: str
+) -> str:
+    """SQL mirror of stats.quantiles_from_stats over histograms built
+    with histograms.bucket_col semantics: first bucket whose cumsum
+    reaches q·n, linear interpolation inside it, under/overflow clamp
+    to lo/hi. Literal doubles are Python-formatted (e.g. the bucket
+    width) so both engines evaluate the identical IEEE values."""
+    w = (hi - lo) / nbins
+    bucket = (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN {col} < {lo} THEN 0 "
+        f"WHEN {col} >= {hi} THEN {nbins + 1} "
+        f"ELSE CAST(floor(({col} - {lo}) / {hi - lo} * {nbins}) + 1 AS INT) END"
+    )
+    return f"""
+WITH h AS (
+  SELECT part, bucket, count(*) AS cnt FROM (
+    SELECT {part_expr} AS part, {bucket} AS bucket FROM orders
+  ) WHERE bucket IS NOT NULL GROUP BY 1, 2
+), c AS (
+  SELECT part, bucket, cnt,
+         (sum(cnt) OVER (PARTITION BY part ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+         (sum(cnt) OVER (PARTITION BY part))::BIGINT AS n_rows
+  FROM h
+), sel AS (
+  SELECT part, q, n_rows, bucket, cnt, cum, q * n_rows AS target
+  FROM c CROSS JOIN (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS q)
+  WHERE cum >= q * n_rows
+  QUALIFY row_number() OVER (PARTITION BY part, q ORDER BY bucket) = 1
+)
+SELECT part, '{col}' AS "column", q, n_rows,
+       round(CASE WHEN bucket = 0 THEN {lo!r}::DOUBLE
+                  WHEN bucket = {nbins + 1} THEN {hi!r}::DOUBLE
+                  ELSE {lo!r}::DOUBLE + (bucket - 1) * {w!r}::DOUBLE
+                       + ((target - (cum - cnt)) / cnt) * {w!r}::DOUBLE
+             END, 6) AS quantile_est
+FROM sel
+"""
+
+
+SQL_QUANTILES_FROM_STATS = _quantiles_sql(
+    "o_totalprice", 900.0, 600000.0, 64, "o_orderstatus"
+)
+
+SQL_QUANTILES_ROLLUP = _quantiles_sql(
+    "o_totalprice", 900.0, 600000.0, 64, "'*'"
+)
+
+
 def _drift_sql_grouped(
     source_sql_r: str, source_sql_c: str, col: str, lo: float, hi: float, nbins: int
 ) -> str:
@@ -1493,6 +1577,52 @@ SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.2
 """
 
 
+def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.contamination_scan):
+    docs sharing word n-grams with a held-out benchmark set. The
+    deterministic `doc_id % 97 == 0` slice plays the benchmark; the
+    rest is the corpus. n=3 keeps the overlap non-degenerate on the
+    synthetic corpus (production default is 8–13-gram); the corpus
+    side never shuffles (benchmark grams broadcast), and the sample
+    column is the bounded 10-smallest matched grams."""
+    from bigdime_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corp = d.filter(F.col("doc_id") % 97 != 0)
+    return decontam.contamination_scan(corp, bench, n=3)
+
+
+SQL_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), gr AS (
+  SELECT doc_id,
+         list_filter(list_distinct([array_to_string(t[i:i+2], ' ')
+             FOR i IN generate_series(1, greatest(len(t) - 2, 1))]),
+             g -> g <> '') AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM gr WHERE doc_id % 97 = 0
+), corp AS (
+  SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g
+  FROM gr WHERE doc_id % 97 <> 0
+), hits AS (
+  SELECT doc_id, n_grams, count(*) AS n_hits,
+         array_to_string(list_sort(list(g))[1:10], ',') AS sample_grams_csv
+  FROM corp JOIN bench USING (g)
+  GROUP BY 1, 2
+)
+SELECT doc_id, n_grams, n_hits,
+       round(n_hits::DOUBLE / n_grams, 6) AS hit_fraction,
+       sample_grams_csv
+FROM hits WHERE n_hits >= 1
+"""
+
+
 # =====================================================================
 # Similarity search (embeddings table)
 # =====================================================================
@@ -2211,6 +2341,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "drift_table_rollup_orders": QuerySpec(
         q_drift_table_rollup_orders, SQL_DRIFT_CROSS_RUN
     ),
+    "quantiles_from_stats_orders": QuerySpec(
+        q_quantiles_from_stats_orders, SQL_QUANTILES_FROM_STATS
+    ),
+    "quantiles_rollup_orders": QuerySpec(
+        q_quantiles_rollup_orders, SQL_QUANTILES_ROLLUP
+    ),
     "drift_multipart_lineitem": QuerySpec(q_drift_multipart_lineitem, SQL_DRIFT_MULTIPART),
     # windows / scalar funcs (B23–B25, §2.6)
     "topk_orders_per_priority": QuerySpec(q_topk_orders_per_priority, SQL_TOPK_ORDERS),
@@ -2242,6 +2378,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_dedup_phash_clusters_star, SQL_DEDUP_PHASH_CLUSTERS
     ),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "contamination_documents": QuerySpec(
+        q_contamination_documents, SQL_CONTAMINATION
+    ),
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
     "embedding_integrity": QuerySpec(q_embedding_integrity, SQL_EMBEDDING_INTEGRITY),

@@ -1,0 +1,146 @@
+"""Benchmark decontamination: flag corpus documents that share word
+n-grams with a held-out evaluation/benchmark set.
+
+The standard LLM-training hygiene pass (GPT-3 §C / Gopher-style
+13-gram decontamination): any training document containing an n-gram
+that also appears in an evaluation benchmark leaks test data into
+training and must be dropped before the corpus ships.
+
+Spark-first shape, sized for an asymmetric 10^12-doc corpus × small
+(≤10^5-item) benchmark:
+
+- benchmark grams: one pass over the benchmark → distinct gram frame
+  (benchmark-sized, megabytes) → ``F.broadcast`` into the probe join,
+  so the CORPUS SIDE NEVER SHUFFLES — the scan → gram explode →
+  broadcast-hash-join pipeline is one mapper stage;
+- per-doc gram arrays are built with the same ``transform``-over-
+  ``sequence`` Column expression as the dedup shingles (JVM-side,
+  whole-stage codegen; the explode is row-local);
+- only MATCHED (doc, gram) rows reach the one hash-agg shuffle, and
+  contamination is rare by construction, so the shuffle is a sliver
+  of the corpus;
+- the per-doc matched-gram sample is BOUNDED (row_number cap over the
+  same clustering the aggregation needs — one exchange serves both),
+  the same bounded-state discipline as dedup.MAX_GROUP_IDS: a
+  document that is a verbatim benchmark copy must not materialize its
+  entire gram set in one aggregation row. ``n_hits`` stays exact.
+
+Output is CONTAMINATED DOCS ONLY (one row per flagged doc) — the
+clean 99.9% of a 10^12-row corpus never appears in the result, which
+is what makes the report collectable and the follow-up anti-join
+cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdime_spark.functions.text import tokens_col
+
+#: matched-gram sample cap per flagged doc (counts stay exact).
+MAX_SAMPLE_GRAMS = 10
+
+
+def word_gram_array(text: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text`` as an array<string> Column.
+
+    Shares the dedup-shingle convention (dedup.word_ngram_shingles):
+    a doc shorter than ``n`` tokens yields its whole text as one
+    gram; a blank doc yields an empty array. Pure Column expression —
+    no UDF, no shuffle."""
+    toks = tokens_col(text)
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return F.filter(grams, lambda g: g != F.lit(""))
+
+
+def benchmark_grams(
+    bench: DataFrame, text_col: str, n: int = 8
+) -> DataFrame:
+    """Distinct word n-grams of the benchmark set → one-column
+    ``(gram)`` frame. Benchmark-sized (its only shuffle is its own
+    distinct), intended to ride a broadcast into the probe join."""
+    return (
+        bench.select(F.explode(word_gram_array(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_scan(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 1,
+    max_sample: int = MAX_SAMPLE_GRAMS,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag corpus docs sharing ≥ ``min_hits`` word n-grams with the
+    benchmark. → (id_col, n_grams, n_hits, hit_fraction,
+    sample_grams_csv), contaminated docs only.
+
+    ``n_grams`` = the doc's distinct gram count (computed from the
+    array BEFORE the explode — row-local, no second pass);
+    ``hit_fraction`` = n_hits / n_grams; ``sample_grams_csv`` = the
+    ``max_sample`` lexicographically-smallest matched grams.
+
+    ``broadcast_bench=False`` falls back to a plain shuffle join for
+    the (unusual) case of a benchmark too large to broadcast —
+    that shuffles the exploded corpus on ``gram`` and should be a
+    deliberate choice."""
+    grams = word_gram_array(F.col(text_col), n)
+    base = docs.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
+    exploded = base.select(
+        "_id", F.size("_grams").alias("n_grams"), F.explode("_grams").alias("gram")
+    )
+
+    bg = benchmark_grams(bench, bench_text_col or text_col, n)
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    hits = exploded.join(bg, "gram")
+
+    # one exchange on (_id, n_grams) serves the sample window AND the
+    # final agg; collect_list skips the when() NULLs past the cap, so
+    # the agg buffer holds ≤ max_sample grams however hot the doc.
+    w = Window.partitionBy("_id", "n_grams").orderBy("gram")
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .groupBy("_id", "n_grams")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("_rn") <= max_sample, F.col("gram")))
+                ),
+                ",",
+            ).alias("sample_grams_csv"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_fraction"),
+            "sample_grams_csv",
+        )
+    )
+
+
+def drop_contaminated(
+    docs: DataFrame, flagged: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove flagged docs from the corpus (anti-join on id). The
+    flagged frame is report-sized; AQE turns this into a broadcast
+    anti-join when it fits, so the corpus again avoids a shuffle."""
+    return docs.join(
+        flagged.select(F.col(id_col)).distinct(), id_col, "left_anti"
+    )

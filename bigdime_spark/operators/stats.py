@@ -181,6 +181,101 @@ def histogram_frames(
     return arrays
 
 
+def quantiles_from_stats(
+    stats: DataFrame,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    table_level: bool = False,
+) -> DataFrame:
+    """Approximate quantiles from the PERSISTED ``stat__<col>__hist``
+    bucket arrays — the quantile analogue of the cross-run drift
+    (drift_from_stats) and HLL roll-up (rollup_distinct): at 10^12
+    rows a re-profile never rescans the data, it reads the few-KB
+    stats rows an earlier run persisted.
+
+    Estimator: inverse binned ECDF with linear interpolation inside
+    the selected bucket — for target t = q·n, the first bucket whose
+    cumulative count reaches t contributes
+    ``left_edge + (t − cum_prev)/cnt · bucket_width``; the open-ended
+    under/overflow buckets clamp to lo/hi. Max error is one bucket
+    width (the documented B9 binning bound).
+
+    ``table_level=True`` sums the per-part arrays first (fixed-bin
+    counts are additive — same roll-up drift_from_stats uses) and
+    returns one row per (column, q) with part "*".
+
+    Inherits drift_from_stats' refusal guards (duplicate per-part
+    rows, mixed binning specs); columns without a persisted
+    ``__hist_spec`` are skipped (their lo/hi/nbins are unknowable).
+    Metadata-scale end to end: parts × columns × nbins rows in,
+    parts × columns × len(qs) rows out.
+
+    → (part, column, q, n_rows, quantile_est)."""
+    from pyspark.sql import Window
+
+    from bigdime_spark.operators.drift import (
+        _melt_stats_histograms,
+        _validate_stats_frame,
+    )
+
+    specs = _validate_stats_frame(stats, "stats", table_level)
+    if not specs:
+        raise ValueError(
+            "no stat__<col>__hist_spec columns persisted — quantile "
+            "reconstruction needs the (lo, hi, nbins) the histograms "
+            "were profiled with; re-profile with histogram specs"
+        )
+    h = _melt_stats_histograms(stats, "cnt")
+    if table_level:
+        h = (
+            h.groupBy("column", "bucket")
+            .agg(F.sum("cnt").alias("cnt"), F.first("_nb_cnt").alias("_nb_cnt"))
+            .withColumn("part", F.lit("*"))
+        )
+    spec_rows = [
+        (c, float(s.split(":")[0]), float(s.split(":")[1]), int(s.split(":")[2]))
+        for c, s in sorted(specs.items())
+    ]
+    spec_df = h.sparkSession.createDataFrame(
+        spec_rows, ["column", "lo", "hi", "nbins"]
+    )
+    h = h.join(F.broadcast(spec_df), "column")
+
+    by_key = Window.partitionBy("part", "column")
+    cum_w = by_key.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_q = (
+        h.withColumn("n_rows", F.sum("cnt").over(by_key))
+        .withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+        .withColumn("target", F.col("q") * F.col("n_rows"))
+        .filter(F.col("cum") >= F.col("target"))
+    )
+    sel = per_q.groupBy("part", "column", "q").agg(
+        F.min_by(
+            F.struct("bucket", "cnt", "cum", "n_rows", "target", "lo", "hi", "nbins"),
+            F.col("bucket"),
+        ).alias("s")
+    )
+    s = sel.select("part", "column", "q", "s.*")
+    width = (F.col("hi") - F.col("lo")) / F.col("nbins")
+    frac = (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    est = (
+        F.when(F.col("bucket") == 0, F.col("lo"))
+        .when(F.col("bucket") == F.col("nbins") + 1, F.col("hi"))
+        .otherwise(
+            F.col("lo") + (F.col("bucket") - 1) * width + frac * width
+        )
+    )
+    return s.select(
+        "part",
+        "column",
+        "q",
+        "n_rows",
+        F.round(est, 6).alias("quantile_est"),
+    )
+
+
 def rollup_distinct(stats_frames: list[DataFrame], group_cols: tuple[str, ...] = ()) -> DataFrame:
     """B6 mergeable-sketch roll-up: union the per-partition stats frames
     (as persisted by the suite, `stat__<col>__hll` binary columns) and

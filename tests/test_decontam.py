@@ -1,0 +1,145 @@
+"""Benchmark-decontamination oracles (operators/decontam): planted
+contamination is found exactly, clean docs never appear, the matched-
+gram sample is bounded, and the plan never shuffles the corpus side.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators import decontam
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    bench_rows = [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "pack my box with five dozen liquor jugs"),
+    ]
+    docs_rows = [
+        # verbatim benchmark copy: every gram matches
+        (1, "the quick brown fox jumps over the lazy dog"),
+        # one leaked benchmark sentence inside an otherwise-clean doc
+        (2, "intro words here pack my box with five dozen liquor jugs and more"),
+        # clean: shares words but no 3-gram
+        (3, "quick dog fox brown lazy jumps box my pack"),
+        # clean, unrelated
+        (4, "completely unrelated text about spark plans and shuffles"),
+        # blank
+        (5, "   "),
+        # shorter than n tokens: whole-text gram, no match
+        (6, "two words"),
+    ]
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    docs = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+    return docs, bench
+
+
+def test_planted_contamination_found_exactly(spark, corpus):
+    docs, bench = corpus
+    out = decontam.contamination_scan(docs, bench, n=3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    # doc 1 is a verbatim copy: all 7 of its 3-grams match
+    assert got[1]["n_grams"] == 7
+    assert got[1]["n_hits"] == 7
+    assert got[1]["hit_fraction"] == 1.0
+    # doc 2 leaked one 8-token sentence → 6 matching 3-grams
+    assert got[2]["n_hits"] == 6
+    assert 0 < got[2]["hit_fraction"] < 1
+    # sample grams are real matched grams, sorted ascending
+    sample = got[2]["sample_grams_csv"].split(",")
+    assert sample == sorted(sample)
+    assert "pack my box" in sample
+
+
+def test_min_hits_threshold(spark, corpus):
+    docs, bench = corpus
+    out = decontam.contamination_scan(docs, bench, n=3, min_hits=7)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_sample_bounded_counts_exact(spark, corpus):
+    docs, bench = corpus
+    out = decontam.contamination_scan(docs, bench, n=3, max_sample=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_hits"] == 7  # count stays exact past the cap
+    assert len(got[1]["sample_grams_csv"].split(",")) == 2
+    # the bounded sample is the lexicographically-smallest matched grams
+    full = decontam.contamination_scan(docs, bench, n=3)
+    all_grams = {
+        r["doc_id"]: r["sample_grams_csv"].split(",") for r in full.collect()
+    }
+    assert got[1]["sample_grams_csv"].split(",") == sorted(all_grams[1])[:2]
+
+
+def test_empty_benchmark_flags_nothing(spark, corpus):
+    docs, bench = corpus
+    out = decontam.contamination_scan(docs, bench.filter(F.lit(False)), n=3)
+    assert out.count() == 0
+
+
+def test_drop_contaminated_removes_only_flagged(spark, corpus):
+    docs, bench = corpus
+    flagged = decontam.contamination_scan(docs, bench, n=3)
+    clean = decontam.drop_contaminated(docs, flagged)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [3, 4, 5, 6]
+
+
+def test_plan_corpus_side_never_shuffles(spark, corpus):
+    """100-TB shape assertion: the corpus scan reaches the probe join
+    through a BroadcastHashJoin with no Exchange beneath it; the only
+    hash exchanges are the benchmark distinct and the matched-subset
+    window/agg (which share one clustering)."""
+    docs, bench = corpus
+    out = decontam.contamination_scan(docs, bench, n=3)
+    plan = _explain(out)
+    assert "BroadcastHashJoin" in plan
+    # formatted plans name each node in the tree and once in the
+    # details; count distinct node ids instead of raw occurrences.
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+    broadcasts = set(re.findall(r"\((\d+)\) BroadcastExchange", plan))
+    assert len(broadcasts) == 1, plan
+    assert len(exchanges - broadcasts) <= 2, plan
+
+
+def test_broadcast_off_falls_back_to_shuffle_join(spark, corpus):
+    docs, bench = corpus
+    out = decontam.contamination_scan(docs, bench, n=3, broadcast_bench=False)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+
+def test_decontam_cli_end_to_end(spark, corpus, tmp_path_factory, capsys):
+    import json
+
+    from bigdime_spark import cli
+
+    docs, bench = corpus
+    d = str(tmp_path_factory.mktemp("decontam"))
+    docs.write.parquet(f"{d}/docs")
+    bench.write.parquet(f"{d}/bench")
+    rc = cli.main(
+        ["decontam", "--input", f"{d}/docs", "--bench", f"{d}/bench",
+         "--out", f"{d}/out", "--n", "3", "--drop"]
+    )
+    out = capsys.readouterr().out
+    summary = json.loads(
+        [ln for ln in out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert rc == 0
+    assert summary["flagged"] == 2
+    assert summary["hits_total"] == 13
+    assert summary["clean_rows"] == 4
+    flagged = spark.read.parquet(f"{d}/out/flagged")
+    assert {r["doc_id"] for r in flagged.collect()} == {1, 2}
+    clean = spark.read.parquet(f"{d}/out/clean")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [3, 4, 5, 6]
