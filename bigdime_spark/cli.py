@@ -77,6 +77,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "over the fused stats — zero extra scans); flagged parts FAIL "
         "profile_outlier.<metric>",
     )
+    r.add_argument(
+        "--bit-balance",
+        action="store_true",
+        help="enable the phash degeneracy detector (per-bit set "
+        "fractions ride the fused stats agg — zero extra scans); a "
+        "partition with stuck bits FAILs bit_balance_phash",
+    )
     r.add_argument("--topk-violations", type=int, default=None)
     r.add_argument(
         "--no-quarantine",
@@ -923,6 +930,7 @@ def main(argv: list[str] | None = None) -> int:
         check_phash_dedup=args.phash_dedup,
         phash_k=args.phash_k,
         check_profile_outliers=args.profile_outliers,
+        check_bit_balance=args.bit_balance,
     )
     res = suite.run(
         spark,

@@ -343,6 +343,58 @@ FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderk
 """
 
 
+_BLOOM_M, _BLOOM_K, _BLOOM_SEED = 4096, 3, "refbloom"
+
+
+def q_referential_bloom_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 via the Bloom membership sketch (operators/bloom): screen
+    every customer against a bitmap of orders.o_custkey — the
+    shuffle-free referential direction. m is deliberately undersized
+    (4096 bits) so the oracle must reproduce the EXACT false-positive
+    pattern, not just the definite misses: the md5 positions, the
+    32-bit lane fold, and the k-way probe are replayed digit by digit
+    in DuckDB."""
+    from bigdime_spark.operators.bloom import build_bloom, probe_bloom
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    bl = build_bloom(o, "o_custkey", _BLOOM_M, _BLOOM_K, _BLOOM_SEED)
+    return probe_bloom(
+        c.select("c_custkey"), bl, "c_custkey", _BLOOM_M, _BLOOM_K, _BLOOM_SEED
+    ).select("c_custkey", "bloom_member")
+
+
+def _bloom_sql(m: int, k: int, seed: str) -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (9 - i)}::BIGINT"
+        for i in range(10)
+    )
+    return f"""
+WITH bpos AS (
+  SELECT ({digits}) % {m} AS pos FROM (
+    SELECT md5(concat_ws(':', o_custkey::VARCHAR, i::VARCHAR, '{seed}')) AS h
+    FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
+  )
+), bitmap AS (
+  SELECT pos // 32 AS lane, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+), ppos AS (
+  SELECT c_custkey, ({digits}) % {m} AS pos FROM (
+    SELECT c_custkey,
+           md5(concat_ws(':', c_custkey::VARCHAR, i::VARCHAR, '{seed}')) AS h
+    FROM customer CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
+  )
+)
+SELECT c_custkey,
+       bool_and(((coalesce(bits, 0) >> CAST(pos % 32 AS INT)) & 1) = 1) AS bloom_member
+FROM ppos LEFT JOIN bitmap ON ppos.pos // 32 = bitmap.lane
+GROUP BY 1
+"""
+
+
+SQL_REFERENTIAL_BLOOM = _bloom_sql(_BLOOM_M, _BLOOM_K, _BLOOM_SEED)
+
+
 def q_domain_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B22 range/domain checks as (constraint, bad_rows) rows."""
     p = _t(spark, sf_dir, "part")
@@ -1193,6 +1245,46 @@ WITH windows AS (
   SELECT doc_id, CAST(({_POLY}) % 1000000007 AS BIGINT) AS hv FROM windows
 )
 SELECT doc_id, min(hv) AS rfp FROM hashes GROUP BY doc_id
+"""
+
+
+def q_bit_balance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-degeneracy detector (operators/bitbalance.bit_balance):
+    per-bit set fractions of an int64 fingerprint, per source
+    partition. The fingerprint here is the md5-portable 40-bit hash
+    of the text scanned over 48 bit positions — bits 40-47 are
+    structurally stuck at 0, so the query demonstrates detection on
+    real degeneracy while every row stays value-exact vs DuckDB. The
+    production form runs over the image table's full-width phash via
+    the suite's --bit-balance constraint."""
+    from bigdime_spark.operators.bitbalance import bit_balance
+
+    d = _t(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+    return bit_balance(
+        d.select(F.col("source").alias("part"), hv.alias("hv")),
+        "hv",
+        "part",
+        n_bits=48,
+    )
+
+
+_BB_DIGITS = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (9 - i)}::BIGINT"
+    for i in range(10)
+)
+SQL_BIT_BALANCE = f"""
+WITH hv AS (
+  SELECT source AS part, ({_BB_DIGITS}) AS x
+  FROM (SELECT source, md5(text) AS h FROM documents)
+), bits AS (
+  SELECT part, x, unnest(generate_series(0, 47)) AS bit FROM hv
+)
+SELECT part, bit,
+       count(x) AS n_rows,
+       CAST(coalesce(sum((x >> CAST(bit AS INT)) & 1), 0) AS BIGINT) AS n_set,
+       round(coalesce(sum((x >> CAST(bit AS INT)) & 1), 0) / count(x), 6) AS frac
+FROM bits GROUP BY 1, 2
 """
 
 
@@ -2329,6 +2421,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dup_groups_events_user": QuerySpec(q_dup_groups_events_user, SQL_DUP_GROUPS_EVENTS),
     "referential_counts": QuerySpec(q_referential_counts, SQL_REFERENTIAL_COUNTS),
     "referential_orphan_orders": QuerySpec(q_referential_orphan_orders, SQL_REFERENTIAL_ORPHANS),
+    "referential_bloom_customer": QuerySpec(
+        q_referential_bloom_customer, SQL_REFERENTIAL_BLOOM
+    ),
     "domain_violations": QuerySpec(q_domain_violations, SQL_DOMAIN_VIOLATIONS),
     "type_conformance_orders": QuerySpec(q_type_conformance_orders, SQL_TYPE_CONFORMANCE),
     "checksum_lineitem": QuerySpec(q_checksum_lineitem, SQL_CHECKSUM),
@@ -2358,6 +2453,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pii_documents": QuerySpec(q_pii_documents, SQL_PII),
     "langid_documents": QuerySpec(q_langid_documents, SQL_LANGID),
     "fingerprint_documents": QuerySpec(q_fingerprint_documents, SQL_FINGERPRINT),
+    "bit_balance_documents": QuerySpec(q_bit_balance_documents, SQL_BIT_BALANCE),
     "rolling_fingerprint_documents": QuerySpec(
         q_rolling_fingerprint_documents, SQL_ROLLING_FINGERPRINT
     ),

@@ -37,6 +37,7 @@ from bigdime_spark.operators.base import (
     TableConstraint,
     empty_violations,
 )
+from bigdime_spark.operators.bitbalance import BitBalance
 from bigdime_spark.operators.caption import CaptionEquality
 from bigdime_spark.operators.checksum import Checksum
 from bigdime_spark.operators.decode import DecodeIntegrity
@@ -135,6 +136,13 @@ class ValidationSuite:
     check_profile_outliers: bool = False
     outlier_metrics: tuple[str, ...] | None = None
     outlier_threshold: float = 3.5
+    #: optional phash degeneracy detector (operators/bitbalance.
+    #: BitBalance): per-bit set fractions of the int64 hash column,
+    #: FAIL on stuck bits — rides the fused stats aggregation (zero
+    #: extra scans); off by default like the other optional validators
+    check_bit_balance: bool = False
+    bit_balance_col: str = "phash"
+    bit_balance_bounds: tuple[float, float] = (0.02, 0.98)
     check_decode: bool = False
     decode_seed: int | None = None
     #: which snapshots the decode pass validates. The reference's DVS
@@ -165,6 +173,9 @@ class ValidationSuite:
         out += [NotNull(c) for c in self.not_null]
         if self.check_domains:
             out += default_image_domain_checks()
+        if self.check_bit_balance:
+            lo, hi = self.bit_balance_bounds
+            out.append(BitBalance(self.bit_balance_col, lo=lo, hi=hi))
         out += list(self.extra_agg_constraints)
         return out
 
