@@ -84,6 +84,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "fractions ride the fused stats agg — zero extra scans); a "
         "partition with stuck bits FAILs bit_balance_phash",
     )
+    r.add_argument(
+        "--referential-bloom",
+        action="store_true",
+        help="replace the exact referential join with the Bloom "
+        "membership SCREEN (operators/bloom.BloomReferential): zero "
+        "join shuffles, definite-orphan lower bounds — FAILs are "
+        "always real; adjudicate flagged parts with an exact re-run",
+    )
     r.add_argument("--topk-violations", type=int, default=None)
     r.add_argument(
         "--no-quarantine",
@@ -931,6 +939,7 @@ def main(argv: list[str] | None = None) -> int:
         phash_k=args.phash_k,
         check_profile_outliers=args.profile_outliers,
         check_bit_balance=args.bit_balance,
+        referential_mode="bloom" if args.referential_bloom else "exact",
     )
     res = suite.run(
         spark,

@@ -618,6 +618,84 @@ SQL_DRIFT_EXTENDEDPRICE = _drift_sql(
 )
 
 
+def q_drift_w1_js_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 drift-measure extension: Wasserstein-1 (bucket units,
+    sparse gap-weighted ECDF integral) and Jensen–Shannon divergence
+    (log2, unsmoothed proportions) out of the SAME melted-histogram
+    join that produces KS/PSI — operators/drift._score_histograms,
+    zero extra scans. The oracle replays the gap-run W1 and the
+    0·log 0 JS convention bucket by bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    spec = DriftColumn("l_extendedprice", 900.0, 105000.0, 64)
+    raw = li.filter(F.col("l_returnflag") == "R").withColumn("part", F.lit("*"))
+    cur = li.filter(F.col("l_returnflag") == "N").withColumn("part", F.lit("*"))
+    d = two_sample_drift(raw, cur, spec)
+    return d.select(
+        F.round("w1", 6).alias("w1"),
+        F.round("js", 6).alias("js"),
+        F.col("n").alias("n"),
+        F.col("m").alias("m"),
+    )
+
+
+def _drift_w1_js_sql(
+    source_sql_r: str, source_sql_c: str, col: str, lo: float, hi: float, nbins: int
+) -> str:
+    """SQL mirror of the W1/JS measures of _score_histograms."""
+    bucket = (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN {col} < {lo} THEN 0 "
+        f"WHEN {col} >= {hi} THEN {nbins + 1} "
+        f"ELSE CAST(floor(({col} - {lo}) / {hi - lo} * {nbins}) + 1 AS INT) END"
+    )
+    return f"""
+WITH hr AS (
+  SELECT bucket, count(*) AS cnt_r FROM (
+    SELECT {bucket} AS bucket FROM ({source_sql_r})
+  ) WHERE bucket IS NOT NULL GROUP BY 1
+), hc AS (
+  SELECT bucket, count(*) AS cnt_c FROM (
+    SELECT {bucket} AS bucket FROM ({source_sql_c})
+  ) WHERE bucket IS NOT NULL GROUP BY 1
+), joined AS (
+  SELECT COALESCE(hr.bucket, hc.bucket) AS bucket,
+         COALESCE(cnt_r, 0) AS cnt_r,
+         COALESCE(cnt_c, 0) AS cnt_c
+  FROM hr FULL OUTER JOIN hc ON hr.bucket = hc.bucket
+), scored AS (
+  SELECT bucket,
+         sum(cnt_r) OVER () AS n,
+         sum(cnt_c) OVER () AS m,
+         (sum(cnt_r) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / (sum(cnt_r) OVER ()) AS ecdf_r,
+         (sum(cnt_c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / (sum(cnt_c) OVER ()) AS ecdf_c,
+         lead(bucket) OVER (ORDER BY bucket) - bucket AS gap,
+         cnt_r::DOUBLE / (sum(cnt_r) OVER ()) AS pr,
+         cnt_c::DOUBLE / (sum(cnt_c) OVER ()) AS qr
+  FROM joined
+)
+SELECT round(sum(abs(ecdf_r - ecdf_c) * COALESCE(gap, 0)), 6) AS w1,
+       round(sum((
+         CASE WHEN pr > 0 THEN pr * log2(pr / ((pr + qr) / 2)) ELSE 0 END
+       + CASE WHEN qr > 0 THEN qr * log2(qr / ((pr + qr) / 2)) ELSE 0 END
+       ) / 2), 6) AS js,
+       max(n)::BIGINT AS n,
+       max(m)::BIGINT AS m
+FROM scored
+"""
+
+
+SQL_DRIFT_W1_JS = _drift_w1_js_sql(
+    "SELECT l_extendedprice FROM lineitem WHERE l_returnflag = 'R'",
+    "SELECT l_extendedprice FROM lineitem WHERE l_returnflag = 'N'",
+    "l_extendedprice",
+    900.0,
+    105000.0,
+    64,
+)
+
+
 def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     spec = DriftColumn("value", 0.0, 100.0, 20)
@@ -2427,6 +2505,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "domain_violations": QuerySpec(q_domain_violations, SQL_DOMAIN_VIOLATIONS),
     "type_conformance_orders": QuerySpec(q_type_conformance_orders, SQL_TYPE_CONFORMANCE),
     "checksum_lineitem": QuerySpec(q_checksum_lineitem, SQL_CHECKSUM),
+    "drift_w1_js_extendedprice": QuerySpec(q_drift_w1_js_extendedprice, SQL_DRIFT_W1_JS),
     # drift (B18/B19)
     "drift_extendedprice": QuerySpec(q_drift_extendedprice, SQL_DRIFT_EXTENDEDPRICE),
     "drift_events_value": QuerySpec(q_drift_events_value, SQL_DRIFT_EVENTS),

@@ -163,6 +163,94 @@ def probe_bloom(
     return out.withColumn(flag_col, member).drop(*drop)
 
 
+class BloomReferential:
+    """Suite-integrated referential SCREEN (B17's sketch form): both
+    raw↔curated directions via Bloom membership instead of the keyed
+    pass's full join.
+
+    Scale contract vs the exact check: ZERO join shuffles — each side
+    is folded once into a few-MB bitmap (map-side partials, exchange
+    carries tasks × lanes rows) and the other side probes scan-locally
+    through broadcast lane joins. Every reported violation is a
+    DEFINITE orphan (the filter has no false negatives), so the
+    per-part counts are LOWER bounds: a FAIL is always real, a PASS
+    means "no provable orphans at this false-positive rate", which is
+    exactly the screening trade a 10^12-row nightly run buys with
+    ``referential_mode='bloom'``. The exact mode stays the
+    adjudicating tool for parts the screen flags.
+    """
+
+    # TableConstraint protocol (duck-typed to avoid a circular import
+    # with operators.base at module load; the suite only calls these)
+    partial_verdicts = False
+    name = "referential_bloom"
+
+    def __init__(
+        self,
+        key: str = "image_id",
+        m_bits: int = 1 << 23,
+        k: int = 5,
+        seed: str = "refbloom",
+    ):
+        self.key, self.m_bits, self.k, self.seed = key, m_bits, k, seed
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]
+
+    def run(self, ctx):
+        from bigdime_spark.operators.base import (
+            fill_pass_for_missing_parts,
+            violation_rows,
+        )
+        from bigdime_spark.schema import FAIL
+
+        raw_keys = ctx.raw.select(self.key, "part")
+        cur_keys = ctx.curated.select(self.key, "part")
+        bloom_c = build_bloom(cur_keys, self.key, self.m_bits, self.k, self.seed)
+        bloom_r = build_bloom(raw_keys, self.key, self.m_bits, self.k, self.seed)
+        lost = bloom_definite_misses(
+            raw_keys, bloom_c, self.key, self.m_bits, self.k, self.seed
+        )
+        spurious = bloom_definite_misses(
+            cur_keys, bloom_r, self.key, self.m_bits, self.k, self.seed
+        )
+        v_lost = violation_rows(
+            lost,
+            self.name,
+            self.key,
+            F.lit("orphan_raw: key provably missing from curated (bloom)"),
+            "raw",
+            image_id_col=self.key,
+        )
+        v_spur = violation_rows(
+            spurious,
+            self.name,
+            self.key,
+            F.lit("spurious_curated: key provably missing from raw (bloom)"),
+            "curated",
+            image_id_col=self.key,
+        )
+        violations = v_lost.unionByName(v_spur)
+        failed_parts = (
+            violations.groupBy("part")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(
+                "part",
+                F.lit(FAIL).alias("verdict"),
+                F.concat(
+                    F.lit("definite_orphans="), F.col("orphans").cast("string")
+                ).alias("observed"),
+                F.lit("definite_orphans=0 (lower bound; bloom screen)").alias(
+                    "expected"
+                ),
+            )
+        )
+        return (
+            fill_pass_for_missing_parts(failed_parts, ctx.parts, self.name),
+            violations,
+        )
+
+
 def bloom_definite_misses(
     df: DataFrame,
     bloom: DataFrame,

@@ -275,8 +275,26 @@ def drift_from_stats(
 
 
 def _score_histograms(hr: DataFrame, hc: DataFrame) -> DataFrame:
-    """Shared KS/PSI scoring over two sparse melted histogram relations
-    (tiny: ≤ parts × columns × (nbins+2) rows)."""
+    """Shared drift scoring over two sparse melted histogram relations
+    (tiny: ≤ parts × columns × (nbins+2) rows). Four measures per
+    (part, column), all from the ONE joined frame — no extra scans:
+
+    - ``ks_d``  — sup-norm ECDF distance (B18), with its α=0.05
+      threshold;
+    - ``psi``   — ε-smoothed population-stability index (B19);
+    - ``w1``    — Wasserstein-1 (earth-mover) distance of the binned
+      distributions, IN BUCKET UNITS (multiply by the bin width
+      (hi−lo)/nbins for value units). W1 = Σ |ECDF_r − ECDF_c| over
+      bucket positions; across a run of absent buckets both ECDFs are
+      constant, so the sparse form weights each present row by the
+      gap to the next present bucket (``lead``) — identical to the
+      dense sum, and the L1 complement to KS's L∞ (a slow uniform
+      shift that never exceeds the KS threshold still accumulates W1);
+    - ``js``    — Jensen–Shannon divergence (log2 → bounded [0, 1])
+      of the UNsmoothed bucket proportions, with the standard
+      0·log 0 = 0 convention. Symmetric and finite even on disjoint
+      supports, where PSI's smoothing makes the value ε-dependent.
+    """
     joined = (
         hr.join(hc, ["part", "column", "bucket"], "full_outer")
         .select(
@@ -289,14 +307,29 @@ def _score_histograms(hr: DataFrame, hc: DataFrame) -> DataFrame:
         )
     )
     by_key = Window.partitionBy("part", "column")
-    cum = by_key.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    by_bucket = by_key.orderBy("bucket")
+    cum = by_bucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pr = F.try_divide(F.col("cnt_r"), F.col("n"))
+    qr = F.try_divide(F.col("cnt_c"), F.col("m"))
+    mid = (pr + qr) / 2
+    js_term = F.coalesce(
+        F.when(pr > 0, pr * F.log2(pr / mid)).otherwise(F.lit(0.0)), F.lit(0.0)
+    ) + F.coalesce(
+        F.when(qr > 0, qr * F.log2(qr / mid)).otherwise(F.lit(0.0)), F.lit(0.0)
+    )
     scored = (
         joined.withColumn("n", F.sum("cnt_r").over(by_key))
         .withColumn("m", F.sum("cnt_c").over(by_key))
         .withColumn("ecdf_r", F.try_divide(F.sum("cnt_r").over(cum), F.col("n")))
         .withColumn("ecdf_c", F.try_divide(F.sum("cnt_c").over(cum), F.col("m")))
+        # run length until the next present bucket; the final present
+        # bucket gets 0 (both ECDFs are 1 there — zero contribution)
+        .withColumn(
+            "gap", F.lead("bucket", 1, None).over(by_bucket) - F.col("bucket")
+        )
         .withColumn("p", (F.col("cnt_r") + PSI_EPS) / (F.col("n") + PSI_EPS * (F.col("nbins") + 2)))
         .withColumn("q", (F.col("cnt_c") + PSI_EPS) / (F.col("m") + PSI_EPS * (F.col("nbins") + 2)))
+        .withColumn("js_term", js_term / 2)
     )
     return scored.groupBy("part", "column").agg(
         F.max(F.abs(F.col("ecdf_r") - F.col("ecdf_c"))).alias("ks_d"),
@@ -305,6 +338,10 @@ def _score_histograms(hr: DataFrame, hc: DataFrame) -> DataFrame:
             * F.sqrt(F.try_divide(F.first("n") + F.first("m"), F.first("n") * F.first("m")))
         ).alias("ks_threshold"),
         F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"),
+        F.sum(
+            F.abs(F.col("ecdf_r") - F.col("ecdf_c")) * F.coalesce("gap", F.lit(0))
+        ).alias("w1"),
+        F.sum("js_term").alias("js"),
         F.first("n").alias("n"),
         F.first("m").alias("m"),
     )

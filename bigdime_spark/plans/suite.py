@@ -119,6 +119,15 @@ class ValidationSuite:
     check_checksum: bool = True
     check_uniqueness: bool = True
     check_referential: bool = True
+    #: "exact" = keyed-pass full join (adjudicating); "bloom" = the
+    #: operators/bloom.BloomReferential SCREEN — zero join shuffles,
+    #: definite-orphan lower bounds only (FAILs are always real, a
+    #: PASS means no provable orphan at the sketch's FPR). The 10^12-
+    #: row nightly posture: screen every run, adjudicate flagged parts
+    #: with the exact mode.
+    referential_mode: str = "exact"
+    referential_bloom_bits: int = 1 << 23
+    referential_bloom_k: int = 5
     check_caption: bool = True
     check_drift: bool = True
     check_domains: bool = True
@@ -188,10 +197,20 @@ class ValidationSuite:
         the prebuilt decode constraint — None when it already ran in
         pass 3a (checksum riding its scan)."""
         out: list[TableConstraint] = []
+        if has_curated and self.check_referential and self.referential_mode == "bloom":
+            from bigdime_spark.operators.bloom import BloomReferential
+
+            out.append(
+                BloomReferential(
+                    self.ref_key,
+                    m_bits=self.referential_bloom_bits,
+                    k=self.referential_bloom_k,
+                )
+            )
         if not self._keyed_fusable(has_curated):
             if self.check_uniqueness:
                 out.append(Uniqueness(self.unique_key))
-            if has_curated and self.check_referential:
+            if has_curated and self._ref_exact:
                 out.append(Referential(self.ref_key))
             if has_curated and self.check_caption:
                 out.append(CaptionEquality())
@@ -215,8 +234,12 @@ class ValidationSuite:
         out += list(self.extra_table_constraints)
         return out
 
+    @property
+    def _ref_exact(self) -> bool:
+        return self.check_referential and self.referential_mode == "exact"
+
     def _keyed_fusable(self, has_curated: bool) -> bool:
-        wants_ref = has_curated and (self.check_referential or self.check_caption)
+        wants_ref = has_curated and (self._ref_exact or self.check_caption)
         if not (self.check_uniqueness or wants_ref):
             return False
         # fuse only when all requested keyed constraints share one key
@@ -476,7 +499,7 @@ class ValidationSuite:
             keyed = KeyedSnapshotPass(
                 key=self.unique_key if self.check_uniqueness else self.ref_key,
                 check_uniqueness=self.check_uniqueness,
-                check_referential=self.check_referential,
+                check_referential=self._ref_exact,
                 check_caption=self.check_caption,
                 assume_clustered=self.keyed_assume_clustered,
             )

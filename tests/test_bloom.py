@@ -92,3 +92,59 @@ def test_probe_plan_is_scan_local(spark):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
     assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def test_suite_referential_bloom_screen(spark):
+    """referential_mode='bloom': injected orphan_raw ids (dropped from
+    curated) and spurious curated rows must surface as DEFINITE
+    violations under referential_bloom, the owning parts must FAIL,
+    untouched parts must PASS, and the exact Referential constraint
+    must NOT run (its verdict family absent)."""
+    from bigdime_spark.plans.suite import ValidationSuite
+    from bigdime_spark.schema import FAIL, PASS
+    from bigdime_spark.sources.synth import InjectionSpec, build_fixture
+
+    orphans = ("img-000000000005", "img-000000000009")
+    fx = build_fixture(
+        spark,
+        n_rows=64 * 4,
+        n_parts=4,
+        spec=InjectionSpec(orphan_raw=orphans, spurious_curated=2),
+    )
+    suite = ValidationSuite(
+        check_drift=False,
+        check_caption=False,
+        check_uniqueness=False,
+        check_decode=False,
+        referential_mode="bloom",
+        referential_bloom_bits=1 << 17,
+        referential_bloom_k=5,
+    )
+    res = suite.run(spark, fx.raw, fx.curated, manifest=None, resume=False)
+    fams = {
+        r["constraint"]
+        for r in res.verdicts.select("constraint").distinct().collect()
+    }
+    assert "referential_bloom" in fams and "referential" not in fams
+    got = {
+        r["part"]: r["verdict"]
+        for r in res.verdicts.filter(
+            F.col("constraint") == "referential_bloom"
+        ).collect()
+    }
+    # ids i live in part i % 4 → 5 → p0001, 9 → p0001; spurious extras
+    # land in every part of the curated snapshot (ids xtr-…)
+    assert got["p0001"] == FAIL
+    viol = res.violations.filter(
+        F.col("constraint") == "referential_bloom"
+    ).collect()
+    raw_side = {v["image_id"] for v in viol if v["snapshot"] == "raw"}
+    assert raw_side == set(orphans)  # no false negatives: ALL orphans found
+    cur_side = {v["image_id"] for v in viol if v["snapshot"] == "curated"}
+    assert all(i.startswith("xtr-") for i in cur_side)
+    # healthy parts with no definite misses PASS
+    assert all(
+        v == PASS for p, v in got.items() if p not in {r[0] for r in [("p0001",)]}
+        and p not in {x["part"] for x in viol}
+    )
+    res.release()

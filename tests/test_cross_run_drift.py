@@ -187,3 +187,56 @@ def test_null_part_row_is_one_part_not_a_duplicate(spark):
     doubled_null = with_null.unionByName(with_null.filter(F.col("part").isNull()))
     with pytest.raises(ValueError, match="exactly one"):
         drift_from_stats(doubled_null, other)
+
+
+# ----------------------------------------------- W1 / JS drift measures
+
+
+def _ts_drift(spark, vals_a, vals_b, lo=0.0, hi=10.0, nbins=10):
+    from bigdime_spark.operators.drift import DriftColumn, two_sample_drift
+
+    a = spark.createDataFrame([(float(v),) for v in vals_a], "x double").withColumn(
+        "part", F.lit("*")
+    )
+    b = spark.createDataFrame([(float(v),) for v in vals_b], "x double").withColumn(
+        "part", F.lit("*")
+    )
+    return two_sample_drift(a, b, DriftColumn("x", lo, hi, nbins)).collect()[0]
+
+
+def test_w1_js_zero_on_identical(spark):
+    vals = [0.5, 1.5, 2.5, 2.5, 7.5]
+    r = _ts_drift(spark, vals, vals)
+    assert r["w1"] == 0.0 and r["js"] == 0.0 and r["ks_d"] == 0.0
+
+
+def test_w1_counts_shift_in_bucket_units(spark):
+    # mass at bucket(0.5)=1 vs bucket(3.5)=4: one unit of probability
+    # moved 3 buckets → W1 = 3; KS only sees sup-norm 1.0 either way
+    r = _ts_drift(spark, [0.5], [3.5])
+    assert r["w1"] == 3.0 and r["ks_d"] == 1.0
+
+
+def test_w1_gap_weighting_matches_dense_sum(spark):
+    # sparse buckets with a gap: A all at 0.5 (bucket 1), B at 9.5
+    # (bucket 10) → ECDF diff 1.0 across 9 bucket positions
+    r = _ts_drift(spark, [0.5, 0.5], [9.5, 9.5])
+    assert r["w1"] == 9.0
+
+
+def test_js_bounded_and_maximal_on_disjoint(spark):
+    # disjoint supports → JS = 1.0 exactly (log2 base)
+    r = _ts_drift(spark, [0.5, 1.5], [7.5, 8.5])
+    assert abs(r["js"] - 1.0) < 1e-12
+    # overlapping → strictly inside (0, 1)
+    r2 = _ts_drift(spark, [0.5, 7.5], [7.5, 8.5])
+    assert 0.0 < r2["js"] < 1.0
+
+
+def test_w1_monotone_under_growing_shift(spark):
+    base = [0.5, 1.5, 2.5]
+    w1s = [
+        _ts_drift(spark, base, [v + d for v in base])["w1"]
+        for d in (0.0, 2.0, 4.0)
+    ]
+    assert w1s[0] < w1s[1] < w1s[2]
