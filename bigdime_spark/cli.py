@@ -92,6 +92,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "join shuffles, definite-orphan lower bounds — FAILs are "
         "always real; adjudicate flagged parts with an exact re-run",
     )
+    r.add_argument(
+        "--cat-drift",
+        type=str,
+        default="",
+        help="comma-separated categorical columns to drift-test with "
+        "exact value counts (verdict family drift_cat.<col>), e.g. fmt",
+    )
     r.add_argument("--topk-violations", type=int, default=None)
     r.add_argument(
         "--no-quarantine",
@@ -940,6 +947,9 @@ def main(argv: list[str] | None = None) -> int:
         check_profile_outliers=args.profile_outliers,
         check_bit_balance=args.bit_balance,
         referential_mode="bloom" if args.referential_bloom else "exact",
+        categorical_drift_cols=tuple(
+            c.strip() for c in args.cat_drift.split(",") if c.strip()
+        ),
     )
     res = suite.run(
         spark,

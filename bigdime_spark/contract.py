@@ -395,6 +395,114 @@ GROUP BY 1
 SQL_REFERENTIAL_BLOOM = _bloom_sql(_BLOOM_M, _BLOOM_K, _BLOOM_SEED)
 
 
+def q_categorical_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (round-5): PSI/JS/chi-square over EXACT value
+    counts of o_orderpriority between open and filled orders — the
+    drift modality for enum columns where binned ECDFs are
+    meaningless. operators/drift.categorical_drift; oracle replays the
+    smoothing, the JS zero conventions, and the two-sample chi-square
+    normalization term by term."""
+    from bigdime_spark.operators.drift import categorical_drift
+
+    o = _t(spark, sf_dir, "orders")
+    raw = o.filter(F.col("o_orderstatus") == "O").withColumn("part", F.lit("*"))
+    cur = o.filter(F.col("o_orderstatus") == "F").withColumn("part", F.lit("*"))
+    d = categorical_drift(raw, cur, ("o_orderpriority",))
+    return d.select(
+        "column",
+        F.round("psi", 6).alias("psi"),
+        F.round("js", 6).alias("js"),
+        F.round("chi2", 6).alias("chi2"),
+        "n",
+        "m",
+        "n_cats",
+    )
+
+
+_CAT_EPS = 1.0e-6
+SQL_CATEGORICAL_DRIFT = f"""
+WITH cr AS (
+  SELECT o_orderpriority AS value, count(*) AS cnt_r FROM orders
+  WHERE o_orderstatus = 'O' AND o_orderpriority IS NOT NULL GROUP BY 1
+), cc AS (
+  SELECT o_orderpriority AS value, count(*) AS cnt_c FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderpriority IS NOT NULL GROUP BY 1
+), joined AS (
+  SELECT COALESCE(cr.value, cc.value) AS value,
+         COALESCE(cnt_r, 0) AS cnt_r, COALESCE(cnt_c, 0) AS cnt_c
+  FROM cr FULL OUTER JOIN cc ON cr.value = cc.value
+), windowed AS (
+  SELECT cnt_r, cnt_c,
+         sum(cnt_r) OVER () AS n, sum(cnt_c) OVER () AS m,
+         count(*) OVER () AS n_cats,
+         cnt_r::DOUBLE / (sum(cnt_r) OVER ()) AS pr,
+         cnt_c::DOUBLE / (sum(cnt_c) OVER ()) AS qr
+  FROM joined
+), scored AS (
+  SELECT *,
+         (cnt_r + {_CAT_EPS}) / (n + {_CAT_EPS} * n_cats) AS p,
+         (cnt_c + {_CAT_EPS}) / (m + {_CAT_EPS} * n_cats) AS q
+  FROM windowed
+)
+SELECT 'o_orderpriority' AS column,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((
+           CASE WHEN pr > 0 THEN pr * log2(pr / ((pr + qr) / 2)) ELSE 0 END
+         + CASE WHEN qr > 0 THEN qr * log2(qr / ((pr + qr) / 2)) ELSE 0 END
+       ) / 2), 6) AS js,
+       round(sum(pow(sqrt(m::DOUBLE / n) * cnt_r - sqrt(n::DOUBLE / m) * cnt_c, 2)
+                 / (cnt_r + cnt_c)), 6) AS chi2,
+       max(n)::BIGINT AS n,
+       max(m)::BIGINT AS m,
+       max(n_cats)::BIGINT AS n_cats
+FROM scored
+"""
+
+
+def q_categorical_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical column profile (round-5): exact distinct count,
+    Shannon entropy (bits), and modal value + mass of documents.lang
+    per source partition — operators/stats.categorical_profile. A
+    per-part entropy collapse or top_frac spike is the categorical
+    twin of the bit-balance degeneracy signal."""
+    from bigdime_spark.operators.stats import categorical_profile
+
+    d = _t(spark, sf_dir, "documents")
+    prof = categorical_profile(
+        d.withColumn("part", F.col("source")), ("lang",)
+    )
+    return prof.select(
+        "part",
+        "column",
+        "n_rows",
+        "n_distinct",
+        F.round("entropy", 6).alias("entropy"),
+        "top_value",
+        F.round("top_frac", 6).alias("top_frac"),
+    )
+
+
+SQL_CATEGORICAL_PROFILE = """
+WITH counts AS (
+  SELECT source AS part, lang AS value, count(*) AS cnt FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1, 2
+), scored AS (
+  SELECT part, value, cnt,
+         sum(cnt) OVER (PARTITION BY part) AS n_rows,
+         row_number() OVER (PARTITION BY part ORDER BY cnt DESC, value ASC) AS rk
+  FROM counts
+)
+SELECT part,
+       'lang' AS column,
+       max(n_rows)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_distinct,
+       round(sum(-(cnt::DOUBLE / n_rows) * log2(cnt::DOUBLE / n_rows)), 6) AS entropy,
+       max(CASE WHEN rk = 1 THEN value END) AS top_value,
+       round(max(CASE WHEN rk = 1 THEN cnt::DOUBLE / n_rows END), 6) AS top_frac
+FROM scored GROUP BY part
+"""
+
+
 def q_domain_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B22 range/domain checks as (constraint, bad_rows) rows."""
     p = _t(spark, sf_dir, "part")
@@ -2503,6 +2611,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_referential_bloom_customer, SQL_REFERENTIAL_BLOOM
     ),
     "domain_violations": QuerySpec(q_domain_violations, SQL_DOMAIN_VIOLATIONS),
+    "categorical_drift_orders": QuerySpec(q_categorical_drift_orders, SQL_CATEGORICAL_DRIFT),
+    "categorical_profile_documents": QuerySpec(
+        q_categorical_profile_documents, SQL_CATEGORICAL_PROFILE
+    ),
     "type_conformance_orders": QuerySpec(q_type_conformance_orders, SQL_TYPE_CONFORMANCE),
     "checksum_lineitem": QuerySpec(q_checksum_lineitem, SQL_CHECKSUM),
     "drift_w1_js_extendedprice": QuerySpec(q_drift_w1_js_extendedprice, SQL_DRIFT_W1_JS),

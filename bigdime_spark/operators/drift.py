@@ -352,6 +352,112 @@ def two_sample_drift(raw: DataFrame, curated: DataFrame, spec: DriftColumn) -> D
     return two_sample_drift_multi(raw, curated, (spec,)).drop("column")
 
 
+def categorical_drift(
+    raw: DataFrame,
+    curated: DataFrame,
+    cols: tuple[str, ...] | list[str],
+    part_col: str = "part",
+) -> DataFrame:
+    """Two-sample drift for CATEGORICAL columns (fmt, source, priority
+    strings …) where binned ECDFs are meaningless — measures over EXACT
+    per-value counts instead of fixed bins.
+
+    → one row per (part, column): (part, column, psi, js, chi2, n, m,
+    n_cats) where
+
+    - ``psi``  — ε-smoothed over the union of observed categories
+      (denominator uses the per-(part, column) category count, the
+      categorical analogue of the nbins+2 term);
+    - ``js``   — Jensen–Shannon divergence (log2 → [0, 1]),
+      unsmoothed, 0·log 0 = 0;
+    - ``chi2`` — the two-sample chi-square statistic
+      Σ (√(m/n)·c_r − √(n/m)·c_c)² / (c_r + c_c) over categories
+      (Press et al., *Numerical Recipes* §14.3 "chstwo", public
+      formula) — classical significance thresholds apply at
+      df = n_cats − 1;
+    - ``n_cats`` — size of the union support (drift in the support
+      itself — a new fmt appearing — shows up here even at tiny mass).
+
+    NULL values are excluded (the not-null validator owns absence).
+
+    Plan shape at 10^12 rows: one (part, column, value) hash-agg per
+    snapshot with map-side partials — the exchange carries distinct
+    values, not rows — then a full-outer join + windows over the tiny
+    (parts × columns × cardinality) relation. Low-cardinality columns
+    are exactly where exact value counts stay small; for genuinely
+    high-cardinality keys use the numeric hash-histogram path
+    (DriftColumn over xxhash64) instead.
+    """
+    def melt(df: DataFrame, alias: str) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in cols
+        ]
+        return (
+            df.select(F.col(part_col).alias("part"), F.explode(F.array(*structs)).alias("mv"))
+            .select("part", "mv.column", "mv.value")
+            .where(F.col("value").isNotNull())
+            .groupBy("part", "column", "value")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    joined = (
+        melt(raw, "cnt_r")
+        .join(melt(curated, "cnt_c"), ["part", "column", "value"], "full_outer")
+        .select(
+            "part",
+            "column",
+            "value",
+            F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
+            F.coalesce("cnt_c", F.lit(0)).alias("cnt_c"),
+        )
+    )
+    by_key = Window.partitionBy("part", "column")
+    pr = F.try_divide(F.col("cnt_r"), F.col("n"))
+    qr = F.try_divide(F.col("cnt_c"), F.col("m"))
+    mid = (pr + qr) / 2
+    js_term = (
+        F.coalesce(
+            F.when(pr > 0, pr * F.log2(pr / mid)).otherwise(F.lit(0.0)), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.when(qr > 0, qr * F.log2(qr / mid)).otherwise(F.lit(0.0)), F.lit(0.0)
+        )
+    ) / 2
+    k1 = F.sqrt(F.try_divide(F.col("m"), F.col("n")))
+    k2 = F.sqrt(F.try_divide(F.col("n"), F.col("m")))
+    chi2_term = F.try_divide(
+        F.pow(k1 * F.col("cnt_r") - k2 * F.col("cnt_c"), F.lit(2.0)),
+        (F.col("cnt_r") + F.col("cnt_c")).cast("double"),
+    )
+    scored = (
+        joined.withColumn("n", F.sum("cnt_r").over(by_key))
+        .withColumn("m", F.sum("cnt_c").over(by_key))
+        .withColumn("n_cats", F.count(F.lit(1)).over(by_key))
+        .withColumn(
+            "p",
+            (F.col("cnt_r") + PSI_EPS) / (F.col("n") + PSI_EPS * F.col("n_cats")),
+        )
+        .withColumn(
+            "q",
+            (F.col("cnt_c") + PSI_EPS) / (F.col("m") + PSI_EPS * F.col("n_cats")),
+        )
+        .withColumn("js_term", js_term)
+        .withColumn("chi2_term", chi2_term)
+    )
+    return scored.groupBy("part", "column").agg(
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"),
+        F.sum("js_term").alias("js"),
+        F.sum("chi2_term").alias("chi2"),
+        F.first("n").alias("n"),
+        F.first("m").alias("m"),
+        F.first("n_cats").alias("n_cats"),
+    )
+
+
 class DriftCheck(TableConstraint):
     """Emits two verdict families per column: drift_ks.<col>, drift_psi.<col>.
 
@@ -401,3 +507,42 @@ class DriftCheck(TableConstraint):
         return [
             f"drift_{kind}.{s.column}" for s in self.specs for kind in ("ks", "psi")
         ]
+
+
+class CategoricalDriftCheck(TableConstraint):
+    """Per-part categorical drift verdicts: drift_cat.<col> FAILs when
+    the ε-smoothed PSI over exact value counts crosses the same
+    industry threshold the numeric family uses (0.25), with js/chi2/
+    n_cats carried in the observed detail. One melted value-count plan
+    serves every column (operators/drift.categorical_drift)."""
+
+    def __init__(self, cols: tuple[str, ...] = ("fmt",)):
+        self.cols = tuple(cols)
+        self.name = "drift_cat"
+
+    def run(self, ctx: SuiteContext) -> tuple[DataFrame, None]:
+        d = categorical_drift(ctx.raw, ctx.curated, self.cols)
+        not_ready = (F.col("n") == 0) | (F.col("m") == 0)
+        found = d.select(
+            "part",
+            F.concat(F.lit("drift_cat."), F.col("column")).alias("constraint"),
+            F.when(not_ready, F.lit(NOT_READY))
+            .when(F.col("psi") < PSI_FAIL, F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+            .alias("verdict"),
+            F.concat(
+                F.lit("psi="), F.round("psi", 6).cast("string"),
+                F.lit(";js="), F.round("js", 6).cast("string"),
+                F.lit(";chi2="), F.round("chi2", 6).cast("string"),
+                F.lit(";n_cats="), F.col("n_cats").cast("string"),
+            ).alias("observed"),
+            F.lit(f"psi<{PSI_FAIL}").alias("expected"),
+        )
+        return found, None
+
+    @property
+    def partial_verdicts(self) -> bool:
+        return True
+
+    def verdict_names(self) -> list[str]:
+        return [f"drift_cat.{c}" for c in self.cols]

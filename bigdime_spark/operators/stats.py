@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -297,6 +297,59 @@ def rollup_distinct(stats_frames: list[DataFrame], group_cols: tuple[str, ...] =
         for c in hll_cols
     ]
     return df.groupBy(*group_cols).agg(*exprs) if group_cols else df.agg(*exprs)
+
+
+def categorical_profile(
+    df: DataFrame, cols: tuple[str, ...] | list[str], part_col: str = "part"
+) -> DataFrame:
+    """Per-partition categorical column profile — the B1–B10 family's
+    missing member for low-cardinality string/enum columns (fmt,
+    source, priority): EXACT distinct count, Shannon entropy, and the
+    modal value with its mass.
+
+    → (part, column, n_rows, n_distinct, entropy, top_value, top_frac)
+
+    - ``entropy``  — Shannon entropy in bits, −Σ p·log2 p over the
+      exact value distribution (NULLs excluded; 0·log 0 = 0). A
+      healthy fmt mix holds its entropy run over run; a collapse to ~0
+      means one value swallowed the column (the categorical analogue
+      of bitbalance's stuck bits), a jump means new values appeared.
+    - ``top_value`` / ``top_frac`` — exact mode and its probability
+      mass (the B10 heavy-hitter headline without a CMS sketch, exact
+      because cardinality is small).
+
+    Plan: ONE (part, column, value) hash-agg (map-side partials carry
+    distinct values, not rows) + windows over the tiny counts relation.
+    For high-cardinality columns use the HLL/CMS sketch paths instead —
+    this operator is exact and assumes the value set fits a shuffle
+    partition comfortably (≤ ~10^6 values per column)."""
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.col(c).cast("string").alias("value"))
+        for c in cols
+    ]
+    counts = (
+        df.select(F.col(part_col).alias("part"), F.explode(F.array(*structs)).alias("mv"))
+        .select("part", "mv.column", "mv.value")
+        .where(F.col("value").isNotNull())
+        .groupBy("part", "column", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    by_key = Window.partitionBy("part", "column")
+    # deterministic mode tie-break: highest count, then lowest value
+    rank = F.row_number().over(by_key.orderBy(F.desc("cnt"), F.asc("value")))
+    p = F.col("cnt") / F.col("n_rows")
+    scored = (
+        counts.withColumn("n_rows", F.sum("cnt").over(by_key))
+        .withColumn("rk", rank)
+        .withColumn("ent_term", -p * F.log2(p))
+    )
+    return scored.groupBy("part", "column").agg(
+        F.first("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("ent_term").alias("entropy"),
+        F.max(F.when(F.col("rk") == 1, F.col("value"))).alias("top_value"),
+        F.max(F.when(F.col("rk") == 1, p)).alias("top_frac"),
+    )
 
 
 def default_image_stats() -> StatsProfile:

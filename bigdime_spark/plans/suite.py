@@ -168,6 +168,11 @@ class ValidationSuite:
     #: (operators/keyed.KeyedSnapshotPass.assume_clustered)
     keyed_assume_clustered: bool = False
     drift_specs: tuple = DEFAULT_DRIFT_COLUMNS
+    #: categorical columns to drift-test with exact value counts
+    #: (operators/drift.CategoricalDriftCheck, verdict family
+    #: drift_cat.<col>) — empty by default; ("fmt",) is the natural
+    #: image-table choice
+    categorical_drift_cols: tuple = ()
     stats: StatsProfile | None = None
     topk_violations: int | None = None
     extra_agg_constraints: list = field(default_factory=list)
@@ -216,6 +221,10 @@ class ValidationSuite:
                 out.append(CaptionEquality())
         if has_curated and self.check_drift:
             out.append(DriftCheck(self.drift_specs))
+        if has_curated and self.categorical_drift_cols:
+            from bigdime_spark.operators.drift import CategoricalDriftCheck
+
+            out.append(CategoricalDriftCheck(tuple(self.categorical_drift_cols)))
         if self.check_phash_dedup:
             from bigdime_spark.operators.dedup import PhashNearDup
 

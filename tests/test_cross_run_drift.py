@@ -240,3 +240,85 @@ def test_w1_monotone_under_growing_shift(spark):
         for d in (0.0, 2.0, 4.0)
     ]
     assert w1s[0] < w1s[1] < w1s[2]
+
+
+# ------------------------------------- categorical drift + profile
+
+
+def _cat_df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "c string").withColumn(
+        "part", F.lit("*")
+    )
+
+
+def test_categorical_drift_zero_on_identical(spark):
+    from bigdime_spark.operators.drift import categorical_drift
+
+    vals = ["a", "a", "b", "c"]
+    r = categorical_drift(_cat_df(spark, vals), _cat_df(spark, vals), ("c",)).collect()[0]
+    assert abs(r["psi"]) < 1e-9 and r["js"] == 0.0 and r["chi2"] == 0.0
+    assert r["n_cats"] == 3
+
+
+def test_categorical_drift_new_category_widens_support(spark):
+    from bigdime_spark.operators.drift import categorical_drift
+
+    a = _cat_df(spark, ["a", "b", "a", "b"])
+    b = _cat_df(spark, ["a", "b", "zz", "zz"])
+    r = categorical_drift(a, b, ("c",)).collect()[0]
+    assert r["n_cats"] == 3  # union support sees the new value
+    assert r["js"] > 0 and r["chi2"] > 0
+    # nulls excluded
+    bn = _cat_df(spark, ["a", "b", None, None])
+    rn = categorical_drift(a, bn, ("c",)).collect()[0]
+    assert rn["m"] == 2
+
+
+def test_categorical_profile_entropy_and_mode(spark):
+    from bigdime_spark.operators.stats import categorical_profile
+
+    # uniform over 4 values → entropy = 2 bits exactly
+    df = _cat_df(spark, ["a", "b", "c", "d"])
+    r = categorical_profile(df, ("c",)).collect()[0]
+    assert abs(r["entropy"] - 2.0) < 1e-12
+    assert r["n_distinct"] == 4 and r["top_frac"] == 0.25
+    # tie on counts → lexicographically smallest value wins (deterministic)
+    assert r["top_value"] == "a"
+    # collapse → entropy 0, top_frac 1
+    r2 = categorical_profile(_cat_df(spark, ["x", "x", "x"]), ("c",)).collect()[0]
+    assert r2["entropy"] == 0.0 and r2["top_value"] == "x" and r2["top_frac"] == 1.0
+
+
+def test_suite_categorical_drift_fmt(spark):
+    """categorical_drift_cols=('fmt',): a curated snapshot whose fmt
+    mix collapsed to a single value must FAIL drift_cat.fmt in every
+    part; an undisturbed pair must PASS (grid-filled)."""
+    from bigdime_spark.plans.suite import ValidationSuite
+    from bigdime_spark.schema import FAIL, PASS
+
+    fx = build_fixture(spark, n_rows=64 * 4, n_parts=4)
+    suite = ValidationSuite(
+        check_drift=False,
+        check_caption=False,
+        check_uniqueness=False,
+        check_referential=False,
+        check_checksum=False,
+        check_record_count=False,
+        categorical_drift_cols=("fmt",),
+    )
+    collapsed = fx.curated.withColumn("fmt", F.lit("png"))
+    res = suite.run(spark, fx.raw, collapsed, manifest=None, resume=False)
+    got = {
+        r["part"]: r["verdict"]
+        for r in res.verdicts.filter(F.col("constraint") == "drift_cat.fmt").collect()
+    }
+    assert set(got.values()) == {FAIL} and len(got) == 4
+    res.release()
+
+    res2 = suite.run(spark, fx.raw, fx.curated, manifest=None, resume=False)
+    got2 = {
+        r["part"]: r["verdict"]
+        for r in res2.verdicts.filter(F.col("constraint") == "drift_cat.fmt").collect()
+    }
+    assert set(got2.values()) == {PASS} and len(got2) == 4
+    res2.release()
