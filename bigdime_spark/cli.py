@@ -99,6 +99,20 @@ def _build_parser() -> argparse.ArgumentParser:
         help="comma-separated categorical columns to drift-test with "
         "exact value counts (verdict family drift_cat.<col>), e.g. fmt",
     )
+    r.add_argument(
+        "--content-diff",
+        action="store_true",
+        help="full-row content diff raw vs curated: xxhash64 digest of "
+        "--content-cols rides the keyed pass (zero extra shuffles); "
+        "parts with changed rows FAIL content_equality",
+    )
+    r.add_argument(
+        "--content-cols",
+        type=str,
+        default="w,h,fmt,phash",
+        help="columns folded into the content digest (payload bytes "
+        "excluded by default: checksum owns payload integrity)",
+    )
     r.add_argument("--topk-violations", type=int, default=None)
     r.add_argument(
         "--no-quarantine",
@@ -949,6 +963,10 @@ def main(argv: list[str] | None = None) -> int:
         referential_mode="bloom" if args.referential_bloom else "exact",
         categorical_drift_cols=tuple(
             c.strip() for c in args.cat_drift.split(",") if c.strip()
+        ),
+        check_content=args.content_diff,
+        content_cols=tuple(
+            c.strip() for c in args.content_cols.split(",") if c.strip()
         ),
     )
     res = suite.run(

@@ -395,6 +395,47 @@ GROUP BY 1
 SQL_REFERENTIAL_BLOOM = _bloom_sql(_BLOOM_M, _BLOOM_K, _BLOOM_SEED)
 
 
+def q_content_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot row-content diff (round-5): the curated twin of
+    orders gets o_totalprice bumped on o_orderkey % 97 == 0; the keyed
+    pass's xxhash64 content digest (operators/keyed._content — rides
+    the same exchange as uniqueness/referential/caption) must flag
+    EXACTLY those keys. The oracle states the semantics directly —
+    keys whose content columns differ — which the digest equals modulo
+    xxhash64 collisions (none at this fixed dataset, and a collision
+    could only SUPPRESS a real diff, never invent one)."""
+    from bigdime_spark.operators.base import SuiteContext
+    from bigdime_spark.operators.keyed import KeyedSnapshotPass
+
+    o = _t(spark, sf_dir, "orders")
+    raw = o.withColumn("part", F.col("o_orderstatus"))
+    cur = raw.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    kp = KeyedSnapshotPass(
+        key="o_orderkey",
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_content=True,
+        content_cols=("o_totalprice", "o_orderpriority"),
+    )
+    ctx = SuiteContext(spark=spark, raw=raw, curated=cur)
+    ((_, _failed, violations),) = kp.run(ctx)
+    return violations.select(
+        F.col("image_id").alias("okey"), F.col("part").alias("part")
+    )
+
+
+SQL_CONTENT_DIFF = """
+SELECT o_orderkey::VARCHAR AS okey, o_orderstatus AS part
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
 def q_categorical_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift (round-5): PSI/JS/chi-square over EXACT value
     counts of o_orderpriority between open and filled orders — the
@@ -2612,6 +2653,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "domain_violations": QuerySpec(q_domain_violations, SQL_DOMAIN_VIOLATIONS),
     "categorical_drift_orders": QuerySpec(q_categorical_drift_orders, SQL_CATEGORICAL_DRIFT),
+    "content_diff_orders": QuerySpec(q_content_diff_orders, SQL_CONTENT_DIFF),
     "categorical_profile_documents": QuerySpec(
         q_categorical_profile_documents, SQL_CATEGORICAL_PROFILE
     ),

@@ -72,6 +72,8 @@ class KeyedSnapshotPass:
         check_uniqueness: bool = True,
         check_referential: bool = True,
         check_caption: bool = True,
+        check_content: bool = False,
+        content_cols: tuple[str, ...] = ("w", "h", "fmt", "phash"),
         max_parts: int = 100_000,
         assume_clustered: bool = False,
     ):
@@ -80,6 +82,17 @@ class KeyedSnapshotPass:
         self.check_uniqueness = check_uniqueness
         self.check_referential = check_referential
         self.check_caption = check_caption
+        #: full-row CONTENT diff across snapshots (round-5): an
+        #: xxhash64 digest of ``content_cols`` rides the SAME level-1/
+        #: level-2 aggregation as the caption trio — min/max digest per
+        #: (key, part) and per key — so "did ANY metadata field of this
+        #: row change between raw and curated" costs zero extra
+        #: shuffles on top of the keyed pass. Payload bytes stay OUT of
+        #: the default digest (the checksum validator owns payload
+        #: integrity; hashing `bytes` here would force the keyed scan
+        #: to read image pages).
+        self.check_content = check_content
+        self.content_cols = tuple(content_cols)
         #: per-key distinct-part struct bound (module docstring)
         self.max_parts = max_parts
         #: True when both snapshots are ALREADY hash-clustered on the
@@ -98,7 +111,9 @@ class KeyedSnapshotPass:
 
     # ------------------------------------------------------------ plan
 
-    def _side(self, df: DataFrame, need_caption: bool, suffix: str) -> DataFrame:
+    def _side(
+        self, df: DataFrame, need_caption: bool, need_content: bool, suffix: str
+    ) -> DataFrame:
         cap = F.col(self.caption_col)
         lvl1 = [F.count(F.lit(1)).alias("n_kp")]
         if need_caption:
@@ -107,14 +122,26 @@ class KeyedSnapshotPass:
                 F.max(cap).alias("cap_max"),
                 F.count_if(cap.isNull()).alias("cap_nulls"),
             ]
+        if need_content:
+            lvl1 += [
+                F.min("_dig").alias("dig_min"),
+                F.max("_dig").alias("dig_max"),
+            ]
         cols = [self.key, "part"] + ([self.caption_col] if need_caption else [])
-        side = df.select(*cols)
+        extra = [c for c in self.content_cols if need_content and c not in cols]
+        side = df.select(*cols, *extra)
+        if need_content:
+            # xxhash64 is total (hashes NULL deterministically), so the
+            # digest needs no separate null counters
+            side = side.withColumn(
+                "_dig", F.xxhash64(*[F.col(c) for c in self.content_cols])
+            ).drop(*[c for c in extra])
         if not self.assume_clustered:
             side = side.repartition(self.key)  # the side's ONLY exchange
         kp = side.groupBy(self.key, "part").agg(*lvl1)
         struct_fields = ["part", "n_kp"] + (
             ["cap_min", "cap_max", "cap_nulls"] if need_caption else []
-        )
+        ) + (["dig_min", "dig_max"] if need_content else [])
         lvl2 = [
             F.sum("n_kp").alias(f"n_{suffix}"),
             F.slice(
@@ -129,14 +156,20 @@ class KeyedSnapshotPass:
                 F.max("cap_max").alias(f"capmax_{suffix}"),
                 F.sum("cap_nulls").alias(f"capnulls_{suffix}"),
             ]
+        if need_content:
+            lvl2 += [
+                F.min("dig_min").alias(f"digmin_{suffix}"),
+                F.max("dig_max").alias(f"digmax_{suffix}"),
+            ]
         return kp.groupBy(self.key).agg(*lvl2)
 
     def _joined(self, ctx: SuiteContext) -> DataFrame:
         need_caption = self.check_caption and ctx.curated is not None
-        ragg = self._side(ctx.raw, need_caption, "r")
+        need_content = self.check_content and ctx.curated is not None
+        ragg = self._side(ctx.raw, need_caption, need_content, "r")
         if ctx.curated is None:
             return ragg
-        cagg = self._side(ctx.curated, need_caption, "c")
+        cagg = self._side(ctx.curated, need_caption, need_content, "c")
         return ragg.join(cagg, self.key, "full_outer")
 
     def _caption_match_pred(self) -> Column:
@@ -155,6 +188,16 @@ class KeyedSnapshotPass:
             & (F.col("capmin_r") == F.col("capmin_c"))
         )
         return both_all_null | both_uniform_same
+
+    def _content_match_pred(self) -> Column:
+        """Key-level content agreement: every copy on both sides carries
+        ONE digest value and the two sides agree. xxhash64 is total, so
+        uniform == (min == max) with no null cases."""
+        return (
+            (F.col("digmin_r") == F.col("digmax_r"))
+            & (F.col("digmin_c") == F.col("digmax_c"))
+            & (F.col("digmin_r") == F.col("digmin_c"))
+        )
 
     # ------------------------------------------------------------- run
 
@@ -177,6 +220,12 @@ class KeyedSnapshotPass:
                 F.col("n_r").isNotNull()
                 & F.col("n_c").isNotNull()
                 & ~self._caption_match_pred()
+            )
+        if has_cur and self.check_content:
+            preds.append(
+                F.col("n_r").isNotNull()
+                & F.col("n_c").isNotNull()
+                & ~self._content_match_pred()
             )
         if not preds:
             raise ValueError(
@@ -209,6 +258,8 @@ class KeyedSnapshotPass:
             out.append(self._referential(ctx, j))
         if self.check_caption and ctx.curated is not None:
             out.append(self._caption(ctx, j))
+        if self.check_content and ctx.curated is not None:
+            out.append(self._content(ctx, j))
         return out
 
     def _uniqueness(self, ctx: SuiteContext, j: DataFrame):
@@ -338,3 +389,86 @@ class KeyedSnapshotPass:
             )
         )
         return name, failed, violations
+
+    def _content(self, ctx: SuiteContext, j: DataFrame):
+        name = "content_equality"
+        col_list = ",".join(self.content_cols)
+        # per-(key, raw-part) attribution, digest granularity: this
+        # part's digest range vs the key's curated digest aggregates
+        entry_same = (
+            (F.col("rc.dig_min") == F.col("rc.dig_max"))
+            & (F.col("digmin_c") == F.col("digmax_c"))
+            & (F.col("rc.dig_min") == F.col("digmin_c"))
+        )
+        mism = (
+            j.filter(F.col("n_r").isNotNull() & F.col("n_c").isNotNull())
+            .select(
+                F.col(self.key),
+                F.explode("copies_r").alias("rc"),
+                "digmin_c",
+                "digmax_c",
+            )
+            .filter(~entry_same)
+            .select(
+                self.key,
+                F.col("rc.part").alias("part"),
+                F.col("rc.dig_min").alias("_dig_r"),
+                F.col("digmin_c").alias("_dig_c"),
+            )
+        )
+        violations = violation_rows(
+            mism,
+            name,
+            col_list,
+            F.concat(
+                F.lit("content_diff: digest("),
+                F.lit(col_list),
+                F.lit(") "),
+                F.conv(F.col("_dig_r").cast("string"), 10, 16),
+                F.lit(" != "),
+                F.conv(F.col("_dig_c").cast("string"), 10, 16),
+            ),
+            "curated",
+            image_id_col=self.key,
+        )
+        failed = (
+            mism.groupBy("part")
+            .agg(F.count(F.lit(1)).alias("mismatches"))
+            .select(
+                "part",
+                F.lit(name).alias("constraint"),
+                F.lit(FAIL).alias("verdict"),
+                F.concat(
+                    F.lit("content_mismatches="), F.col("mismatches").cast("string")
+                ).alias("observed"),
+                F.lit("content_mismatches=0").alias("expected"),
+            )
+        )
+        return name, failed, violations
+
+
+class ContentEquality:
+    """Standalone TableConstraint adapter for the content diff — used
+    by the suite only when the keyed trio cannot fuse (unique_key ≠
+    ref_key); otherwise the digest rides the fused pass for free."""
+
+    partial_verdicts = True
+    name = "content_equality"
+
+    def __init__(self, key: str = "image_id", content_cols: tuple[str, ...] = ("w", "h", "fmt", "phash")):
+        self.key, self.content_cols = key, tuple(content_cols)
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]
+
+    def run(self, ctx: SuiteContext):
+        kp = KeyedSnapshotPass(
+            key=self.key,
+            check_uniqueness=False,
+            check_referential=False,
+            check_caption=False,
+            check_content=True,
+            content_cols=self.content_cols,
+        )
+        (_, failed, violations), = kp.run(ctx)
+        return failed, violations

@@ -129,6 +129,13 @@ class ValidationSuite:
     referential_bloom_bits: int = 1 << 23
     referential_bloom_k: int = 5
     check_caption: bool = True
+    #: full-row CONTENT diff across snapshots: an xxhash64 digest of
+    #: content_cols rides the keyed pass's existing exchange (zero
+    #: extra shuffles) and FAILs parts whose rows changed between raw
+    #: and curated beyond the caption (operators/keyed._content).
+    #: Payload bytes deliberately excluded (checksum owns them).
+    check_content: bool = False
+    content_cols: tuple = ("w", "h", "fmt", "phash")
     check_drift: bool = True
     check_domains: bool = True
     #: optional near-duplicate IMAGE detection: pigeonhole band join on
@@ -213,6 +220,10 @@ class ValidationSuite:
                 )
             )
         if not self._keyed_fusable(has_curated):
+            if has_curated and self.check_content:
+                from bigdime_spark.operators.keyed import ContentEquality
+
+                out.append(ContentEquality(self.ref_key, self.content_cols))
             if self.check_uniqueness:
                 out.append(Uniqueness(self.unique_key))
             if has_curated and self._ref_exact:
@@ -248,7 +259,9 @@ class ValidationSuite:
         return self.check_referential and self.referential_mode == "exact"
 
     def _keyed_fusable(self, has_curated: bool) -> bool:
-        wants_ref = has_curated and (self._ref_exact or self.check_caption)
+        wants_ref = has_curated and (
+            self._ref_exact or self.check_caption or self.check_content
+        )
         if not (self.check_uniqueness or wants_ref):
             return False
         # fuse only when all requested keyed constraints share one key
@@ -510,6 +523,8 @@ class ValidationSuite:
                 check_uniqueness=self.check_uniqueness,
                 check_referential=self._ref_exact,
                 check_caption=self.check_caption,
+                check_content=self.check_content,
+                content_cols=self.content_cols,
                 assume_clustered=self.keyed_assume_clustered,
             )
             for name, v_df, viol in keyed.run(ctx):

@@ -122,3 +122,42 @@ def test_keyed_pass_all_checks_off_raises(spark):
     )
     with _pytest.raises(ValueError, match="all checks disabled"):
         keyed.run(ctx)
+
+
+def test_content_diff_flags_changed_rows_only(spark):
+    """check_content: curated rows with edited metadata (w+1 on two
+    ids) FAIL content_equality with per-part attribution; caption
+    equality stays green (the digest excludes caption by default
+    config here); an untouched pair passes."""
+    from bigdime_spark.operators.base import SuiteContext
+    from bigdime_spark.operators.keyed import KeyedSnapshotPass
+    from bigdime_spark.sources.synth import build_fixture
+
+    fx = build_fixture(spark, n_rows=64 * 4, n_parts=4)
+    edited = ("img-000000000006", "img-000000000011")
+    cur = fx.curated.withColumn(
+        "w",
+        F.when(F.col("image_id").isin(list(edited)), F.col("w") + 1).otherwise(
+            F.col("w")
+        ),
+    )
+    kp = KeyedSnapshotPass(
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=True,
+        check_content=True,
+    )
+    ctx = SuiteContext(spark=spark, raw=fx.raw, curated=cur)
+    results = {name: (v, viol) for name, v, viol in kp.run(ctx)}
+    viol = results["content_equality"][1].collect()
+    assert {v["image_id"] for v in viol} == set(edited)
+    # ids 6, 11 live in parts 6%4=p0002, 11%4=p0003
+    assert {v["part"] for v in viol} == {"p0002", "p0003"}
+    failed = {r["part"] for r in results["content_equality"][0].collect()}
+    assert failed == {"p0002", "p0003"}
+    assert results["caption_equality"][1].count() == 0
+
+    # untouched pair → no content mismatches
+    ctx2 = SuiteContext(spark=spark, raw=fx.raw, curated=fx.curated)
+    results2 = {name: (v, viol) for name, v, viol in kp.run(ctx2)}
+    assert results2["content_equality"][1].count() == 0

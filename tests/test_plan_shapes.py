@@ -226,3 +226,24 @@ def test_keyed_pass_zero_exchange_on_bucketed_tables(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS kb_raw")
         spark.sql("DROP TABLE IF EXISTS kb_cur")
+
+
+def test_keyed_pass_content_digest_adds_no_exchange(spark, parquet_fixture):
+    """check_content=True folds the xxhash64 row digest into the same
+    level-1/level-2 aggregation: still exactly two exchanges (one per
+    side) — the content diff is shuffle-free on top of the keyed
+    pass."""
+    import re
+
+    from bigdime_spark.operators.base import SuiteContext
+    from bigdime_spark.operators.keyed import KeyedSnapshotPass
+
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    ctx = SuiteContext(
+        spark=spark, raw=raw, curated=raw, parts=raw.select("part").distinct()
+    )
+    j = KeyedSnapshotPass(check_content=True)._joined(ctx)
+    plan = _explain(j)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 2, plan
+    assert "xxhash64" in plan
