@@ -265,6 +265,20 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     dr.add_argument("--master", default=None)
 
+    ed = sub.add_parser(
+        "edrift",
+        help="embedding-space drift between two snapshots: KS/PSI/W1/JS "
+        "per seeded Gaussian projection (Cramer-Wold 1-D battery)",
+    )
+    ed.add_argument("--raw", required=True, help="baseline table dir (vec col)")
+    ed.add_argument("--curated", required=True, help="candidate table dir")
+    ed.add_argument("--vec-col", default="embedding")
+    ed.add_argument("--dim", type=int, required=True, help="embedding dimension")
+    ed.add_argument("--nproj", type=int, default=8)
+    ed.add_argument("--nbins", type=int, default=32)
+    ed.add_argument("--seed", type=int, default=42)
+    ed.add_argument("--master", default=None)
+
     ol = sub.add_parser(
         "outliers",
         help="per-part anomaly detection over a run's persisted stats "
@@ -507,6 +521,39 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "drift", "a": args.stats_a, "b": args.stats_b,
                           "scores": rows}))
         return 0
+
+    if args.cmd == "edrift":
+        from pyspark.sql import functions as F
+
+        from bigdime_spark.operators.drift import PSI_FAIL, embedding_drift
+
+        spark = get_spark("bigdime-edrift", master=args.master)
+        raw = spark.read.parquet(args.raw).withColumn("part", F.lit("*"))
+        cur = spark.read.parquet(args.curated).withColumn("part", F.lit("*"))
+        scores = embedding_drift(
+            raw, cur, vec_col=args.vec_col, dim=args.dim,
+            nproj=args.nproj, nbins=args.nbins, seed=args.seed,
+        )
+        rows = [
+            {
+                "proj": r["column"],
+                "ks_d": round(r["ks_d"], 6) if r["ks_d"] is not None else None,
+                "ks_exceeds": (
+                    None
+                    if r["ks_d"] is None or r["ks_threshold"] is None
+                    else bool(r["ks_d"] > r["ks_threshold"])
+                ),
+                "psi": round(r["psi"], 6) if r["psi"] is not None else None,
+                "psi_fail": None if r["psi"] is None else bool(r["psi"] >= PSI_FAIL),
+                "w1": round(r["w1"], 6) if r["w1"] is not None else None,
+                "js": round(r["js"], 6) if r["js"] is not None else None,
+            }
+            for r in scores.collect()  # tiny: nproj rows
+        ]
+        drifted = any(x["ks_exceeds"] or x["psi_fail"] for x in rows)
+        print(json.dumps({"cmd": "edrift", "raw": args.raw, "curated": args.curated,
+                          "scores": rows, "drifted": drifted}))
+        return 1 if drifted else 0
 
     if args.cmd == "outliers":
         from pyspark.sql import functions as F

@@ -395,6 +395,101 @@ GROUP BY 1
 SQL_REFERENTIAL_BLOOM = _bloom_sql(_BLOOM_M, _BLOOM_K, _BLOOM_SEED)
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (round-5): even vs odd vec_id halves of
+    the embeddings table projected onto 4 seeded Gaussian hyperplanes
+    (the md5/Box–Muller literals shared with the ANN oracles), full
+    KS/PSI/W1/JS battery per projection — operators/drift.
+    embedding_drift. The oracle embeds the SAME plane literals and
+    replays projection (list_dot_product, round 6), binning, and every
+    measure."""
+    from bigdime_spark.operators.drift import embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    raw = e.filter(F.col("vec_id") % 2 == 0).withColumn("part", F.lit("*"))
+    cur = e.filter(F.col("vec_id") % 2 == 1).withColumn("part", F.lit("*"))
+    d = embedding_drift(raw, cur, dim=64, nproj=4, nbins=32, seed=7)
+    return d.select(
+        "column",
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round("psi", 6).alias("psi"),
+        F.round("w1", 6).alias("w1"),
+        F.round("js", 6).alias("js"),
+        "n",
+        "m",
+    )
+
+
+def _drift_full_sql_block(
+    source_sql_r: str, source_sql_c: str, col: str, lo: float, hi: float, nbins: int
+) -> str:
+    """One SELECT computing ks_d/psi/w1/js/n/m — the SQL mirror of the
+    full _score_histograms measure set for a single logical part."""
+    eps = 1.0e-6
+    bucket = (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN {col} < {lo} THEN 0 "
+        f"WHEN {col} >= {hi} THEN {nbins + 1} "
+        f"ELSE CAST(floor(({col} - {lo}) / {hi - lo} * {nbins}) + 1 AS INT) END"
+    )
+    return f"""
+WITH hr AS (
+  SELECT bucket, count(*) AS cnt_r FROM (
+    SELECT {bucket} AS bucket FROM ({source_sql_r})
+  ) WHERE bucket IS NOT NULL GROUP BY 1
+), hc AS (
+  SELECT bucket, count(*) AS cnt_c FROM (
+    SELECT {bucket} AS bucket FROM ({source_sql_c})
+  ) WHERE bucket IS NOT NULL GROUP BY 1
+), joined AS (
+  SELECT COALESCE(hr.bucket, hc.bucket) AS bucket,
+         COALESCE(cnt_r, 0) AS cnt_r, COALESCE(cnt_c, 0) AS cnt_c
+  FROM hr FULL OUTER JOIN hc ON hr.bucket = hc.bucket
+), scored AS (
+  SELECT bucket, cnt_r, cnt_c,
+         sum(cnt_r) OVER () AS n, sum(cnt_c) OVER () AS m,
+         (sum(cnt_r) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / (sum(cnt_r) OVER ()) AS ecdf_r,
+         (sum(cnt_c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / (sum(cnt_c) OVER ()) AS ecdf_c,
+         lead(bucket) OVER (ORDER BY bucket) - bucket AS gap,
+         (cnt_r + {eps}) / (sum(cnt_r) OVER () + {eps} * {nbins + 2}) AS p,
+         (cnt_c + {eps}) / (sum(cnt_c) OVER () + {eps} * {nbins + 2}) AS q,
+         cnt_r::DOUBLE / (sum(cnt_r) OVER ()) AS pr,
+         cnt_c::DOUBLE / (sum(cnt_c) OVER ()) AS qr
+  FROM joined
+)
+SELECT round(max(abs(ecdf_r - ecdf_c)), 6) AS ks_d,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum(abs(ecdf_r - ecdf_c) * COALESCE(gap, 0)), 6) AS w1,
+       round(sum((
+         CASE WHEN pr > 0 THEN pr * log2(pr / ((pr + qr) / 2)) ELSE 0 END
+       + CASE WHEN qr > 0 THEN qr * log2(qr / ((pr + qr) / 2)) ELSE 0 END
+       ) / 2), 6) AS js,
+       max(n)::BIGINT AS n,
+       max(m)::BIGINT AS m
+FROM scored
+"""
+
+
+def _embedding_drift_sql() -> str:
+    from bigdime_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(64, 4, seed=7)
+    blocks = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        proj = f"round(list_dot_product(list_transform(embedding, x -> x::DOUBLE), {lit}), 6)"
+        src_r = f"SELECT {proj} AS pj FROM embeddings WHERE vec_id % 2 = 0"
+        src_c = f"SELECT {proj} AS pj FROM embeddings WHERE vec_id % 2 = 1"
+        block = _drift_full_sql_block(src_r, src_c, "pj", -4.0, 4.0, 32)
+        blocks.append(f"SELECT 'proj_{i}' AS column, * FROM ({block})")
+    return "\nUNION ALL\n".join(blocks)
+
+
+SQL_EMBEDDING_DRIFT = _embedding_drift_sql()
+
+
 def q_content_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot row-content diff (round-5): the curated twin of
     orders gets o_totalprice bumped on o_orderkey % 97 == 0; the keyed
@@ -2654,6 +2749,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "domain_violations": QuerySpec(q_domain_violations, SQL_DOMAIN_VIOLATIONS),
     "categorical_drift_orders": QuerySpec(q_categorical_drift_orders, SQL_CATEGORICAL_DRIFT),
     "content_diff_orders": QuerySpec(q_content_diff_orders, SQL_CONTENT_DIFF),
+    "embedding_drift": QuerySpec(q_embedding_drift, SQL_EMBEDDING_DRIFT),
     "categorical_profile_documents": QuerySpec(
         q_categorical_profile_documents, SQL_CATEGORICAL_PROFILE
     ),

@@ -352,6 +352,64 @@ def two_sample_drift(raw: DataFrame, curated: DataFrame, spec: DriftColumn) -> D
     return two_sample_drift_multi(raw, curated, (spec,)).drop("column")
 
 
+def embedding_drift(
+    raw: DataFrame,
+    curated: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nproj: int = 8,
+    lo: float = -4.0,
+    hi: float = 4.0,
+    nbins: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Distribution drift of an EMBEDDING column (round-5): project
+    both snapshots onto ``nproj`` seeded Gaussian hyperplanes
+    (similarity.hyperplane_planes — the same md5/Box–Muller literals
+    the ANN oracle uses) and run the full KS/PSI/W1/JS battery on each
+    1-D projection via the shared melted-histogram plan.
+
+    Why projections: a 10^12 × dim embedding table has no tractable
+    exact distribution test, but by Cramér–Wold the joint
+    distribution is characterized by its 1-D projections — a shifted
+    cluster, a collapsed encoder, or a renormalized embedding space
+    moves at least some random projections, and each projection is a
+    plain numeric drift column. With ~unit-norm embeddings the
+    projection is ~N(0, 1), so the default ±4 range catches the mass
+    and the under/overflow buckets keep the tails honest.
+
+    Plan: the nproj dot products are JVM higher-order-function
+    expressions added to the scan projection; the melted histogram
+    then costs ONE scan + one (part, proj, bucket) hash-agg per
+    snapshot — same shape as any multi-column drift, independent of
+    nproj row-wise. → (part, column='proj_<i>', ks_d, ks_threshold,
+    psi, w1, js, n, m)."""
+    from bigdime_spark.operators.similarity import dot_col, hyperplane_planes
+
+    planes = hyperplane_planes(dim, nproj, seed)
+
+    def project(df: DataFrame) -> DataFrame:
+        out = df
+        for i, p in enumerate(planes):
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            # round-6 before bucketing — the same cross-engine
+            # determinism discipline as hyperplane_signature's
+            # round-9-before-sign: a 1-ulp fold difference must not
+            # flip a histogram bucket
+            out = out.withColumn(
+                f"_eproj{i}", F.round(dot_col(F.col(vec_col), arr), 6)
+            )
+        return out
+
+    specs = tuple(
+        DriftColumn(f"_eproj{i}", lo, hi, nbins) for i in range(len(planes))
+    )
+    d = two_sample_drift_multi(project(raw), project(curated), specs)
+    return d.withColumn(
+        "column", F.regexp_replace("column", "^_eproj", "proj_")
+    )
+
+
 def categorical_drift(
     raw: DataFrame,
     curated: DataFrame,

@@ -322,3 +322,27 @@ def test_suite_categorical_drift_fmt(spark):
     }
     assert set(got2.values()) == {PASS} and len(got2) == 4
     res2.release()
+
+
+def test_embedding_drift_detects_shift(spark):
+    from bigdime_spark.operators.drift import embedding_drift
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "part", F.lit("*")
+    )
+    # identical snapshots → every projection's every measure is zero
+    same = embedding_drift(e, e, dim=64, nproj=4, seed=7).collect()
+    assert len(same) == 4
+    assert all(r["ks_d"] == 0.0 and r["w1"] == 0.0 and r["js"] == 0.0 for r in same)
+    # constant shift along dim 0 → the projections move (each plane's
+    # component 0 is nonzero w.p. 1), KS flags and W1 grows
+    shifted = e.withColumn(
+        "embedding",
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(2.0)),
+            F.slice("embedding", 2, 63),
+        ),
+    )
+    drift = embedding_drift(e, shifted, dim=64, nproj=4, seed=7).collect()
+    assert any(r["ks_d"] > r["ks_threshold"] for r in drift)
+    assert all(r["w1"] > 0 for r in drift)
