@@ -66,6 +66,11 @@ HEADLINE = [
     "ann_hyperplane_recall",
     "sample_stratified_documents",
     "shard_pack_documents",
+    "referential_bloom_customer",
+    "bit_balance_documents",
+    "categorical_drift_orders",
+    "content_diff_orders",
+    "embedding_drift",
     "suite_verdicts_lineitem",
 ]
 
