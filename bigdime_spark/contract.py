@@ -2037,6 +2037,86 @@ FROM hits WHERE n_hits >= 1
 """
 
 
+def q_hot_grams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus hot n-grams (operators/decontam.hot_grams): the
+    Lee-et-al.-2022 duplicated-text signal — grams shared by ≥5
+    distinct docs, capped to the 100 hottest (deterministic
+    n_docs-desc/gram-asc tie-break, so the top-k cap itself is
+    oracle-checkable). n=3 matches the contamination query's synthetic
+    scale (production default 8–13)."""
+    from bigdime_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    return decontam.hot_grams(d, n=3, min_docs=5, max_hot=100)
+
+
+SQL_HOT_GRAMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), gr AS (
+  SELECT doc_id,
+         list_filter(list_distinct([array_to_string(t[i:i+2], ' ')
+             FOR i IN generate_series(1, greatest(len(t) - 2, 1))]),
+             g -> g <> '') AS gs
+  FROM toks
+), per AS (
+  SELECT unnest(gs) AS gram FROM gr
+)
+SELECT gram, count(*) AS n_docs
+FROM per GROUP BY 1 HAVING count(*) >= 5
+ORDER BY n_docs DESC, gram ASC LIMIT 100
+"""
+
+
+def q_dup_gram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-gram load (operators/decontam.
+    duplicated_gram_scan): which docs are built from corpus-repeated
+    3-grams and how much of each doc is repeated (hot_fraction → 1.0
+    = boilerplate). The hot set (min_docs=5, cap 1000 — non-binding
+    here, the binding path is q_hot_grams_documents) broadcasts into
+    the probe, so the corpus side never shuffles."""
+    from bigdime_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    return decontam.duplicated_gram_scan(d, n=3, min_docs=5, max_hot=1000)
+
+
+SQL_DUP_GRAMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), gr AS (
+  SELECT doc_id,
+         list_filter(list_distinct([array_to_string(t[i:i+2], ' ')
+             FOR i IN generate_series(1, greatest(len(t) - 2, 1))]),
+             g -> g <> '') AS gs
+  FROM toks
+), per AS (
+  SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM gr
+), hot AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS n_docs
+    FROM per GROUP BY 1 HAVING count(*) >= 5
+    ORDER BY n_docs DESC, gram ASC LIMIT 1000
+  )
+), hits AS (
+  SELECT doc_id, n_grams, count(*) AS n_hot,
+         array_to_string(list_sort(list(gram))[1:10], ',') AS sample_grams_csv
+  FROM per JOIN hot USING (gram)
+  GROUP BY 1, 2
+)
+SELECT doc_id, n_grams, n_hot,
+       round(n_hot::DOUBLE / n_grams, 6) AS hot_fraction,
+       sample_grams_csv
+FROM hits WHERE n_hot >= 1
+"""
+
+
 # =====================================================================
 # Similarity search (embeddings table)
 # =====================================================================
@@ -2806,6 +2886,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "contamination_documents": QuerySpec(
         q_contamination_documents, SQL_CONTAMINATION
     ),
+    "hot_grams_documents": QuerySpec(q_hot_grams_documents, SQL_HOT_GRAMS),
+    "dup_gram_docs": QuerySpec(q_dup_gram_docs, SQL_DUP_GRAMS),
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
     "embedding_integrity": QuerySpec(q_embedding_integrity, SQL_EMBEDDING_INTEGRITY),

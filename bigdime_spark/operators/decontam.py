@@ -97,16 +97,40 @@ def contamination_scan(
     the (unusual) case of a benchmark too large to broadcast —
     that shuffles the exploded corpus on ``gram`` and should be a
     deliberate choice."""
+    bg = benchmark_grams(bench, bench_text_col or text_col, n)
+    return _probe_gram_set(
+        docs, bg, id_col=id_col, text_col=text_col, n=n,
+        min_hits=min_hits, max_sample=max_sample, broadcast=broadcast_bench,
+    )
+
+
+def _probe_gram_set(
+    docs: DataFrame,
+    gram_frame: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_hits: int,
+    max_sample: int,
+    broadcast: bool,
+) -> DataFrame:
+    """Shared probe: per-doc hit stats against a one-column ``(gram)``
+    frame. → (id_col, n_grams, n_hits, hit_fraction, sample_grams_csv),
+    docs with ≥ ``min_hits`` matches only. The corpus side never
+    shuffles when ``broadcast`` (the default): scan → gram explode →
+    broadcast-hash-join is one mapper stage; only MATCHED rows reach
+    the per-doc agg exchange."""
     grams = word_gram_array(F.col(text_col), n)
     base = docs.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
     exploded = base.select(
         "_id", F.size("_grams").alias("n_grams"), F.explode("_grams").alias("gram")
     )
 
-    bg = benchmark_grams(bench, bench_text_col or text_col, n)
-    if broadcast_bench:
-        bg = F.broadcast(bg)
-    hits = exploded.join(bg, "gram")
+    gf = gram_frame.select("gram")
+    if broadcast:
+        gf = F.broadcast(gf)
+    hits = exploded.join(gf, "gram")
 
     # one exchange on (_id, n_grams) serves the sample window AND the
     # final agg; collect_list skips the when() NULLs past the cap, so
@@ -132,6 +156,92 @@ def contamination_scan(
             F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_fraction"),
             "sample_grams_csv",
         )
+    )
+
+
+#: default cap on the hot-gram set (keeps it broadcastable: 10^5
+#: grams × ~100 bytes ≈ 10 MB, well under the broadcast threshold).
+MAX_HOT_GRAMS = 100_000
+
+
+def hot_grams(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    max_hot: int | None = MAX_HOT_GRAMS,
+) -> DataFrame:
+    """Word n-grams shared by ≥ ``min_docs`` distinct documents →
+    ``(gram, n_docs)``, the ``max_hot`` hottest (ties broken by gram
+    ascending, fully deterministic).
+
+    The INTRA-corpus duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    boilerplate, licence headers, templated spam and mirrored pages
+    all surface as n-grams repeated across many documents — invisible
+    to whole-doc dedup (C1) when the surrounding text differs.
+
+    Scale shape: ``word_gram_array`` emits DISTINCT grams per doc
+    (row-local Column expression), so ``count(*)`` per gram IS the
+    distinct-doc count — no count-distinct state. The one shuffle
+    carries (gram, partial count) pairs with map-side combine; the
+    ``max_hot`` cap is a top-k (TakeOrderedAndProject: per-partition
+    heap + driver merge of ``max_hot`` rows), never a full sort. The
+    result is bounded and broadcastable by construction."""
+    base = docs.select(word_gram_array(F.col(text_col), n).alias("_grams"))
+    per = base.select(F.explode("_grams").alias("gram"))
+    hot = (
+        per.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    if max_hot is not None:
+        hot = hot.orderBy(F.col("n_docs").desc(), F.col("gram").asc()).limit(max_hot)
+    return hot
+
+
+def duplicated_gram_scan(
+    docs: DataFrame,
+    hot: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    max_hot: int | None = MAX_HOT_GRAMS,
+    min_hits: int = 1,
+    max_sample: int = MAX_SAMPLE_GRAMS,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-gram load: which docs are built from
+    corpus-repeated n-grams, and how much of each doc is repeated.
+    → (id_col, n_grams, n_hot, hot_fraction, sample_grams_csv),
+    flagged docs only.
+
+    Two passes over the corpus — pass 1 builds the bounded hot-gram
+    set (``hot_grams``), pass 2 re-derives grams row-locally and
+    probes the BROADCAST hot set — deliberately chosen over a single
+    self-join pass: at 10^12 docs, two mapper-stage scans are far
+    cheaper than shuffling the full exploded gram set twice for a
+    gram×gram join. Pass ``hot=`` to reuse a precomputed/persisted
+    hot-gram frame (e.g. from a previous snapshot). ``hot_fraction``
+    near 1.0 = the doc is pure boilerplate; a corpus-wide rise in
+    mean hot_fraction between snapshots is a template-flood signal."""
+    if hot is None:
+        hot = hot_grams(
+            docs, text_col=text_col, n=n, min_docs=min_docs, max_hot=max_hot,
+        )
+    out = _probe_gram_set(
+        docs, hot, id_col=id_col, text_col=text_col, n=n,
+        min_hits=min_hits, max_sample=max_sample, broadcast=broadcast_hot,
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        F.col("n_hits").alias("n_hot"),
+        F.col("hit_fraction").alias("hot_fraction"),
+        "sample_grams_csv",
     )
 
 

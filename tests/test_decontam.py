@@ -143,3 +143,75 @@ def test_decontam_cli_end_to_end(spark, corpus, tmp_path_factory, capsys):
     assert {r["doc_id"] for r in flagged.collect()} == {1, 2}
     clean = spark.read.parquet(f"{d}/out/clean")
     assert sorted(r["doc_id"] for r in clean.collect()) == [3, 4, 5, 6]
+
+
+# =====================================================================
+# Intra-corpus hot grams / duplicated-gram scan (Lee et al. 2022 signal)
+# =====================================================================
+
+BOILER = "all rights reserved by example corp"
+BOILER_GRAMS = [
+    "all rights reserved",
+    "by example corp",
+    "reserved by example",
+    "rights reserved by",
+]
+
+
+@pytest.fixture(scope="module")
+def boiler_corpus(spark):
+    rows = [
+        (1, f"unique alpha one {BOILER}"),       # 7 grams, 4 hot
+        (2, f"beta two {BOILER}"),                # 6 grams, 4 hot
+        (3, BOILER),                              # 4 grams, all hot
+        (4, "totally unique document nothing repeated here"),
+        (5, "another fully unique text body"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_hot_grams_exact(spark, boiler_corpus):
+    out = decontam.hot_grams(boiler_corpus, n=3, min_docs=3)
+    got = {r["gram"]: r["n_docs"] for r in out.collect()}
+    assert got == {g: 3 for g in BOILER_GRAMS}
+
+
+def test_hot_grams_cap_deterministic_tiebreak(spark, boiler_corpus):
+    """All four hot grams tie at n_docs=3; the cap must keep the
+    lexicographically smallest — deterministically, every run."""
+    out = decontam.hot_grams(boiler_corpus, n=3, min_docs=3, max_hot=2)
+    got = sorted(r["gram"] for r in out.collect())
+    assert got == ["all rights reserved", "by example corp"]
+
+
+def test_duplicated_gram_scan_flags_boilerplate(spark, boiler_corpus):
+    out = decontam.duplicated_gram_scan(boiler_corpus, n=3, min_docs=3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_grams"] == 7 and got[1]["n_hot"] == 4
+    assert got[1]["hot_fraction"] == round(4 / 7, 6)
+    # the pure-boilerplate doc is wholly built from repeated grams
+    assert got[3]["hot_fraction"] == 1.0
+    sample = got[3]["sample_grams_csv"].split(",")
+    assert sample == sorted(BOILER_GRAMS)
+
+
+def test_duplicated_gram_scan_reuses_precomputed_hot(spark, boiler_corpus):
+    hot = decontam.hot_grams(boiler_corpus, n=3, min_docs=3)
+    a = decontam.duplicated_gram_scan(boiler_corpus, n=3, min_docs=3)
+    b = decontam.duplicated_gram_scan(boiler_corpus, hot, n=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_duplicated_gram_scan_plan_probe_is_broadcast(spark, boiler_corpus):
+    """100-TB shape: pass 2's probe join is a BroadcastHashJoin — the
+    corpus side reaches it straight from the scan with no Exchange
+    beneath (the only hash exchanges are pass 1's gram count and the
+    matched-subset window/agg clustering)."""
+    out = decontam.duplicated_gram_scan(boiler_corpus, n=3, min_docs=3)
+    plan = _explain(out)
+    assert "BroadcastHashJoin" in plan
+    broadcasts = set(re.findall(r"\((\d+)\) BroadcastExchange", plan))
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(broadcasts) == 1, plan
+    assert len(exchanges - broadcasts) <= 3, plan
