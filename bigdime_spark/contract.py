@@ -181,6 +181,34 @@ FROM events GROUP BY 1
 """
 
 
+def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/staleness validator (operators/freshness.
+    freshness_profile): per event-type max(ts) against an EXPLICIT
+    reference instant (never now() — verdicts must be deterministic
+    under retry/resume and replayable by the oracle). The 1800 s lag
+    budget splits the synthetic types into real PASS and FAIL rows."""
+    from bigdime_spark.operators.freshness import freshness_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return freshness_profile(
+        ev, "ts", by="event_type",
+        as_of="2024-01-31 00:00:00", max_lag_seconds=1800,
+    )
+
+
+SQL_FRESHNESS = """
+SELECT event_type,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+       epoch('2024-01-31 00:00:00'::TIMESTAMP)::BIGINT
+         - floor(epoch(max(ts)))::BIGINT AS lag_seconds,
+       CASE WHEN max(ts) IS NULL THEN 'NOT_READY'
+            WHEN epoch('2024-01-31 00:00:00'::TIMESTAMP)::BIGINT
+                   - floor(epoch(max(ts)))::BIGINT <= 1800 THEN 'PASS'
+            ELSE 'FAIL' END AS verdict
+FROM events GROUP BY 1
+"""
+
+
 def q_hll_distinct_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 — HLL sketches are engine-specific estimators: rows-only check."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2815,6 +2843,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "minmax_orders": QuerySpec(q_minmax_orders, SQL_MINMAX_ORDERS),
     "quantiles_lineitem": QuerySpec(q_quantiles_lineitem, SQL_QUANTILES),
     "null_rate_events": QuerySpec(q_null_rate_events, SQL_NULL_RATE),
+    "freshness_events": QuerySpec(q_freshness_events, SQL_FRESHNESS),
     "hll_distinct_partkey": QuerySpec(q_hll_distinct_partkey, None),  # B6: estimator-specific
     "distinct_partkey_exact": QuerySpec(q_distinct_partkey_exact, SQL_DISTINCT_EXACT),
     # validators (B12–B17, B22)
