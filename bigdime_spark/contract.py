@@ -181,6 +181,78 @@ FROM events GROUP BY 1
 """
 
 
+def q_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-invariant profile (operators/stats.
+    numeric_correlation): per-part Pearson correlation for column
+    pairs, all moments fused into ONE hash-agg and melted after the
+    reduction. A rescaled/swapped/decoupled column shifts these even
+    when every per-column stat passes."""
+    from bigdime_spark.operators.stats import numeric_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    return numeric_correlation(
+        li,
+        [("l_quantity", "l_extendedprice"), ("l_extendedprice", "l_discount")],
+        part_col="l_returnflag",
+    )
+
+
+SQL_CORRELATION = """
+WITH base AS (
+  SELECT l_returnflag AS part,
+         l_quantity::DOUBLE AS q,
+         l_extendedprice::DOUBLE AS e,
+         l_discount::DOUBLE AS d
+  FROM lineitem
+)
+SELECT part, 'l_quantity~l_extendedprice' AS pair,
+       count(CASE WHEN q IS NOT NULL AND e IS NOT NULL THEN 1 END) AS n_pairs,
+       round(corr(q, e), 6) AS corr
+FROM base GROUP BY 1
+UNION ALL
+SELECT part, 'l_extendedprice~l_discount' AS pair,
+       count(CASE WHEN e IS NOT NULL AND d IS NOT NULL THEN 1 END) AS n_pairs,
+       round(corr(e, d), 6) AS corr
+FROM base GROUP BY 1
+"""
+
+
+def q_correlation_shift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot correlation drift (operators/stats.
+    correlation_shift): |corr_raw − corr_cur| per (part × pair); the
+    deterministic l_orderkey%3 subset plays the curated snapshot. The
+    join is between two parts×pairs profile frames — metadata-scale."""
+    from bigdime_spark.operators.stats import correlation_shift
+
+    li = _t(spark, sf_dir, "lineitem")
+    cur = li.filter(F.col("l_orderkey") % 3 != 0)
+    return correlation_shift(
+        li, cur, [("l_quantity", "l_extendedprice")], part_col="l_returnflag"
+    )
+
+
+SQL_CORRELATION_SHIFT = """
+WITH base AS (
+  SELECT l_returnflag AS part, l_orderkey,
+         l_quantity::DOUBLE AS q, l_extendedprice::DOUBLE AS e
+  FROM lineitem
+), a AS (
+  SELECT part, 'l_quantity~l_extendedprice' AS pair,
+         count(CASE WHEN q IS NOT NULL AND e IS NOT NULL THEN 1 END) AS n_raw,
+         round(corr(q, e), 6) AS corr_raw
+  FROM base GROUP BY 1
+), b AS (
+  SELECT part, 'l_quantity~l_extendedprice' AS pair,
+         count(CASE WHEN q IS NOT NULL AND e IS NOT NULL THEN 1 END) AS n_cur,
+         round(corr(q, e), 6) AS corr_cur
+  FROM base WHERE l_orderkey % 3 <> 0 GROUP BY 1
+)
+SELECT part, pair, n_raw, n_cur, corr_raw, corr_cur,
+       round(abs(corr_raw - corr_cur), 6) AS corr_shift
+FROM a FULL OUTER JOIN b USING (part, pair)
+"""
+
+
 def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness/staleness validator (operators/freshness.
     freshness_profile): per event-type max(ts) against an EXPLICIT
@@ -2844,6 +2916,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "quantiles_lineitem": QuerySpec(q_quantiles_lineitem, SQL_QUANTILES),
     "null_rate_events": QuerySpec(q_null_rate_events, SQL_NULL_RATE),
     "freshness_events": QuerySpec(q_freshness_events, SQL_FRESHNESS),
+    "correlation_lineitem": QuerySpec(q_correlation_lineitem, SQL_CORRELATION),
+    "correlation_shift_lineitem": QuerySpec(
+        q_correlation_shift_lineitem, SQL_CORRELATION_SHIFT
+    ),
     "hll_distinct_partkey": QuerySpec(q_hll_distinct_partkey, None),  # B6: estimator-specific
     "distinct_partkey_exact": QuerySpec(q_distinct_partkey_exact, SQL_DISTINCT_EXACT),
     # validators (B12–B17, B22)

@@ -352,6 +352,91 @@ def categorical_profile(
     )
 
 
+def numeric_correlation(
+    df: DataFrame,
+    pairs: list[tuple[str, str]] | tuple[tuple[str, str], ...],
+    part_col: str = "part",
+) -> DataFrame:
+    """Per-partition Pearson correlation for numeric column PAIRS —
+    the structural-invariant profile (deequ's Correlation analyzer
+    re-expressed): a transform bug that rescales one column, swaps
+    two columns, or decouples fields that move together shifts the
+    correlation even when every per-column stat still PASSes.
+
+    → (part, pair, n_pairs, corr) long format, one row per
+    (partition × pair); ``n_pairs`` counts PAIRWISE-COMPLETE rows
+    (both sides non-null — the population the correlation is over).
+
+    Built from ``covar_samp`` / ``stddev_samp`` over pairwise-complete
+    values rather than ``F.corr``: Spark 4's ANSI mode makes ``corr``
+    THROW Division-by-zero on a zero-variance group, while
+    ``try_divide`` degrades to NULL — the same answer DuckDB's
+    ``corr`` gives (verified: single-row and constant-column groups
+    → NULL in both engines). The moment accumulators are Spark's
+    numerically-stable central-moment updates, not raw Σxy sums —
+    at 10^12 rows a naive nΣxy−ΣxΣy formula loses the 6 decimals the
+    contract compares.
+
+    Plan: ONE fused hash-agg per partition (all pairs' moments in the
+    same pass — zero extra scans per pair), melted to long format
+    AFTER the reduction, so the exchange carries parts × 1 rows."""
+    aggs: list[Column] = []
+    for x, y in pairs:
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        xs = F.when(both, F.col(x).cast("double"))
+        ys = F.when(both, F.col(y).cast("double"))
+        tag = f"{x}__{y}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"n__{tag}"),
+            F.round(
+                F.try_divide(
+                    F.covar_samp(xs, ys),
+                    F.stddev_samp(xs) * F.stddev_samp(ys),
+                ),
+                6,
+            ).alias(f"c__{tag}"),
+        ]
+    wide = df.groupBy(F.col(part_col).alias("part")).agg(*aggs)
+    melted = F.array(
+        *[
+            F.struct(
+                F.lit(f"{x}~{y}").alias("pair"),
+                F.col(f"n__{x}__{y}").alias("n_pairs"),
+                F.col(f"c__{x}__{y}").alias("corr"),
+            )
+            for x, y in pairs
+        ]
+    )
+    return wide.select("part", F.explode(melted).alias("m")).select(
+        "part", "m.pair", "m.n_pairs", "m.corr"
+    )
+
+
+def correlation_shift(
+    raw: DataFrame,
+    curated: DataFrame,
+    pairs: list[tuple[str, str]] | tuple[tuple[str, str], ...],
+    part_col: str = "part",
+) -> DataFrame:
+    """Cross-snapshot correlation drift: |corr_raw − corr_cur| per
+    (partition × pair). The join is between two parts×pairs-sized
+    profile frames — metadata-scale at any corpus size. A NULL on
+    either side (degenerate group) yields a NULL shift, surfaced
+    rather than dropped (full outer join): a pair that WAS correlated
+    and became constant is exactly the regression this hunts."""
+    a = numeric_correlation(raw, pairs, part_col).withColumnsRenamed(
+        {"n_pairs": "n_raw", "corr": "corr_raw"}
+    )
+    b = numeric_correlation(curated, pairs, part_col).withColumnsRenamed(
+        {"n_pairs": "n_cur", "corr": "corr_cur"}
+    )
+    joined = a.join(b, ["part", "pair"], "full_outer")
+    return joined.select(
+        "part", "pair", "n_raw", "n_cur", "corr_raw", "corr_cur",
+        F.round(F.abs(F.col("corr_raw") - F.col("corr_cur")), 6).alias("corr_shift"),
+    )
+
+
 def default_image_stats() -> StatsProfile:
     """Stats over the BASELINE.json:15 schema — non-binary columns only
     (the stats scan must never read `bytes` pages — SURVEY B0b)."""

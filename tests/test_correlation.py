@@ -1,0 +1,77 @@
+"""Correlation-profile oracles (operators/stats.numeric_correlation /
+correlation_shift): exact ±1 on linear data, NULL (never a throw) on
+degenerate groups under ANSI mode, pairwise-complete counting, and a
+one-exchange fused plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators.stats import correlation_shift, numeric_correlation
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _frame(spark):
+    rows = []
+    for i in range(1, 11):
+        rows.append(("p0", float(i), 2.0 * i + 1.0, -3.0 * i))  # y=2x+1, z=-3x
+    rows += [
+        ("p1", 1.0, 5.0, None),   # NULL z: excluded from (x,z) pairs
+        ("p1", 2.0, 5.0, 1.0),
+        ("p1", 3.0, 5.0, 2.0),    # y constant on p1 → corr(x,y) NULL
+    ]
+    return spark.createDataFrame(rows, "part string, x double, y double, z double")
+
+
+def test_linear_pairs_are_exactly_plus_minus_one(spark):
+    out = numeric_correlation(_frame(spark), [("x", "y"), ("x", "z")])
+    got = {(r["part"], r["pair"]): r for r in out.collect()}
+    assert got[("p0", "x~y")]["corr"] == 1.0
+    assert got[("p0", "x~y")]["n_pairs"] == 10
+    assert got[("p0", "x~z")]["corr"] == -1.0
+
+
+def test_degenerate_groups_yield_null_not_throw(spark):
+    """Spark 4 ANSI mode makes F.corr throw DIVIDE_BY_ZERO on a
+    zero-variance group; the try_divide composition must degrade to
+    NULL — the same answer DuckDB's corr gives."""
+    out = numeric_correlation(_frame(spark), [("x", "y")])
+    got = {r["part"]: r for r in out.collect()}
+    assert got["p1"]["corr"] is None  # y is constant on p1
+    single = spark.createDataFrame([("p0", 1.0, 2.0)], "part string, x double, y double")
+    assert numeric_correlation(single, [("x", "y")]).collect()[0]["corr"] is None
+
+
+def test_pairwise_complete_counting(spark):
+    out = numeric_correlation(_frame(spark), [("x", "z")])
+    got = {r["part"]: r for r in out.collect()}
+    # the NULL-z row drops out of the pair population
+    assert got["p1"]["n_pairs"] == 2
+    assert got["p1"]["corr"] == 1.0  # (2,1),(3,2) → exactly linear
+
+
+def test_correlation_shift_full_outer_surfaces_degenerates(spark):
+    df = _frame(spark)
+    cur = df.filter(F.col("part") == "p0")  # p1 missing from curated
+    out = correlation_shift(df, cur, [("x", "y")])
+    got = {r["part"]: r for r in out.collect()}
+    assert got["p0"]["corr_shift"] == 0.0
+    assert got["p1"]["corr_cur"] is None and got["p1"]["corr_shift"] is None
+
+
+def test_plan_single_fused_exchange(spark):
+    """All pairs' moments fuse into ONE hash-agg: exactly one shuffle
+    exchange (on part), melt after the reduction."""
+    out = numeric_correlation(_frame(spark), [("x", "y"), ("x", "z"), ("y", "z")])
+    plan = _explain(out)
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+    broadcasts = set(re.findall(r"\((\d+)\) BroadcastExchange", plan))
+    assert len(exchanges - broadcasts) == 1, plan
