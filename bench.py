@@ -53,6 +53,9 @@ HEADLINE = [
     "repetition_documents",
     "fingerprint_documents",
     "contamination_documents",
+    "dup_gram_docs",
+    "correlation_lineitem",
+    "freshness_events",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_hamming",
