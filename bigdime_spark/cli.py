@@ -327,6 +327,15 @@ def _build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--minhash-dedup", action="store_true")
     cu.add_argument("--minhash-threshold", type=float, default=0.5)
     cu.add_argument(
+        "--max-hot-fraction",
+        type=float,
+        default=None,
+        help="boilerplate gate: drop docs whose fraction of corpus-"
+        "repeated n-grams exceeds this (hot-gram scan after dedup)",
+    )
+    cu.add_argument("--hot-gram-n", type=int, default=8)
+    cu.add_argument("--hot-gram-min-docs", type=int, default=2)
+    cu.add_argument(
         "--mix",
         default=None,
         help="domain mixture weights, e.g. src0=4,src1=2,src2=1 "
@@ -645,6 +654,9 @@ def main(argv: list[str] | None = None) -> int:
                 exact_dedup=args.exact_dedup,
                 minhash_dedup=args.minhash_dedup,
                 minhash_threshold=args.minhash_threshold,
+                max_hot_fraction=args.max_hot_fraction,
+                hot_gram_n=args.hot_gram_n,
+                hot_gram_min_docs=args.hot_gram_min_docs,
                 mix_weights=mix,
                 target_rows=args.target_rows,
                 sample_rate=args.sample_rate,

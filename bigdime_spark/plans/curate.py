@@ -9,6 +9,8 @@ built entirely from this engine's operators (SURVEY §2.C):
 2. exact dedup — one row per content hash, min-id keeper (C1);
 3. near-dup drop — MinHash-LSH pairs → connected components →
    min-id keeper per cluster (C2 + C20);
+3b. boilerplate gate — drop docs mostly built from corpus-repeated
+   n-grams (hot-gram scan, C34);
 4. mixture sampling — deterministic stratified (or uniform) hash
    sample (C23);
 5. shard packing — token-budget shard ids (C24).
@@ -65,6 +67,14 @@ class CurateConfig:
     minhash_dedup: bool = False
     minhash_threshold: float = 0.5
     minhash_ngram: int = 3
+    # stage 3b: boilerplate gate — drop docs whose hot_fraction (share
+    # of their n-grams repeated across ≥ hot_gram_min_docs docs,
+    # operators/decontam.duplicated_gram_scan) exceeds this. Runs
+    # AFTER dedup so one viral doc's surviving keeper doesn't count
+    # its removed copies toward gram heat.
+    max_hot_fraction: float | None = None
+    hot_gram_n: int = 8
+    hot_gram_min_docs: int = 2
     # stage 4: sampling (mix and rate are mutually exclusive)
     mix_weights: dict[str, float] | None = None
     target_rows: int | None = None
@@ -166,6 +176,23 @@ def curate(df: DataFrame, cfg: CurateConfig) -> CurateResult:
             drop_near_dups(cur, cfg.id_col, pairs), "after_neardup"
         )
 
+    if cfg.max_hot_fraction is not None:
+        from bigdime_spark.operators.decontam import duplicated_gram_scan
+
+        flagged = duplicated_gram_scan(
+            cur,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            n=cfg.hot_gram_n,
+            min_docs=cfg.hot_gram_min_docs,
+        ).filter(F.col("hot_fraction") > cfg.max_hot_fraction)
+        # flagged is boilerplate-only (report-sized); AQE broadcasts
+        # the anti-join, so the corpus side stays shuffle-free.
+        cur = _advance(
+            cur.join(flagged.select(cfg.id_col), cfg.id_col, "left_anti"),
+            "after_boilerplate",
+        )
+
     if cfg.mix_weights is not None:
         cur = _advance(
             stratified_sample(
@@ -196,14 +223,13 @@ def curate(df: DataFrame, cfg: CurateConfig) -> CurateResult:
         # it broadcasts, at corpus-sized outputs it is a co-keyed join
         cur = _advance(cur.join(shards, cfg.id_col), "after_shards")
 
-    counts["output"] = counts.get(
-        "after_shards",
-        counts.get(
-            "after_sample",
-            counts.get(
-                "after_neardup",
-                counts.get("after_exact_dedup", counts["after_gates"]),
-            ),
-        ),
-    )
+    for stage in (
+        "after_shards", "after_sample", "after_boilerplate",
+        "after_neardup", "after_exact_dedup",
+    ):
+        if stage in counts:
+            counts["output"] = counts[stage]
+            break
+    else:
+        counts["output"] = counts["after_gates"]
     return CurateResult(curated=cur, counts=counts)

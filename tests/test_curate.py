@@ -159,3 +159,46 @@ def test_cli_curate_bad_mix_exits_2(corpus, tmp_path_factory, capsys):
         "--mix", "dom0=1",
     ])
     assert rc2 == 2 and "target_rows" in err2
+
+
+def test_boilerplate_gate_drops_hot_fraction_docs(spark, corpus):
+    """Stage 3b: a doc that is PURE shared prefix (hot_fraction 1.0)
+    is dropped; clean docs whose hot_fraction is the prefix's ~0.2
+    survive the 0.5 bar."""
+    boiler = spark.createDataFrame(
+        [(130, "dom0", "the cat and the dog is to walk in town")],
+        "doc_id bigint, source string, text string",
+    )
+    df = corpus.union(boiler)
+    res = curate(df, CurateConfig(
+        max_hot_fraction=0.5, hot_gram_n=8, hot_gram_min_docs=3
+    ))
+    c = res.counts
+    assert c["input"] == 32
+    # dropped: the planted pure-prefix doc AND the 110/111/120 triplet
+    # (with dedup off, their shared 50-token base IS hot boilerplate)
+    assert c["after_boilerplate"] == 28
+    assert c["output"] == 28
+    kept = {r["doc_id"] for r in res.curated.select("doc_id").collect()}
+    assert kept.isdisjoint({110, 111, 120, 130})
+    assert set(range(24)) <= kept  # every clean doc survives
+    res.release()
+
+
+def test_cli_curate_boilerplate_flag(spark, corpus, tmp_path_factory, capsys):
+    base = str(tmp_path_factory.mktemp("curate3"))
+    boiler = spark.createDataFrame(
+        [(130, "dom0", "the cat and the dog is to walk in town")],
+        "doc_id bigint, source string, text string",
+    )
+    corpus.union(boiler).write.parquet(f"{base}/docs")
+    rc, summary, _ = _run_cli(capsys, [
+        "curate", "--input", f"{base}/docs", "--out", f"{base}/out",
+        "--max-hot-fraction", "0.5", "--hot-gram-n", "8",
+        "--hot-gram-min-docs", "3",
+    ])
+    assert rc == 0
+    # planted prefix doc + the shared-base 110/111/120 triplet drop
+    assert summary["after_boilerplate"] == summary["input"] - 4
+    written = spark.read.parquet(f"{base}/out/curated")
+    assert written.filter(F.col("doc_id") == 130).count() == 0
