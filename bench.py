@@ -127,8 +127,18 @@ def bench_queries(spark, sf_dir: str, reps: int) -> dict[str, float]:
 def ensure_fixture(spark, fx_dir: str, rows: int, parts: int) -> None:
     from bigdime_spark.sources.synth import build_fixture
 
-    if os.path.isdir(f"{fx_dir}/raw"):
+    # a killed generation leaves a complete raw/ next to a partial
+    # curated/ — demand every table's _SUCCESS commit marker, and
+    # discard the whole fixture otherwise (benchmarking against a
+    # half-written snapshot would silently undercount the suite).
+    tables = ("raw", "curated", "manifest")
+    if all(os.path.isfile(f"{fx_dir}/{t}/_SUCCESS") for t in tables):
         return
+    if os.path.isdir(fx_dir):
+        import shutil
+
+        print(f"# discarding incomplete fixture at {fx_dir}", file=sys.stderr)
+        shutil.rmtree(fx_dir)
     print(f"# generating fixture {rows} rows → {fx_dir}", file=sys.stderr)
     from bigdime_spark.sources.tables import write_table
 
