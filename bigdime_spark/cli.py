@@ -302,6 +302,24 @@ def _build_parser() -> argparse.ArgumentParser:
     ol.add_argument("--out", default=None, help="optionally write full scores here")
     ol.add_argument("--master", default=None)
 
+    pl = sub.add_parser(
+        "plan",
+        help="incremental-run planner: diff two per-part metric "
+        "snapshots (stats/lineage/checksum frames from two runs) and "
+        "print the parts an incremental validation must cover — "
+        "added + changed parts feed `run --parts`, removed parts are "
+        "surfaced; zero rescans of the data the metrics describe",
+    )
+    pl.add_argument("--prev", required=True, help="previous run's per-part frame")
+    pl.add_argument("--cur", required=True, help="current run's per-part frame")
+    pl.add_argument("--part-col", default="part")
+    pl.add_argument(
+        "--compare-cols",
+        default=None,
+        help="comma-separated metric columns (default: all shared columns)",
+    )
+    pl.add_argument("--master", default=None)
+
     cu = sub.add_parser(
         "curate",
         help="end-to-end corpus curation: row-local quality/lang/PII "
@@ -628,6 +646,41 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 1 if (flagged or not_ready) else 0
+
+    if args.cmd == "plan":
+        from pyspark.sql import functions as F
+
+        from bigdime_spark.plans.lineage import part_diff, plan_incremental
+
+        spark = get_spark("bigdime-plan", master=args.master)
+        cols = (
+            [c.strip() for c in args.compare_cols.split(",") if c.strip()]
+            if args.compare_cols
+            else None
+        )
+        prev = _collapse_streaming_sink(read_table(spark, args.prev))
+        cur = _collapse_streaming_sink(read_table(spark, args.cur))
+        try:
+            diff = part_diff(prev, cur, args.part_col, cols)
+            statuses = {
+                r["status"]: r["n"]
+                for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            plan = plan_incremental(prev, cur, args.part_col, cols)
+        except ValueError as e:
+            print(f"plan: {e}", file=sys.stderr)
+            return 2
+        print(
+            json.dumps(
+                {
+                    "cmd": "plan",
+                    **plan,
+                    "n_to_validate": len(plan["to_validate"]),
+                    "unchanged": int(statuses.get("unchanged", 0)),
+                }
+            )
+        )
+        return 0
 
     if args.cmd == "curate":
         from bigdime_spark.plans.curate import CurateConfig, curate

@@ -181,6 +181,66 @@ FROM events GROUP BY 1
 """
 
 
+def q_part_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-run planner input (plans/lineage.part_diff): diff
+    two per-part metric snapshots — parts-sized frames, zero data
+    rescans. The deterministic priority filters plant one part per
+    status: '3-MEDIUM' absent from prev (added), '5-LOW' absent from
+    cur (removed), '1-URGENT' thinned by the %7 filter (changed, both
+    metrics), the rest unchanged."""
+    from bigdime_spark.plans.lineage import part_diff
+
+    o = _t(spark, sf_dir, "orders")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("part")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("keysum"),
+        )
+
+    prev = summarize(o.filter(F.col("o_orderpriority") != "3-MEDIUM"))
+    cur = summarize(
+        o.filter(
+            (F.col("o_orderpriority") != "5-LOW")
+            & ~(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderkey") % 7 == 0)
+            )
+        )
+    )
+    return part_diff(prev, cur)
+
+
+SQL_PART_DIFF = """
+WITH prevs AS (
+  SELECT o_orderpriority AS part, count(*) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS keysum
+  FROM orders WHERE o_orderpriority <> '3-MEDIUM' GROUP BY 1
+), curs AS (
+  SELECT o_orderpriority AS part, count(*) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS keysum
+  FROM orders
+  WHERE o_orderpriority <> '5-LOW'
+    AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0)
+  GROUP BY 1
+)
+SELECT coalesce(a.part, b.part) AS part,
+       CASE WHEN a.part IS NULL THEN 'added'
+            WHEN b.part IS NULL THEN 'removed'
+            WHEN a.n_rows IS DISTINCT FROM b.n_rows
+              OR a.keysum IS DISTINCT FROM b.keysum THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN a.part IS NOT NULL AND b.part IS NOT NULL
+             AND (a.n_rows IS DISTINCT FROM b.n_rows
+                  OR a.keysum IS DISTINCT FROM b.keysum)
+            THEN concat_ws(',',
+                 CASE WHEN a.n_rows IS DISTINCT FROM b.n_rows THEN 'n_rows' END,
+                 CASE WHEN a.keysum IS DISTINCT FROM b.keysum THEN 'keysum' END)
+            END AS changed_cols
+FROM prevs a FULL OUTER JOIN curs b ON a.part = b.part
+"""
+
+
 def q_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural-invariant profile (operators/stats.
     numeric_correlation): per-part Pearson correlation for column
@@ -2916,6 +2976,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "quantiles_lineitem": QuerySpec(q_quantiles_lineitem, SQL_QUANTILES),
     "null_rate_events": QuerySpec(q_null_rate_events, SQL_NULL_RATE),
     "freshness_events": QuerySpec(q_freshness_events, SQL_FRESHNESS),
+    "part_diff_orders": QuerySpec(q_part_diff_orders, SQL_PART_DIFF),
     "correlation_lineitem": QuerySpec(q_correlation_lineitem, SQL_CORRELATION),
     "correlation_shift_lineitem": QuerySpec(
         q_correlation_shift_lineitem, SQL_CORRELATION_SHIFT

@@ -64,6 +64,92 @@ class LineageStore:
         )
 
 
+def part_diff(
+    prev: DataFrame,
+    cur: DataFrame,
+    part_col: str = "part",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cross-RUN part-level diff over two persisted per-part metric
+    frames (stats, lineage metrics, checksum summaries) →
+    ``(part, status, changed_cols)`` with status ∈ {added, removed,
+    changed, unchanged} relative to ``prev``.
+
+    The incremental-validation planner's input: at 10^12 rows a
+    nightly run must not rescan yesterday's 40k unchanged partitions,
+    and "unchanged" is decidable from metadata alone — the suite
+    already persists per-part (rows, checksum, stats) every run, so
+    diffing two PARTS-sized frames costs zero data rescans at any
+    corpus size. ``changed_cols`` lists which metrics moved
+    (declaration order, csv) for changed parts, NULL otherwise.
+
+    ``compare_cols`` defaults to every column the two frames share
+    (minus the part key); comparison is null-safe (a NULL metric on
+    both sides is equal, NULL vs value is a change)."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in prev.columns if c != part_col and c in cur.columns
+        ]
+    if not compare_cols:
+        raise ValueError("part_diff: no shared columns to compare")
+    a = prev.select(
+        part_col,
+        *[F.col(c).alias(f"a__{c}") for c in compare_cols],
+        F.lit(True).alias("_in_a"),
+    )
+    b = cur.select(
+        part_col,
+        *[F.col(c).alias(f"b__{c}") for c in compare_cols],
+        F.lit(True).alias("_in_b"),
+    )
+    j = a.join(b, part_col, "full_outer")
+    diffs = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"a__{c}").eqNullSafe(F.col(f"b__{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    status = (
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        part_col,
+        status.alias("status"),
+        F.when(status == "changed", F.array_join(diffs, ",")).alias(
+            "changed_cols"
+        ),
+    )
+
+
+def plan_incremental(
+    prev: DataFrame,
+    cur: DataFrame,
+    part_col: str = "part",
+    compare_cols: list[str] | None = None,
+) -> dict[str, list[str]]:
+    """Driver-side incremental-run plan from :func:`part_diff`:
+    ``to_validate`` = added + changed parts (feed ``run --parts``),
+    ``removed`` = parts gone from the current snapshot (surfaced, not
+    silently dropped). The collect is parts-sized — bounded by
+    partition count, never row count."""
+    d = part_diff(prev, cur, part_col, compare_cols)
+    rows = d.filter(F.col("status") != "unchanged").collect()
+    return {
+        "to_validate": sorted(
+            r[part_col] for r in rows if r["status"] in ("added", "changed")
+        ),
+        "removed": sorted(r[part_col] for r in rows if r["status"] == "removed"),
+    }
+
+
 def apply_resume_filter(df: DataFrame, done_parts: list[str]) -> DataFrame:
     """IN-list filter on the partition column → partition pruning.
 
