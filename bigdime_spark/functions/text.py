@@ -236,6 +236,37 @@ def predicted_lang(c: Column) -> Column:
     )
 
 
+def word_ngram_array(text: Column, n: int) -> Column:
+    """DISTINCT word n-grams of ``text`` as an array<string> Column
+    (whole trimmed text as one gram when shorter than ``n`` tokens;
+    empty array for blank text).
+
+    Built by zip_with-folding ``n`` shifted views of the token array —
+    deliberately NOT transform-over-sequence with ``slice(toks, i, n)``
+    in the lambda: an outer computed expression referenced inside a
+    per-element lambda is re-evaluated PER ELEMENT (the C12 pitfall),
+    so the regex tokenization ran O(tokens) times per row — measured
+    ~10× slowdown on the gram queries at sf0.1. Here every reference
+    to ``toks`` sits at the top level of one projection, where
+    Spark's subexpression elimination evaluates the split once; the
+    lambdas touch only their own lambda variables."""
+    toks = tokens_col(text)
+    if n <= 1:
+        grams = toks
+    else:
+        acc = toks
+        for k in range(1, n):
+            rest = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1)))
+            acc = F.zip_with(acc, rest, lambda a, b: F.concat(a, F.lit(" "), b))
+        grams = F.slice(acc, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        grams = F.when(
+            F.size(toks) < F.lit(n), F.array(F.concat_ws(" ", toks))
+        ).otherwise(grams)
+    return F.filter(
+        F.array_distinct(grams), lambda g: g.isNotNull() & (g != F.lit(""))
+    )
+
+
 def char_shingles(c: Column, k: int = 8) -> Column:
     """All k-char shingles of ``c`` → array<string> (whole string when
     shorter than k). Expressed as transform-over-sequence so it stays

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdime_spark.functions.text import tokens_col
+from bigdime_spark.functions.text import word_ngram_array
 
 #: matched-gram sample cap per flagged doc (counts stay exact).
 MAX_SAMPLE_GRAMS = 10
@@ -48,16 +48,9 @@ def word_gram_array(text: Column, n: int) -> Column:
     Shares the dedup-shingle convention (dedup.word_ngram_shingles):
     a doc shorter than ``n`` tokens yields its whole text as one
     gram; a blank doc yields an empty array. Pure Column expression —
-    no UDF, no shuffle."""
-    toks = tokens_col(text)
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
-    return F.filter(grams, lambda g: g != F.lit(""))
+    no UDF, no shuffle; see functions/text.word_ngram_array for why
+    it is zip_with-built rather than transform-over-sequence."""
+    return word_ngram_array(text, n)
 
 
 def benchmark_grams(

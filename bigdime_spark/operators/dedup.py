@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdime_spark.functions.text import tokens_col
+from bigdime_spark.functions.text import tokens_col, word_ngram_array
 
 HEX = "0123456789abcdef"
 
@@ -89,16 +89,12 @@ def word_ngram_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per document → (id, gram).
-    transform-over-sequence keeps it JVM-side; distinct is per-doc
-    (array_distinct before the explode — no shuffle)."""
-    toks = tokens_col(F.col(text_col))
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    zip_with-built grams keep it JVM-side with the tokenization
+    evaluated once per row (functions/text.word_ngram_array — the
+    transform-over-sequence form re-split the text per element);
+    distinct is per-doc (array_distinct before the explode — no
+    shuffle)."""
+    grams = word_ngram_array(F.col(text_col), n)
     return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram")).where(
         F.col("gram") != ""
     )
