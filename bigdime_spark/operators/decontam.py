@@ -13,8 +13,9 @@ Spark-first shape, sized for an asymmetric 10^12-doc corpus × small
   (benchmark-sized, megabytes) → ``F.broadcast`` into the probe join,
   so the CORPUS SIDE NEVER SHUFFLES — the scan → gram explode →
   broadcast-hash-join pipeline is one mapper stage;
-- per-doc gram arrays are built with the same ``transform``-over-
-  ``sequence`` Column expression as the dedup shingles (JVM-side,
+- per-doc gram arrays are built with the same ``zip_with``-fold
+  Column expression as the dedup shingles (functions/text.
+  word_ngram_array — JVM-side, tokenization evaluated once per row,
   whole-stage codegen; the explode is row-local);
 - only MATCHED (doc, gram) rows reach the one hash-agg shuffle, and
   contamination is rare by construction, so the shuffle is a sliver

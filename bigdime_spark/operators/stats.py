@@ -19,6 +19,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdime_spark.operators.base import AggConstraint
+
 
 @dataclass
 class ColumnProfile:
@@ -410,6 +412,55 @@ def numeric_correlation(
     return wide.select("part", F.explode(melted).alias("m")).select(
         "part", "m.pair", "m.n_pairs", "m.corr"
     )
+
+
+class CorrelationBound(AggConstraint):
+    """Fusable per-partition structural-invariant constraint: the
+    Pearson correlation of ``(x, y)`` must stay inside ``[lo, hi]``
+    in every partition — the declared-bounds form of
+    :func:`numeric_correlation` (e.g. ``corr(w, h)`` of an image
+    table holds a known range; a resize bug or column swap leaves it
+    while every per-column stat still passes).
+
+    Rides the suite's single stats aggregation: the moment aggregates
+    run over pairwise-complete values, the verdict from their
+    ANSI-safe ``try_divide`` ratio. NOT_READY when the correlation is
+    undefined (degenerate or near-empty group) — an undefined
+    invariant is a part to look at, not a pass."""
+
+    def __init__(self, x: str, y: str, lo: float = -1.0, hi: float = 1.0):
+        self.x, self.y, self.lo, self.hi = x, y, float(lo), float(hi)
+        self.name = f"correlation.{x}~{y}"
+        self._tag = f"cb__{x}__{y}"
+
+    def agg_exprs(self) -> list[Column]:
+        both = F.col(self.x).isNotNull() & F.col(self.y).isNotNull()
+        xs = F.when(both, F.col(self.x).cast("double"))
+        ys = F.when(both, F.col(self.y).cast("double"))
+        return [
+            F.round(
+                F.try_divide(
+                    F.covar_samp(xs, ys), F.stddev_samp(xs) * F.stddev_samp(ys)
+                ),
+                6,
+            ).alias(self._tag)
+        ]
+
+    def verdict_col(self) -> Column:
+        from bigdime_spark.schema import FAIL, NOT_READY, PASS
+
+        c = F.col(self._tag)
+        return (
+            F.when(c.isNull(), F.lit(NOT_READY))
+            .when((c >= self.lo) & (c <= self.hi), F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+        )
+
+    def observed_col(self) -> Column:
+        return F.col(self._tag).cast("string")
+
+    def expected_col(self) -> Column:
+        return F.lit(f"corr in [{self.lo}, {self.hi}]")
 
 
 def correlation_shift(

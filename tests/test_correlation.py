@@ -75,3 +75,41 @@ def test_plan_single_fused_exchange(spark):
     exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
     broadcasts = set(re.findall(r"\((\d+)\) BroadcastExchange", plan))
     assert len(exchanges - broadcasts) == 1, plan
+
+
+def test_correlation_bound_rides_the_suite_stats_pass(spark):
+    """CorrelationBound fuses into the suite's single agg: a part
+    where y decouples from x FAILs, the linear part PASSes, a
+    degenerate part is NOT_READY."""
+    from bigdime_spark.operators.stats import CorrelationBound
+    from bigdime_spark.plans.suite import StatsProfile, ValidationSuite
+    from bigdime_spark.schema import FAIL, NOT_READY, PASS
+
+    rows = []
+    for i in range(1, 11):
+        rows.append(("p0", f"a{i}", float(i), 2.0 * i))          # corr = 1
+        rows.append(("p1", f"b{i}", float(i), float((i * 7) % 10)))  # decoupled
+    rows += [("p2", "c1", 1.0, 5.0)]                              # undefined
+    df = spark.createDataFrame(rows, "part string, image_id string, x double, y double")
+    suite = ValidationSuite(
+        declared_schema=df.schema,
+        not_null=(),
+        check_record_count=False,
+        check_checksum=False,
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_domains=False,
+        stats=StatsProfile(columns=[]),
+        extra_agg_constraints=[CorrelationBound("x", "y", lo=0.8, hi=1.0)],
+    )
+    res = suite.run(spark, df, run_id="corr-bound")
+    v = {
+        r["part"]: r["verdict"]
+        for r in res.verdicts.filter(
+            F.col("constraint") == "correlation.x~y"
+        ).collect()
+    }
+    assert v == {"p0": PASS, "p1": FAIL, "p2": NOT_READY}
+    res.release()
