@@ -215,3 +215,46 @@ def test_duplicated_gram_scan_plan_probe_is_broadcast(spark, boiler_corpus):
     exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
     assert len(broadcasts) == 1, plan
     assert len(exchanges - broadcasts) <= 3, plan
+
+
+# ------------------- gram-builder property (hypothesis)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from bigdime_spark.functions.text import word_ngram_array  # noqa: E402
+
+_word = st.text(
+    alphabet="abcxyz019", min_size=1, max_size=6
+)
+
+
+def _ref_grams(words: list[str], n: int) -> set[str]:
+    """Python reference of the gram contract: distinct word n-grams;
+    whole text as one gram when shorter than n tokens; empty for
+    blank text; '' never emitted."""
+    if not words:
+        return set()
+    if len(words) < n:
+        return {" ".join(words)} - {""}
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)} - {""}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(st.lists(_word, min_size=0, max_size=12), min_size=1, max_size=6),
+    n=st.integers(1, 5),
+)
+def test_word_ngram_array_matches_python_reference(spark, docs, n):
+    """The zip_with-fold gram builder must agree with the naive
+    Python n-gram definition on every doc — the rewrite that removed
+    the per-element re-tokenization may not change a single gram."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: set(r["g"])
+        for r in df.select(
+            "doc_id", word_ngram_array(F.col("text"), n).alias("g")
+        ).collect()
+    }
+    for i, ws in enumerate(docs):
+        assert got[i] == _ref_grams(ws, n), (ws, n)
