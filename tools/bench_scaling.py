@@ -320,8 +320,20 @@ fresh-JVM reps per level inside ONE harness invocation is the
 comparable quantity; cross-round absolute img/s deltas under ~15%
 are within environmental noise.
 """
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # the template rewrite must not eat hand-written records: keep
+    # everything from the first investigation/continuity heading on
+    # (this harness once clobbered the round-5 core-pair attribution)
+    baseline_path = f"{REPO}/BENCH/BASELINE.md"
+    preserved = ""
+    if os.path.exists(baseline_path):
+        old = open(baseline_path).read()
+        for marker in ("### Core-pair", "Round-5 continuity", "Round-"):
+            idx = old.find(marker)
+            if idx != -1:
+                preserved = "\n" + old[idx:]
+                break
+    with open(baseline_path, "w") as f:
+        f.write(md + preserved)
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
         payload = {
             "rows": args.rows,
