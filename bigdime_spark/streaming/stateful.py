@@ -320,6 +320,94 @@ def latest_histograms(sink: DataFrame) -> DataFrame:
     )
 
 
+#: "no timestamp seen yet" state sentinel (state columns are longs;
+#: epoch-micros of any real timestamp is far above this)
+_NO_TS = -(1 << 63)
+
+
+def running_part_freshness(
+    stream: DataFrame, ts_col: str = "ts", part_col: str = "part"
+) -> DataFrame:
+    """Streaming per-partition max-timestamp accumulation — C35's
+    streaming twin: each micro-batch folds its rows into ONE
+    (rows_total, max_ts) pair per partition, so a stalled upstream
+    producer is visible the moment the stream is queried — no batch
+    rescan of everything already ingested.
+
+    State is BOUNDED (two longs per part — the running row count and
+    the max epoch-micros; ``_NO_TS`` marks an all-null history) and
+    batch-split invariant (max and + commute). Feed the collapsed
+    sink (``latest_histograms`` — the collapse is shape-generic)
+    straight into ``operators.freshness.freshness_profile`` over the
+    ``max_ts`` column for PASS/FAIL/NOT_READY verdicts identical to
+    the batch path."""
+    out_ddl = f"{part_col} string, rows_total long, max_ts timestamp"
+    state_ddl = "rows long, mx long"
+
+    def fold(key, batches, state: GroupState):
+        if state.exists:
+            rows, mx = state.get
+        else:
+            rows, mx = 0, _NO_TS
+        batch_rows = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            batch_rows += len(pdf)
+            s = pdf[ts_col].dropna()
+            if len(s):
+                mv = int(s.max().value // 1000)  # ns → µs epoch
+                mx = max(mx, mv)
+        if batch_rows == 0:
+            return
+        rows += batch_rows
+        state.update((rows, mx))
+        yield pd.DataFrame(
+            {
+                part_col: [key[0]],
+                "rows_total": [rows],
+                "max_ts": [pd.NaT if mx == _NO_TS else pd.Timestamp(mx * 1000)],
+            }
+        )
+
+    return (
+        stream.select(part_col, ts_col)
+        .groupBy(part_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_ddl,
+            stateStructType=state_ddl,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_freshness_to_completion(
+    spark, source_dir: str, schema, checkpoint_dir: str, out_dir: str,
+    ts_col: str = "ts", part_col: str = "part",
+) -> None:
+    """Drain a directory-shaped stream with Trigger.AvailableNow,
+    appending per-batch running (rows_total, max_ts) rows to
+    ``out_dir``; collapse with ``latest_histograms`` and verdict with
+    ``freshness_profile(latest, "max_ts", ...)``."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+    )
+    fresh = running_part_freshness(stream, ts_col=ts_col, part_col=part_col)
+    q = (
+        fresh.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_histograms_to_completion(
     spark, source_dir: str, schema, checkpoint_dir: str, out_dir: str,
     specs=None,

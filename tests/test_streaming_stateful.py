@@ -412,3 +412,64 @@ def test_ttl_drain_empty_source_returns_promptly(spark, tmp_path):
     )
     assert _time.monotonic() - t0 < 30
     assert not os.path.isdir(out) or not os.listdir(out)
+
+
+# ------------------------- streaming freshness (C35's streaming twin)
+
+def test_streamed_freshness_equals_batch_profile(spark, tmp_path):
+    """Running (rows_total, max_ts) per part folded across micro-
+    batches must give verdicts identical to the batch
+    freshness_profile over the full data — including a part whose
+    global max arrives only in the SECOND batch, and an all-null-ts
+    part (NOT_READY)."""
+    import datetime as dt
+
+    from bigdime_spark.operators.freshness import freshness_profile
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    first = spark.createDataFrame(
+        [
+            ("p0", ts("2024-06-01 10:00:00")),
+            ("p0", ts("2024-06-01 11:00:00")),
+            ("p1", ts("2024-06-01 09:30:00")),  # stale — and batch-1 max
+            ("p2", None),
+        ],
+        "part string, ts timestamp",
+    )
+    second = spark.createDataFrame(
+        [
+            ("p0", ts("2024-06-01 11:55:00")),  # global max lands late
+            ("p1", ts("2024-06-01 08:00:00")),  # older than batch 1's
+            ("p2", None),
+        ],
+        "part string, ts timestamp",
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first.repartition(2).write.mode("append").parquet(src)
+    stateful.run_freshness_to_completion(
+        spark, src, "part string, ts timestamp", ckpt, out
+    )
+    second.repartition(2).write.mode("append").parquet(src)
+    stateful.run_freshness_to_completion(
+        spark, src, "part string, ts timestamp", ckpt, out
+    )
+
+    latest = stateful.latest_histograms(spark.read.parquet(out))
+    streamed = freshness_profile(
+        latest, "max_ts", as_of="2024-06-01 12:00:00", max_lag_seconds=3600
+    )
+    batch = freshness_profile(
+        first.union(second), "ts",
+        as_of="2024-06-01 12:00:00", max_lag_seconds=3600,
+    )
+    s = {r["part"]: tuple(r) for r in streamed.collect()}
+    b = {r["part"]: tuple(r) for r in batch.collect()}
+    assert s == b
+    assert s["p0"][3] == "PASS" and s["p0"][1] == "2024-06-01 11:55:00"
+    assert s["p1"][3] == "FAIL"
+    assert s["p2"][3] == "NOT_READY"
