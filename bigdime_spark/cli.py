@@ -42,6 +42,16 @@ def _build_parser() -> argparse.ArgumentParser:
     )
 
     r = sub.add_parser("run", help="run the validation suite")
+    r.add_argument(
+        "--config",
+        default=None,
+        help="declarative suite config (JSON; keys = ValidationSuite "
+        "fields + domain_checks/type_conformance/freshness/"
+        "correlation_bounds sections — plans/config.py). The config is "
+        "authoritative for suite SHAPE: combining it with a shape flag "
+        "(--decode, --phash-dedup, ...) is an error; input/runtime "
+        "flags (--raw, --parts, --lineage, ...) still apply",
+    )
     r.add_argument("--raw", required=True, help="raw snapshot (Iceberg table id or parquet dir)")
     r.add_argument("--curated", default=None)
     r.add_argument("--manifest", default=None)
@@ -1051,7 +1061,47 @@ def main(argv: list[str] | None = None) -> int:
 
     from bigdime_spark.plans.suite import ValidationSuite
 
+    if args.config is not None:
+        # shape flags conflict with a declarative config — the config
+        # is the reviewed contract; a flag silently overriding it is
+        # exactly the drift checks-as-config exists to prevent
+        shape_flags = [
+            ("--decode", args.decode),
+            ("--decode-seed", args.decode_seed is not None),
+            ("--phash-dedup", args.phash_dedup),
+            ("--phash-k", args.phash_k != 2),
+            ("--profile-outliers", args.profile_outliers),
+            ("--bit-balance", args.bit_balance),
+            ("--referential-bloom", args.referential_bloom),
+            ("--cat-drift", bool(args.cat_drift)),
+            ("--content-diff", args.content_diff),
+            ("--content-cols", args.content_cols != "w,h,fmt,phash"),
+            ("--topk-violations", args.topk_violations is not None),
+        ]
+        passed = [flag for flag, on in shape_flags if on]
+        if passed:
+            print(
+                "run: --config is authoritative for suite shape; drop "
+                + ", ".join(passed) + " (edit the config instead)",
+                file=sys.stderr,
+            )
+            return 2
+
     spark = get_spark("bigdime-validate", master=args.master)
+
+    if args.config is not None:
+        from bigdime_spark.plans.config import load_suite_config, suite_from_config
+
+        try:
+            # after get_spark: domain_checks predicates compile via
+            # F.expr, which needs the live session
+            config_suite = suite_from_config(load_suite_config(args.config))
+        except ValueError as exc:
+            print(f"run: {exc}", file=sys.stderr)
+            return 2
+    else:
+        config_suite = None
+
     t0 = time.monotonic()
     raw = read_table(spark, args.raw)
     curated = read_table(spark, args.curated) if args.curated else None
@@ -1063,7 +1113,7 @@ def main(argv: list[str] | None = None) -> int:
             curated = curated.filter(F.col("part").isin(sel))
         if manifest is not None:
             manifest = manifest.filter(F.col("part").isin(sel))
-    suite = ValidationSuite(
+    suite = config_suite if config_suite is not None else ValidationSuite(
         not_null=("image_id", "caption", "w", "h", "fmt"),
         check_decode=args.decode,
         decode_seed=args.decode_seed,

@@ -1,0 +1,231 @@
+"""Declarative suite configuration — checks-as-config (SURVEY A7's
+validator registry, in the shape production teams actually operate:
+one reviewed, versioned JSON document per table instead of a Python
+call site).
+
+The reference configures its validation handlers from deployment
+metadata, not code; deequ's ``VerificationSuite`` and Great
+Expectations' expectation suites made the same move for the same
+reason — the people who own a table's contract are rarely the people
+who own the Spark job. ``suite_from_config`` closes that gap without
+inventing a new vocabulary: **top-level keys ARE**
+:class:`~bigdime_spark.plans.suite.ValidationSuite` **field names**
+(``check_checksum``, ``phash_k``, ...), so the config surface can
+never drift from the programmatic API, plus four structured sections
+that build fusable extra constraints:
+
+``domain_checks``        [{name, column, predicate, detail?}] — the
+                         predicate is a SQL BOOLEAN expression
+                         (``F.expr``: stays JVM-side codegen inside
+                         the fused stats pass; a config file is code
+                         and gets the same review). Predicates must
+                         reference NON-BINARY columns only: the fused
+                         stats pass never reads payload pages (SURVEY
+                         B0b — payload integrity belongs to checksum
+                         and decode), so a predicate naming ``bytes``
+                         fails with an unresolved-column error under
+                         decode-fused runs
+``type_conformance``     [{column, dtype}]
+``freshness``            {ts_col, as_of, max_lag_seconds} — as_of is
+                         an EXPLICIT instant (never now(): verdicts
+                         must be deterministic under retry/resume)
+``correlation_bounds``   [{x, y, lo?, hi?}]
+
+Everything lands in ``extra_agg_constraints`` → rides the suite's
+single stats aggregation: a config with ten extra checks still scans
+the table ONCE. Unknown keys and wrong types raise ``ValueError``
+immediately (a typo'd ``check_checksum`` that silently validated
+nothing is the worst failure mode a validation engine can have).
+
+Programmatic-only fields (``declared_schema``, ``stats``,
+``extra_*_constraints``) are rejected by name with a pointer to the
+Python API — they hold live objects JSON cannot carry.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators.drift import DriftColumn
+from bigdime_spark.operators.freshness import Freshness
+from bigdime_spark.operators.row_checks import DomainCheck, TypeConformance
+from bigdime_spark.operators.stats import CorrelationBound
+from bigdime_spark.plans.suite import ValidationSuite
+
+#: ValidationSuite fields settable as JSON scalars. bool checks use
+#: `type(v) is bool` (a bare isinstance(int) would admit True/False
+#: into int fields and vice versa).
+_BOOL_FIELDS = (
+    "check_record_count", "check_checksum", "check_uniqueness",
+    "check_referential", "check_caption", "check_content", "check_drift",
+    "check_domains", "check_phash_dedup", "check_profile_outliers",
+    "check_bit_balance", "check_decode", "keyed_assume_clustered",
+)
+_INT_FIELDS = (
+    "referential_bloom_bits", "referential_bloom_k", "phash_k",
+    "decode_seed", "topk_violations",
+)
+_FLOAT_FIELDS = ("outlier_threshold",)
+_STR_FIELDS = ("referential_mode", "bit_balance_col", "unique_key", "ref_key")
+#: list-of-string fields (JSON array → tuple)
+_STRLIST_FIELDS = (
+    "not_null", "content_cols", "categorical_drift_cols",
+    "outlier_metrics", "decode_snapshots",
+)
+_PROGRAMMATIC_ONLY = (
+    "declared_schema", "stats", "extra_agg_constraints",
+    "extra_table_constraints",
+)
+_SECTIONS = ("domain_checks", "type_conformance", "freshness",
+             "correlation_bounds", "drift_specs", "bit_balance_bounds")
+
+_ALLOWED = set(_BOOL_FIELDS) | set(_INT_FIELDS) | set(_FLOAT_FIELDS) \
+    | set(_STR_FIELDS) | set(_STRLIST_FIELDS) | set(_SECTIONS)
+
+
+def _fail(key: str, why: str) -> ValueError:
+    return ValueError(f"suite config: {key!r} {why}")
+
+
+def _require_keys(key: str, entry: object, required: set[str],
+                  optional: set[str] = frozenset()) -> dict:
+    if not isinstance(entry, dict):
+        raise _fail(key, f"entries must be objects, got {type(entry).__name__}")
+    missing = required - entry.keys()
+    if missing:
+        raise _fail(key, f"entry missing required keys {sorted(missing)}")
+    extra = entry.keys() - required - optional
+    if extra:
+        raise _fail(key, f"entry has unknown keys {sorted(extra)}")
+    return entry
+
+
+def suite_from_config(cfg: dict) -> ValidationSuite:
+    """Build a :class:`ValidationSuite` from a parsed JSON document.
+
+    Loud by design: unknown keys, programmatic-only fields, and type
+    mismatches raise ``ValueError`` — config errors must fail the run
+    before a single partition is (not) validated.
+    """
+    if not isinstance(cfg, dict):
+        raise ValueError(
+            f"suite config: top level must be an object, got {type(cfg).__name__}"
+        )
+    for key in cfg:
+        if key in _PROGRAMMATIC_ONLY:
+            raise _fail(key, "holds live Python objects — set it via the "
+                             "ValidationSuite constructor, not config")
+        if key not in _ALLOWED:
+            raise _fail(key, f"is not a suite field (allowed: {sorted(_ALLOWED)})")
+
+    kwargs: dict = {}
+    extras: list = []
+
+    for key in _BOOL_FIELDS:
+        if key in cfg:
+            if type(cfg[key]) is not bool:
+                raise _fail(key, "must be true/false")
+            kwargs[key] = cfg[key]
+    for key in _INT_FIELDS:
+        if key in cfg:
+            if type(cfg[key]) is not int:
+                raise _fail(key, "must be an integer")
+            kwargs[key] = cfg[key]
+    for key in _FLOAT_FIELDS:
+        if key in cfg:
+            if type(cfg[key]) not in (int, float) or type(cfg[key]) is bool:
+                raise _fail(key, "must be a number")
+            kwargs[key] = float(cfg[key])
+    for key in _STR_FIELDS:
+        if key in cfg:
+            if not isinstance(cfg[key], str):
+                raise _fail(key, "must be a string")
+            kwargs[key] = cfg[key]
+    for key in _STRLIST_FIELDS:
+        if key in cfg:
+            v = cfg[key]
+            if not isinstance(v, list) or not all(isinstance(s, str) for s in v):
+                raise _fail(key, "must be an array of strings")
+            kwargs[key] = tuple(v)
+
+    if "bit_balance_bounds" in cfg:
+        v = cfg["bit_balance_bounds"]
+        if (not isinstance(v, list) or len(v) != 2
+                or not all(type(x) in (int, float) and type(x) is not bool for x in v)):
+            raise _fail("bit_balance_bounds", "must be [lo, hi] numbers")
+        kwargs["bit_balance_bounds"] = (float(v[0]), float(v[1]))
+
+    if "drift_specs" in cfg:
+        if not isinstance(cfg["drift_specs"], list):
+            raise _fail("drift_specs", "must be an array of objects")
+        specs = []
+        for entry in cfg["drift_specs"]:
+            e = _require_keys("drift_specs", entry,
+                              {"column", "lo", "hi"}, {"nbins"})
+            specs.append(DriftColumn(
+                str(e["column"]), float(e["lo"]), float(e["hi"]),
+                int(e.get("nbins", 32)),
+            ))
+        kwargs["drift_specs"] = tuple(specs)
+
+    if "domain_checks" in cfg:
+        if not isinstance(cfg["domain_checks"], list):
+            raise _fail("domain_checks", "must be an array of objects")
+        for entry in cfg["domain_checks"]:
+            e = _require_keys("domain_checks", entry,
+                              {"name", "column", "predicate"}, {"detail"})
+            extras.append(DomainCheck(
+                str(e["name"]), F.expr(str(e["predicate"])),
+                str(e["column"]), e.get("detail"),
+            ))
+
+    if "type_conformance" in cfg:
+        if not isinstance(cfg["type_conformance"], list):
+            raise _fail("type_conformance", "must be an array of objects")
+        for entry in cfg["type_conformance"]:
+            e = _require_keys("type_conformance", entry, {"column", "dtype"})
+            extras.append(TypeConformance(str(e["column"]), str(e["dtype"])))
+
+    if "freshness" in cfg:
+        e = _require_keys("freshness", cfg["freshness"],
+                          {"ts_col", "as_of", "max_lag_seconds"})
+        extras.append(Freshness(
+            str(e["ts_col"]), as_of=str(e["as_of"]),
+            max_lag_seconds=int(e["max_lag_seconds"]),
+        ))
+
+    if "correlation_bounds" in cfg:
+        if not isinstance(cfg["correlation_bounds"], list):
+            raise _fail("correlation_bounds", "must be an array of objects")
+        for entry in cfg["correlation_bounds"]:
+            e = _require_keys("correlation_bounds", entry,
+                              {"x", "y"}, {"lo", "hi"})
+            extras.append(CorrelationBound(
+                str(e["x"]), str(e["y"]),
+                float(e.get("lo", -1.0)), float(e.get("hi", 1.0)),
+            ))
+
+    if extras:
+        kwargs["extra_agg_constraints"] = extras
+    return ValidationSuite(**kwargs)
+
+
+def load_suite_config(path: str) -> dict:
+    """Read and parse a JSON suite config; ValueError on malformed
+    input so the CLI's operator-error contract (stderr + exit 2)
+    applies uniformly."""
+    try:
+        with open(path) as fh:
+            cfg = json.load(fh)
+    except OSError as exc:
+        raise ValueError(f"suite config: cannot read {path}: {exc}") from exc
+    except json.JSONDecodeError as exc:
+        raise ValueError(f"suite config: {path} is not valid JSON: {exc}") from exc
+    if not isinstance(cfg, dict):
+        raise ValueError(
+            f"suite config: {path} must hold a JSON object, got "
+            f"{type(cfg).__name__}"
+        )
+    return cfg

@@ -1,0 +1,211 @@
+"""Declarative suite config (plans/config.py): field mapping, loud
+rejection of unknown/ill-typed keys, structured constraint sections,
+and the CLI `run --config` path end-to-end."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdime_spark import cli
+from bigdime_spark.operators.drift import DriftColumn
+from bigdime_spark.operators.freshness import Freshness
+from bigdime_spark.operators.row_checks import DomainCheck, TypeConformance
+from bigdime_spark.operators.stats import CorrelationBound
+from bigdime_spark.plans.config import load_suite_config, suite_from_config
+
+
+def test_scalar_and_list_fields_map(spark):
+    suite = suite_from_config(
+        {
+            "check_checksum": False,
+            "check_decode": True,
+            "decode_seed": 7,
+            "phash_k": 3,
+            "check_phash_dedup": True,
+            "referential_mode": "bloom",
+            "referential_bloom_bits": 1 << 20,
+            "outlier_threshold": 4.0,
+            "not_null": ["image_id", "caption"],
+            "categorical_drift_cols": ["fmt"],
+            "bit_balance_bounds": [0.05, 0.95],
+            "keyed_assume_clustered": True,
+            "topk_violations": 9,
+        }
+    )
+    assert suite.check_checksum is False
+    assert suite.check_decode is True and suite.decode_seed == 7
+    assert suite.check_phash_dedup is True and suite.phash_k == 3
+    assert suite.referential_mode == "bloom"
+    assert suite.referential_bloom_bits == 1 << 20
+    assert suite.outlier_threshold == 4.0
+    assert suite.not_null == ("image_id", "caption")
+    assert suite.categorical_drift_cols == ("fmt",)
+    assert suite.bit_balance_bounds == (0.05, 0.95)
+    assert suite.keyed_assume_clustered is True
+    assert suite.topk_violations == 9
+    # untouched fields keep their dataclass defaults
+    assert suite.check_record_count is True and suite.unique_key == "image_id"
+
+
+def test_drift_specs_section(spark):
+    suite = suite_from_config(
+        {
+            "drift_specs": [
+                {"column": "w", "lo": 0, "hi": 512, "nbins": 16},
+                {"column": "h", "lo": 0, "hi": 512},
+            ]
+        }
+    )
+    assert suite.drift_specs == (
+        DriftColumn("w", 0.0, 512.0, 16),
+        DriftColumn("h", 0.0, 512.0, 32),
+    )
+
+
+def test_constraint_sections_build_fusable_extras(spark):
+    suite = suite_from_config(
+        {
+            "domain_checks": [
+                {
+                    "name": "area_sane",
+                    "column": "w",
+                    "predicate": "w * h <= 262144",
+                    "detail": "image area above 512x512 budget",
+                }
+            ],
+            "type_conformance": [{"column": "fmt", "dtype": "int"}],
+            "freshness": {
+                "ts_col": "ts",
+                "as_of": "2026-01-01 00:00:00",
+                "max_lag_seconds": 86400,
+            },
+            "correlation_bounds": [{"x": "w", "y": "h", "lo": 0.1}],
+        }
+    )
+    extras = suite.extra_agg_constraints
+    by_type = {type(c): c for c in extras}
+    assert set(by_type) == {DomainCheck, TypeConformance, Freshness, CorrelationBound}
+    assert by_type[DomainCheck].name == "domain.area_sane"
+    assert by_type[TypeConformance].name == "type_conformance.fmt"
+    assert by_type[Freshness].max_lag_seconds == 86400
+    cb = by_type[CorrelationBound]
+    assert (cb.lo, cb.hi) == (0.1, 1.0)  # hi defaulted
+
+
+@pytest.mark.parametrize(
+    "cfg,frag",
+    [
+        ({"check_cheksum": True}, "not a suite field"),
+        ({"declared_schema": {}}, "live Python objects"),
+        ({"check_checksum": "yes"}, "must be true/false"),
+        ({"phash_k": True}, "must be an integer"),
+        ({"phash_k": 2.5}, "must be an integer"),
+        ({"not_null": "image_id"}, "array of strings"),
+        ({"not_null": [1]}, "array of strings"),
+        ({"bit_balance_bounds": [0.1]}, "[lo, hi]"),
+        ({"drift_specs": [{"column": "w", "lo": 0}]}, "missing required keys"),
+        ({"drift_specs": [{"column": "w", "lo": 0, "hi": 1, "bogus": 1}]},
+         "unknown keys"),
+        ({"freshness": {"ts_col": "ts"}}, "missing required keys"),
+        ({"correlation_bounds": [{"x": "w"}]}, "missing required keys"),
+        ({"domain_checks": {"name": "x"}}, "array of objects"),
+        ([], "must be an object"),
+    ],
+)
+def test_bad_configs_raise(cfg, frag):
+    with pytest.raises(ValueError, match=frag):
+        suite_from_config(cfg)
+
+
+def test_load_suite_config_errors(tmp_path):
+    with pytest.raises(ValueError, match="cannot read"):
+        load_suite_config(str(tmp_path / "absent.json"))
+    bad = tmp_path / "bad.json"
+    bad.write_text("{nope")
+    with pytest.raises(ValueError, match="not valid JSON"):
+        load_suite_config(str(bad))
+    arr = tmp_path / "arr.json"
+    arr.write_text("[1, 2]")
+    with pytest.raises(ValueError, match="JSON object"):
+        load_suite_config(str(arr))
+
+
+# --------------------------------------------------------------- CLI
+
+
+def _run_cli(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr()
+    lines = [ln for ln in out.out.strip().splitlines() if ln.startswith("{")]
+    return rc, (json.loads(lines[-1]) if lines else None), out.err
+
+
+def test_run_with_config_end_to_end(spark, tmp_path_factory, capsys):
+    """A config-driven run: custom not_null set, an extra domain check
+    that PASSes, a correlation bound on (w, h) — verdict families from
+    the config must appear; shape comes from the file alone."""
+    fx = str(tmp_path_factory.mktemp("cfgfx"))
+    out = str(tmp_path_factory.mktemp("cfgout"))
+    rc, _, _ = _run_cli(
+        capsys, ["synth", "--rows", "192", "--parts", "4", "--out", fx]
+    )
+    assert rc == 0
+
+    cfg = {
+        "not_null": ["image_id", "caption"],
+        "check_drift": True,
+        "domain_checks": [
+            {
+                "name": "caption_len",
+                "column": "caption",
+                "predicate": "octet_length(caption) <= 512",
+            }
+        ],
+        "correlation_bounds": [{"x": "w", "y": "h", "lo": -1.0, "hi": 1.0}],
+    }
+    cfg_path = tmp_path_factory.mktemp("cfg") / "suite.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--curated", f"{fx}/curated",
+         "--manifest", f"{fx}/manifest", "--out", out,
+         "--config", str(cfg_path)],
+    )
+    assert rc == 0, summary
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    families = {r["constraint"] for r in verdicts.select("constraint").distinct().collect()}
+    assert "domain.caption_len" in families
+    assert "correlation.w~h" in families
+    assert "not_null.caption" in families
+    # clean synth fixture: the config-driven extras all PASS
+    bad = verdicts.filter(
+        F.col("constraint").isin("domain.caption_len", "correlation.w~h")
+        & (F.col("verdict") != "PASS")
+    ).count()
+    assert bad == 0
+
+
+def test_run_config_conflicts_with_shape_flags(tmp_path_factory, capsys):
+    cfg_path = tmp_path_factory.mktemp("cfg2") / "suite.json"
+    cfg_path.write_text("{}")
+    rc, _, err = _run_cli(
+        capsys,
+        ["run", "--raw", "x", "--out", "y",
+         "--config", str(cfg_path), "--decode"],
+    )
+    assert rc == 2
+    assert "--decode" in err and "authoritative" in err
+
+
+def test_run_config_parse_error_exits_2(spark, tmp_path_factory, capsys):
+    cfg_path = tmp_path_factory.mktemp("cfg3") / "suite.json"
+    cfg_path.write_text(json.dumps({"frobnicate": 1}))
+    rc, _, err = _run_cli(
+        capsys, ["run", "--raw", "x", "--out", "y", "--config", str(cfg_path)]
+    )
+    assert rc == 2
+    assert "not a suite field" in err
