@@ -799,6 +799,47 @@ FROM scored GROUP BY part
 """
 
 
+def q_mutual_info_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (round-5): dependence between documents.lang
+    and the 500-char length band, per source partition —
+    operators/stats.mutual_information. Pearson can't see this (lang
+    is an enum); a language that suddenly DETERMINES document length
+    (mi_norm → 1) is a routing/dedup bug upstream."""
+    from bigdime_spark.operators.stats import mutual_information
+
+    d = _t(spark, sf_dir, "documents")
+    dd = d.withColumn("part", F.col("source")).withColumn(
+        "len_band", F.floor(F.col("n_chars") / F.lit(500))
+    )
+    return mutual_information(dd, "lang", "len_band")
+
+
+SQL_MUTUAL_INFO = """
+WITH j AS (
+  SELECT source AS part, lang AS x, floor(n_chars / 500.0) AS y,
+         count(*)::DOUBLE AS c
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2, 3
+), m AS (
+  SELECT part, c,
+         sum(c) OVER (PARTITION BY part, x) AS cx,
+         sum(c) OVER (PARTITION BY part, y) AS cy,
+         sum(c) OVER (PARTITION BY part) AS n
+  FROM j
+)
+SELECT part,
+       max(n)::BIGINT AS n_rows,
+       round(greatest(0.0, sum(c / n * log2(c * n / (cx * cy)))), 6) AS mi,
+       round(greatest(0.0, sum(-c / n * log2(cx / n))), 6) AS h_x,
+       round(greatest(0.0, sum(-c / n * log2(cy / n))), 6) AS h_y,
+       round(greatest(0.0, sum(c / n * log2(c * n / (cx * cy))))
+             / least(greatest(0.0, sum(-c / n * log2(cx / n))),
+                     greatest(0.0, sum(-c / n * log2(cy / n)))), 6) AS mi_norm
+FROM m GROUP BY part
+"""
+
+
 def q_domain_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B22 range/domain checks as (constraint, bad_rows) rows."""
     p = _t(spark, sf_dir, "part")
@@ -2999,6 +3040,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "categorical_profile_documents": QuerySpec(
         q_categorical_profile_documents, SQL_CATEGORICAL_PROFILE
     ),
+    "mutual_info_documents": QuerySpec(q_mutual_info_documents, SQL_MUTUAL_INFO),
     "type_conformance_orders": QuerySpec(q_type_conformance_orders, SQL_TYPE_CONFORMANCE),
     "checksum_lineitem": QuerySpec(q_checksum_lineitem, SQL_CHECKSUM),
     "drift_w1_js_extendedprice": QuerySpec(q_drift_w1_js_extendedprice, SQL_DRIFT_W1_JS),

@@ -414,6 +414,79 @@ def numeric_correlation(
     )
 
 
+def mutual_information(
+    df: DataFrame, x: str, y: str, part_col: str = "part"
+) -> DataFrame:
+    """Per-partition mutual information between two categorical
+    columns — the dependence twin of :func:`numeric_correlation`
+    (deequ's MutualInformation analyzer re-expressed): Pearson sees
+    only linear numeric coupling; MI catches ANY dependence between
+    enum-like columns (a router that started sending one language to
+    one source, an event type that became hour-of-day-locked), which
+    per-column entropy profiles are blind to by construction.
+
+    → (part, n_rows, mi, h_x, h_y, mi_norm), one row per partition:
+
+    - ``mi``      — I(X;Y) in bits over rows where BOTH sides are
+      non-null (the population a dependence statement is about),
+      Σ p(x,y)·log2(p(x,y)/(p(x)p(y))); clamped at 0 before rounding
+      (mathematically ≥ 0; floating summation can land at −1e−17 and
+      the clamp keeps the −0.0/0.0 split from ever reaching a
+      cross-engine compare).
+    - ``h_x``/``h_y`` — marginal Shannon entropies of the same
+      population (the ceilings MI lives under: MI ≤ min(H(X),H(Y))).
+    - ``mi_norm`` — MI / min(H(X), H(Y)) ∈ [0,1]; NULL (try_divide)
+      when a side is constant — a 1.0 means one column DETERMINES the
+      other (a disguised duplicate column), undefined is NOT_READY
+      territory, not a silent 0.
+
+    Plan: ONE scan + ONE (part, x, y) hash-agg with map-side combine
+    — the only data-sized shuffle; marginals come from window sums
+    over the JOINT-COUNT relation (each joint row's x-marginal term
+    −p·log2(cx/n) sums to H(X) exactly because Σ_y c = cx), so
+    everything after the first agg is metadata-scale. Exact, like
+    categorical_profile, and under the same contract: the distinct
+    (x, y) pair set per part must fit a shuffle partition (≤ ~10^6);
+    high-cardinality columns belong to the sketch paths."""
+    j = (
+        df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .groupBy(
+            F.col(part_col).alias("part"),
+            F.col(x).cast("string").alias("x"),
+            F.col(y).cast("string").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    by_part = Window.partitionBy("part")
+    cx = F.sum("c").over(Window.partitionBy("part", "x"))
+    cy = F.sum("c").over(Window.partitionBy("part", "y"))
+    n = F.sum("c").over(by_part)
+    p = F.col("c") / F.col("n")
+    scored = (
+        j.withColumn("cx", cx)
+        .withColumn("cy", cy)
+        .withColumn("n", n)
+        .select(
+            "part",
+            "n",
+            (p * F.log2(F.col("c") * F.col("n") / (F.col("cx") * F.col("cy")))).alias("mi_term"),
+            (-p * F.log2(F.col("cx") / F.col("n"))).alias("hx_term"),
+            (-p * F.log2(F.col("cy") / F.col("n"))).alias("hy_term"),
+        )
+    )
+    zero = F.lit(0.0)
+    mi_raw = F.greatest(zero, F.sum("mi_term"))
+    hx_raw = F.greatest(zero, F.sum("hx_term"))
+    hy_raw = F.greatest(zero, F.sum("hy_term"))
+    return scored.groupBy("part").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.round(mi_raw, 6).alias("mi"),
+        F.round(hx_raw, 6).alias("h_x"),
+        F.round(hy_raw, 6).alias("h_y"),
+        F.round(F.try_divide(mi_raw, F.least(hx_raw, hy_raw)), 6).alias("mi_norm"),
+    )
+
+
 class CorrelationBound(AggConstraint):
     """Fusable per-partition structural-invariant constraint: the
     Pearson correlation of ``(x, y)`` must stay inside ``[lo, hi]``

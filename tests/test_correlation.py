@@ -113,3 +113,52 @@ def test_correlation_bound_rides_the_suite_stats_pass(spark):
     }
     assert v == {"p0": PASS, "p1": FAIL, "p2": NOT_READY}
     res.release()
+
+
+# ------------------------------------------------- mutual information
+
+
+def test_mutual_information_independent_and_determined(spark):
+    """Planted structure: on p0, y is a FUNCTION of x (mi == h_x ==
+    h_y, mi_norm == 1); on p1, x and y are exactly independent under
+    the joint counts (mi == 0 while both entropies are 1 bit)."""
+    from bigdime_spark.operators.stats import mutual_information
+
+    rows = []
+    # p0: x ∈ {a,b} determines y = upper(x); 4+4 rows
+    for x, y in (("a", "A"), ("b", "B")):
+        rows += [("p0", x, y)] * 4
+    # p1: balanced 2x2 product distribution → independent
+    for x in ("a", "b"):
+        for y in ("A", "B"):
+            rows += [("p1", x, y)] * 3
+    df = spark.createDataFrame(rows, "part string, x string, y string")
+    got = {r["part"]: r for r in mutual_information(df, "x", "y").collect()}
+
+    p0 = got["p0"]
+    assert p0["n_rows"] == 8
+    assert p0["mi"] == 1.0 and p0["h_x"] == 1.0 and p0["h_y"] == 1.0
+    assert p0["mi_norm"] == 1.0
+
+    p1 = got["p1"]
+    assert p1["n_rows"] == 12
+    assert p1["mi"] == 0.0  # greatest(0, ·) also kills any -0.0
+    assert p1["h_x"] == 1.0 and p1["h_y"] == 1.0
+    assert p1["mi_norm"] == 0.0
+
+
+def test_mutual_information_constant_column_is_null_norm(spark):
+    """A constant side has zero entropy: MI is 0 and the normalized
+    form is UNDEFINED (NULL via try_divide), never a division error —
+    and rows with a NULL on either side are excluded from n_rows."""
+    from bigdime_spark.operators.stats import mutual_information
+
+    rows = [("p0", "a", "K"), ("p0", "b", "K"), ("p0", "b", "K"),
+            ("p0", None, "K"), ("p0", "a", None)]
+    df = spark.createDataFrame(rows, "part string, x string, y string")
+    out = mutual_information(df, "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 3  # NULL-sided rows excluded
+    assert r["mi"] == 0.0 and r["h_y"] == 0.0
+    assert r["mi_norm"] is None
