@@ -55,6 +55,7 @@ HEADLINE = [
     "contamination_documents",
     "dup_gram_docs",
     "correlation_lineitem",
+    "mutual_info_documents",
     "freshness_events",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -840,6 +840,64 @@ FROM m GROUP BY part
 """
 
 
+def q_mutual_info_shift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dependence drift (operators/stats.
+    mutual_info_shift): |Δ mi_norm| of (lang, 500-char length band)
+    per source; the deterministic n_chars%3 subset plays the curated
+    snapshot (its joint distribution differs — length bands thin out
+    unevenly per language). Join is parts-sized — metadata-scale."""
+    from bigdime_spark.operators.stats import mutual_info_shift
+
+    d = _t(spark, sf_dir, "documents").withColumn("part", F.col("source")).withColumn(
+        "len_band", F.floor(F.col("n_chars") / F.lit(500))
+    )
+    cur = d.filter(F.col("n_chars") % 3 != 0)
+    return mutual_info_shift(d, cur, "lang", "len_band")
+
+
+SQL_MUTUAL_INFO_SHIFT = """
+WITH j1 AS (
+  SELECT source AS part, lang AS x, floor(n_chars / 500.0) AS y,
+         count(*)::DOUBLE AS c
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2, 3
+), m1 AS (
+  SELECT part, c,
+         sum(c) OVER (PARTITION BY part, x) AS cx,
+         sum(c) OVER (PARTITION BY part, y) AS cy,
+         sum(c) OVER (PARTITION BY part) AS n
+  FROM j1
+), a AS (
+  SELECT part, max(n)::BIGINT AS n_raw,
+         round(greatest(0.0, sum(c / n * log2(c * n / (cx * cy))))
+               / least(greatest(0.0, sum(-c / n * log2(cx / n))),
+                       greatest(0.0, sum(-c / n * log2(cy / n)))), 6) AS mi_norm_raw
+  FROM m1 GROUP BY part
+), j2 AS (
+  SELECT source AS part, lang AS x, floor(n_chars / 500.0) AS y,
+         count(*)::DOUBLE AS c
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        AND n_chars % 3 <> 0
+  GROUP BY 1, 2, 3
+), m2 AS (
+  SELECT part, c,
+         sum(c) OVER (PARTITION BY part, x) AS cx,
+         sum(c) OVER (PARTITION BY part, y) AS cy,
+         sum(c) OVER (PARTITION BY part) AS n
+  FROM j2
+), b AS (
+  SELECT part, max(n)::BIGINT AS n_cur,
+         round(greatest(0.0, sum(c / n * log2(c * n / (cx * cy))))
+               / least(greatest(0.0, sum(-c / n * log2(cx / n))),
+                       greatest(0.0, sum(-c / n * log2(cy / n)))), 6) AS mi_norm_cur
+  FROM m2 GROUP BY part
+)
+SELECT part, n_raw, n_cur, mi_norm_raw, mi_norm_cur,
+       round(abs(mi_norm_raw - mi_norm_cur), 6) AS mi_shift
+FROM a FULL OUTER JOIN b USING (part)
+"""
+
+
 def q_domain_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B22 range/domain checks as (constraint, bad_rows) rows."""
     p = _t(spark, sf_dir, "part")
@@ -3041,6 +3099,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_categorical_profile_documents, SQL_CATEGORICAL_PROFILE
     ),
     "mutual_info_documents": QuerySpec(q_mutual_info_documents, SQL_MUTUAL_INFO),
+    "mutual_info_shift_documents": QuerySpec(
+        q_mutual_info_shift_documents, SQL_MUTUAL_INFO_SHIFT
+    ),
     "type_conformance_orders": QuerySpec(q_type_conformance_orders, SQL_TYPE_CONFORMANCE),
     "checksum_lineitem": QuerySpec(q_checksum_lineitem, SQL_CHECKSUM),
     "drift_w1_js_extendedprice": QuerySpec(q_drift_w1_js_extendedprice, SQL_DRIFT_W1_JS),

@@ -561,6 +561,37 @@ def correlation_shift(
     )
 
 
+def mutual_info_shift(
+    raw: DataFrame,
+    curated: DataFrame,
+    x: str,
+    y: str,
+    part_col: str = "part",
+) -> DataFrame:
+    """Cross-snapshot dependence drift: |mi_norm_raw − mi_norm_cur|
+    per partition — :func:`correlation_shift`'s categorical twin. The
+    normalized form is the comparable one (raw MI moves with marginal
+    entropy even when the coupling didn't change). Join is between two
+    parts-sized profile frames — metadata-scale; full outer, so a side
+    whose MI became UNDEFINED (a column collapsed to a constant)
+    surfaces as a NULL shift instead of vanishing — that collapse is
+    exactly the regression this hunts."""
+    a = mutual_information(raw, x, y, part_col).select(
+        "part",
+        F.col("n_rows").alias("n_raw"),
+        F.col("mi_norm").alias("mi_norm_raw"),
+    )
+    b = mutual_information(curated, x, y, part_col).select(
+        "part",
+        F.col("n_rows").alias("n_cur"),
+        F.col("mi_norm").alias("mi_norm_cur"),
+    )
+    return a.join(b, "part", "full_outer").select(
+        "part", "n_raw", "n_cur", "mi_norm_raw", "mi_norm_cur",
+        F.round(F.abs(F.col("mi_norm_raw") - F.col("mi_norm_cur")), 6).alias("mi_shift"),
+    )
+
+
 def default_image_stats() -> StatsProfile:
     """Stats over the BASELINE.json:15 schema — non-binary columns only
     (the stats scan must never read `bytes` pages — SURVEY B0b)."""

@@ -162,3 +162,28 @@ def test_mutual_information_constant_column_is_null_norm(spark):
     assert r["n_rows"] == 3  # NULL-sided rows excluded
     assert r["mi"] == 0.0 and r["h_y"] == 0.0
     assert r["mi_norm"] is None
+
+
+def test_mutual_info_shift_surfaces_collapsed_side(spark):
+    """correlation_shift's categorical twin: a curated side whose y
+    column collapsed to a constant has UNDEFINED mi_norm — the shift
+    row must surface with a NULL shift (full outer), not vanish; a
+    clean pair shifts by exactly 0."""
+    from bigdime_spark.operators.stats import mutual_info_shift
+
+    raw_rows = []
+    for x, y in (("a", "A"), ("b", "B")):
+        raw_rows += [("p0", x, y)] * 4 + [("p1", x, y)] * 4
+    raw = spark.createDataFrame(raw_rows, "part string, x string, y string")
+    # curated: p0 unchanged; p1's y collapsed to a constant
+    cur_rows = [r for r in raw_rows if r[0] == "p0"]
+    cur_rows += [("p1", x, "K") for x in ("a", "b", "a", "b")]
+    cur = spark.createDataFrame(cur_rows, "part string, x string, y string")
+
+    got = {r["part"]: r for r in mutual_info_shift(raw, cur, "x", "y").collect()}
+    assert got["p0"]["mi_shift"] == 0.0
+    assert got["p0"]["mi_norm_raw"] == 1.0 and got["p0"]["mi_norm_cur"] == 1.0
+    p1 = got["p1"]
+    assert p1["mi_norm_raw"] == 1.0
+    assert p1["mi_norm_cur"] is None  # constant side → undefined
+    assert p1["mi_shift"] is None     # surfaced, not dropped
