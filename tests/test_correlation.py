@@ -187,3 +187,62 @@ def test_mutual_info_shift_surfaces_collapsed_side(spark):
     assert p1["mi_norm_raw"] == 1.0
     assert p1["mi_norm_cur"] is None  # constant side → undefined
     assert p1["mi_shift"] is None     # surfaced, not dropped
+
+
+def test_mutual_information_single_data_scan(spark, tmp_path):
+    """The scale contract: ONE pass over the data (the (part,x,y)
+    hash-agg); every window/marginal computation operates on the
+    joint-count relation, never rescanning the source. The physical
+    plan must therefore contain exactly one parquet scan."""
+    from bigdime_spark.operators.stats import mutual_information
+
+    p = str(tmp_path / "mi_src")
+    spark.createDataFrame(
+        [("p0", "a", "A"), ("p0", "b", "B")] * 5,
+        "part string, x string, y string",
+    ).write.parquet(p)
+    out = mutual_information(spark.read.parquet(p), "x", "y")
+    plan = _explain(out)
+    # formatted explain names each node once in the tree and once in
+    # the detail section — count distinct "(N) Scan parquet" headings
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_mutual_information_matches_numpy_reference(spark):
+    """Property test: operator MI/H values equal a direct numpy
+    computation over the joint distribution on randomized small
+    tables (seeded — no flaky draws)."""
+    import math
+    import random as _random
+
+    from bigdime_spark.operators.stats import mutual_information
+
+    rng = _random.Random(1234)
+    for trial in range(4):
+        rows = [
+            ("p0", rng.choice("abcd"), rng.choice("ABC"))
+            for _ in range(rng.randint(5, 60))
+        ]
+        got = mutual_information(
+            spark.createDataFrame(rows, "part string, x string, y string"),
+            "x", "y",
+        ).collect()[0]
+
+        n = len(rows)
+        joint: dict[tuple[str, str], int] = {}
+        for _, x, y in rows:
+            joint[(x, y)] = joint.get((x, y), 0) + 1
+        px: dict[str, float] = {}
+        py: dict[str, float] = {}
+        for (x, y), c in joint.items():
+            px[x] = px.get(x, 0) + c / n
+            py[y] = py.get(y, 0) + c / n
+        mi = sum(
+            c / n * math.log2((c / n) / (px[x] * py[y]))
+            for (x, y), c in joint.items()
+        )
+        hx = -sum(p * math.log2(p) for p in px.values())
+        hy = -sum(p * math.log2(p) for p in py.values())
+        assert got["n_rows"] == n, trial
+        assert abs(got["mi"] - max(0.0, mi)) < 1e-6, trial
+        assert abs(got["h_x"] - hx) < 1e-6 and abs(got["h_y"] - hy) < 1e-6, trial
