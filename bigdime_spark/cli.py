@@ -312,6 +312,42 @@ def _build_parser() -> argparse.ArgumentParser:
     ol.add_argument("--out", default=None, help="optionally write full scores here")
     ol.add_argument("--master", default=None)
 
+    pr = sub.add_parser(
+        "profile",
+        help="per-part structural profiles over a table: categorical "
+        "columns (exact distinct/entropy/mode), Pearson correlation "
+        "pairs, and mutual-information pairs — each ONE scan + ONE "
+        "map-combined hash-agg; use these run-over-run to catch "
+        "dependence shifts every per-column stat misses",
+    )
+    pr.add_argument("--input", required=True, help="table dir (parquet)")
+    pr.add_argument("--part-col", default="part")
+    pr.add_argument(
+        "--categorical",
+        default="",
+        help="comma-separated low-cardinality columns, e.g. fmt,lang",
+    )
+    pr.add_argument(
+        "--corr",
+        default="",
+        help="comma-separated numeric pairs x~y, e.g. w~h",
+    )
+    pr.add_argument(
+        "--mi",
+        default="",
+        help="comma-separated categorical pairs x~y for mutual "
+        "information, e.g. lang~source",
+    )
+    pr.add_argument(
+        "--out",
+        default=None,
+        help="write full profile frames here (categorical/ "
+        "correlation/ mutual_info/); without it stdout carries at "
+        "most 20 rows per profile (bounded diagnostic, not the data "
+        "path)",
+    )
+    pr.add_argument("--master", default=None)
+
     pl = sub.add_parser(
         "plan",
         help="incremental-run planner: diff two per-part metric "
@@ -591,6 +627,78 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "edrift", "raw": args.raw, "curated": args.curated,
                           "scores": rows, "drifted": drifted}))
         return 1 if drifted else 0
+
+    if args.cmd == "profile":
+        from pyspark.sql import functions as F
+
+        from bigdime_spark.operators.stats import (
+            categorical_profile,
+            mutual_information,
+            numeric_correlation,
+        )
+
+        def _pairs(spec: str, flag: str) -> list[tuple[str, str]]:
+            out = []
+            for token in (t.strip() for t in spec.split(",") if t.strip()):
+                sides = token.split("~")
+                if len(sides) != 2 or not sides[0] or not sides[1]:
+                    raise ValueError(f"{flag}: expected x~y, got {token!r}")
+                out.append((sides[0], sides[1]))
+            return out
+
+        try:
+            cats = [c.strip() for c in args.categorical.split(",") if c.strip()]
+            corr_pairs = _pairs(args.corr, "--corr")
+            mi_pairs = _pairs(args.mi, "--mi")
+            if not (cats or corr_pairs or mi_pairs):
+                raise ValueError(
+                    "nothing to profile: pass --categorical, --corr, or --mi"
+                )
+        except ValueError as e:
+            print(f"profile: {e}", file=sys.stderr)
+            return 2
+
+        spark = get_spark("bigdime-profile", master=args.master)
+        summary: dict[str, object] = {"cmd": "profile", "input": args.input}
+        try:  # analysis is eager — a missing column raises at build time
+            df = read_table(spark, args.input)
+            frames: dict[str, object] = {}
+            if cats:
+                frames["categorical"] = categorical_profile(
+                    df, tuple(cats), part_col=args.part_col
+                )
+            if corr_pairs:
+                frames["correlation"] = numeric_correlation(
+                    df, corr_pairs, part_col=args.part_col
+                )
+            if mi_pairs:
+                # one scan per pair (each has its own joint-count shape);
+                # tag rows so several pairs union into one frame
+                from functools import reduce
+
+                mis = [
+                    mutual_information(df, x, y, part_col=args.part_col)
+                    .withColumn("pair", F.lit(f"{x}~{y}"))
+                    for x, y in mi_pairs
+                ]
+                frames["mutual_info"] = reduce(lambda a, b: a.unionByName(b), mis)
+
+            for name, frame in frames.items():
+                if args.out:
+                    write_table(frame, f"{args.out}/{name}", partition_by=None)
+                    summary[name] = {"rows": frame.count(), "out": f"{args.out}/{name}"}
+                else:
+                    rows = frame.limit(21).collect()
+                    summary[name] = {
+                        "rows_shown": min(len(rows), 20),
+                        "truncated": len(rows) > 20,
+                        "sample": [r.asDict() for r in rows[:20]],
+                    }
+        except Exception as e:  # missing column etc. — operator error, not a crash
+            print(f"profile: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps(summary, default=str))
+        return 0
 
     if args.cmd == "outliers":
         from pyspark.sql import functions as F

@@ -209,3 +209,64 @@ def test_run_config_parse_error_exits_2(spark, tmp_path_factory, capsys):
     )
     assert rc == 2
     assert "not a suite field" in err
+
+
+# ----------------------------------------------------- profile CLI
+
+
+def test_profile_cli_end_to_end(spark, tmp_path_factory, capsys):
+    """profile over a small parquet table: categorical + correlation +
+    MI frames written under --out, counts in the JSON summary; the
+    no-out path prints a bounded sample."""
+    src = str(tmp_path_factory.mktemp("prof") / "t")
+    rows = []
+    for i in range(40):
+        part = f"p{i % 2}"
+        lang = "en" if i % 3 else "de"
+        rows.append((part, lang, "web" if i % 2 else "book",
+                     float(i), 2.0 * i + 1.0))
+    spark.createDataFrame(
+        rows, "part string, lang string, source string, x double, y double"
+    ).write.parquet(src)
+
+    out = str(tmp_path_factory.mktemp("profout"))
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["profile", "--input", src, "--categorical", "lang,source",
+         "--corr", "x~y", "--mi", "lang~source", "--out", out],
+    )
+    assert rc == 0
+    assert summary["categorical"]["rows"] == 4   # 2 parts x 2 columns
+    assert summary["correlation"]["rows"] == 2   # 2 parts x 1 pair
+    assert summary["mutual_info"]["rows"] == 2
+    corr = {r["part"]: r for r in spark.read.parquet(f"{out}/correlation").collect()}
+    assert corr["p0"]["corr"] == 1.0  # y = 2x+1 exactly
+
+    # bounded-sample path (no --out)
+    rc, summary, _ = _run_cli(
+        capsys, ["profile", "--input", src, "--mi", "lang~source"]
+    )
+    assert rc == 0
+    assert summary["mutual_info"]["rows_shown"] == 2
+    assert summary["mutual_info"]["truncated"] is False
+    assert {s["pair"] for s in summary["mutual_info"]["sample"]} == {"lang~source"}
+
+
+def test_profile_cli_operator_errors_exit_2(tmp_path_factory, capsys):
+    rc, _, err = _run_cli(capsys, ["profile", "--input", "x"])
+    assert rc == 2 and "nothing to profile" in err
+    rc, _, err = _run_cli(
+        capsys, ["profile", "--input", "x", "--mi", "langsource"]
+    )
+    assert rc == 2 and "expected x~y" in err
+
+
+def test_profile_cli_missing_column_exit_2(spark, tmp_path_factory, capsys):
+    src = str(tmp_path_factory.mktemp("prof2") / "t")
+    spark.createDataFrame(
+        [("p0", "en")], "part string, lang string"
+    ).write.parquet(src)
+    rc, _, err = _run_cli(
+        capsys, ["profile", "--input", src, "--categorical", "nope"]
+    )
+    assert rc == 2 and "profile:" in err
