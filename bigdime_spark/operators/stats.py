@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdime_spark.operators.base import AggConstraint
+from bigdime_spark.operators.base import AggConstraint, TableConstraint
 
 
 @dataclass
@@ -590,6 +590,54 @@ def mutual_info_shift(
         "part", "n_raw", "n_cur", "mi_norm_raw", "mi_norm_cur",
         F.round(F.abs(F.col("mi_norm_raw") - F.col("mi_norm_cur")), 6).alias("mi_shift"),
     )
+
+
+class MutualInfoBound(TableConstraint):
+    """Suite-integrated declared-bounds form of
+    :func:`mutual_information` — :class:`CorrelationBound`'s
+    categorical twin, as a TableConstraint (MI needs its own
+    (part, x, y) aggregation; it cannot ride the fused stats pass).
+
+    Verdict family ``mutual_info.<x>~<y>``: per-part normalized MI
+    must stay in ``[lo, hi]``. ``hi`` guards against a column pair
+    COLLAPSING into dependence (one column starts determining the
+    other — a disguised duplicate / routing bug); ``lo`` guards
+    invariants that are SUPPOSED to be coupled. NOT_READY when
+    mi_norm is undefined (a side went constant) — an undefined
+    invariant is a part to look at, not a pass.
+
+    Partial-verdicts convention (same as DriftCheck): only parts
+    present in the profile emit rows; a part with zero
+    pairwise-complete (x, y) rows gets PASS from the suite's shared
+    grid join — pair with not_null constraints on x/y when absence
+    itself must fail."""
+
+    partial_verdicts = True
+
+    def __init__(self, x: str, y: str, lo: float = 0.0, hi: float = 1.0):
+        self.x, self.y = x, y
+        self.lo, self.hi = float(lo), float(hi)
+        self.name = f"mutual_info.{x}~{y}"
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]
+
+    def run(self, ctx):
+        from bigdime_spark.schema import FAIL, NOT_READY, PASS
+
+        prof = mutual_information(ctx.raw, self.x, self.y)
+        m = F.col("mi_norm")
+        found = prof.select(
+            "part",
+            F.lit(self.name).alias("constraint"),
+            F.when(m.isNull(), F.lit(NOT_READY))
+            .when((m >= self.lo) & (m <= self.hi), F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+            .alias("verdict"),
+            F.concat(F.lit("mi_norm="), m.cast("string")).alias("observed"),
+            F.lit(f"mi_norm in [{self.lo}, {self.hi}]").alias("expected"),
+        )
+        return found, None
 
 
 def default_image_stats() -> StatsProfile:

@@ -30,9 +30,14 @@ that build fusable extra constraints:
                          an EXPLICIT instant (never now(): verdicts
                          must be deterministic under retry/resume)
 ``correlation_bounds``   [{x, y, lo?, hi?}]
+``mutual_info_bounds``   [{x, y, lo?, hi?}] — normalized MI of a
+                         categorical pair per part (the one section
+                         that builds a TABLE constraint: MI needs its
+                         own (part,x,y) aggregation and cannot ride
+                         the fused pass)
 
-Everything lands in ``extra_agg_constraints`` → rides the suite's
-single stats aggregation: a config with ten extra checks still scans
+The first four land in ``extra_agg_constraints`` → ride the suite's
+single stats aggregation: a config with ten such checks still scans
 the table ONCE. Unknown keys and wrong types raise ``ValueError``
 immediately (a typo'd ``check_checksum`` that silently validated
 nothing is the worst failure mode a validation engine can have).
@@ -79,7 +84,8 @@ _PROGRAMMATIC_ONLY = (
     "extra_table_constraints",
 )
 _SECTIONS = ("domain_checks", "type_conformance", "freshness",
-             "correlation_bounds", "drift_specs", "bit_balance_bounds")
+             "correlation_bounds", "mutual_info_bounds", "drift_specs",
+             "bit_balance_bounds")
 
 _ALLOWED = set(_BOOL_FIELDS) | set(_INT_FIELDS) | set(_FLOAT_FIELDS) \
     | set(_STR_FIELDS) | set(_STRLIST_FIELDS) | set(_SECTIONS)
@@ -207,8 +213,24 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                 float(e.get("lo", -1.0)), float(e.get("hi", 1.0)),
             ))
 
+    table_extras: list = []
+    if "mutual_info_bounds" in cfg:
+        from bigdime_spark.operators.stats import MutualInfoBound
+
+        if not isinstance(cfg["mutual_info_bounds"], list):
+            raise _fail("mutual_info_bounds", "must be an array of objects")
+        for entry in cfg["mutual_info_bounds"]:
+            e = _require_keys("mutual_info_bounds", entry,
+                              {"x", "y"}, {"lo", "hi"})
+            table_extras.append(MutualInfoBound(
+                str(e["x"]), str(e["y"]),
+                float(e.get("lo", 0.0)), float(e.get("hi", 1.0)),
+            ))
+
     if extras:
         kwargs["extra_agg_constraints"] = extras
+    if table_extras:
+        kwargs["extra_table_constraints"] = table_extras
     return ValidationSuite(**kwargs)
 
 

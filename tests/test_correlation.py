@@ -246,3 +246,67 @@ def test_mutual_information_matches_numpy_reference(spark):
         assert got["n_rows"] == n, trial
         assert abs(got["mi"] - max(0.0, mi)) < 1e-6, trial
         assert abs(got["h_x"] - hx) < 1e-6 and abs(got["h_y"] - hy) < 1e-6, trial
+
+
+def test_mutual_info_bound_in_suite(spark):
+    """MutualInfoBound as a table constraint: the determined part
+    FAILs hi=0.5, the independent part PASSes, a constant-side part
+    is NOT_READY, and a part absent from the profile (x entirely
+    NULL) gets PASS from the shared grid fill."""
+    from bigdime_spark.operators.stats import MutualInfoBound
+    from bigdime_spark.plans.suite import StatsProfile, ValidationSuite
+    from bigdime_spark.schema import FAIL, NOT_READY, PASS
+
+    rows = []
+    k = 0
+    # p0: x determines y (mi_norm = 1)
+    for x, y in (("a", "A"), ("b", "B")):
+        for _ in range(4):
+            rows.append(("p0", f"i{k}", x, y)); k += 1
+    # p1: product distribution (mi_norm = 0)
+    for x in ("a", "b"):
+        for y in ("A", "B"):
+            for _ in range(3):
+                rows.append(("p1", f"i{k}", x, y)); k += 1
+    # p2: y constant → mi_norm undefined
+    for x in ("a", "b"):
+        rows.append(("p2", f"i{k}", x, "K")); k += 1
+    # p3: x entirely NULL → no profile row
+    rows += [("p3", f"i{k}", None, "A")]
+    df = spark.createDataFrame(rows, "part string, image_id string, x string, y string")
+
+    suite = ValidationSuite(
+        declared_schema=df.schema,
+        not_null=(),
+        check_record_count=False,
+        check_checksum=False,
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_domains=False,
+        stats=StatsProfile(columns=[]),
+        extra_table_constraints=[MutualInfoBound("x", "y", lo=0.0, hi=0.5)],
+    )
+    res = suite.run(spark, df, run_id="mi-bound")
+    v = {
+        r["part"]: r["verdict"]
+        for r in res.verdicts.filter(
+            F.col("constraint") == "mutual_info.x~y"
+        ).collect()
+    }
+    assert v == {"p0": FAIL, "p1": PASS, "p2": NOT_READY, "p3": PASS}
+    res.release()
+
+
+def test_mutual_info_bounds_config_section(spark):
+    from bigdime_spark.operators.stats import MutualInfoBound
+    from bigdime_spark.plans.config import suite_from_config
+
+    suite = suite_from_config(
+        {"mutual_info_bounds": [{"x": "fmt", "y": "caption", "hi": 0.9}]}
+    )
+    (tc,) = suite.extra_table_constraints
+    assert isinstance(tc, MutualInfoBound)
+    assert tc.name == "mutual_info.fmt~caption"
+    assert (tc.lo, tc.hi) == (0.0, 0.9)
