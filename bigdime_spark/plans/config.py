@@ -35,6 +35,10 @@ that build fusable extra constraints:
                          that builds a TABLE constraint: MI needs its
                          own (part,x,y) aggregation and cannot ride
                          the fused pass)
+``schema``               [{name, type, nullable?}] — the declared
+                         contract StructType for the suite's pass-1
+                         schema validators; types are Spark DDL
+                         strings validated at config load
 
 The first four land in ``extra_agg_constraints`` → ride the suite's
 single stats aggregation: a config with ten such checks still scans
@@ -83,7 +87,7 @@ _PROGRAMMATIC_ONLY = (
     "declared_schema", "stats", "extra_agg_constraints",
     "extra_table_constraints",
 )
-_SECTIONS = ("domain_checks", "type_conformance", "freshness",
+_SECTIONS = ("schema", "domain_checks", "type_conformance", "freshness",
              "correlation_bounds", "mutual_info_bounds", "drift_specs",
              "bit_balance_bounds")
 
@@ -155,6 +159,34 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             if not isinstance(v, list) or not all(isinstance(s, str) for s in v):
                 raise _fail(key, "must be an array of strings")
             kwargs[key] = tuple(v)
+
+    if "schema" in cfg:
+        # the declared-contract StructType, as data: [{name, type,
+        # nullable?}] — schema validation is the suite's pass 1 and
+        # belongs in the reviewed config as much as any constraint.
+        # Types are Spark DDL ("string", "int", "decimal(38,0)",
+        # "array<float>", ...) validated by the live parser, so a
+        # typo'd type fails the config load, not the run
+        from pyspark.sql import types as T
+
+        if not isinstance(cfg["schema"], list) or not cfg["schema"]:
+            raise _fail("schema", "must be a non-empty array of objects")
+        fields = []
+        for entry in cfg["schema"]:
+            e = _require_keys("schema", entry, {"name", "type"}, {"nullable"})
+            if "nullable" in e and type(e["nullable"]) is not bool:
+                raise _fail("schema", "nullable must be true/false")
+            try:
+                parsed = T.StructType.fromDDL(f"`{e['name']}` {e['type']}")
+            except Exception as exc:
+                raise _fail(
+                    "schema", f"bad type {e['type']!r} for {e['name']!r}: {exc}"
+                ) from exc
+            f0 = parsed.fields[0]
+            fields.append(
+                T.StructField(f0.name, f0.dataType, bool(e.get("nullable", True)))
+            )
+        kwargs["declared_schema"] = T.StructType(fields)
 
     if "bit_balance_bounds" in cfg:
         v = cfg["bit_balance_bounds"]

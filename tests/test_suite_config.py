@@ -270,3 +270,75 @@ def test_profile_cli_missing_column_exit_2(spark, tmp_path_factory, capsys):
         capsys, ["profile", "--input", src, "--categorical", "nope"]
     )
     assert rc == 2 and "profile:" in err
+
+
+# --------------------------------------------------------- schema section
+
+
+def test_schema_section_builds_declared_structtype(spark):
+    from pyspark.sql import types as T
+
+    suite = suite_from_config(
+        {
+            "schema": [
+                {"name": "image_id", "type": "string", "nullable": False},
+                {"name": "w", "type": "int"},
+                {"name": "embedding", "type": "array<float>"},
+            ]
+        }
+    )
+    s = suite.declared_schema
+    assert isinstance(s, T.StructType)
+    assert [f.name for f in s.fields] == ["image_id", "w", "embedding"]
+    assert s.fields[0].nullable is False and s.fields[1].nullable is True
+    assert s.fields[2].dataType == T.ArrayType(T.FloatType())
+
+
+def test_schema_section_rejects_bad_entries(spark):
+    with pytest.raises(ValueError, match="bad type"):
+        suite_from_config({"schema": [{"name": "w", "type": "integerz"}]})
+    with pytest.raises(ValueError, match="non-empty array"):
+        suite_from_config({"schema": []})
+    with pytest.raises(ValueError, match="nullable must be"):
+        suite_from_config(
+            {"schema": [{"name": "w", "type": "int", "nullable": "no"}]}
+        )
+    # the raw dataclass field stays programmatic-only
+    with pytest.raises(ValueError, match="live Python objects"):
+        suite_from_config({"declared_schema": [{"name": "w", "type": "int"}]})
+
+
+def test_run_config_schema_mismatch_fails_run(spark, tmp_path_factory, capsys):
+    """CLI e2e: a config declaring a column the fixture lacks must
+    FAIL the schema verdict and exit 1."""
+    fx = str(tmp_path_factory.mktemp("schfx"))
+    out = str(tmp_path_factory.mktemp("schout"))
+    rc, _, _ = _run_cli(
+        capsys, ["synth", "--rows", "64", "--parts", "2", "--out", fx]
+    )
+    assert rc == 0
+    cfg = {
+        "check_drift": False,
+        "schema": [
+            {"name": "image_id", "type": "string"},
+            {"name": "bytes", "type": "binary"},
+            {"name": "w", "type": "int"},
+            {"name": "h", "type": "int"},
+            {"name": "fmt", "type": "string"},
+            {"name": "caption", "type": "string"},
+            {"name": "phash", "type": "long"},
+            {"name": "part", "type": "string"},
+            {"name": "exif_json", "type": "string"},   # not in the fixture
+        ],
+    }
+    cfg_path = tmp_path_factory.mktemp("schcfg") / "suite.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--out", out, "--config", str(cfg_path)],
+    )
+    assert rc == 1
+    assert summary["schema_mismatches"] >= 1
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    schema_v = verdicts.filter(F.col("constraint") == "schema").collect()
+    assert schema_v and all(r["verdict"] == "FAIL" for r in schema_v)
