@@ -95,6 +95,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "partition with stuck bits FAILs bit_balance_phash",
     )
     r.add_argument(
+        "--payload-conformance",
+        action="store_true",
+        help="structural payload check: declared fmt vs byte length / "
+        "container magic, pure JVM expressions (fuses into the "
+        "checksum's full-payload scan — zero extra scans); the cheap "
+        "decode-off precursor to --decode",
+    )
+    r.add_argument(
         "--referential-bloom",
         action="store_true",
         help="replace the exact referential join with the Bloom "
@@ -1180,6 +1188,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--phash-k", args.phash_k != 2),
             ("--profile-outliers", args.profile_outliers),
             ("--bit-balance", args.bit_balance),
+            ("--payload-conformance", args.payload_conformance),
             ("--referential-bloom", args.referential_bloom),
             ("--cat-drift", bool(args.cat_drift)),
             ("--content-diff", args.content_diff),
@@ -1230,6 +1239,7 @@ def main(argv: list[str] | None = None) -> int:
         phash_k=args.phash_k,
         check_profile_outliers=args.profile_outliers,
         check_bit_balance=args.bit_balance,
+        check_payload_conformance=args.payload_conformance,
         referential_mode="bloom" if args.referential_bloom else "exact",
         categorical_drift_cols=tuple(
             c.strip() for c in args.cat_drift.split(",") if c.strip()

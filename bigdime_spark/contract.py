@@ -3065,6 +3065,107 @@ FROM c LEFT JOIN (
 
 
 # =====================================================================
+# completeness / structural integrity (C40–C41, B30)
+# =====================================================================
+
+def q_null_pattern_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40 correlated-missingness profile. The testdata tables are
+    fully populated, so nullability is SYNTHESIZED deterministically
+    (the type-conformance query's established trick): column ``a`` is
+    value nulled on event_id % 7 == 0, ``b`` is user_id nulled on
+    event_id % 13 < 2 — overlapping masks so the joint distribution
+    ('none', 'a', 'b', 'a,b') is non-trivial and the a,b co-occurrence
+    rate differs from the product of the marginals."""
+    from bigdime_spark.operators.completeness import null_pattern_profile
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("a"),
+        F.when(F.col("event_id") % 13 < 2, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("b"),
+    )
+    return null_pattern_profile(d, ["a", "b"], part_col=None)
+
+
+SQL_NULL_PATTERN = """
+WITH d AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS a,
+         CASE WHEN event_id % 13 < 2 THEN NULL ELSE user_id END AS b
+  FROM events
+), pat AS (
+  SELECT CASE WHEN concat_ws(',',
+              CASE WHEN a IS NULL THEN 'a' END,
+              CASE WHEN b IS NULL THEN 'b' END) = ''
+         THEN 'none'
+         ELSE concat_ws(',',
+              CASE WHEN a IS NULL THEN 'a' END,
+              CASE WHEN b IS NULL THEN 'b' END) END AS pattern
+  FROM d
+)
+SELECT pattern,
+       count(*) AS n_rows,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS frac
+FROM pat GROUP BY 1
+"""
+
+
+def q_sequence_continuity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 dense-id continuity, partitioned by priority: o_orderkey is
+    globally dense 0..n−1 but each priority part holds an interleaved
+    subset, so per-part gaps are large and non-trivial while dups stay
+    0 — exactly the shape that separates the gap count from the dup
+    count."""
+    from bigdime_spark.operators.completeness import sequence_continuity
+
+    o = _t(spark, sf_dir, "orders").withColumn("part", F.col("o_orderpriority"))
+    return sequence_continuity(o, "o_orderkey", part_col="part")
+
+
+SQL_SEQUENCE_CONTINUITY = """
+SELECT o_orderpriority AS part,
+       count(o_orderkey) AS n_rows,
+       count(*) - count(o_orderkey) AS n_null,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       min(o_orderkey) AS min_id,
+       max(o_orderkey) AS max_id,
+       CASE WHEN count(DISTINCT o_orderkey) > 0
+            THEN max(o_orderkey) - min(o_orderkey) + 1 - count(DISTINCT o_orderkey)
+       END AS gaps,
+       CASE WHEN count(DISTINCT o_orderkey) > 0
+            THEN count(o_orderkey) - count(DISTINCT o_orderkey)
+       END AS dups
+FROM orders GROUP BY 1
+"""
+
+
+def q_fd_events_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41 functional-dependency violation scan: users appearing with
+    more than one event_type (a deliberately false FD on this data —
+    ~150 violating users at sf0.01, so the top-100 deterministic cap
+    engages and the bounded-sample discipline is itself under test)."""
+    from bigdime_spark.operators.completeness import fd_violations
+
+    ev = _t(spark, sf_dir, "events")
+    return fd_violations(ev, "user_id", "event_type", top_k=100)
+
+
+SQL_FD_VIOLATIONS = """
+SELECT user_id AS det,
+       count(DISTINCT event_type) AS n_dep,
+       count(*) AS n_rows
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1
+HAVING count(DISTINCT event_type) > 1
+ORDER BY n_dep DESC, n_rows DESC, det ASC
+LIMIT 100
+"""
+
+
+# =====================================================================
 # registry / driver surface
 # =====================================================================
 
@@ -3179,6 +3280,12 @@ REGISTRY: dict[str, QuerySpec] = {
         q_sample_stratified_documents, SQL_SAMPLE_STRATIFIED
     ),
     "shard_pack_documents": QuerySpec(q_shard_pack_documents, SQL_SHARD_PACK),
+    # completeness / structural integrity (C40–C41, B30)
+    "null_pattern_events": QuerySpec(q_null_pattern_events, SQL_NULL_PATTERN),
+    "sequence_continuity_orders": QuerySpec(
+        q_sequence_continuity_orders, SQL_SEQUENCE_CONTINUITY
+    ),
+    "fd_events_user_type": QuerySpec(q_fd_events_user_type, SQL_FD_VIOLATIONS),
     # flagship suite
     "suite_verdicts_lineitem": QuerySpec(q_suite_verdicts_lineitem, SQL_SUITE_VERDICTS),
 }

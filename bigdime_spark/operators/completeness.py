@@ -1,0 +1,317 @@
+"""Completeness / structural-integrity validators (SURVEY C40–C41 + B30).
+
+Three checks a 10^12-row ingest feed needs that per-column stats miss
+by construction:
+
+- :func:`null_pattern_profile` — CORRELATED missingness discovery.
+  B2's null rates are marginal: they cannot distinguish "w is null on
+  2% of rows and caption is null on 2% of rows, independently" from
+  "the same 2% of rows lost BOTH" (one producer dropping a whole
+  struct). The joint null-mask distribution separates them, and a new
+  mask combination appearing between runs is a producer change worth
+  a verdict even when every marginal rate still passes.
+- :func:`sequence_continuity` / :class:`SequenceContinuity` — dense-id
+  continuity. RecordCount (B12) validates totals against a manifest;
+  continuity validates the id SPACE: for a feed whose ids are minted
+  densely (Kafka offsets, batch sequence numbers, autoincrement keys),
+  gaps = dropped batches and dups = replayed batches, visible without
+  any manifest at all.
+- :func:`fd_violations` / :class:`FunctionalDependency` — declared
+  functional dependencies (deequ's ``hasUniqueValueRatio`` family).
+  "image_id determines phash", "sku determines brand": a determinant
+  mapping to >1 dependent value is a splice/join bug upstream that no
+  per-column stat can see (both columns profile clean).
+
+Scale posture: every plan here is one or two hash aggregations whose
+FIRST level reduces raw rows to distinct key tuples — the raw table is
+scanned once and shuffled at most once on a high-cardinality key; all
+downstream relations are key-sized, not row-sized. No UDFs, no windows
+over row-scale frames, no unbounded collections (fd violation samples
+are top-k via TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators.base import SuiteContext, TableConstraint, violation_rows
+from bigdime_spark.schema import FAIL, NOT_READY, PASS
+
+
+# ------------------------------------------------------------------ C40
+
+def null_pattern_col(cols: list[str] | tuple[str, ...]) -> Column:
+    """The row's null-mask as a readable csv of the null column names
+    (in the caller's column order), ``'none'`` when fully populated.
+
+    ``concat_ws`` skips NULL arguments in both Spark and DuckDB, which
+    is what makes the pattern value-exact across engines."""
+    flags = [F.when(F.col(c).isNull(), F.lit(c)) for c in cols]
+    csv = F.concat_ws(",", *flags)
+    return F.when(csv == "", F.lit("none")).otherwise(csv)
+
+
+def null_pattern_profile(
+    df: DataFrame,
+    cols: list[str] | tuple[str, ...],
+    part_col: str | None = None,
+) -> DataFrame:
+    """Joint null-mask distribution over ``cols``.
+
+    → (part?, pattern, n_rows, frac) where ``pattern`` is the csv of
+    null column names ('none' = fully populated) and ``frac`` is the
+    pattern's share of its partition (round 6).
+
+    Plan: ONE scan + ONE hash aggregation on (part, pattern) — the
+    group count is at most parts × 2^len(cols), so map-side partials
+    collapse the exchange to a few rows per task regardless of input
+    size. ``frac`` comes from a window over the already-aggregated
+    pattern relation (metadata-scale)."""
+    from pyspark.sql import Window
+
+    keys = ([part_col] if part_col else []) + ["pattern"]
+    counts = (
+        df.select(
+            *([F.col(part_col)] if part_col else []),
+            null_pattern_col(cols).alias("pattern"),
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.partitionBy(*([part_col] if part_col else []))
+    return counts.withColumn(
+        "frac",
+        F.round(F.col("n_rows") / F.sum("n_rows").over(w), 6),
+    )
+
+
+# ------------------------------------------------------------------ B30
+
+def sequence_continuity(
+    df: DataFrame, id_col: str, part_col: str | None = "part"
+) -> DataFrame:
+    """Dense-id continuity profile: per partition (or whole-table when
+    ``part_col=None``), how far the id column is from a gapless,
+    duplicate-free integer sequence.
+
+    → (part?, n_rows, n_null, n_distinct, min_id, max_id, gaps, dups)
+    with gaps = (max−min+1) − n_distinct and dups = n_rows − n_distinct
+    (both over NON-NULL ids; NULL ids are counted separately in
+    ``n_null`` — they are the not-null validator's business, but an
+    all-null part must surface as undefined, not as a clean zero, so
+    min/max/gaps/dups are NULL there).
+
+    Plan: level-1 groupBy(part, id) collapses raw rows to distinct ids
+    (ONE row-scale shuffle, map-combined); level-2 reduces the id-sized
+    relation per part. No countDistinct — the two-level form keeps the
+    fused-agg-style Expand rewrite out of the plan entirely."""
+    keys = ([part_col] if part_col else []) + ["_sc_id"]
+    l1 = (
+        df.select(
+            *([F.col(part_col)] if part_col else []),
+            F.col(id_col).alias("_sc_id"),
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_sc_n"))
+    )
+    nn = F.col("_sc_id").isNotNull()
+    out = l1.groupBy(*([part_col] if part_col else [])).agg(
+        F.sum(F.when(nn, F.col("_sc_n")).otherwise(F.lit(0))).alias("n_rows"),
+        F.sum(F.when(~nn, F.col("_sc_n")).otherwise(F.lit(0))).alias("n_null"),
+        F.count_if(nn).alias("n_distinct"),
+        F.min(F.when(nn, F.col("_sc_id"))).alias("min_id"),
+        F.max(F.when(nn, F.col("_sc_id"))).alias("max_id"),
+    )
+    span = F.col("max_id") - F.col("min_id") + F.lit(1)
+    return out.select(
+        *([part_col] if part_col else []),
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_id",
+        "max_id",
+        F.when(F.col("n_distinct") > 0, span - F.col("n_distinct")).alias("gaps"),
+        F.when(F.col("n_distinct") > 0, F.col("n_rows") - F.col("n_distinct")).alias(
+            "dups"
+        ),
+    )
+
+
+class SequenceContinuity(TableConstraint):
+    """Suite form of :func:`sequence_continuity` over the raw snapshot:
+    verdict family ``sequence_continuity.<col>`` FAILs a partition
+    whose non-null ids have more than ``max_gaps`` holes or any
+    duplicates; a part with no non-null ids at all is NOT_READY (an
+    undefined sequence is a part to look at, not a pass).
+
+    Needs its own keyed aggregation (exact distinct), so it cannot
+    ride the fused stats pass — same disposition as Uniqueness, whose
+    per-key copy counts it deliberately does NOT duplicate: uniqueness
+    attributes individual duplicate keys; continuity reads the id
+    space as a whole (gaps have no row to point at).
+
+    Partial-verdicts convention (DriftCheck's): emits rows only for
+    parts present in the profile; parts absent from raw get PASS from
+    the suite's shared grid join."""
+
+    partial_verdicts = True
+
+    def __init__(self, id_col: str = "image_seq", max_gaps: int = 0):
+        self.id_col = id_col
+        self.max_gaps = int(max_gaps)
+        self.name = f"sequence_continuity.{id_col}"
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]
+
+    def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame | None]:
+        prof = sequence_continuity(ctx.raw, self.id_col, part_col="part")
+        ok = (F.col("gaps") <= self.max_gaps) & (F.col("dups") == 0)
+        verdicts = prof.select(
+            "part",
+            F.lit(self.name).alias("constraint"),
+            F.when(F.col("n_distinct") == 0, F.lit(NOT_READY))
+            .when(ok, F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+            .alias("verdict"),
+            F.concat(
+                F.lit("gaps="),
+                F.coalesce(F.col("gaps").cast("string"), F.lit("undefined")),
+                F.lit(",dups="),
+                F.coalesce(F.col("dups").cast("string"), F.lit("undefined")),
+            ).alias("observed"),
+            F.lit(f"gaps<={self.max_gaps},dups=0").alias("expected"),
+        )
+        return verdicts, None
+
+
+# ------------------------------------------------------------------ C41
+
+def fd_violations(
+    df: DataFrame,
+    det_col: str,
+    dep_col: str,
+    top_k: int = 100,
+) -> DataFrame:
+    """Functional-dependency violation scan: determinant values that
+    map to MORE than one distinct dependent value (rows where either
+    side is NULL are excluded — marginal nullness is B2/B15's
+    business, not a dependency violation).
+
+    → top ``top_k`` violators as (det, n_dep, n_rows), ordered by
+    (n_dep desc, n_rows desc, det asc) — fully deterministic, so the
+    bounded result is oracle-portable.
+
+    Plan: level-1 groupBy(det, dep) collapses raw rows to distinct
+    pairs (the ONLY row-scale shuffle, map-combined); level-2 reduces
+    the pair-sized relation per det; the cap is a
+    TakeOrderedAndProject, never a global sort materialization."""
+    l1 = (
+        df.where(F.col(det_col).isNotNull() & F.col(dep_col).isNotNull())
+        .groupBy(F.col(det_col).alias("det"), F.col(dep_col).alias("_dep"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_det = l1.groupBy("det").agg(
+        F.count(F.lit(1)).alias("n_dep"), F.sum("_n").alias("n_rows")
+    )
+    return (
+        per_det.filter(F.col("n_dep") > 1)
+        .orderBy(F.desc("n_dep"), F.desc("n_rows"), F.asc("det"))
+        .limit(top_k)
+    )
+
+
+class FunctionalDependency(TableConstraint):
+    """Suite form: verdict family ``fd.<det>-><dep>`` FAILs every
+    partition containing rows of a globally-violating determinant
+    (the dependency is a TABLE property — a det split across two
+    partitions with two dep values fails both partitions, each with
+    its own row counts in ``observed``).
+
+    Violations are a BOUNDED deterministic sample of the worst
+    determinants (dedup's row_number-cap discipline): one violation
+    row per sampled det, attributed to the part holding its most rows
+    (ties → lowest part), detail carrying the distinct-value fan-out.
+
+    Plan: the raw table is scanned once and shuffled once on
+    (det, part, dep) — everything after is key-sized. The violating-det
+    relation joins back AQE-planned (it can be large when the feed is
+    badly broken; a broadcast hint would gamble on health)."""
+
+    partial_verdicts = True
+
+    def __init__(self, det_col: str, dep_col: str, max_violations: int = 100):
+        self.det_col = det_col
+        self.dep_col = dep_col
+        self.max_violations = int(max_violations)
+        self.name = f"fd.{det_col}->{dep_col}"
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]
+
+    def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame | None]:
+        raw = ctx.raw
+        l0 = (
+            raw.where(F.col(self.det_col).isNotNull() & F.col(self.dep_col).isNotNull())
+            .groupBy(
+                F.col(self.det_col).alias("det"),
+                F.col("part").alias("part"),
+                F.col(self.dep_col).alias("_dep"),
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        bad = (
+            l0.groupBy("det")
+            .agg(F.count_distinct("_dep").alias("n_dep"))
+            .filter(F.col("n_dep") > 1)
+        )
+        hits = l0.join(bad, "det")
+        per_part = hits.groupBy("part").agg(
+            F.sum("_n").alias("bad_rows"),
+            F.count_distinct("det").alias("bad_dets"),
+        )
+        verdicts = per_part.select(
+            "part",
+            F.lit(self.name).alias("constraint"),
+            F.lit(FAIL).alias("verdict"),
+            F.concat(
+                F.lit("violating_dets="),
+                F.col("bad_dets").cast("string"),
+                F.lit(",rows="),
+                F.col("bad_rows").cast("string"),
+            ).alias("observed"),
+            F.lit(f"{self.det_col} determines {self.dep_col}").alias("expected"),
+        )
+        # bounded violation sample: worst dets first, one row per det,
+        # attributed to its heaviest part (deterministic tie-break)
+        from pyspark.sql import Window
+
+        per_det_part = hits.groupBy("det", "n_dep", "part").agg(
+            F.sum("_n").alias("_rows")
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("det").orderBy(F.desc("_rows"), F.asc("part"))
+        )
+        sample = (
+            per_det_part.withColumn("_rk", rk)
+            .filter(F.col("_rk") == 1)
+            .orderBy(F.desc("n_dep"), F.asc("det"))
+            .limit(self.max_violations)
+        )
+        violations = violation_rows(
+            sample.select(
+                "part",
+                F.col("det").cast("string").alias("image_id"),
+                F.concat(
+                    F.lit(f"{self.det_col} maps to "),
+                    F.col("n_dep").cast("string"),
+                    F.lit(f" distinct {self.dep_col} values"),
+                ).alias("_detail"),
+            ),
+            self.name,
+            self.dep_col,
+            F.col("_detail"),
+            snapshot="raw",
+        )
+        return verdicts, violations

@@ -70,7 +70,8 @@ _BOOL_FIELDS = (
     "check_record_count", "check_checksum", "check_uniqueness",
     "check_referential", "check_caption", "check_content", "check_drift",
     "check_domains", "check_phash_dedup", "check_profile_outliers",
-    "check_bit_balance", "check_decode", "keyed_assume_clustered",
+    "check_bit_balance", "check_decode", "check_payload_conformance",
+    "keyed_assume_clustered",
 )
 _INT_FIELDS = (
     "referential_bloom_bits", "referential_bloom_k", "phash_k",

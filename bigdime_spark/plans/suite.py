@@ -159,6 +159,16 @@ class ValidationSuite:
     check_bit_balance: bool = False
     bit_balance_col: str = "phash"
     bit_balance_bounds: tuple[float, float] = (0.02, 0.98)
+    #: payload STRUCTURAL conformance (operators/payload.
+    #: PayloadConformance): declared fmt vs byte length / container
+    #: magic, pure JVM expressions — the cheap precursor to the decode
+    #: pass for decode-off runs. Fuses into the checksum's
+    #: full-payload scan when one runs (zero extra scans); with the
+    #: checksum riding the decode scan (or absent) it pays its own
+    #: column-pruned payload scan — and a suite running DecodeIntegrity
+    #: gets strictly stronger checks from decode anyway, so the
+    #: intended pairing is conformance ON when decode is OFF.
+    check_payload_conformance: bool = False
     check_decode: bool = False
     decode_seed: int | None = None
     #: which snapshots the decode pass validates. The reference's DVS
@@ -197,6 +207,10 @@ class ValidationSuite:
         if self.check_bit_balance:
             lo, hi = self.bit_balance_bounds
             out.append(BitBalance(self.bit_balance_col, lo=lo, hi=hi))
+        if self.check_payload_conformance:
+            from bigdime_spark.operators.payload import PayloadConformance
+
+            out.append(PayloadConformance())
         out += list(self.extra_agg_constraints)
         return out
 
@@ -319,7 +333,20 @@ class ValidationSuite:
         # pass 3 — the fused stats+constraints aggregation
         agg_constraints = self._agg_constraints()
         stats = self.stats or default_image_stats()
-        light = [c for c in agg_constraints if not isinstance(c, Checksum)]
+        light = [
+            c
+            for c in agg_constraints
+            if not isinstance(c, Checksum) and not getattr(c, "reads_payload", False)
+        ]
+        #: payload-reading fusable constraints (PayloadConformance):
+        #: must stay OUT of the bytes-free stats agg (B0b) — they fuse
+        #: into the checksum's full scan below, or get their own
+        #: column-pruned payload aggregation when no such scan exists.
+        payload_cs = [
+            c
+            for c in agg_constraints
+            if not isinstance(c, Checksum) and getattr(c, "reads_payload", False)
+        ]
         heavy = [c for c in agg_constraints if isinstance(c, Checksum)]
         if len(heavy) > 1:
             # two Checksum instances would collide on the shared
@@ -383,6 +410,9 @@ class ValidationSuite:
             for name, col in cs.pre_columns().items():
                 pre = pre.withColumn(name, col)
             exprs.extend(cs.agg_exprs())
+            # payload-reading constraints ride the same full scan free
+            for c in payload_cs:
+                exprs.extend(c.agg_exprs())
             fused = pre.groupBy("part").agg(*exprs)
         else:
             # the stats pass must NEVER touch binary columns (SURVEY
@@ -401,6 +431,17 @@ class ValidationSuite:
             if ride:
                 # per-part checksum aggregate from the decode scan; tiny
                 fused = fused.join(cs_frame, "part", "left")
+            if payload_cs:
+                # no JVM full-payload scan to ride: conformance pays its
+                # own aggregation (Catalyst prunes it to part + the
+                # bytes/w/h/fmt columns the predicates reference). When
+                # decode is on this is a redundant second payload read —
+                # the config docstring steers conformance to decode-OFF
+                # runs, but an explicit opt-in still runs honestly.
+                pexprs = [e for c in payload_cs for e in c.agg_exprs()]
+                fused = fused.join(
+                    raw.groupBy("part").agg(*pexprs), "part", "left"
+                )
 
         if manifest is not None:
             fused = fused.join(F.broadcast(manifest), "part", "left")

@@ -1,0 +1,234 @@
+"""Completeness / structural-integrity oracles (operators/completeness):
+null-pattern joint distribution is exact and csv-stable, sequence
+continuity separates gaps from dups (and goes NOT_READY on an id-less
+part), functional-dependency violations are exact, bounded and
+deterministically attributed — and the plans stay Expand-free /
+TakeOrdered-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators.completeness import (
+    FunctionalDependency,
+    SequenceContinuity,
+    fd_violations,
+    null_pattern_profile,
+    sequence_continuity,
+)
+from bigdime_spark.plans.suite import StatsProfile, ValidationSuite
+from bigdime_spark.schema import FAIL, NOT_READY, PASS
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _suite(**kw) -> ValidationSuite:
+    return ValidationSuite(
+        not_null=(),
+        check_record_count=False,
+        check_checksum=False,
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_domains=False,
+        stats=StatsProfile(columns=[]),
+        **kw,
+    )
+
+
+# ------------------------------------------------------------- C40
+
+def test_null_pattern_exact_joint_counts(spark):
+    rows = (
+        [("p0", 1.0, 2.0)] * 4        # none
+        + [("p0", None, 2.0)] * 3     # a
+        + [("p0", 1.0, None)] * 2     # b
+        + [("p0", None, None)] * 1    # a,b
+        + [("p1", None, None)] * 5    # a,b only
+    )
+    df = spark.createDataFrame(rows, "part string, a double, b double")
+    got = {
+        (r["part"], r["pattern"]): (r["n_rows"], r["frac"])
+        for r in null_pattern_profile(df, ["a", "b"], part_col="part").collect()
+    }
+    assert got == {
+        ("p0", "none"): (4, 0.4),
+        ("p0", "a"): (3, 0.3),
+        ("p0", "b"): (2, 0.2),
+        ("p0", "a,b"): (1, 0.1),
+        ("p1", "a,b"): (5, 1.0),
+    }
+
+
+def test_null_pattern_global_and_column_order(spark):
+    """part_col=None profiles the whole table; the pattern csv lists
+    null columns in the CALLER's order, not schema order."""
+    df = spark.createDataFrame(
+        [(None, 1.0, None)], "x double, y double, z double"
+    )
+    (r,) = null_pattern_profile(df, ["z", "x"], part_col=None).collect()
+    assert r["pattern"] == "z,x"
+    assert r["n_rows"] == 1 and r["frac"] == 1.0
+
+
+# ------------------------------------------------------------- B30
+
+def _ids(part: str, ids: list[int | None]) -> list[tuple[str, int | None]]:
+    return [(part, i) for i in ids]
+
+
+def test_sequence_continuity_gaps_vs_dups(spark):
+    rows = (
+        _ids("dense", [0, 1, 2, 3, 4])
+        + _ids("gappy", [0, 1, 5, 6])          # span 7, 4 distinct → 3 gaps
+        + _ids("dupped", [0, 1, 1, 2, 2, 2])   # 6 rows, 3 distinct → 3 dups
+        + _ids("nullish", [None, None])        # no non-null ids
+        + _ids("mixed", [10, None, 11, 13])    # 1 gap, 1 null
+    )
+    df = spark.createDataFrame(rows, "part string, seq long")
+    got = {r["part"]: r for r in sequence_continuity(df, "seq").collect()}
+    assert (got["dense"]["gaps"], got["dense"]["dups"]) == (0, 0)
+    assert (got["gappy"]["gaps"], got["gappy"]["dups"]) == (3, 0)
+    assert (got["dupped"]["gaps"], got["dupped"]["dups"]) == (0, 3)
+    assert got["dupped"]["n_rows"] == 6 and got["dupped"]["n_distinct"] == 3
+    assert got["nullish"]["n_distinct"] == 0
+    assert got["nullish"]["gaps"] is None and got["nullish"]["dups"] is None
+    assert got["nullish"]["n_null"] == 2
+    assert (got["mixed"]["gaps"], got["mixed"]["n_null"]) == (1, 1)
+    assert (got["mixed"]["min_id"], got["mixed"]["max_id"]) == (10, 13)
+
+
+def test_sequence_continuity_whole_table(spark):
+    df = spark.createDataFrame([(i,) for i in (3, 4, 6)], "seq long")
+    (r,) = sequence_continuity(df, "seq", part_col=None).collect()
+    assert (r["n_rows"], r["n_distinct"], r["gaps"], r["dups"]) == (3, 3, 1, 0)
+
+
+def test_sequence_continuity_plan_has_no_expand(spark):
+    """The two-level form must not plan the multi-distinct Expand
+    rewrite — that rewrite multiplies every raw row and is the reason
+    countDistinct stays out of big fused aggregations."""
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("part"), F.col("id").alias("seq")
+    )
+    plan = _explain(sequence_continuity(df, "seq"))
+    assert "Expand" not in plan
+
+
+def test_sequence_continuity_in_suite(spark):
+    rows = (
+        [("ok", f"i{i}", i) for i in range(5)]
+        + [("holey", f"h{i}", v) for i, v in enumerate([0, 1, 9])]
+        + [("replay", f"r{i}", v) for i, v in enumerate([0, 1, 1, 2])]
+        + [("idless", "x0", None), ("idless", "x1", None)]
+    )
+    df = spark.createDataFrame(rows, "part string, image_id string, seq long")
+    suite = _suite(extra_table_constraints=[SequenceContinuity("seq")])
+    res = suite.run(spark, df, run_id="seqc")
+    v = {
+        r["part"]: r["verdict"]
+        for r in res.verdicts.filter(
+            F.col("constraint") == "sequence_continuity.seq"
+        ).collect()
+    }
+    assert v == {"ok": PASS, "holey": FAIL, "replay": FAIL, "idless": NOT_READY}
+    res.release()
+
+
+def test_sequence_continuity_max_gaps_budget(spark):
+    df = spark.createDataFrame(
+        [("p", f"i{i}", v) for i, v in enumerate([0, 1, 5])],
+        "part string, image_id string, seq long",
+    )
+    lax = _suite(extra_table_constraints=[SequenceContinuity("seq", max_gaps=3)])
+    res = lax.run(spark, df, run_id="seqc-lax")
+    (r,) = res.verdicts.filter(
+        F.col("constraint") == "sequence_continuity.seq"
+    ).collect()
+    assert r["verdict"] == PASS and "gaps=3" in r["observed"]
+    res.release()
+
+
+# ------------------------------------------------------------- C41
+
+def test_fd_violations_exact_and_null_excluded(spark):
+    rows = [
+        ("sku1", "brandA"), ("sku1", "brandA"), ("sku1", "brandB"),  # violates: 2 deps
+        ("sku2", "brandC"), ("sku2", "brandC"),                      # clean
+        ("sku3", None),                                              # null dep ignored
+        (None, "brandZ"),                                            # null det ignored
+        ("sku4", "b1"), ("sku4", "b2"), ("sku4", "b3"),              # violates: 3 deps
+    ]
+    df = spark.createDataFrame(rows, "sku string, brand string")
+    got = fd_violations(df, "sku", "brand").collect()
+    assert [(r["det"], r["n_dep"], r["n_rows"]) for r in got] == [
+        ("sku4", 3, 3),
+        ("sku1", 2, 3),
+    ]
+
+
+def test_fd_violations_top_k_deterministic(spark):
+    """With every det tied on (n_dep, n_rows), the cap must cut by det
+    ascending — the bounded result is reproducible run over run."""
+    rows = [(f"d{i:03d}", dep) for i in range(20) for dep in ("x", "y")]
+    df = spark.createDataFrame(rows, "det_c string, dep_c string")
+    got = fd_violations(df, "det_c", "dep_c", top_k=5).collect()
+    assert [r["det"] for r in got] == [f"d{i:03d}" for i in range(5)]
+    plan = _explain(fd_violations(df, "det_c", "dep_c", top_k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fd_in_suite_part_attribution(spark):
+    """A det split across two parts with two dep values fails BOTH
+    parts; clean parts get PASS from the grid; the bounded violation
+    sample attributes each det to its heaviest part."""
+    rows = (
+        # img-1 appears in p0 (twice) and p1 (once) with different phash
+        [("p0", "img-1", 7), ("p0", "img-1", 7), ("p1", "img-1", 8)]
+        # img-2 clean in p1
+        + [("p1", "img-2", 9)]
+        # p2 entirely clean
+        + [("p2", "img-3", 10), ("p2", "img-4", 11)]
+    )
+    df = spark.createDataFrame(rows, "part string, image_id string, ph long")
+    suite = _suite(extra_table_constraints=[FunctionalDependency("image_id", "ph")])
+    res = suite.run(spark, df, run_id="fdc")
+    v = {
+        r["part"]: r
+        for r in res.verdicts.filter(
+            F.col("constraint") == "fd.image_id->ph"
+        ).collect()
+    }
+    assert {p: r["verdict"] for p, r in v.items()} == {
+        "p0": FAIL,
+        "p1": FAIL,
+        "p2": PASS,
+    }
+    assert "violating_dets=1" in v["p0"]["observed"]
+    assert "rows=2" in v["p0"]["observed"]  # two p0 rows of img-1
+    assert "rows=1" in v["p1"]["observed"]
+    viol = res.violations.filter(F.col("constraint") == "fd.image_id->ph").collect()
+    assert len(viol) == 1
+    assert viol[0]["image_id"] == "img-1"
+    assert viol[0]["part"] == "p0"  # heaviest part wins attribution
+    assert "2 distinct ph values" in viol[0]["detail"]
+    res.release()
+
+
+def test_fd_violation_sample_is_bounded(spark):
+    rows = [("p", f"i{k}", f"k{k:04d}", d) for k in range(50) for d in ("a", "b")]
+    df = spark.createDataFrame(rows, "part string, image_id string, det string, dep string")
+    suite = _suite(
+        extra_table_constraints=[FunctionalDependency("det", "dep", max_violations=7)]
+    )
+    res = suite.run(spark, df, run_id="fd-cap")
+    viol = res.violations.filter(F.col("constraint") == "fd.det->dep").collect()
+    assert len(viol) == 7
+    assert sorted(r["image_id"] for r in viol) == [f"k{i:04d}" for i in range(7)]
+    res.release()
