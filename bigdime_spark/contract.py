@@ -3165,6 +3165,96 @@ LIMIT 100
 """
 
 
+def q_type_inference_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42 type-inference profile. Three stringly-typed columns are
+    synthesized deterministically from orders: ``mixed`` interleaves
+    int / double / date / boolean / plain-string / NULL / timestamp
+    renderings by o_orderkey mod 7 (inferring 'string'), ``intish`` is
+    pure integral strings (inferring 'bigint'), ``dateish`` pure ISO
+    dates (inferring 'date' — narrower than its also-conforming
+    timestamp class). Value classes restricted to the cross-engine-
+    safe set (no 'yes', no hex, no >int64 literals); the oracle states
+    Spark's bigint (integral-string) and boolean (literal-set) cast
+    rules explicitly where DuckDB's TRY_CAST is looser."""
+    from bigdime_spark.operators.stats import type_inference_profile
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    mixed = (
+        F.when(k % 7 == 0, k.cast("string"))
+        .when(k % 7 == 1, F.round(F.col("o_totalprice"), 2).cast("string"))
+        .when(k % 7 == 2, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k % 7 == 3, F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("false")))
+        .when(k % 7 == 4, F.col("o_orderpriority"))
+        .when(k % 7 == 5, F.lit(None).cast("string"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+    )
+    d = o.select(
+        mixed.alias("mixed"),
+        k.cast("string").alias("intish"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dateish"),
+    )
+    return type_inference_profile(d, ["mixed", "intish", "dateish"], part_col=None)
+
+
+# Spark cast rules stated explicitly where DuckDB TRY_CAST diverges:
+# bigint accepts integral strings only (DuckDB would round '1.5');
+# boolean accepts the literal set below (DuckDB rejects 'y'/'yes').
+_TI_BIGINT = (
+    "(v IS NOT NULL AND regexp_matches(trim(v), '^[+-]?[0-9]+$') "
+    "AND TRY_CAST(trim(v) AS HUGEINT) "
+    "BETWEEN -9223372036854775808 AND 9223372036854775807)"
+)
+_TI_BOOL = (
+    "(lower(trim(v)) IN ('t','true','y','yes','1','f','false','n','no','0'))"
+)
+
+SQL_TYPE_INFERENCE = f"""
+WITH d AS (
+  SELECT 'mixed' AS col,
+    CASE
+      WHEN o_orderkey % 7 = 0 THEN o_orderkey::VARCHAR
+      WHEN o_orderkey % 7 = 1 THEN round(o_totalprice, 2)::VARCHAR
+      WHEN o_orderkey % 7 = 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+      WHEN o_orderkey % 7 = 3 THEN
+        CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END
+      WHEN o_orderkey % 7 = 4 THEN o_orderpriority
+      WHEN o_orderkey % 7 = 5 THEN NULL
+      ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+    END AS v
+  FROM orders
+  UNION ALL
+  SELECT 'intish', o_orderkey::VARCHAR FROM orders
+  UNION ALL
+  SELECT 'dateish', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+), agg AS (
+  SELECT col AS "column",
+    count(*) AS n_rows,
+    count(*) - count(v) AS n_null,
+    count(*) FILTER (WHERE {_TI_BIGINT}) AS n_bigint,
+    count(*) FILTER (WHERE TRY_CAST(v AS DOUBLE) IS NOT NULL) AS n_double,
+    count(*) FILTER (WHERE TRY_CAST(v AS DATE) IS NOT NULL
+                       AND regexp_matches(trim(v),
+                           '^[0-9]{{4,}}-[0-9]{{1,2}}-[0-9]{{1,2}}$')) AS n_date,
+    count(*) FILTER (WHERE {_TI_BOOL}) AS n_boolean,
+    count(*) FILTER (WHERE TRY_CAST(v AS TIMESTAMP) IS NOT NULL
+                       AND NOT regexp_matches(trim(v), '^[+-]?[0-9]+$')) AS n_timestamp
+  FROM d GROUP BY 1
+)
+SELECT *,
+  CASE
+    WHEN n_rows - n_null = 0 THEN 'empty'
+    WHEN n_boolean   = n_rows - n_null THEN 'boolean'
+    WHEN n_bigint    = n_rows - n_null THEN 'bigint'
+    WHEN n_double    = n_rows - n_null THEN 'double'
+    WHEN n_date      = n_rows - n_null THEN 'date'
+    WHEN n_timestamp = n_rows - n_null THEN 'timestamp'
+    ELSE 'string'
+  END AS inferred
+FROM agg
+"""
+
+
 # =====================================================================
 # registry / driver surface
 # =====================================================================
@@ -3286,6 +3376,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_sequence_continuity_orders, SQL_SEQUENCE_CONTINUITY
     ),
     "fd_events_user_type": QuerySpec(q_fd_events_user_type, SQL_FD_VIOLATIONS),
+    "type_inference_orders": QuerySpec(q_type_inference_orders, SQL_TYPE_INFERENCE),
     # flagship suite
     "suite_verdicts_lineitem": QuerySpec(q_suite_verdicts_lineitem, SQL_SUITE_VERDICTS),
 }

@@ -123,7 +123,12 @@ def sequence_continuity(
         F.min(F.when(nn, F.col("_sc_id"))).alias("min_id"),
         F.max(F.when(nn, F.col("_sc_id"))).alias("max_id"),
     )
-    span = F.col("max_id") - F.col("min_id") + F.lit(1)
+    # try_-arithmetic: a hash-like id column (phash) spans ±2^63, so
+    # max−min+1 overflows int64 under ANSI — NULL gaps WITH non-zero
+    # n_distinct means "span overflowed int64", which is as far from a
+    # dense sequence as it gets (the suite constraint FAILs it loudly
+    # rather than crashing the run or silently wrapping).
+    span = F.try_add(F.try_subtract(F.col("max_id"), F.col("min_id")), F.lit(1))
     return out.select(
         *([part_col] if part_col else []),
         "n_rows",
@@ -131,7 +136,9 @@ def sequence_continuity(
         "n_distinct",
         "min_id",
         "max_id",
-        F.when(F.col("n_distinct") > 0, span - F.col("n_distinct")).alias("gaps"),
+        F.when(
+            F.col("n_distinct") > 0, F.try_subtract(span, F.col("n_distinct"))
+        ).alias("gaps"),
         F.when(F.col("n_distinct") > 0, F.col("n_rows") - F.col("n_distinct")).alias(
             "dups"
         ),
@@ -167,7 +174,16 @@ class SequenceContinuity(TableConstraint):
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame | None]:
         prof = sequence_continuity(ctx.raw, self.id_col, part_col="part")
+        # NULL gaps with data present = int64 span overflow (a hash-
+        # like id space): the when(ok, ...) branch evaluates NULL, so
+        # the verdict falls through to FAIL — correct, and the
+        # observed string says "overflow" instead of a silent number
         ok = (F.col("gaps") <= self.max_gaps) & (F.col("dups") == 0)
+        gaps_s = (
+            F.when(F.col("gaps").isNotNull(), F.col("gaps").cast("string"))
+            .when(F.col("n_distinct") > 0, F.lit("overflow"))
+            .otherwise(F.lit("undefined"))
+        )
         verdicts = prof.select(
             "part",
             F.lit(self.name).alias("constraint"),
@@ -177,7 +193,7 @@ class SequenceContinuity(TableConstraint):
             .alias("verdict"),
             F.concat(
                 F.lit("gaps="),
-                F.coalesce(F.col("gaps").cast("string"), F.lit("undefined")),
+                gaps_s,
                 F.lit(",dups="),
                 F.coalesce(F.col("dups").cast("string"), F.lit("undefined")),
             ).alias("observed"),

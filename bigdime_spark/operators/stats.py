@@ -354,6 +354,82 @@ def categorical_profile(
     )
 
 
+#: inference priority: narrowest class first; a class is eligible when
+#: EVERY non-null value conforms. boolean before bigint so '1'/'0'
+#: columns mixed with 'true'/'false' don't mis-infer; date before
+#: timestamp so pure YYYY-MM-DD columns (which also timestamp-cast)
+#: infer as date.
+_INFER_ORDER = ("boolean", "bigint", "double", "date", "timestamp")
+
+
+def type_inference_profile(
+    df: DataFrame,
+    cols: tuple[str, ...] | list[str],
+    part_col: str | None = None,
+) -> DataFrame:
+    """Type-INFERENCE profile for string-typed ingest columns — the
+    discovery twin of B11's TypeConformance (which checks a DECLARED
+    type): with no declaration at all, what type does each column's
+    data actually carry? A stringly-typed landing table whose
+    "width" column stops inferring bigint is a producer change run
+    over run, visible before anyone declares a contract (deequ /
+    pandas-profiling's inferred-schema analyzer).
+
+    → (part?, column, n_rows, n_null, n_bigint, n_double, n_boolean,
+       n_date, n_timestamp, inferred) where ``n_<t>`` counts non-null
+    values that ``try_cast`` to ``t`` and ``inferred`` is the
+    NARROWEST class covering every non-null value (priority boolean >
+    bigint > double > date > timestamp > 'string'; an all-null column
+    is 'empty'). Pure ANSI try_cast — JVM codegen, and value-portable
+    to a DuckDB oracle (the bigint rule is stated as integral-string,
+    which is Spark's semantics; DuckDB's TRY_CAST would round '1.5').
+
+    Plan: ONE scan (columns melted row-locally into (column, value)
+    structs) + ONE (part?, column) hash aggregation — map-side
+    partials carry len(cols) rows per task regardless of input size."""
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.col(c).cast("string").alias("v"))
+        for c in cols
+    ]
+    melted = df.select(
+        *([F.col(part_col)] if part_col else []),
+        F.explode(F.array(*structs)).alias("mv"),
+    ).select(*([part_col] if part_col else []), "mv.column", "mv.v")
+    v = F.col("v")
+    # Two inference-specific tightenings of raw try_cast semantics:
+    # - Spark parses bare integral strings as dates ('2024' →
+    #   2024-01-01, '12345' → year 12345); for inference an integral
+    #   string is a number (it already conforms to bigint, which
+    #   outranks date), so the temporal classes exclude it.
+    # - a timestamp string date-casts by TRUNCATION ('2024-01-15
+    #   10:30:00' → 2024-01-15), which would make a pure-timestamp
+    #   column infer 'date'; the date class therefore additionally
+    #   requires the value to be date-SHAPED (no time component) —
+    #   a mixed date+timestamp column then correctly infers timestamp.
+    integral = F.trim(v).rlike(r"^[+-]?[0-9]+$")
+    date_shaped = F.trim(v).rlike(r"^[0-9]{4,}-[0-9]{1,2}-[0-9]{1,2}$")
+    casts = {
+        "bigint": F.expr("try_cast(v AS bigint)").isNotNull(),
+        "double": F.expr("try_cast(v AS double)").isNotNull(),
+        "boolean": F.expr("try_cast(v AS boolean)").isNotNull(),
+        "date": F.expr("try_cast(v AS date)").isNotNull() & date_shaped,
+        "timestamp": F.expr("try_cast(v AS timestamp)").isNotNull() & ~integral,
+    }
+    agg = melted.groupBy(*([part_col] if part_col else []), "column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(v.isNull()).alias("n_null"),
+        *[
+            F.count_if(v.isNotNull() & pred).alias(f"n_{t}")
+            for t, pred in casts.items()
+        ],
+    )
+    nn = F.col("n_rows") - F.col("n_null")
+    inferred = F.when(nn == 0, F.lit("empty"))
+    for t in _INFER_ORDER:
+        inferred = inferred.when(F.col(f"n_{t}") == nn, F.lit(t))
+    return agg.withColumn("inferred", inferred.otherwise(F.lit("string")))
+
+
 def numeric_correlation(
     df: DataFrame,
     pairs: list[tuple[str, str]] | tuple[tuple[str, str], ...],

@@ -35,6 +35,12 @@ that build fusable extra constraints:
                          that builds a TABLE constraint: MI needs its
                          own (part,x,y) aggregation and cannot ride
                          the fused pass)
+``sequence_continuity``  [{id_col, max_gaps?}] — dense-id continuity
+                         (B30) as a table constraint (exact distinct
+                         needs its own keyed aggregation)
+``functional_dependencies`` [{det, dep, max_violations?}] — declared
+                         FDs (C41), table constraints for the same
+                         reason
 ``schema``               [{name, type, nullable?}] — the declared
                          contract StructType for the suite's pass-1
                          schema validators; types are Spark DDL
@@ -90,7 +96,8 @@ _PROGRAMMATIC_ONLY = (
 )
 _SECTIONS = ("schema", "domain_checks", "type_conformance", "freshness",
              "correlation_bounds", "mutual_info_bounds", "drift_specs",
-             "bit_balance_bounds")
+             "bit_balance_bounds", "sequence_continuity",
+             "functional_dependencies")
 
 _ALLOWED = set(_BOOL_FIELDS) | set(_INT_FIELDS) | set(_FLOAT_FIELDS) \
     | set(_STR_FIELDS) | set(_STRLIST_FIELDS) | set(_SECTIONS)
@@ -247,6 +254,37 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             ))
 
     table_extras: list = []
+    if "sequence_continuity" in cfg:
+        from bigdime_spark.operators.completeness import SequenceContinuity
+
+        if not isinstance(cfg["sequence_continuity"], list):
+            raise _fail("sequence_continuity", "must be an array of objects")
+        for entry in cfg["sequence_continuity"]:
+            e = _require_keys("sequence_continuity", entry,
+                              {"id_col"}, {"max_gaps"})
+            if "max_gaps" in e and (type(e["max_gaps"]) is not int):
+                raise _fail("sequence_continuity", "max_gaps must be an integer")
+            table_extras.append(SequenceContinuity(
+                str(e["id_col"]), max_gaps=int(e.get("max_gaps", 0)),
+            ))
+
+    if "functional_dependencies" in cfg:
+        from bigdime_spark.operators.completeness import FunctionalDependency
+
+        if not isinstance(cfg["functional_dependencies"], list):
+            raise _fail("functional_dependencies", "must be an array of objects")
+        for entry in cfg["functional_dependencies"]:
+            e = _require_keys("functional_dependencies", entry,
+                              {"det", "dep"}, {"max_violations"})
+            if "max_violations" in e and type(e["max_violations"]) is not int:
+                raise _fail(
+                    "functional_dependencies", "max_violations must be an integer"
+                )
+            table_extras.append(FunctionalDependency(
+                str(e["det"]), str(e["dep"]),
+                max_violations=int(e.get("max_violations", 100)),
+            ))
+
     if "mutual_info_bounds" in cfg:
         from bigdime_spark.operators.stats import MutualInfoBound
 

@@ -141,6 +141,28 @@ def test_sequence_continuity_in_suite(spark):
     res.release()
 
 
+def test_sequence_continuity_span_overflow_fails_loudly(spark):
+    """A hash-like id column spanning ±2^63 overflows max−min+1: the
+    profile reports NULL gaps (try_-arithmetic, no ANSI crash) and the
+    suite constraint FAILs the part with observed gaps=overflow."""
+    rows = [
+        ("p", "a", -(2**62)),          # fits int64; max−min overflows
+        ("p", "b", 3 * (2**61)),
+        ("p", "c", 12345),
+    ]
+    df = spark.createDataFrame(rows, "part string, image_id string, seq long")
+    (r,) = sequence_continuity(df, "seq").collect()
+    assert r["gaps"] is None and r["n_distinct"] == 3
+    suite = _suite(extra_table_constraints=[SequenceContinuity("seq")])
+    res = suite.run(spark, df, run_id="seqc-ovf")
+    (v,) = res.verdicts.filter(
+        F.col("constraint") == "sequence_continuity.seq"
+    ).collect()
+    assert v["verdict"] == FAIL
+    assert "gaps=overflow" in v["observed"]
+    res.release()
+
+
 def test_sequence_continuity_max_gaps_budget(spark):
     df = spark.createDataFrame(
         [("p", f"i{i}", v) for i, v in enumerate([0, 1, 5])],

@@ -95,6 +95,32 @@ def test_constraint_sections_build_fusable_extras(spark):
     assert (cb.lo, cb.hi) == (0.1, 1.0)  # hi defaulted
 
 
+def test_completeness_sections_build_table_constraints(spark):
+    from bigdime_spark.operators.completeness import (
+        FunctionalDependency,
+        SequenceContinuity,
+    )
+
+    suite = suite_from_config(
+        {
+            "check_payload_conformance": True,
+            "sequence_continuity": [{"id_col": "seq", "max_gaps": 3}],
+            "functional_dependencies": [
+                {"det": "image_id", "dep": "phash", "max_violations": 9}
+            ],
+        }
+    )
+    assert suite.check_payload_conformance is True
+    by_type = {type(c): c for c in suite.extra_table_constraints}
+    assert set(by_type) == {SequenceContinuity, FunctionalDependency}
+    sc = by_type[SequenceContinuity]
+    assert (sc.id_col, sc.max_gaps) == ("seq", 3)
+    assert sc.name == "sequence_continuity.seq"
+    fd = by_type[FunctionalDependency]
+    assert (fd.det_col, fd.dep_col, fd.max_violations) == ("image_id", "phash", 9)
+    assert fd.name == "fd.image_id->phash"
+
+
 @pytest.mark.parametrize(
     "cfg,frag",
     [
@@ -112,6 +138,13 @@ def test_constraint_sections_build_fusable_extras(spark):
         ({"freshness": {"ts_col": "ts"}}, "missing required keys"),
         ({"correlation_bounds": [{"x": "w"}]}, "missing required keys"),
         ({"domain_checks": {"name": "x"}}, "array of objects"),
+        ({"sequence_continuity": [{"max_gaps": 1}]}, "missing required keys"),
+        ({"sequence_continuity": [{"id_col": "s", "max_gaps": 1.5}]},
+         "max_gaps must be an integer"),
+        ({"functional_dependencies": [{"det": "a"}]}, "missing required keys"),
+        ({"functional_dependencies": [{"det": "a", "dep": "b", "extra": 1}]},
+         "unknown keys"),
+        ({"check_payload_conformance": "yes"}, "must be true/false"),
         ([], "must be an object"),
     ],
 )
