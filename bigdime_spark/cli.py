@@ -347,10 +347,25 @@ def _build_parser() -> argparse.ArgumentParser:
         "information, e.g. lang~source",
     )
     pr.add_argument(
+        "--infer-types",
+        default="",
+        help="comma-separated stringly-typed columns to type-infer "
+        "(narrowest try_cast class: boolean > bigint > double > date "
+        "> timestamp > string)",
+    )
+    pr.add_argument(
+        "--null-patterns",
+        default="",
+        help="comma-separated columns for the JOINT null-mask "
+        "distribution (correlated missingness marginal null rates "
+        "cannot see)",
+    )
+    pr.add_argument(
         "--out",
         default=None,
         help="write full profile frames here (categorical/ "
-        "correlation/ mutual_info/); without it stdout carries at "
+        "correlation/ mutual_info/ type_inference/ null_patterns/); "
+        "without it stdout carries at "
         "most 20 rows per profile (bounded diagnostic, not the data "
         "path)",
     )
@@ -658,9 +673,12 @@ def main(argv: list[str] | None = None) -> int:
             cats = [c.strip() for c in args.categorical.split(",") if c.strip()]
             corr_pairs = _pairs(args.corr, "--corr")
             mi_pairs = _pairs(args.mi, "--mi")
-            if not (cats or corr_pairs or mi_pairs):
+            infer_cols = [c.strip() for c in args.infer_types.split(",") if c.strip()]
+            np_cols = [c.strip() for c in args.null_patterns.split(",") if c.strip()]
+            if not (cats or corr_pairs or mi_pairs or infer_cols or np_cols):
                 raise ValueError(
-                    "nothing to profile: pass --categorical, --corr, or --mi"
+                    "nothing to profile: pass --categorical, --corr, --mi, "
+                    "--infer-types, or --null-patterns"
                 )
         except ValueError as e:
             print(f"profile: {e}", file=sys.stderr)
@@ -690,6 +708,20 @@ def main(argv: list[str] | None = None) -> int:
                     for x, y in mi_pairs
                 ]
                 frames["mutual_info"] = reduce(lambda a, b: a.unionByName(b), mis)
+            if infer_cols:
+                from bigdime_spark.operators.stats import type_inference_profile
+
+                frames["type_inference"] = type_inference_profile(
+                    df, tuple(infer_cols), part_col=args.part_col
+                )
+            if np_cols:
+                from bigdime_spark.operators.completeness import (
+                    null_pattern_profile,
+                )
+
+                frames["null_patterns"] = null_pattern_profile(
+                    df, tuple(np_cols), part_col=args.part_col
+                )
 
             for name, frame in frames.items():
                 if args.out:

@@ -285,6 +285,33 @@ def test_profile_cli_end_to_end(spark, tmp_path_factory, capsys):
     assert {s["pair"] for s in summary["mutual_info"]["sample"]} == {"lang~source"}
 
 
+def test_profile_cli_infer_types_and_null_patterns(spark, tmp_path_factory, capsys):
+    src = str(tmp_path_factory.mktemp("prof2") / "t")
+    rows = [
+        ("p0", "1", None),
+        ("p0", "2", "x"),
+        ("p1", "2024-01-05", None),
+    ]
+    spark.createDataFrame(rows, "part string, a string, b string").write.parquet(src)
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["profile", "--input", src, "--infer-types", "a,b",
+         "--null-patterns", "a,b"],
+    )
+    assert rc == 0
+    ti = {(s["part"], s["column"]): s["inferred"]
+          for s in summary["type_inference"]["sample"]}
+    assert ti == {
+        ("p0", "a"): "bigint",
+        ("p0", "b"): "string",
+        ("p1", "a"): "date",
+        ("p1", "b"): "empty",
+    }
+    np_ = {(s["part"], s["pattern"]): s["n_rows"]
+           for s in summary["null_patterns"]["sample"]}
+    assert np_ == {("p0", "b"): 1, ("p0", "none"): 1, ("p1", "b"): 1}
+
+
 def test_profile_cli_operator_errors_exit_2(tmp_path_factory, capsys):
     rc, _, err = _run_cli(capsys, ["profile", "--input", "x"])
     assert rc == 2 and "nothing to profile" in err
