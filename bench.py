@@ -75,6 +75,10 @@ HEADLINE = [
     "categorical_drift_orders",
     "content_diff_orders",
     "embedding_drift",
+    "null_pattern_events",
+    "sequence_continuity_orders",
+    "fd_events_user_type",
+    "type_inference_orders",
     "suite_verdicts_lineitem",
 ]
 

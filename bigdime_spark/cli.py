@@ -103,6 +103,22 @@ def _build_parser() -> argparse.ArgumentParser:
         "decode-off precursor to --decode",
     )
     r.add_argument(
+        "--seq-continuity",
+        type=str,
+        default="",
+        help="dense-id continuity check: COL or COL:MAX_GAPS — per "
+        "part, gaps = dropped batches and dups = replays, no manifest "
+        "needed (verdict family sequence_continuity.<col>)",
+    )
+    r.add_argument(
+        "--fd",
+        type=str,
+        default="",
+        help="comma-separated functional dependencies DET:DEP — a "
+        "determinant mapping to >1 dependent value FAILs every part "
+        "holding its rows (verdict family fd.<det>-><dep>)",
+    )
+    r.add_argument(
         "--referential-bloom",
         action="store_true",
         help="replace the exact referential join with the Bloom "
@@ -1221,6 +1237,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--profile-outliers", args.profile_outliers),
             ("--bit-balance", args.bit_balance),
             ("--payload-conformance", args.payload_conformance),
+            ("--seq-continuity", bool(args.seq_continuity)),
+            ("--fd", bool(args.fd)),
             ("--referential-bloom", args.referential_bloom),
             ("--cat-drift", bool(args.cat_drift)),
             ("--content-diff", args.content_diff),
@@ -1262,8 +1280,34 @@ def main(argv: list[str] | None = None) -> int:
             curated = curated.filter(F.col("part").isin(sel))
         if manifest is not None:
             manifest = manifest.filter(F.col("part").isin(sel))
+    extra_tcs: list = []
+    try:
+        if args.seq_continuity:
+            from bigdime_spark.operators.completeness import SequenceContinuity
+
+            sides = args.seq_continuity.split(":")
+            if len(sides) > 2 or not sides[0]:
+                raise ValueError(
+                    f"--seq-continuity: expected COL or COL:MAX_GAPS, "
+                    f"got {args.seq_continuity!r}"
+                )
+            max_gaps = int(sides[1]) if len(sides) == 2 else 0
+            extra_tcs.append(SequenceContinuity(sides[0], max_gaps=max_gaps))
+        if args.fd:
+            from bigdime_spark.operators.completeness import FunctionalDependency
+
+            for token in (t.strip() for t in args.fd.split(",") if t.strip()):
+                sides = token.split(":")
+                if len(sides) != 2 or not sides[0] or not sides[1]:
+                    raise ValueError(f"--fd: expected DET:DEP, got {token!r}")
+                extra_tcs.append(FunctionalDependency(sides[0], sides[1]))
+    except ValueError as exc:
+        print(f"run: {exc}", file=sys.stderr)
+        return 2
+
     suite = config_suite if config_suite is not None else ValidationSuite(
         not_null=("image_id", "caption", "w", "h", "fmt"),
+        extra_table_constraints=extra_tcs,
         check_decode=args.decode,
         decode_seed=args.decode_seed,
         topk_violations=args.topk_violations,

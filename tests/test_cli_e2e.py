@@ -97,6 +97,40 @@ def test_run_without_phash_flag_passes_clean_fixture(spark, tmp_path_factory, ca
     assert verdicts.filter(F.col("constraint").startswith("phash")).count() == 0
 
 
+def test_run_fd_and_seq_continuity_flags(spark, tmp_path_factory, capsys):
+    """--fd image_id:phash PASSes (unique ids determine anything);
+    --seq-continuity phash FAILs every part (a hash space is nowhere
+    near dense — observed carries gaps=overflow or a huge count);
+    malformed flag values exit 2 with the operator-error contract."""
+    fx = str(tmp_path_factory.mktemp("fxfd"))
+    out = str(tmp_path_factory.mktemp("outfd"))
+    rc, _, _ = _run_cli(
+        capsys, ["synth", "--rows", "128", "--parts", "4", "--out", fx]
+    )
+    assert rc == 0
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--curated", f"{fx}/curated",
+         "--manifest", f"{fx}/manifest", "--out", out,
+         "--fd", "image_id:phash", "--seq-continuity", "phash"],
+    )
+    assert rc == 1  # continuity fails, by design of the input
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    fd = verdicts.filter(F.col("constraint") == "fd.image_id->phash")
+    assert fd.filter(F.col("verdict") != "PASS").count() == 0
+    sc = verdicts.filter(
+        F.col("constraint") == "sequence_continuity.phash"
+    ).collect()
+    assert len(sc) == 4 and all(r["verdict"] == "FAIL" for r in sc)
+
+    rc, _, err = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--out", str(tmp_path_factory.mktemp("o2")),
+         "--fd", "image_id"],
+    )
+    assert rc == 2 and "expected DET:DEP" in err
+
+
 def test_drift_cli_spec_mismatch_exits_2(spark, tmp_path_factory, capsys):
     """Operator ValueError (histogram spec mismatch) surfaces as a
     clean stderr message + exit 2, not a traceback — same contract as
