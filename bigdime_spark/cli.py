@@ -69,6 +69,15 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--decode", action="store_true", help="enable the pixel-decode pass")
     r.add_argument("--decode-seed", type=int, default=None)
     r.add_argument(
+        "--decode-sample",
+        type=float,
+        default=1.0,
+        help="decode a deterministic hash-selected fraction of images "
+        "(0 < rate <= 1; the 10^12-row posture for the Python decode "
+        "pass — below 1.0 the checksum reads the payload itself "
+        "instead of riding the sampled decode scan)",
+    )
+    r.add_argument(
         "--phash-dedup",
         action="store_true",
         help="enable the perceptual-hash near-duplicate constraint "
@@ -1232,6 +1241,7 @@ def main(argv: list[str] | None = None) -> int:
         shape_flags = [
             ("--decode", args.decode),
             ("--decode-seed", args.decode_seed is not None),
+            ("--decode-sample", args.decode_sample != 1.0),
             ("--phash-dedup", args.phash_dedup),
             ("--phash-k", args.phash_k != 2),
             ("--profile-outliers", args.profile_outliers),
@@ -1282,6 +1292,10 @@ def main(argv: list[str] | None = None) -> int:
             manifest = manifest.filter(F.col("part").isin(sel))
     extra_tcs: list = []
     try:
+        if not 0.0 < args.decode_sample <= 1.0:
+            raise ValueError(
+                f"--decode-sample: rate must be in (0, 1], got {args.decode_sample}"
+            )
         if args.seq_continuity:
             from bigdime_spark.operators.completeness import SequenceContinuity
 
@@ -1310,6 +1324,7 @@ def main(argv: list[str] | None = None) -> int:
         extra_table_constraints=extra_tcs,
         check_decode=args.decode,
         decode_seed=args.decode_seed,
+        decode_sample_rate=args.decode_sample,
         topk_violations=args.topk_violations,
         check_phash_dedup=args.phash_dedup,
         phash_k=args.phash_k,

@@ -244,10 +244,34 @@ class DecodeIntegrity(TableConstraint):
         colocate: bool = False,
         carry_checksum: bool = False,
         checksum_columns: list[str] | None = None,
+        sample_rate: float = 1.0,
+        sample_seed: str = "decode-sample",
     ):
+        if not 0.0 < sample_rate <= 1.0:
+            raise ValueError(
+                f"decode sample_rate must be in (0, 1], got {sample_rate}"
+            )
+        if sample_rate < 1.0 and carry_checksum:
+            # the riding checksum must hash EVERY row; a sampled decode
+            # scan would silently checksum the sample only
+            raise ValueError(
+                "carry_checksum requires a full decode scan "
+                "(sample_rate == 1.0): the riding checksum must cover "
+                "every row the manifest describes"
+            )
         self.seed = seed
         self.snapshots = snapshots
         self.colocate = colocate
+        #: deterministic decode SAMPLING — the 10^12-row posture for
+        #: this, the engine's one Python-side pass: decode a
+        #: hash-selected fraction of images every run (md5(image_id,
+        #: sample_seed) keep-predicate, pushed to the scan — identical
+        #: subset under repartition/resume; operators/sampling) and the
+        #: full payload only on escalation. PASS under sampling means
+        #: "no failures among the ~rate sample"; the record-count /
+        #: checksum validators still cover every row.
+        self.sample_rate = float(sample_rate)
+        self.sample_seed = sample_seed
         #: when True, the raw snapshot's per-row content hash rides the
         #: decode scan (folded to per-batch per-part PARTIALS inside the
         #: Arrow stage — see decode_check_multi) and the per-part
@@ -266,6 +290,15 @@ class DecodeIntegrity(TableConstraint):
             for snap in self.snapshots
             if snap == "raw" or ctx.curated is not None
         }
+        if self.sample_rate < 1.0:
+            from bigdime_spark.operators.sampling import uniform_sample
+
+            frames = {
+                snap: uniform_sample(
+                    df, "image_id", self.sample_rate, self.sample_seed
+                )
+                for snap, df in frames.items()
+            }
         checked = decode_check_multi(
             frames,
             seed=self.seed,

@@ -83,7 +83,7 @@ _INT_FIELDS = (
     "referential_bloom_bits", "referential_bloom_k", "phash_k",
     "decode_seed", "topk_violations",
 )
-_FLOAT_FIELDS = ("outlier_threshold",)
+_FLOAT_FIELDS = ("outlier_threshold", "decode_sample_rate")
 _STR_FIELDS = ("referential_mode", "bit_balance_col", "unique_key", "ref_key")
 #: list-of-string fields (JSON array → tuple)
 _STRLIST_FIELDS = (
@@ -297,6 +297,11 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                 str(e["x"]), str(e["y"]),
                 float(e.get("lo", 0.0)), float(e.get("hi", 1.0)),
             ))
+
+    if "decode_sample_rate" in kwargs and not (
+        0.0 < kwargs["decode_sample_rate"] <= 1.0
+    ):
+        raise _fail("decode_sample_rate", "must be in (0, 1]")
 
     if extras:
         kwargs["extra_agg_constraints"] = extras

@@ -171,6 +171,13 @@ class ValidationSuite:
     check_payload_conformance: bool = False
     check_decode: bool = False
     decode_seed: int | None = None
+    #: deterministic decode sampling (operators/decode.DecodeIntegrity
+    #: sample_rate): decode a hash-selected fraction of images — the
+    #: 10^12-row posture for the one Python-side pass. Below 1.0 the
+    #: checksum can NOT ride the decode scan (it must hash every row),
+    #: so it falls back to fusing with the stats scan; record-count and
+    #: checksum still cover every row, decode covers the sample.
+    decode_sample_rate: float = 1.0
     #: which snapshots the decode pass validates. The reference's DVS
     #: validates the LANDED copy — decoding only raw would miss
     #: curated-side payload corruption, so both run by default when a
@@ -373,7 +380,11 @@ class ValidationSuite:
             if self.check_decode
             else ()
         )
-        ride = len(heavy) == 1 and "raw" in decode_snaps
+        ride = (
+            len(heavy) == 1
+            and "raw" in decode_snaps
+            and self.decode_sample_rate >= 1.0
+        )
         decode_tc = None
         decode_found = None
         decode_viol = None
@@ -385,6 +396,7 @@ class ValidationSuite:
                 # the riding hash must cover the SAME column set the
                 # Checksum constraint (and its manifest) uses
                 checksum_columns=heavy[0].columns if ride else None,
+                sample_rate=self.decode_sample_rate,
             )
         if ride:
             decode_found, decode_viol = decode_tc.run(ctx)
