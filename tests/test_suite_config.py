@@ -145,6 +145,8 @@ def test_completeness_sections_build_table_constraints(spark):
         ({"functional_dependencies": [{"det": "a", "dep": "b", "extra": 1}]},
          "unknown keys"),
         ({"check_payload_conformance": "yes"}, "must be true/false"),
+        ({"decode_sample_rate": 0.0}, "must be in \\(0, 1\\]"),
+        ({"decode_sample_rate": 1.5}, "must be in \\(0, 1\\]"),
         ([], "must be an object"),
     ],
 )
