@@ -1296,6 +1296,10 @@ def main(argv: list[str] | None = None) -> int:
             raise ValueError(
                 f"--decode-sample: rate must be in (0, 1], got {args.decode_sample}"
             )
+        if args.decode_sample != 1.0 and not args.decode:
+            # silently ignoring the rate would let an operator believe
+            # a sampled decode screen ran when zero images were decoded
+            raise ValueError("--decode-sample requires --decode")
         if args.seq_continuity:
             from bigdime_spark.operators.completeness import SequenceContinuity
 
@@ -1340,15 +1344,22 @@ def main(argv: list[str] | None = None) -> int:
             c.strip() for c in args.content_cols.split(",") if c.strip()
         ),
     )
-    res = suite.run(
-        spark,
-        raw,
-        curated,
-        manifest,
-        run_id=args.run_id,
-        lineage_path=args.lineage,
-        resume=not args.no_resume,
-    )
+    try:
+        res = suite.run(
+            spark,
+            raw,
+            curated,
+            manifest,
+            run_id=args.run_id,
+            lineage_path=args.lineage,
+            resume=not args.no_resume,
+        )
+    except ValueError as exc:
+        # declared-constraint misconfiguration surfacing at run time
+        # (e.g. sequence_continuity on a non-integral column from a
+        # config file) — the operator-error contract, not a traceback
+        print(f"run: {exc}", file=sys.stderr)
+        return 2
     write_table(res.verdicts, f"{args.out}/verdicts", partition_by=None)
     write_table(res.violations, f"{args.out}/violations", partition_by=None)
     # the binary __hll sketch columns are persisted ON PURPOSE: they are

@@ -106,6 +106,21 @@ def sequence_continuity(
     (ONE row-scale shuffle, map-combined); level-2 reduces the id-sized
     relation per part. No countDistinct — the two-level form keeps the
     fused-agg-style Expand rewrite out of the plan entirely."""
+    from pyspark.sql import types as T
+
+    f = next((fld for fld in df.schema.fields if fld.name == id_col), None)
+    if f is None:
+        raise ValueError(f"sequence_continuity: no column {id_col!r}")
+    if not isinstance(
+        f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # gap arithmetic is defined on integers; a string/date column
+        # must be a clean ValueError (the CLI's exit-2 contract), not
+        # an AnalysisException traceback out of try_subtract
+        raise ValueError(
+            f"sequence_continuity: id column {id_col!r} must be an "
+            f"integral type, got {f.dataType.simpleString()}"
+        )
     keys = ([part_col] if part_col else []) + ["_sc_id"]
     l1 = (
         df.select(
@@ -165,6 +180,12 @@ class SequenceContinuity(TableConstraint):
     partial_verdicts = True
 
     def __init__(self, id_col: str = "image_seq", max_gaps: int = 0):
+        if int(max_gaps) < 0:
+            # gaps >= 0 always: a negative budget would FAIL even a
+            # perfect gapless sequence — reject it at declaration time
+            raise ValueError(
+                f"sequence_continuity: max_gaps must be >= 0, got {max_gaps}"
+            )
         self.id_col = id_col
         self.max_gaps = int(max_gaps)
         self.name = f"sequence_continuity.{id_col}"

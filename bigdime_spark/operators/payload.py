@@ -62,7 +62,13 @@ def payload_mismatch_col(
     NULL — nulls are NotNull's business); otherwise a short reason
     string. Pure Column expressions — whole-stage codegen, no UDF."""
     b, w, h, fmt = (F.col(c) for c in (bytes_col, w_col, h_col, fmt_col))
-    n = (w * h * 3).cast("long")
+    # try_-multiply: corrupted dimensions (the very corruption class
+    # this validator flags) must not ANSI-overflow the run — a NULL
+    # expected length reads as "cannot possibly match" below, since no
+    # real payload has a length beyond int64
+    n = F.try_multiply(
+        F.try_multiply(w.cast("long"), h.cast("long")), F.lit(3).cast("long")
+    )
     blen = F.length(b).cast("long")
     header = _ppm_header(w, h)
     first = F.expr(f"substring({bytes_col}, 1, 1)")
@@ -71,12 +77,17 @@ def payload_mismatch_col(
         [bytes([v]) for v in _ZLIB_SECOND]
     )
     inputs_null = b.isNull() | w.isNull() | h.isNull() | fmt.isNull()
+    len_bad = n.isNull() | (blen != n)
     reason = (
-        F.when((fmt == "raw") | fmt.startswith("rawq"), F.when(blen != n, F.lit("payload length mismatch")))
+        F.when(
+            (fmt == "raw") | fmt.startswith("rawq"),
+            F.when(len_bad, F.lit("payload length mismatch")),
+        )
         .when(
             fmt == "ppm",
             F.when(
                 ~b.startswith(F.encode(header, "UTF-8"))
+                | n.isNull()
                 | (blen != F.length(header).cast("long") + n),
                 F.lit("bad ppm header or length"),
             ),
@@ -153,9 +164,11 @@ class PayloadConformance(AggConstraint):
         )
 
     def violation_spec(self):
-        # NOTE: this predicate reads payload bytes — the fused
-        # violation rescan only runs on dirty parts, so clean runs
-        # never pay a second payload read for it.
+        # NOTE: this predicate reads payload bytes — the suite's
+        # rescan gate drops it unless THIS constraint's own fused
+        # counter is non-zero, so a clean conformance pass never pays
+        # a second payload read (even when other constraints are
+        # dirty).
         return (self._reason.isNotNull(), self.bytes_col, self._reason)
 
     def violation_count_col(self):

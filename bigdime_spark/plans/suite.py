@@ -505,25 +505,28 @@ class ValidationSuite:
         # one filtered scan per constraint.
         verdict_frames_head = [schema_verdict_df]
         violation_frames = [schema_viol_df]
-        specs = [(c.name, c.violation_spec()) for c in agg_constraints]
-        fusable = [(n, s) for n, s in specs if s is not None]
+        specs = [
+            (c.name, c.violation_spec(), c.violation_count_col())
+            for c in agg_constraints
+        ]
+        fusable = [(n, s, cc) for n, s, cc in specs if s is not None]
         if fusable:
             # rescan gate: the fused agg (cached, one row per part)
-            # already counts each fusable constraint's violating rows;
-            # when every counter totals zero the row-level rescan of
-            # raw is provably empty — skip it. The common clean run at
-            # 10^12 rows pays ONE scan for stats+constraints, not two.
-            count_cols = [
-                c.violation_count_col()
-                for c in agg_constraints
-                if c.violation_spec() is not None
-            ]
-            if all(cc is not None for cc in count_cols):
+            # already counts each fusable constraint's violating rows —
+            # drop every spec whose counter totals ZERO before the
+            # row-level rescan (a provably-clean constraint contributes
+            # nothing but cost: in particular a clean PayloadConformance
+            # spec would otherwise drag payload pages into a rescan
+            # another constraint triggered). All counters zero → the
+            # rescan itself is provably empty and skipped entirely; the
+            # common clean run at 10^12 rows pays ONE scan, not two.
+            if all(cc is not None for _, _, cc in fusable):
                 totals = fused.agg(
-                    *[F.sum(cc).alias(cc) for cc in count_cols]
+                    *[F.sum(cc).alias(cc) for _, _, cc in fusable]
                 ).collect()[0]
-                if not any((totals[cc] or 0) > 0 for cc in count_cols):
-                    fusable = []
+                fusable = [
+                    (n, s, cc) for n, s, cc in fusable if (totals[cc] or 0) > 0
+                ]
             mark("pass3b violation-rescan gate")
         if fusable:
             structs = [
@@ -535,7 +538,7 @@ class ValidationSuite:
                         detail.cast("string").alias("detail"),
                     ),
                 )
-                for name, (pred, column, detail) in fusable
+                for name, (pred, column, detail), _ in fusable
             ]
             fused_viol = (
                 raw.select(

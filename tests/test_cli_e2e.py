@@ -130,6 +130,27 @@ def test_run_fd_and_seq_continuity_flags(spark, tmp_path_factory, capsys):
     )
     assert rc == 2 and "expected DET:DEP" in err
 
+    # non-integral continuity column: clean exit 2, not a traceback
+    rc, _, err = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--out", str(tmp_path_factory.mktemp("o3")),
+         "--seq-continuity", "caption"],
+    )
+    assert rc == 2 and "integral type" in err
+    rc, _, err = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--out", str(tmp_path_factory.mktemp("o4")),
+         "--seq-continuity", "phash:-1"],
+    )
+    assert rc == 2 and "max_gaps" in err
+    # a sampled decode without the decode pass is a no-op trap: error
+    rc, _, err = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--out", str(tmp_path_factory.mktemp("o5")),
+         "--decode-sample", "0.5"],
+    )
+    assert rc == 2 and "requires --decode" in err
+
 
 def test_drift_cli_spec_mismatch_exits_2(spark, tmp_path_factory, capsys):
     """Operator ValueError (histogram spec mismatch) surfaces as a

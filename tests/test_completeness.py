@@ -163,6 +163,22 @@ def test_sequence_continuity_span_overflow_fails_loudly(spark):
     res.release()
 
 
+def test_sequence_continuity_rejects_non_integral_and_negative_budget(spark):
+    """A string id column is a clean ValueError (the CLI's exit-2
+    contract rides on it), not an AnalysisException out of
+    try_subtract; a negative max_gaps budget is rejected at
+    declaration time (it would FAIL even a perfect sequence)."""
+    import pytest
+
+    df = spark.createDataFrame([("p", "abc")], "part string, seq string")
+    with pytest.raises(ValueError, match="must be an integral type"):
+        sequence_continuity(df, "seq")
+    with pytest.raises(ValueError, match="no column"):
+        sequence_continuity(df, "absent")
+    with pytest.raises(ValueError, match="max_gaps must be >= 0"):
+        SequenceContinuity("seq", max_gaps=-1)
+
+
 def test_sequence_continuity_max_gaps_budget(spark):
     df = spark.createDataFrame(
         [("p", f"i{i}", v) for i, v in enumerate([0, 1, 5])],

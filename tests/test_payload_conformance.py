@@ -87,6 +87,65 @@ def test_mismatch_reasons_exact(spark):
     assert got["null-fmt"] is None
 
 
+def test_corrupt_dimensions_do_not_overflow(spark):
+    """Corrupted w/h big enough to overflow w*h*3 in int (or even in
+    long) must FAIL the row as a length mismatch, never crash the ANSI
+    run with ARITHMETIC_OVERFLOW — these are exactly the rows the
+    validator exists to flag."""
+    raw = encode(_px(), "raw")
+    rows = [
+        ("p", "int-ovf", raw, 60000, 60000, "raw"),            # w*h*3 > int32
+        ("p", "long-ovf", raw, 2**31 - 1, 2**31 - 1, "raw"),   # > int64 too
+        ("p", "neg-dims", raw, -4, 3, "raw"),                  # negative w
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["image_id"]: r["reason"]
+        for r in df.select(
+            "image_id", payload_mismatch_col().alias("reason")
+        ).collect()
+    }
+    assert got == {
+        "int-ovf": "payload length mismatch",
+        "long-ovf": "payload length mismatch",
+        "neg-dims": "payload length mismatch",
+    }
+
+
+def test_clean_payload_spec_dropped_from_dirty_rescan(spark):
+    """A not_null violation makes the suite rescan raw for row-level
+    details — but the CLEAN payload-conformance spec must be dropped
+    from that rescan (its fused counter is zero), so the rescan never
+    touches payload pages for it. Behavioral check: the violations
+    output carries exactly the not_null row and zero payload rows."""
+    w, h = 4, 3
+    raw = encode(_px(w, h), "raw")
+    rows = [
+        ("p", "ok", raw, w, h, "raw"),
+        ("p", None, raw, w, h, "raw"),  # not_null violation on image_id
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    suite = ValidationSuite(
+        declared_schema=df.schema,
+        not_null=("image_id",),
+        check_record_count=False,
+        check_checksum=False,
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_domains=False,
+        stats=StatsProfile(columns=[]),
+        check_payload_conformance=True,
+    )
+    res = suite.run(spark, df, run_id="pc-gate")
+    by_c = {
+        r["constraint"]: r["detail"] for r in res.violations.collect()
+    }
+    assert set(by_c) == {"not_null.image_id"}
+    res.release()
+
+
 def test_zlib_second_byte_levels(spark):
     """All four standard zlib FLEVEL bytes conform — compression level
     must not affect the verdict."""
