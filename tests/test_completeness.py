@@ -259,6 +259,92 @@ def test_fd_in_suite_part_attribution(spark):
     res.release()
 
 
+def test_fd_violations_match_python_reference_property(spark):
+    """Property (SURVEY §5.3): on hypothesis-drawn (det, dep) multisets
+    the engine's violation scan equals a pure-python reference exactly
+    — fan-out counts, row counts, ordering and the top-k cut."""
+    from collections import Counter, defaultdict
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from([f"d{i}" for i in range(6)]),
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    @given(rows=rows_strategy, top_k=st.integers(min_value=1, max_value=4))
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows, top_k):
+        deps = defaultdict(set)
+        nrows = Counter()
+        for det, dep in rows:
+            if det is None or dep is None:
+                continue
+            deps[det].add(dep)
+            nrows[det] += 1
+        expected = sorted(
+            (
+                (det, len(vs), nrows[det])
+                for det, vs in deps.items()
+                if len(vs) > 1
+            ),
+            key=lambda t: (-t[1], -t[2], t[0]),
+        )[:top_k]
+        df = spark.createDataFrame(
+            rows or [("pad", None)], "det string, dep string"
+        )
+        got = [
+            (r["det"], r["n_dep"], r["n_rows"])
+            for r in fd_violations(df, "det", "dep", top_k=top_k).collect()
+        ]
+        assert got == expected, (rows, top_k)
+
+    check()
+
+
+def test_null_pattern_matches_python_reference_property(spark):
+    """Property: the joint null-mask distribution equals a Counter over
+    the drawn rows for every mask combination."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cell = st.one_of(st.none(), st.just(1.0))
+    rows_strategy = st.lists(
+        st.tuples(cell, cell, cell), min_size=1, max_size=30
+    )
+
+    @given(rows=rows_strategy)
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows):
+        ref = Counter(
+            ",".join(n for n, v in zip(("a", "b", "c"), r) if v is None) or "none"
+            for r in rows
+        )
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        got = {
+            r["pattern"]: r["n_rows"]
+            for r in null_pattern_profile(df, ["a", "b", "c"], part_col=None).collect()
+        }
+        assert got == dict(ref), rows
+
+    check()
+
+
 def test_fd_violation_sample_is_bounded(spark):
     rows = [("p", f"i{k}", f"k{k:04d}", d) for k in range(50) for d in ("a", "b")]
     df = spark.createDataFrame(rows, "part string, image_id string, det string, dep string")
