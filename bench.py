@@ -76,6 +76,7 @@ HEADLINE = [
     "content_diff_orders",
     "embedding_drift",
     "null_pattern_events",
+    "distinctness_documents",
     "sequence_continuity_orders",
     "fd_events_user_type",
     "type_inference_orders",

@@ -386,11 +386,19 @@ def _build_parser() -> argparse.ArgumentParser:
         "cannot see)",
     )
     pr.add_argument(
+        "--distinctness",
+        default="",
+        help="comma-separated columns for exact distinctness / "
+        "uniqueness / unique-value-ratio profiles (deequ's "
+        "hasUniqueness family; exact-value-set contract like "
+        "--categorical)",
+    )
+    pr.add_argument(
         "--out",
         default=None,
         help="write full profile frames here (categorical/ "
-        "correlation/ mutual_info/ type_inference/ null_patterns/); "
-        "without it stdout carries at "
+        "correlation/ mutual_info/ type_inference/ null_patterns/ "
+        "distinctness/); without it stdout carries at "
         "most 20 rows per profile (bounded diagnostic, not the data "
         "path)",
     )
@@ -700,10 +708,12 @@ def main(argv: list[str] | None = None) -> int:
             mi_pairs = _pairs(args.mi, "--mi")
             infer_cols = [c.strip() for c in args.infer_types.split(",") if c.strip()]
             np_cols = [c.strip() for c in args.null_patterns.split(",") if c.strip()]
-            if not (cats or corr_pairs or mi_pairs or infer_cols or np_cols):
+            dv_cols = [c.strip() for c in args.distinctness.split(",") if c.strip()]
+            if not (cats or corr_pairs or mi_pairs or infer_cols or np_cols
+                    or dv_cols):
                 raise ValueError(
                     "nothing to profile: pass --categorical, --corr, --mi, "
-                    "--infer-types, or --null-patterns"
+                    "--infer-types, --null-patterns, or --distinctness"
                 )
         except ValueError as e:
             print(f"profile: {e}", file=sys.stderr)
@@ -746,6 +756,12 @@ def main(argv: list[str] | None = None) -> int:
 
                 frames["null_patterns"] = null_pattern_profile(
                     df, tuple(np_cols), part_col=args.part_col
+                )
+            if dv_cols:
+                from bigdime_spark.operators.stats import distinct_value_profile
+
+                frames["distinctness"] = distinct_value_profile(
+                    df, tuple(dv_cols), part_col=args.part_col
                 )
 
             for name, frame in frames.items():

@@ -778,6 +778,72 @@ def q_categorical_profile_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_distinctness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctness / uniqueness ratio profile (round-5): deequ's
+    Distinctness, Uniqueness and UniqueValueRatio analyzers per source
+    partition of documents — operators/stats.distinct_value_profile.
+    doc_id profiles as a perfect key (all ratios 1.0), text as
+    near-unique, and lang — with nulls injected on doc_id % 7 = 0 so
+    the all-three-engines null convention (kept n_rows, excluded from
+    every ratio) is itself under oracle test — as a low-cardinality
+    enum whose uniqueness ~ 0."""
+    from bigdime_spark.operators.stats import distinct_value_profile
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("part"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang")).alias(
+            "lang_n"
+        ),
+    )
+    prof = distinct_value_profile(d, ("doc_id", "text", "lang_n"))
+    return prof.select(
+        "part",
+        "column",
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        "n_once",
+        F.round("distinctness", 6).alias("distinctness"),
+        F.round("uniqueness", 6).alias("uniqueness"),
+        F.round("unique_value_ratio", 6).alias("unique_value_ratio"),
+    )
+
+
+SQL_DISTINCTNESS = """
+WITH melted AS (
+  SELECT source AS part, 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS value
+  FROM documents
+  UNION ALL
+  SELECT source, 'text', text FROM documents
+  UNION ALL
+  SELECT source, 'lang_n',
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END
+  FROM documents
+), counts AS (
+  SELECT part, col, value, count(*) AS cnt FROM melted GROUP BY 1, 2, 3
+), agg AS (
+  SELECT part, col,
+         sum(cnt) AS n_rows,
+         coalesce(sum(cnt) FILTER (WHERE value IS NOT NULL), 0) AS n_nonnull,
+         count(*) FILTER (WHERE value IS NOT NULL) AS n_distinct,
+         count(*) FILTER (WHERE value IS NOT NULL AND cnt = 1) AS n_once
+  FROM counts GROUP BY 1, 2
+)
+SELECT part,
+       col AS column,
+       n_rows::BIGINT AS n_rows,
+       n_nonnull::BIGINT AS n_nonnull,
+       n_distinct::BIGINT AS n_distinct,
+       n_once::BIGINT AS n_once,
+       round(n_distinct::DOUBLE / nullif(n_nonnull, 0), 6) AS distinctness,
+       round(n_once::DOUBLE / nullif(n_nonnull, 0), 6) AS uniqueness,
+       round(n_once::DOUBLE / nullif(n_distinct, 0), 6) AS unique_value_ratio
+FROM agg
+"""
+
+
 SQL_CATEGORICAL_PROFILE = """
 WITH counts AS (
   SELECT source AS part, lang AS value, count(*) AS cnt FROM documents
@@ -3288,6 +3354,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_drift": QuerySpec(q_embedding_drift, SQL_EMBEDDING_DRIFT),
     "categorical_profile_documents": QuerySpec(
         q_categorical_profile_documents, SQL_CATEGORICAL_PROFILE
+    ),
+    "distinctness_documents": QuerySpec(
+        q_distinctness_documents, SQL_DISTINCTNESS
     ),
     "mutual_info_documents": QuerySpec(q_mutual_info_documents, SQL_MUTUAL_INFO),
     "mutual_info_shift_documents": QuerySpec(

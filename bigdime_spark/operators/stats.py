@@ -354,6 +354,80 @@ def categorical_profile(
     )
 
 
+def distinct_value_profile(
+    df: DataFrame, cols: tuple[str, ...] | list[str], part_col: str = "part"
+) -> DataFrame:
+    """Per-partition distinctness / uniqueness ratio profile — the
+    exact-ratio family deequ ships as Distinctness, Uniqueness and
+    UniqueValueRatio, missing between B5's bare distinct count and
+    C41's declared functional dependencies: "how close is this column
+    to a key, and how is that drifting per partition?".
+
+    → (part, column, n_rows, n_nonnull, n_distinct, n_once,
+       distinctness, uniqueness, unique_value_ratio)
+
+    - ``distinctness``       — n_distinct / n_nonnull. 1.0 means every
+      non-null value appears once (candidate key); a drop run over run
+      means a producer started emitting repeats (retry storm, replayed
+      batch) even when marginal null rates and ranges all pass.
+    - ``uniqueness``         — (values occurring EXACTLY once) /
+      n_nonnull — deequ's Uniqueness: the fraction of rows that are
+      singletons. More sensitive than distinctness: one value going
+      hot moves uniqueness by every absorbed row but distinctness by
+      only the lost value count.
+    - ``unique_value_ratio`` — n_once / n_distinct — deequ's
+      UniqueValueRatio: of the value SET, how much is singleton.
+    - an all-null (or empty) part keeps its row with n_nonnull = 0 and
+      NULL ratios (``try_divide`` — undefined, never a silent 0 or a
+      dropped row, so the suite form can emit NOT_READY).
+
+    Plan: ONE scan (row-local struct melt, NULLs kept as a real
+    group so n_rows/n_nonnull come from the same relation) + ONE
+    map-combined (part, column, value) hash-agg — the exchange carries
+    distinct values, not rows — then a key-sized per-(part, column)
+    reduction. Same exact-value-set contract as
+    :func:`categorical_profile` (≤ ~10^6 distinct values per column
+    per part comfortably; above that use the B6 HLL sketch for
+    distinctness and accept losing the singleton ratios — a sketch
+    cannot count exactly-once values)."""
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.col(c).cast("string").alias("value"))
+        for c in cols
+    ]
+    counts = (
+        df.select(F.col(part_col).alias("part"), F.explode(F.array(*structs)).alias("mv"))
+        .select("part", "mv.column", "mv.value")
+        .groupBy("part", "column", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nonnull = F.col("value").isNotNull()
+    n_nonnull = F.sum(F.when(nonnull, F.col("cnt")).otherwise(F.lit(0)))
+    n_distinct = F.count(F.when(nonnull, F.lit(1)))
+    n_once = F.count(F.when(nonnull & (F.col("cnt") == 1), F.lit(1)))
+    return (
+        counts.groupBy("part", "column")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            n_nonnull.alias("n_nonnull"),
+            n_distinct.alias("n_distinct"),
+            n_once.alias("n_once"),
+        )
+        .select(
+            "part",
+            "column",
+            "n_rows",
+            "n_nonnull",
+            "n_distinct",
+            "n_once",
+            F.try_divide(F.col("n_distinct"), F.col("n_nonnull")).alias("distinctness"),
+            F.try_divide(F.col("n_once"), F.col("n_nonnull")).alias("uniqueness"),
+            F.try_divide(F.col("n_once"), F.col("n_distinct")).alias(
+                "unique_value_ratio"
+            ),
+        )
+    )
+
+
 #: inference priority: narrowest class first; a class is eligible when
 #: EVERY non-null value conforms. boolean before bigint so '1'/'0'
 #: columns mixed with 'true'/'false' don't mis-infer; date before
@@ -712,6 +786,66 @@ class MutualInfoBound(TableConstraint):
             .alias("verdict"),
             F.concat(F.lit("mi_norm="), m.cast("string")).alias("observed"),
             F.lit(f"mi_norm in [{self.lo}, {self.hi}]").alias("expected"),
+        )
+        return found, None
+
+
+class DistinctnessBound(TableConstraint):
+    """Suite-integrated declared-bounds form of
+    :func:`distinct_value_profile` — deequ's
+    hasUniqueness/hasDistinctness as a TableConstraint (the ratios
+    need their own (part, column, value) aggregation; they cannot
+    ride the fused stats pass, same boundary as
+    :class:`MutualInfoBound`).
+
+    Verdict family ``distinctness.<col>``: the chosen ratio
+    (``metric`` ∈ {distinctness, uniqueness, unique_value_ratio})
+    must stay in ``[lo, hi]`` per part. ``lo`` guards near-key
+    columns against duplicate leakage (image_id distinctness sliding
+    below 1.0 = a replayed producer batch B16 will also catch, but
+    THIS form quantifies partial degradation on columns that are
+    merely near-unique, not declared keys); ``hi`` guards columns
+    that are SUPPOSED to repeat (a lang column at uniqueness 1.0
+    means the tagger started emitting garbage). NOT_READY when the
+    ratio is undefined (zero non-null values in the part)."""
+
+    partial_verdicts = True
+
+    _METRICS = ("distinctness", "uniqueness", "unique_value_ratio")
+
+    def __init__(
+        self,
+        column: str,
+        lo: float = 0.0,
+        hi: float = 1.0,
+        metric: str = "distinctness",
+    ):
+        if metric not in self._METRICS:
+            raise ValueError(
+                f"metric={metric!r} unsupported: one of {self._METRICS}"
+            )
+        self.column = column
+        self.lo, self.hi = float(lo), float(hi)
+        self.metric = metric
+        self.name = f"distinctness.{column}"
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]
+
+    def run(self, ctx):
+        from bigdime_spark.schema import FAIL, NOT_READY, PASS
+
+        prof = distinct_value_profile(ctx.raw, (self.column,))
+        m = F.col(self.metric)
+        found = prof.select(
+            "part",
+            F.lit(self.name).alias("constraint"),
+            F.when(m.isNull(), F.lit(NOT_READY))
+            .when((m >= self.lo) & (m <= self.hi), F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+            .alias("verdict"),
+            F.concat(F.lit(f"{self.metric}="), m.cast("string")).alias("observed"),
+            F.lit(f"{self.metric} in [{self.lo}, {self.hi}]").alias("expected"),
         )
         return found, None
 

@@ -35,6 +35,11 @@ that build fusable extra constraints:
                          that builds a TABLE constraint: MI needs its
                          own (part,x,y) aggregation and cannot ride
                          the fused pass)
+``distinctness_bounds``  [{column, lo?, hi?, metric?}] — exact
+                         distinctness / uniqueness / unique_value_ratio
+                         of a column per part (deequ's hasUniqueness
+                         family); a table constraint for the same
+                         reason as MI (needs a value-level agg)
 ``sequence_continuity``  [{id_col, max_gaps?}] — dense-id continuity
                          (B30) as a table constraint (exact distinct
                          needs its own keyed aggregation)
@@ -95,7 +100,8 @@ _PROGRAMMATIC_ONLY = (
     "extra_table_constraints",
 )
 _SECTIONS = ("schema", "domain_checks", "type_conformance", "freshness",
-             "correlation_bounds", "mutual_info_bounds", "drift_specs",
+             "correlation_bounds", "mutual_info_bounds",
+             "distinctness_bounds", "drift_specs",
              "bit_balance_bounds", "sequence_continuity",
              "functional_dependencies")
 
@@ -296,6 +302,26 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             table_extras.append(MutualInfoBound(
                 str(e["x"]), str(e["y"]),
                 float(e.get("lo", 0.0)), float(e.get("hi", 1.0)),
+            ))
+
+    if "distinctness_bounds" in cfg:
+        from bigdime_spark.operators.stats import DistinctnessBound
+
+        if not isinstance(cfg["distinctness_bounds"], list):
+            raise _fail("distinctness_bounds", "must be an array of objects")
+        for entry in cfg["distinctness_bounds"]:
+            e = _require_keys("distinctness_bounds", entry,
+                              {"column"}, {"lo", "hi", "metric"})
+            metric = str(e.get("metric", "distinctness"))
+            if metric not in DistinctnessBound._METRICS:
+                raise _fail(
+                    "distinctness_bounds",
+                    f"metric must be one of {DistinctnessBound._METRICS}",
+                )
+            table_extras.append(DistinctnessBound(
+                str(e["column"]),
+                float(e.get("lo", 0.0)), float(e.get("hi", 1.0)),
+                metric=metric,
             ))
 
     if "decode_sample_rate" in kwargs and not (
