@@ -77,6 +77,7 @@ HEADLINE = [
     "embedding_drift",
     "null_pattern_events",
     "distinctness_documents",
+    "distinctness_from_stats_documents",
     "sequence_continuity_orders",
     "fd_events_user_type",
     "type_inference_orders",

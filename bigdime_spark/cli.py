@@ -175,6 +175,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "persisted per-partition HLL sketches — no data rescan (B6)",
     )
     ru.add_argument("--stats", nargs="+", required=True, help="one or more stats output dirs")
+    ru.add_argument(
+        "--ratios",
+        action="store_true",
+        help="also emit approximate distinctness (sketch distinct / "
+        "non-null rows) per column — table-level when one stats dir, "
+        "requires exactly one dir (cross-RUN sketch unions double-"
+        "count the denominator)",
+    )
     ru.add_argument("--master", default=None)
 
     dd = sub.add_parser(
@@ -612,8 +620,39 @@ def main(argv: list[str] | None = None) -> int:
             print("rollup: stats dirs contain no rows", file=sys.stderr)
             return 2
         row = rows[0].asDict()
-        print(json.dumps({"cmd": "rollup", "sources": args.stats,
-                          "distincts": {k: int(v) for k, v in row.items()}}))
+        summary = {"cmd": "rollup", "sources": args.stats,
+                   "distincts": {k: int(v) for k, v in row.items()}}
+        if args.ratios:
+            from bigdime_spark.operators.stats import distinctness_from_stats
+
+            if len(frames) != 1:
+                print(
+                    "rollup: --ratios needs exactly one stats dir — "
+                    "unioning runs of the SAME table would double-count "
+                    "the row/null denominators against a deduplicating "
+                    "sketch union",
+                    file=sys.stderr,
+                )
+                return 2
+            try:
+                ratios = distinctness_from_stats(
+                    frames[0], table_level=True
+                ).collect()
+            except ValueError as e:
+                print(f"rollup: {e}", file=sys.stderr)
+                return 2
+            summary["ratios"] = {
+                r["column"]: {
+                    "n_nonnull": int(r["n_nonnull"]),
+                    "distinct_est": float(r["distinct_est"]),
+                    "distinctness_est": (
+                        None if r["distinctness_est"] is None
+                        else round(float(r["distinctness_est"]), 6)
+                    ),
+                }
+                for r in ratios
+            }
+        print(json.dumps(summary))
         return 0
 
     if args.cmd == "drift":

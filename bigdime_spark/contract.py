@@ -811,6 +811,84 @@ def q_distinctness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinctness_from_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctness from PERSISTED HLL sketches + null counts
+    (round-5, stats.distinctness_from_stats) — zero rescan of the
+    data, the ratio form of the B6 roll-up: per-part rows plus the
+    table-level hll_union_agg merge in one output. The oracle states
+    exact COUNT(DISTINCT) arithmetic: at these cardinalities (≤500
+    distinct per column, lg_k=12) the sketch is in its exact sparse
+    regime, so factoring through the persisted sketches must be
+    value-invisible — the estimator-error regime is tolerance-tested
+    in pytest instead. Nulls injected on doc_id % 7 = 0 so the
+    rows-minus-nulls denominator is itself under oracle test."""
+    from bigdime_spark.operators.stats import (
+        ColumnProfile,
+        StatsProfile,
+        distinctness_from_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("part"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang")).alias(
+            "lang_n"
+        ),
+    )
+    # lg_k=16 keeps the sketch sparse-exact with a wide margin at this
+    # table's ≤500-distinct columns (lg_k=12's exact bound sits right
+    # at ~500: measured union est 502 there, 500 from lg_k≥14)
+    prof = StatsProfile(
+        columns=[
+            ColumnProfile("doc_id", stringlike=True, distinct=True),
+            ColumnProfile("lang_n", stringlike=True, distinct=True),
+        ],
+        hll_lg_k=16,
+    )
+    sf = d.groupBy("part").agg(*prof.agg_exprs(include_histograms=False))
+    out = distinctness_from_stats(sf).unionByName(
+        distinctness_from_stats(sf, table_level=True)
+    )
+    return out.select(
+        "part",
+        "column",
+        "n_rows",
+        "n_nonnull",
+        F.round("distinct_est", 6).alias("distinct_est"),
+        F.round("distinctness_est", 6).alias("distinctness_est"),
+    )
+
+
+SQL_DISTINCTNESS_FROM_STATS = """
+WITH src AS (
+  SELECT source AS part,
+         CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_n
+  FROM documents
+), per AS (
+  SELECT part, 'doc_id' AS col, count(*) AS n_rows,
+         count(doc_id) AS n_nonnull, count(DISTINCT doc_id) AS d
+  FROM src GROUP BY 1
+  UNION ALL
+  SELECT part, 'lang_n', count(*), count(lang_n), count(DISTINCT lang_n)
+  FROM src GROUP BY 1
+  UNION ALL
+  SELECT '*', 'doc_id', count(*), count(doc_id), count(DISTINCT doc_id)
+  FROM src
+  UNION ALL
+  SELECT '*', 'lang_n', count(*), count(lang_n), count(DISTINCT lang_n)
+  FROM src
+)
+SELECT part,
+       col AS column,
+       n_rows::BIGINT AS n_rows,
+       n_nonnull::BIGINT AS n_nonnull,
+       round(d::DOUBLE, 6) AS distinct_est,
+       round(d::DOUBLE / nullif(n_nonnull, 0), 6) AS distinctness_est
+FROM per
+"""
+
+
 SQL_DISTINCTNESS = """
 WITH melted AS (
   SELECT source AS part, 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS value
@@ -3357,6 +3435,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "distinctness_documents": QuerySpec(
         q_distinctness_documents, SQL_DISTINCTNESS
+    ),
+    "distinctness_from_stats_documents": QuerySpec(
+        q_distinctness_from_stats_documents, SQL_DISTINCTNESS_FROM_STATS
     ),
     "mutual_info_documents": QuerySpec(q_mutual_info_documents, SQL_MUTUAL_INFO),
     "mutual_info_shift_documents": QuerySpec(

@@ -301,6 +301,112 @@ def rollup_distinct(stats_frames: list[DataFrame], group_cols: tuple[str, ...] =
     return df.groupBy(*group_cols).agg(*exprs) if group_cols else df.agg(*exprs)
 
 
+def distinctness_from_stats(
+    stats: DataFrame, table_level: bool = False
+) -> DataFrame:
+    """Approximate distinctness from the PERSISTED stats frame — the
+    10^6+-cardinality companion of :func:`distinct_value_profile`
+    (whose exact value-level aggregation that scale forbids) and the
+    ratio form of :func:`rollup_distinct`: distinct via the persisted
+    ``stat__<col>__hll`` sketch, non-null denominator via
+    ``stat__rows − stat__<col>__nulls`` — ZERO rescan of the data the
+    stats describe, the same discipline as drift_from_stats /
+    quantiles_from_stats.
+
+    → (part, column, n_rows, n_nonnull, distinct_est,
+       distinctness_est)
+
+    - covers every column with BOTH a persisted ``__hll`` sketch and a
+      ``__nulls`` count; raises if none qualify (a ratio without its
+      denominator would be a guess).
+    - ``distinctness_est`` can exceed 1.0 by the sketch's relative
+      error (~1.6% at the default lg_k=12) on near-key columns —
+      surfaced raw, not clamped: a reader tracking it run over run
+      should see estimator noise as noise. In the sketch's exact
+      (sparse) regime — small distinct sets — the ratio is exact.
+    - singleton ratios (uniqueness / unique_value_ratio) are
+      inherently un-sketchable; they exist only on the exact path.
+    - an all-null part yields distinct_est 0 (an EMPTY sketch, not a
+      NULL one) and a NULL ratio (0/0 undefined via try_divide), so
+      the suite convention (NOT_READY, never a silent pass) composes.
+    - ``table_level=True`` merges the per-part sketches with
+      ``hll_union_agg`` (mergeability is the point of persisting the
+      binary sketch next to its scalar estimate) and sums the
+      row/null counts → one row per column with part "*".
+
+    Refuses frames holding duplicate per-part rows (row/null counts
+    would silently double against a deduplicating sketch union —
+    filter to one run_id first), same guard as drift_from_stats.
+    Metadata-scale end to end: the input is parts-sized."""
+    hll_cols = [c for c in stats.columns if c.endswith("__hll")]
+    usable = [
+        c[len("stat__") : -len("__hll")]
+        for c in hll_cols
+        if f"stat__{c[len('stat__'):-len('__hll')]}__nulls" in stats.columns
+    ]
+    if "stat__rows" not in stats.columns or not usable:
+        raise ValueError(
+            "distinctness_from_stats needs stat__rows plus at least one "
+            "stat__<col>__hll sketch with its stat__<col>__nulls count "
+            "— profile with ColumnProfile(distinct=True) first"
+        )
+    # one parts-sized guard job: duplicates double the count arithmetic
+    # against a deduplicating sketch union; an EMPTY frame would make
+    # the table-level global agg emit one all-NULL row (a global agg
+    # always returns a row) — both are refused, never guessed through
+    per_part = stats.groupBy("part").count().collect()
+    if not per_part:
+        raise ValueError(
+            "stats frame has no rows — nothing was profiled (a resumed "
+            "run with zero todo parts overwrites stats with an empty "
+            "frame; point at the run that scanned data)"
+        )
+    dup = [r for r in per_part if r["count"] > 1]
+    if dup:
+        raise ValueError(
+            f"stats frame holds duplicate rows for part {dup[0]['part']!r} "
+            "— filter to a single run_id before computing distinctness"
+        )
+    if table_level:
+        frame = stats.agg(
+            F.sum("stat__rows").alias("stat__rows"),
+            *[F.sum(f"stat__{c}__nulls").alias(f"stat__{c}__nulls") for c in usable],
+            *[F.hll_union_agg(f"stat__{c}__hll").alias(f"stat__{c}__hll") for c in usable],
+        ).withColumn("part", F.lit("*"))
+    else:
+        frame = stats
+    melted = frame.select(
+        "part",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("stat__rows").alias("n_rows"),
+                        (F.col("stat__rows") - F.col(f"stat__{c}__nulls")).alias(
+                            "n_nonnull"
+                        ),
+                        F.hll_sketch_estimate(F.col(f"stat__{c}__hll")).alias(
+                            "distinct_est"
+                        ),
+                    )
+                    for c in sorted(usable)
+                ]
+            )
+        ).alias("m"),
+    )
+    return melted.select(
+        "part",
+        "m.column",
+        "m.n_rows",
+        "m.n_nonnull",
+        "m.distinct_est",
+        F.try_divide(F.col("m.distinct_est"), F.col("m.n_nonnull")).alias(
+            "distinctness_est"
+        ),
+    )
+
+
 def categorical_profile(
     df: DataFrame, cols: tuple[str, ...] | list[str], part_col: str = "part"
 ) -> DataFrame:

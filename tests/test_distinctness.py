@@ -103,6 +103,98 @@ def test_distinct_value_profile_matches_python_reference(spark):
                 assert r["distinctness"] is None
 
 
+def _stats_frame(spark, df, cols, lg_k=16):
+    from bigdime_spark.operators.stats import ColumnProfile, StatsProfile
+
+    prof = StatsProfile(
+        columns=[ColumnProfile(c, stringlike=True, distinct=True) for c in cols],
+        hll_lg_k=lg_k,
+    )
+    return df.groupBy("part").agg(*prof.agg_exprs(include_histograms=False))
+
+
+def test_distinctness_from_stats_exact_regime(spark):
+    """In the sketch's sparse-exact regime the zero-rescan ratio must
+    equal the exact value-level profile — incl. the null denominator
+    and the all-null part (empty sketch → est 0, ratio NULL)."""
+    from bigdime_spark.operators.stats import distinctness_from_stats
+
+    rows = (
+        [("p0", v) for v in ("a", "a", "b", "c", None)]
+        + [("p1", None), ("p1", None)]
+    )
+    df = spark.createDataFrame(rows, "part string, v string")
+    got = {
+        r["part"]: r.asDict()
+        for r in distinctness_from_stats(_stats_frame(spark, df, ("v",))).collect()
+    }
+    exact = _rows_by(distinct_value_profile(df, ("v",)))
+    p0 = got["p0"]
+    assert (p0["n_rows"], p0["n_nonnull"]) == (5, 4)
+    assert p0["distinct_est"] == pytest.approx(exact[("p0", "v")]["n_distinct"])
+    assert p0["distinctness_est"] == pytest.approx(3 / 4)
+    p1 = got["p1"]
+    assert p1["distinct_est"] == 0
+    assert p1["distinctness_est"] is None
+
+
+def test_distinctness_from_stats_rollup_matches_direct(spark):
+    """table_level=True merges per-part sketches; in the exact regime
+    the merged ratio equals profiling the unpartitioned frame
+    directly (mergeability is the point of persisting sketches)."""
+    from bigdime_spark.operators.stats import distinctness_from_stats
+
+    rows = [(f"p{k % 4}", f"v{k % 37}") for k in range(200)]
+    df = spark.createDataFrame(rows, "part string, v string")
+    (roll,) = distinctness_from_stats(
+        _stats_frame(spark, df, ("v",)), table_level=True
+    ).collect()
+    assert roll["part"] == "*"
+    assert (roll["n_rows"], roll["n_nonnull"]) == (200, 200)
+    assert roll["distinct_est"] == pytest.approx(37)
+    assert roll["distinctness_est"] == pytest.approx(37 / 200)
+
+
+def test_distinctness_from_stats_estimator_regime_tolerance(spark):
+    """Past the sparse-exact bound the estimate carries HLL error —
+    assert the documented tolerance (±2% at lg_k=12 is the published
+    HLL bound; allow 5% head-room), not equality."""
+    from bigdime_spark.operators.stats import distinctness_from_stats
+
+    df = (
+        spark.range(20000)
+        .select(
+            F.concat(F.lit("p"), (F.col("id") % 2).cast("string")).alias("part"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+    )
+    out = {
+        r["part"]: r.asDict()
+        for r in distinctness_from_stats(
+            _stats_frame(spark, df, ("v",), lg_k=12)
+        ).collect()
+    }
+    for p in ("p0", "p1"):
+        assert out[p]["n_nonnull"] == 10000
+        assert out[p]["distinct_est"] == pytest.approx(10000, rel=0.05)
+        assert out[p]["distinctness_est"] == pytest.approx(1.0, rel=0.05)
+
+
+def test_distinctness_from_stats_refusals(spark):
+    from bigdime_spark.operators.stats import distinctness_from_stats
+
+    df = spark.createDataFrame([("p0", "a")], "part string, v string")
+    sf = _stats_frame(spark, df, ("v",))
+    with pytest.raises(ValueError, match="duplicate rows"):
+        distinctness_from_stats(sf.unionByName(sf))
+    with pytest.raises(ValueError, match="no rows"):
+        distinctness_from_stats(sf.filter(F.lit(False)), table_level=True)
+    with pytest.raises(ValueError, match="stat__<col>__hll"):
+        distinctness_from_stats(sf.drop("stat__v__hll"))
+    with pytest.raises(ValueError, match="stat__<col>__hll"):
+        distinctness_from_stats(sf.drop("stat__v__nulls"))
+
+
 def test_distinctness_bound_in_suite(spark):
     """DistinctnessBound verdicts: a perfect-key part PASSes lo=0.9,
     a part where half the rows repeat one value FAILs, an all-null
