@@ -2440,6 +2440,83 @@ FROM hits WHERE n_hits >= 1
 """
 
 
+def q_phash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-corpus eval-set decontamination
+    (operators/decontam.phash_contamination): corpus rows whose
+    perceptual hash lands within hamming ≤ 2 of ANY eval-set image.
+    The oracle-portable fingerprint is the same md5-derived 16-bit
+    int as dedup_phash_hamming; the eval set is the deterministic
+    `doc_id % 11 == 0` slice with its fingerprint XOR-perturbed by
+    doc_id % 4 → {0, 1, 3, 7} set bits — so exact matches, hamming-1,
+    hamming-2 (all flagged) and hamming-3 (excluded at k=2) are ALL
+    exercised, putting the ≤k boundary itself under oracle test. The
+    engine path is identical for the real 64-bit phash (bits=64,
+    pytest on the synthetic image fixture)."""
+    from bigdime_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    flips = (
+        F.when(F.col("doc_id") % 4 == 0, 0)
+        .when(F.col("doc_id") % 4 == 1, 1)
+        .when(F.col("doc_id") % 4 == 2, 3)
+        .otherwise(7)
+        .cast("long")
+    )
+    ev = corpus.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.col("phash").bitwiseXOR(flips).alias("phash")
+    )
+    return decontam.phash_contamination(
+        corpus, ev, id_col="doc_id", phash_col="phash", bits=16, k=2
+    )
+
+
+def _phash_contamination_sql() -> str:
+    from bigdime_spark.operators.dedup import _hamming_chunks
+
+    fp = _hex_to_int_sql("md5(doc_id::VARCHAR)", 4)
+    bands = lambda src, idc, fpc: "\n  UNION ALL\n".join(  # noqa: E731
+        f"  SELECT {idc}, {fpc}, {i} AS ck,"
+        f" (({fpc} // {1 << off}) % {1 << w}) AS cv FROM {src}"
+        for i, (off, w) in enumerate(_hamming_chunks(16, 2))
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS cid, {fp} AS cfp FROM documents
+), ev AS (
+  SELECT cid AS eid,
+         xor(cfp, CASE cid % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END) AS efp
+  FROM corpus WHERE cid % 11 = 0
+), cb AS (
+{bands("corpus", "cid", "cfp")}
+), eb AS (
+{bands("ev", "eid", "efp")}
+), matched AS (
+  SELECT DISTINCT cid, eid,
+         CAST(bit_count(xor(cfp, efp)) AS INT) AS ham
+  FROM cb JOIN eb USING (ck, cv)
+  WHERE bit_count(xor(cfp, efp)) <= 2
+), ranked AS (
+  SELECT cid, eid, ham,
+         row_number() OVER (PARTITION BY cid ORDER BY eid) AS rn
+  FROM matched
+)
+SELECT cid AS doc_id, count(*) AS n_eval_matches,
+       CAST(min(ham) AS INT) AS min_hamming,
+       array_to_string(list_sort(list(eid::VARCHAR) FILTER (rn <= 10)), ',')
+         AS sample_eval_ids_csv
+FROM ranked GROUP BY 1
+"""
+
+
+SQL_PHASH_CONTAMINATION = _phash_contamination_sql()
+
+
 def q_hot_grams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-corpus hot n-grams (operators/decontam.hot_grams): the
     Lee-et-al.-2022 duplicated-text signal — grams shared by ≥5
@@ -3495,6 +3572,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "contamination_documents": QuerySpec(
         q_contamination_documents, SQL_CONTAMINATION
+    ),
+    "phash_contamination": QuerySpec(
+        q_phash_contamination, SQL_PHASH_CONTAMINATION
     ),
     "hot_grams_documents": QuerySpec(q_hot_grams_documents, SQL_HOT_GRAMS),
     "dup_gram_docs": QuerySpec(q_dup_gram_docs, SQL_DUP_GRAMS),

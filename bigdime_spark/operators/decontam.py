@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdime_spark.functions.text import word_ngram_array
+from bigdime_spark.operators.dedup import _hamming_chunks
 
 #: matched-gram sample cap per flagged doc (counts stay exact).
 MAX_SAMPLE_GRAMS = 10
@@ -247,4 +248,130 @@ def drop_contaminated(
     anti-join when it fits, so the corpus again avoids a shuffle."""
     return docs.join(
         flagged.select(F.col(id_col)).distinct(), id_col, "left_anti"
+    )
+
+
+# -------------------------------------------- image (phash) contamination
+
+def phash_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    eval_id_col: str | None = None,
+    eval_phash_col: str | None = None,
+    bits: int = 64,
+    k: int = 0,
+    max_sample: int = MAX_SAMPLE_GRAMS,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Image-corpus benchmark decontamination: flag corpus rows whose
+    perceptual ``phash`` is within hamming distance ≤ ``k`` of ANY
+    image in a held-out evaluation set — the image twin of
+    ``contamination_scan`` (an eval image leaking into training data
+    survives re-encodes and resizes that break byte equality, but its
+    phash moves only a few bits).
+
+    Spark-first shape, sized for an asymmetric 10^12-image corpus ×
+    small (≤10^6-item) eval set:
+
+    - ``k == 0``: one broadcast-hash equality join on the fingerprint
+      itself — the corpus side is a single mapper stage (scan →
+      broadcast probe), no banding, no explode.
+    - ``k ≥ 1``: pigeonhole banding (the dedup ``_hamming_chunks``
+      contract — any pair within distance k agrees exactly on ≥1 of
+      the k+1 disjoint chunks). The corpus is banded with a ROW-LOCAL
+      explode (k+1 rows per image, no shuffle), the eval bands ride a
+      broadcast, and exact hamming is verified by
+      ``bit_count(xor)`` after the join — so false band matches cost
+      a codegen'd filter, never a shuffle.
+    - only MATCHED (corpus, eval) rows reach the one per-image agg
+      exchange, and contamination is rare by construction, so the
+      shuffle is a sliver of the corpus (the C26 argument verbatim).
+
+    The matched-eval-id sample is BOUNDED at ``max_sample`` via the
+    row_number cap riding the same exchange the aggregation needs
+    (dedup.MAX_GROUP_IDS discipline); ``n_eval_matches`` stays exact.
+    NULL fingerprints on either side are excluded — marginal nullness
+    is NotNull's business (B2/B15), not contamination's.
+
+    ``broadcast_eval=False`` falls back to a shuffle join for an eval
+    set too large to broadcast — a deliberate choice, as with
+    ``contamination_scan``.
+
+    → (id_col, n_eval_matches, min_hamming, sample_eval_ids_csv),
+    contaminated corpus rows only."""
+    if k < 0:
+        raise ValueError(f"phash_contamination: k must be >= 0, got {k}")
+    eid = eval_id_col or id_col
+    efp = eval_phash_col or phash_col
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(phash_col).cast("long").alias("_cfp")
+    ).filter(F.col("_cfp").isNotNull())
+    e = eval_set.select(
+        F.col(eid).alias("_eid"), F.col(efp).cast("long").alias("_efp")
+    ).filter(F.col("_efp").isNotNull()).distinct()
+
+    if k == 0:
+        ef = e
+        if broadcast_eval:
+            ef = F.broadcast(ef)
+        matched = c.join(ef, c["_cfp"] == ef["_efp"]).select(
+            "_cid", "_eid", F.lit(0).alias("_ham")
+        )
+    else:
+        def banded(df: DataFrame, fp: str) -> DataFrame:
+            chunk_structs = [
+                F.struct(
+                    F.lit(i).alias("ck"),
+                    F.shiftright(F.col(fp), off)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("cv"),
+                )
+                for i, (off, w) in enumerate(_hamming_chunks(bits, k))
+            ]
+            return df.select(
+                "*", F.explode(F.array(*chunk_structs)).alias("_c")
+            ).select(*df.columns, F.col("_c.ck").alias("ck"), F.col("_c.cv").alias("cv"))
+
+        cb = banded(c, "_cfp")
+        eb = banded(e, "_efp")
+        if broadcast_eval:
+            eb = F.broadcast(eb)
+        matched = (
+            cb.join(eb, ["ck", "cv"])
+            .select(
+                "_cid",
+                "_eid",
+                F.bit_count(F.col("_cfp").bitwiseXOR(F.col("_efp"))).alias("_ham"),
+            )
+            .filter(F.col("_ham") <= k)
+            # a pair agreeing on several chunks matches several bands:
+            # dedup before counting (matched sliver only — tiny shuffle)
+            .distinct()
+        )
+
+    w_ = Window.partitionBy("_cid").orderBy("_eid")
+    return (
+        matched.withColumn("_rn", F.row_number().over(w_))
+        .groupBy("_cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.min("_ham").alias("min_hamming"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= max_sample, F.col("_eid").cast("string"))
+                    )
+                ),
+                ",",
+            ).alias("sample_eval_ids_csv"),
+        )
+        .select(
+            F.col("_cid").alias(id_col),
+            "n_eval_matches",
+            F.col("min_hamming").cast("int").alias("min_hamming"),
+            "sample_eval_ids_csv",
+        )
     )

@@ -258,3 +258,89 @@ def test_word_ngram_array_matches_python_reference(spark, docs, n):
     }
     for i, ws in enumerate(docs):
         assert got[i] == _ref_grams(ws, n), (ws, n)
+
+
+# ------------------------------------------- image (phash) contamination
+
+
+@pytest.fixture(scope="module")
+def image_eval(spark):
+    base = 0x5A5A_1234_ABCD_0F0F
+    corpus_rows = [
+        ("img-exact", base),                 # hamming 0 vs E0
+        ("img-ham1", base ^ (1 << 62)),      # hamming 1 in the top chunk
+        ("img-ham2", base ^ 0b11),           # hamming 2
+        ("img-ham3", base ^ 0b111),          # hamming 3: excluded at k=2
+        ("img-far", ~base & 0x7FFF_FFFF_FFFF_FFFF),  # unrelated
+        ("img-null", None),                  # NULL fp: excluded, never errors
+    ]
+    eval_rows = [("E0", base), ("E-null", None)]
+    corpus = spark.createDataFrame(corpus_rows, "image_id string, phash long")
+    ev = spark.createDataFrame(eval_rows, "image_id string, phash long")
+    return corpus, ev
+
+
+def test_phash_contamination_planted_exact(spark, image_eval):
+    corpus, ev = image_eval
+    out = decontam.phash_contamination(corpus, ev, bits=64, k=2)
+    got = {r["image_id"]: r for r in out.collect()}
+    assert set(got) == {"img-exact", "img-ham1", "img-ham2"}
+    assert got["img-exact"]["min_hamming"] == 0
+    assert got["img-ham1"]["min_hamming"] == 1
+    assert got["img-ham2"]["min_hamming"] == 2
+    for r in got.values():
+        assert r["n_eval_matches"] == 1
+        assert r["sample_eval_ids_csv"] == "E0"
+
+
+def test_phash_contamination_k0_is_exact_match_only(spark, image_eval):
+    corpus, ev = image_eval
+    out = decontam.phash_contamination(corpus, ev, bits=64, k=0)
+    got = {r["image_id"] for r in out.collect()}
+    assert got == {"img-exact"}
+
+
+def test_phash_contamination_sample_bounded_counts_exact(spark):
+    fp = 0x0123_4567_89AB_CDEF
+    corpus = spark.createDataFrame([("hot", fp)], "image_id string, phash long")
+    ev = spark.createDataFrame(
+        [(f"E{i:02d}", fp) for i in range(25)], "image_id string, phash long"
+    )
+    row = decontam.phash_contamination(
+        corpus, ev, bits=64, k=0, max_sample=10
+    ).collect()[0]
+    assert row["n_eval_matches"] == 25  # count stays exact past the cap
+    sample = row["sample_eval_ids_csv"].split(",")
+    assert len(sample) == 10
+    # rn orders by eval id ascending, so the sample is E00..E09
+    assert sample == [f"E{i:02d}" for i in range(10)]
+
+
+def test_phash_contamination_plan_no_corpus_shuffle(spark, image_eval):
+    """100-TB shape: the banded corpus reaches the probe join straight
+    from the scan (row-local explode) through a BroadcastHashJoin;
+    the only hash exchanges act on the MATCHED sliver (pair distinct
+    + per-image window/agg)."""
+    corpus, ev = image_eval
+    out = decontam.phash_contamination(corpus, ev, bits=64, k=2)
+    plan = _explain(out)
+    assert "BroadcastHashJoin" in plan
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+    broadcasts = set(re.findall(r"\((\d+)\) BroadcastExchange", plan))
+    assert len(broadcasts) == 1, plan
+    assert len(exchanges - broadcasts) <= 3, plan
+
+
+def test_phash_contamination_negative_k_raises(spark, image_eval):
+    corpus, ev = image_eval
+    with pytest.raises(ValueError, match="k must be >= 0"):
+        decontam.phash_contamination(corpus, ev, k=-1)
+
+
+def test_phash_contamination_drop_composes(spark, image_eval):
+    corpus, ev = image_eval
+    flagged = decontam.phash_contamination(corpus, ev, bits=64, k=2)
+    clean = decontam.drop_contaminated(corpus, flagged, id_col="image_id")
+    assert {r["image_id"] for r in clean.collect()} == {
+        "img-ham3", "img-far", "img-null"
+    }
