@@ -183,6 +183,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "requires exactly one dir (cross-RUN sketch unions double-"
         "count the denominator)",
     )
+    ru.add_argument(
+        "--zone-overlap",
+        metavar="COL",
+        default=None,
+        help="also emit the zone-map clustering depth for COL from the "
+        "persisted per-part stat__COL__min/max ranges — how many parts' "
+        "ranges overlap each part's (1 = perfectly clustered, n_parts = "
+        "scattered, pruning dead); requires exactly one stats dir",
+    )
     ru.add_argument("--master", default=None)
 
     dd = sub.add_parser(
@@ -651,6 +660,50 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                 }
                 for r in ratios
+            }
+        if args.zone_overlap:
+            from bigdime_spark.operators.layout import zone_overlap_from_stats
+
+            if len(frames) != 1:
+                print(
+                    "rollup: --zone-overlap needs exactly one stats dir — "
+                    "ranges are a property of one run's layout",
+                    file=sys.stderr,
+                )
+                return 2
+            try:
+                # parts-sized collect: bounded by partition count, same
+                # contract as the rollup/ratios collects above
+                prof = zone_overlap_from_stats(frames[0], args.zone_overlap).collect()
+            except ValueError as e:
+                print(f"rollup: {e}", file=sys.stderr)
+                return 2
+            ranged = [r for r in prof if r["overlap_depth"] is not None]
+            worst = sorted(
+                ranged, key=lambda r: (-r["overlap_depth"], str(r["part"]))
+            )[:20]
+            summary["zone_overlap"] = {
+                "column": args.zone_overlap,
+                "n_parts": len(prof),
+                "n_ranged": len(ranged),
+                "max_depth": max(
+                    (int(r["overlap_depth"]) for r in ranged), default=None
+                ),
+                "mean_fraction": (
+                    round(
+                        sum(r["overlap_fraction"] for r in ranged) / len(ranged), 6
+                    )
+                    if ranged
+                    else None
+                ),
+                "worst": [
+                    {
+                        "part": str(r["part"]),
+                        "depth": int(r["overlap_depth"]),
+                        "fraction": r["overlap_fraction"],
+                    }
+                    for r in worst
+                ],
             }
         print(json.dumps(summary))
         return 0

@@ -181,6 +181,63 @@ FROM events GROUP BY 1
 """
 
 
+def q_zone_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map overlap / clustering depth
+    (operators/layout.zone_overlap_profile) over a ranges frame with
+    DELIBERATE structure: the five o_orderpriority ranges each span
+    ~the whole o_orderkey domain (scattered — depth ≈ n_parts), the
+    floor(o_orderkey/4000) block ranges are contiguous and disjoint
+    (clustered — each overlaps only itself plus the five scattered
+    ranges), and one synthetic NULL range keeps the NULL-row
+    convention under oracle test. The DuckDB twin states the
+    SEMANTICS directly (an all-pairs overlap join — fine at oracle
+    scale); the engine computes the same counts via two distributed
+    searchsorteds with no pairwise join."""
+    from bigdime_spark.operators import layout
+
+    o = _t(spark, sf_dir, "orders")
+    pri = o.groupBy(
+        F.concat(F.lit("pri:"), F.col("o_orderpriority")).alias("part")
+    ).agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+    blk = o.groupBy(
+        F.concat(
+            F.lit("blk:"),
+            F.floor(F.col("o_orderkey") / F.lit(4000)).cast("string"),
+        ).alias("part")
+    ).agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+    nul = spark.range(1).select(
+        F.lit("null-part").alias("part"),
+        F.lit(None).cast("long").alias("mn"),
+        F.lit(None).cast("long").alias("mx"),
+    )
+    return layout.zone_overlap_profile(pri.unionByName(blk).unionByName(nul))
+
+
+SQL_ZONE_OVERLAP = """
+WITH ranges AS (
+  SELECT 'pri:' || o_orderpriority AS part,
+         min(o_orderkey) AS mn, max(o_orderkey) AS mx
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT 'blk:' || CAST(o_orderkey // 4000 AS VARCHAR) AS part,
+         min(o_orderkey) AS mn, max(o_orderkey) AS mx
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT 'null-part', NULL, NULL
+), n AS (
+  SELECT count(*) AS np FROM ranges WHERE mn IS NOT NULL
+), depths AS (
+  SELECT a.part, count(*) AS d
+  FROM ranges a JOIN ranges b ON b.mn <= a.mx AND b.mx >= a.mn
+  GROUP BY 1
+)
+SELECT r.part, r.mn, r.mx, n.np AS n_parts,
+       d.d AS overlap_depth,
+       round(d.d::DOUBLE / n.np, 6) AS overlap_fraction
+FROM ranges r CROSS JOIN n LEFT JOIN depths d USING (part)
+"""
+
+
 def q_part_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-run planner input (plans/lineage.part_diff): diff
     two per-part metric snapshots — parts-sized frames, zero data
@@ -3488,6 +3545,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "null_rate_events": QuerySpec(q_null_rate_events, SQL_NULL_RATE),
     "freshness_events": QuerySpec(q_freshness_events, SQL_FRESHNESS),
     "part_diff_orders": QuerySpec(q_part_diff_orders, SQL_PART_DIFF),
+    "zone_overlap_orders": QuerySpec(q_zone_overlap_orders, SQL_ZONE_OVERLAP),
     "correlation_lineitem": QuerySpec(q_correlation_lineitem, SQL_CORRELATION),
     "correlation_shift_lineitem": QuerySpec(
         q_correlation_shift_lineitem, SQL_CORRELATION_SHIFT

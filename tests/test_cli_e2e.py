@@ -492,3 +492,39 @@ def test_ann_cli_integrity_preflight(spark, tmp_path_factory, capsys):
          "--queries", "0,1", "--mode", "brute", "--integrity"],
     )
     assert rc == 2 and "n_nonfinite=1" in err
+
+
+def test_rollup_zone_overlap_cli(spark, tmp_path_factory, capsys):
+    """rollup --zone-overlap: clustering depth for a column straight
+    from a persisted stats dir (zero rescan of the data), plus the
+    exit-2 contract when the column was never profiled numeric."""
+    from bigdime_spark.sources.synth import build_fixture
+
+    base = tmp_path_factory.mktemp("zo")
+    fx = build_fixture(spark, n_rows=128, n_parts=4)
+    p = StatsProfile(
+        columns=[
+            ColumnProfile("image_id", distinct=True),
+            ColumnProfile("w", numeric=True),
+        ]
+    )
+    fx.raw.groupBy("part").agg(*p.agg_exprs()).write.parquet(f"{base}/stats")
+
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["rollup", "--stats", f"{base}/stats", "--zone-overlap", "w"],
+    )
+    assert rc == 0
+    zo = summary["zone_overlap"]
+    assert zo["column"] == "w"
+    assert zo["n_parts"] == 4 and zo["n_ranged"] == 4
+    assert 1 <= zo["max_depth"] <= 4
+    assert zo["worst"] and zo["worst"][0]["depth"] == zo["max_depth"]
+
+    # column never profiled numeric → no min/max ranges → clean exit 2
+    rc, _, err = _run_cli(
+        capsys,
+        ["rollup", "--stats", f"{base}/stats", "--zone-overlap", "caption"],
+    )
+    assert rc == 2
+    assert "stat__caption__" in err and "Traceback" not in err

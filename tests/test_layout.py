@@ -1,0 +1,140 @@
+"""Zone-map overlap / clustering-depth oracles (operators/layout):
+planted clustered-vs-scattered structure, a brute-force property check
+on seeded random ranges, the persisted-stats form, refusal contracts,
+and the no-single-partition plan shape.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators import layout
+
+
+def _collect(df):
+    return {r["part"]: r for r in df.collect()}
+
+
+def test_clustered_vs_scattered_depths(spark):
+    rows = [
+        ("a", 0, 9),          # disjoint block: overlaps self + wide
+        ("b", 10, 19),
+        ("c", 20, 29),
+        ("wide", 0, 29),      # spans everything
+        ("n", None, None),    # NULL range: row kept, depth NULL
+    ]
+    r = spark.createDataFrame(rows, "part string, mn int, mx int")
+    got = _collect(layout.zone_overlap_profile(r))
+    assert got["a"]["overlap_depth"] == 2
+    assert got["b"]["overlap_depth"] == 2
+    assert got["c"]["overlap_depth"] == 2
+    assert got["wide"]["overlap_depth"] == 4
+    assert got["wide"]["overlap_fraction"] == 1.0
+    assert got["n"]["overlap_depth"] is None
+    assert got["n"]["overlap_fraction"] is None
+    assert all(r["n_parts"] == 4 for r in got.values())
+
+
+def test_touching_boundaries_overlap(spark):
+    # closed intervals: sharing one endpoint IS an overlap
+    rows = [("a", 0, 10), ("b", 10, 20)]
+    r = spark.createDataFrame(rows, "part string, mn int, mx int")
+    got = _collect(layout.zone_overlap_profile(r))
+    assert got["a"]["overlap_depth"] == 2
+    assert got["b"]["overlap_depth"] == 2
+
+
+def test_identical_point_ranges_span_zero(spark):
+    # all ranges are the same single point: span-0 bucketing path
+    rows = [(f"p{i}", 7, 7) for i in range(5)]
+    r = spark.createDataFrame(rows, "part string, mn int, mx int")
+    got = _collect(layout.zone_overlap_profile(r))
+    assert all(v["overlap_depth"] == 5 for v in got.values())
+
+
+def test_matches_bruteforce_on_seeded_random_ranges(spark):
+    rng = random.Random(20260818)
+    rows = []
+    for i in range(120):
+        a, b = rng.randint(0, 500), rng.randint(0, 500)
+        rows.append((f"p{i}", min(a, b), max(a, b)))
+    r = spark.createDataFrame(rows, "part string, mn int, mx int")
+    got = {
+        p: d["overlap_depth"] for p, d in _collect(layout.zone_overlap_profile(r)).items()
+    }
+    exp = {
+        p: sum(1 for (_, m2, x2) in rows if m2 <= x and x2 >= m)
+        for (p, m, x) in rows
+    }
+    assert got == exp
+
+
+def test_from_stats_equals_direct(spark):
+    df = spark.createDataFrame(
+        [(p, v) for p in ("p0", "p1", "p2") for v in range(10)],
+        "part string, x int",
+    ).withColumn("x", F.col("x") + F.when(F.col("part") == "p2", 100).otherwise(0))
+    ranges = layout.zone_ranges(df, "x")
+    direct = _collect(layout.zone_overlap_profile(ranges))
+    stats = ranges.select(
+        "part",
+        F.col("mn").alias("stat__x__min"),
+        F.col("mx").alias("stat__x__max"),
+    )
+    via_stats = _collect(layout.zone_overlap_from_stats(stats, "x"))
+    assert {p: r["overlap_depth"] for p, r in direct.items()} == {
+        p: r["overlap_depth"] for p, r in via_stats.items()
+    }
+    # p0/p1 share 0..9 (depth 2); p2 sits at 100..109 alone (depth 1)
+    assert direct["p2"]["overlap_depth"] == 1
+
+
+def test_from_stats_missing_column_raises(spark):
+    stats = spark.createDataFrame([("p0", 1)], "part string, stat__x__min int")
+    with pytest.raises(ValueError, match="stat__x__max"):
+        layout.zone_overlap_from_stats(stats, "x")
+
+
+def test_duplicate_part_rows_refused(spark):
+    r = spark.createDataFrame(
+        [("p0", 0, 1), ("p0", 2, 3)], "part string, mn int, mx int"
+    )
+    with pytest.raises(ValueError, match="duplicate part rows"):
+        layout.zone_overlap_profile(r)
+
+
+def test_half_null_range_refused(spark):
+    r = spark.createDataFrame([("p0", 0, None)], "part string, mn int, mx int")
+    with pytest.raises(ValueError, match="one of \\(mn, mx\\) NULL"):
+        layout.zone_overlap_profile(r)
+
+
+def test_inverted_range_refused(spark):
+    r = spark.createDataFrame([("p0", 9, 1)], "part string, mn int, mx int")
+    with pytest.raises(ValueError, match="mn > mx"):
+        layout.zone_overlap_profile(r)
+
+
+def test_empty_frame_returns_empty(spark):
+    r = spark.createDataFrame([], "part string, mn int, mx int")
+    out = layout.zone_overlap_profile(r)
+    assert out.count() == 0
+    assert out.columns == [
+        "part", "mn", "mx", "n_parts", "overlap_depth", "overlap_fraction",
+    ]
+
+
+def test_plan_no_single_partition_window(spark):
+    """The searchsorted cumulative counts run in windows PARTITIONED
+    BY the value bucket — a parts-sized frame must never force a
+    single global partition (the shard_pack discipline)."""
+    rows = [(f"p{i}", i * 10, i * 10 + 25) for i in range(40)]
+    r = spark.createDataFrame(rows, "part string, mn int, mx int")
+    out = layout.zone_overlap_profile(r)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
