@@ -53,6 +53,7 @@ HEADLINE = [
     "repetition_documents",
     "fingerprint_documents",
     "contamination_documents",
+    "phash_contamination",
     "dup_gram_docs",
     "correlation_lineitem",
     "mutual_info_documents",
@@ -81,6 +82,7 @@ HEADLINE = [
     "sequence_continuity_orders",
     "fd_events_user_type",
     "type_inference_orders",
+    "zone_overlap_orders",
     "suite_verdicts_lineitem",
 ]
 

@@ -143,6 +143,21 @@ def _build_parser() -> argparse.ArgumentParser:
         "exact value counts (verdict family drift_cat.<col>), e.g. fmt",
     )
     r.add_argument(
+        "--zone-clustering",
+        type=str,
+        default="",
+        help="comma-separated numeric columns to layout-gate (verdict "
+        "family zone_clustering.<col>): parts whose [min,max] range "
+        "overlaps more than --zone-max-overlap of all parts' ranges "
+        "FAIL — zero extra scans (reads the fused stats' min/max)",
+    )
+    r.add_argument(
+        "--zone-max-overlap",
+        type=float,
+        default=0.5,
+        help="max allowed overlap_fraction for --zone-clustering parts",
+    )
+    r.add_argument(
         "--content-diff",
         action="store_true",
         help="full-row content diff raw vs curated: xxhash64 digest of "
@@ -1359,6 +1374,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--fd", bool(args.fd)),
             ("--referential-bloom", args.referential_bloom),
             ("--cat-drift", bool(args.cat_drift)),
+            ("--zone-clustering", bool(args.zone_clustering)),
+            ("--zone-max-overlap", args.zone_max_overlap != 0.5),
             ("--content-diff", args.content_diff),
             ("--content-cols", args.content_cols != "w,h,fmt,phash"),
             ("--topk-violations", args.topk_violations is not None),
@@ -1447,6 +1464,10 @@ def main(argv: list[str] | None = None) -> int:
         categorical_drift_cols=tuple(
             c.strip() for c in args.cat_drift.split(",") if c.strip()
         ),
+        zone_clustering_cols=tuple(
+            c.strip() for c in args.zone_clustering.split(",") if c.strip()
+        ),
+        zone_max_overlap=args.zone_max_overlap,
         check_content=args.content_diff,
         content_cols=tuple(
             c.strip() for c in args.content_cols.split(",") if c.strip()

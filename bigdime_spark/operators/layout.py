@@ -43,6 +43,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdime_spark.operators.base import TableConstraint
+from bigdime_spark.schema import FAIL, NOT_READY
+
 
 def _rank_counts(
     values: DataFrame, queries: DataFrame, *, inclusive: bool, n_buckets: int
@@ -224,3 +227,61 @@ def zone_overlap_from_stats(
         ),
         n_buckets=n_buckets,
     )
+
+
+class ZoneClustering(TableConstraint):
+    """Suite integration (partial_verdicts): FAIL partitions whose
+    [min, max] range of ``column`` overlaps more than ``max_fraction``
+    of all partitions' ranges — the layout-health gate, computed from
+    the suite's ALREADY-CACHED fused stats frame (``ctx.extras
+    ["fused_stats"]`` carries ``stat__<col>__min/max``), so it adds
+    two metadata-scale searchsorteds and ZERO data scans to the run.
+
+    A clustered table keeps every part near 1/n_parts; a producer that
+    stops sorting by the column pushes fractions toward 1.0 and those
+    parts FAIL. NULL-range parts (no non-null values) surface as
+    NOT_READY — a part whose range is unknowable is exactly the part
+    to look at. Parts inside the bound are omitted; the suite's shared
+    grid join fills PASS."""
+
+    def __init__(self, column: str, max_fraction: float = 0.5):
+        if not 0 < max_fraction <= 1:
+            raise ValueError(
+                f"zone_clustering: max_fraction must be in (0, 1], got {max_fraction}"
+            )
+        self.column = column
+        self.max_fraction = max_fraction
+        self.name = f"zone_clustering.{column}"
+
+    def run(self, ctx) -> tuple[DataFrame, None]:
+        prof = zone_overlap_from_stats(ctx.extras["fused_stats"], self.column)
+        found = prof.filter(
+            F.col("overlap_fraction").isNull()
+            | (F.col("overlap_fraction") > self.max_fraction)
+        ).select(
+            "part",
+            F.lit(self.name).alias("constraint"),
+            F.when(F.col("overlap_fraction").isNull(), F.lit(NOT_READY))
+            .otherwise(F.lit(FAIL))
+            .alias("verdict"),
+            F.concat(
+                F.lit("depth="),
+                F.coalesce(F.col("overlap_depth").cast("string"), F.lit("null")),
+                F.lit("/"),
+                F.col("n_parts").cast("string"),
+                F.lit(" range=["),
+                F.coalesce(F.col("mn").cast("string"), F.lit("null")),
+                F.lit(", "),
+                F.coalesce(F.col("mx").cast("string"), F.lit("null")),
+                F.lit("]"),
+            ).alias("observed"),
+            F.lit(f"overlap_fraction<={self.max_fraction}").alias("expected"),
+        )
+        return found, None
+
+    @property
+    def partial_verdicts(self) -> bool:
+        return True
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]

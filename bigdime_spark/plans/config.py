@@ -88,12 +88,12 @@ _INT_FIELDS = (
     "referential_bloom_bits", "referential_bloom_k", "phash_k",
     "decode_seed", "topk_violations",
 )
-_FLOAT_FIELDS = ("outlier_threshold", "decode_sample_rate")
+_FLOAT_FIELDS = ("outlier_threshold", "decode_sample_rate", "zone_max_overlap")
 _STR_FIELDS = ("referential_mode", "bit_balance_col", "unique_key", "ref_key")
 #: list-of-string fields (JSON array → tuple)
 _STRLIST_FIELDS = (
     "not_null", "content_cols", "categorical_drift_cols",
-    "outlier_metrics", "decode_snapshots",
+    "outlier_metrics", "decode_snapshots", "zone_clustering_cols",
 )
 _PROGRAMMATIC_ONLY = (
     "declared_schema", "stats", "extra_agg_constraints",

@@ -152,6 +152,13 @@ class ValidationSuite:
     check_profile_outliers: bool = False
     outlier_metrics: tuple[str, ...] | None = None
     outlier_threshold: float = 3.5
+    #: optional data-layout gate (operators/layout.ZoneClustering):
+    #: zone-map clustering depth per column from the fused stats'
+    #: stat__<col>__min/max ranges — zero extra scans; parts whose
+    #: range overlaps more than zone_max_overlap of all parts' FAIL.
+    #: Off when empty, like the other optional validators.
+    zone_clustering_cols: tuple[str, ...] = ()
+    zone_max_overlap: float = 0.5
     #: optional phash degeneracy detector (operators/bitbalance.
     #: BitBalance): per-bit set fractions of the int64 hash column,
     #: FAIL on stuck bits — rides the fused stats aggregation (zero
@@ -270,6 +277,13 @@ class ValidationSuite:
                     threshold=self.outlier_threshold,
                 )
             )
+        if self.zone_clustering_cols:
+            from bigdime_spark.operators.layout import ZoneClustering
+
+            out += [
+                ZoneClustering(c, max_fraction=self.zone_max_overlap)
+                for c in self.zone_clustering_cols
+            ]
         if decode_tc is not None:
             out.append(decode_tc)
         out += list(self.extra_table_constraints)
@@ -640,7 +654,9 @@ class ValidationSuite:
         # (BASELINE.json:6) — synthesize it from the verdict itself.
         partition_level = verdicts.filter(
             (F.col("verdict") == FAIL)
-            & F.col("constraint").rlike(r"^(record_count|checksum|drift_|profile_outlier)")
+            & F.col("constraint").rlike(
+                r"^(record_count|checksum|drift_|profile_outlier|zone_clustering)"
+            )
         ).select(
             "constraint",
             "part",

@@ -528,3 +528,40 @@ def test_rollup_zone_overlap_cli(spark, tmp_path_factory, capsys):
     )
     assert rc == 2
     assert "stat__caption__" in err and "Traceback" not in err
+
+
+def test_run_zone_clustering_cli(spark, tmp_path_factory, capsys):
+    """run --zone-clustering: the synth fixture's w is random per part
+    (every range overlaps every other), so the layout gate FAILs all
+    parts and the run exits 1; at --zone-max-overlap 1.0 nothing can
+    exceed the bound and the same fixture passes."""
+    fx = str(tmp_path_factory.mktemp("zc"))
+    out1 = str(tmp_path_factory.mktemp("zc_out1"))
+    out2 = str(tmp_path_factory.mktemp("zc_out2"))
+    rc, _, _ = _run_cli(
+        capsys, ["synth", "--rows", "128", "--parts", "4", "--out", fx]
+    )
+    assert rc == 0
+
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--out", out1, "--zone-clustering", "w"],
+    )
+    assert rc == 1
+    fails = {
+        r["part"]
+        for r in spark.read.parquet(f"{out1}/verdicts")
+        .filter(
+            (F.col("constraint") == "zone_clustering.w")
+            & (F.col("verdict") == "FAIL")
+        )
+        .collect()
+    }
+    assert fails == {"p0000", "p0001", "p0002", "p0003"}
+
+    rc, _, _ = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--out", out2,
+         "--zone-clustering", "w", "--zone-max-overlap", "1.0"],
+    )
+    assert rc == 0

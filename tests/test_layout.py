@@ -138,3 +138,61 @@ def test_plan_no_single_partition_window(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "SinglePartition" not in plan
+
+
+# ------------------------------------------------- suite integration
+
+
+def test_zone_clustering_suite_gate(spark):
+    """ZoneClustering rides the fused stats: a part-clustered w column
+    grid-fills PASS, an all-null part surfaces NOT_READY, and the
+    fixture's naturally scattered w FAILs every part at the 0.5
+    bound."""
+    from bigdime_spark.plans.suite import ValidationSuite
+    from bigdime_spark.schema import FAIL, NOT_READY, PASS
+    from bigdime_spark.sources.synth import build_fixture
+
+    fx = build_fixture(spark, n_rows=160, n_parts=4)
+
+    # clustered: one disjoint point-range per part, except p0000 whose
+    # w is all NULL (unknowable range -> NOT_READY)
+    clustered = fx.raw.withColumn(
+        "w",
+        F.when(F.col("part") == "p0000", F.lit(None).cast("int")).otherwise(
+            F.substring("part", 2, 4).cast("int") * 100 + 5
+        ),
+    )
+    suite = ValidationSuite(
+        check_drift=False, zone_clustering_cols=("w",), zone_max_overlap=0.5
+    )
+    res = suite.run(spark, clustered, fx.curated, manifest=None, resume=False)
+    got = {
+        r["part"]: r["verdict"]
+        for r in res.verdicts.filter(
+            F.col("constraint") == "zone_clustering.w"
+        ).collect()
+    }
+    res.release()
+    assert got["p0000"] == NOT_READY
+    assert {got[p] for p in ("p0001", "p0002", "p0003")} == {PASS}
+
+    # scattered: synth w is random per part -> every range overlaps
+    # every other -> fraction 1.0 > 0.5 -> all four parts FAIL
+    res2 = suite.run(spark, fx.raw, fx.curated, manifest=None, resume=False)
+    got2 = {
+        r["part"]: r["verdict"]
+        for r in res2.verdicts.filter(
+            F.col("constraint") == "zone_clustering.w"
+        ).collect()
+    }
+    viol = res2.violations.filter(
+        F.col("constraint") == "zone_clustering.w"
+    ).collect()
+    res2.release()
+    assert set(got2.values()) == {FAIL} and len(got2) == 4
+    assert len(viol) == 4 and all("depth=4/4" in v["detail"] for v in viol)
+
+
+def test_zone_clustering_bad_fraction_raises(spark):
+    with pytest.raises(ValueError, match="max_fraction"):
+        layout.ZoneClustering("w", max_fraction=0.0)
