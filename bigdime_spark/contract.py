@@ -181,6 +181,49 @@ FROM events GROUP BY 1
 """
 
 
+def q_dup_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-write screen (plans/lineage.duplicate_parts): partitions
+    whose per-part metric vectors are identical. The per-priority
+    (rows, rounded sum) metrics are naturally all-distinct; one
+    '1-URGENT' row re-landed under a '-restated' label plants exactly
+    one duplicate group, so the query proves both directions: the
+    plant is flagged, the other four stay silent. round(,2) pins the
+    float sum so the group-by key is engine-portable."""
+    from bigdime_spark.plans.lineage import duplicate_parts
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_orderpriority").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    restated = m.filter(F.col("part") == "1-URGENT").select(
+        F.concat(F.col("part"), F.lit("-restated")).alias("part"),
+        "n_rows",
+        "sum_price",
+    )
+    return duplicate_parts(m.unionByName(restated))
+
+
+SQL_DUP_PARTS = """
+WITH m AS (
+  SELECT o_orderpriority AS part, count(*) AS n_rows,
+         round(sum(o_totalprice), 2) AS sum_price
+  FROM orders GROUP BY 1
+), all_m AS (
+  SELECT * FROM m
+  UNION ALL
+  SELECT part || '-restated', n_rows, sum_price FROM m WHERE part = '1-URGENT'
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY n_rows, sum_price ORDER BY part) AS rn
+  FROM all_m
+)
+SELECT count(*) AS n_parts,
+       array_to_string(list_sort(list(part) FILTER (rn <= 20)), ',') AS parts_csv,
+       n_rows, sum_price
+FROM ranked GROUP BY n_rows, sum_price HAVING count(*) >= 2
+"""
+
+
 def q_zone_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map overlap / clustering depth
     (operators/layout.zone_overlap_profile) over a ranges frame with
@@ -3546,6 +3589,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "freshness_events": QuerySpec(q_freshness_events, SQL_FRESHNESS),
     "part_diff_orders": QuerySpec(q_part_diff_orders, SQL_PART_DIFF),
     "zone_overlap_orders": QuerySpec(q_zone_overlap_orders, SQL_ZONE_OVERLAP),
+    "dup_parts_orders": QuerySpec(q_dup_parts_orders, SQL_DUP_PARTS),
     "correlation_lineitem": QuerySpec(q_correlation_lineitem, SQL_CORRELATION),
     "correlation_shift_lineitem": QuerySpec(
         q_correlation_shift_lineitem, SQL_CORRELATION_SHIFT

@@ -160,3 +160,58 @@ def apply_resume_filter(df: DataFrame, done_parts: list[str]) -> DataFrame:
     if not done_parts:
         return df
     return df.filter(~F.col("part").isin(done_parts))
+
+
+def duplicate_parts(
+    metrics: DataFrame,
+    part_col: str = "part",
+    compare_cols: list[str] | None = None,
+    max_sample: int = 20,
+) -> DataFrame:
+    """Partitions whose per-part metric vectors are IDENTICAL — the
+    double-write screen: a producer that lands the same data under two
+    partition labels (a restated day, a retried writer with a new
+    label) passes every row-level check, yet the duplicate rows poison
+    counts, drift baselines and training-set dedup downstream. Two
+    parts sharing an identical (rows, checksum, stats...) vector are
+    overwhelmingly the same bytes; like the Bloom referential screen,
+    FAILs here are adjudicated with an exact follow-up (content diff /
+    checksum re-run on just the flagged parts).
+
+    Operates on the PARTS-sized metric frames the suite already
+    persists every run (stats, lineage, checksum summaries) — zero
+    rescans of the data at any table size. ``compare_cols=None``
+    compares every non-part column. Grouping is null-safe (two parts
+    both missing a metric still match — a NULL vector is itself a
+    suspicious duplicate); one row per duplicate GROUP, parts sampled
+    at ``max_sample`` sorted ascending, ``n_parts`` exact.
+
+    → (n_parts, parts_csv, <compare_cols...>), groups with ≥2 parts
+    only."""
+    cols = compare_cols or [c for c in metrics.columns if c != part_col]
+    missing = [c for c in [part_col, *cols] if c not in metrics.columns]
+    if missing:
+        raise ValueError(f"duplicate_parts: frame has no columns {missing}")
+    if not cols:
+        raise ValueError("duplicate_parts: no metric columns to compare")
+    w = Window.partitionBy(*cols).orderBy(part_col)
+    return (
+        metrics.withColumn("_rn", F.row_number().over(w))
+        .groupBy(*cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rn") <= max_sample,
+                            F.col(part_col).cast("string"),
+                        )
+                    )
+                ),
+                ",",
+            ).alias("parts_csv"),
+        )
+        .filter(F.col("n_parts") >= 2)
+        .select("n_parts", "parts_csv", *cols)
+    )

@@ -89,3 +89,54 @@ def test_cli_plan_end_to_end(spark, tmp_path_factory, capsys):
     rc2 = cli.main(["plan", "--prev", f"{base}/prev2", "--cur", f"{base}/cur2"])
     err = capsys.readouterr().err
     assert rc2 == 2 and "no shared columns" in err
+
+
+# -------------------------------------------------- duplicate parts
+
+
+def test_duplicate_parts_finds_planted_double_write(spark):
+    from bigdime_spark.plans.lineage import duplicate_parts
+
+    m = spark.createDataFrame(
+        [("p0", 10, 5.0), ("p1", 10, 5.0), ("p2", 7, 5.0),
+         ("p3", None, None), ("p4", None, None), ("p5", 3, 1.0)],
+        "part string, rows int, tot double",
+    )
+    got = {r["parts_csv"]: r for r in duplicate_parts(m).collect()}
+    # identical vectors group; NULL vectors match each other (null-safe)
+    assert set(got) == {"p0,p1", "p3,p4"}
+    assert all(r["n_parts"] == 2 for r in got.values())
+
+
+def test_duplicate_parts_sample_bounded_count_exact(spark):
+    from bigdime_spark.plans.lineage import duplicate_parts
+
+    m = spark.createDataFrame(
+        [(f"p{i:02d}", 1) for i in range(30)], "part string, rows int"
+    )
+    row = duplicate_parts(m, max_sample=5).collect()[0]
+    assert row["n_parts"] == 30
+    assert row["parts_csv"].split(",") == [f"p{i:02d}" for i in range(5)]
+
+
+def test_duplicate_parts_compare_cols_subset(spark):
+    from bigdime_spark.plans.lineage import duplicate_parts
+
+    m = spark.createDataFrame(
+        [("p0", 10, 1.0), ("p1", 10, 2.0)], "part string, rows int, tot double"
+    )
+    assert duplicate_parts(m).count() == 0  # full vectors differ
+    sub = duplicate_parts(m, compare_cols=["rows"]).collect()
+    assert len(sub) == 1 and sub[0]["parts_csv"] == "p0,p1"
+
+
+def test_duplicate_parts_refusals(spark):
+    import pytest as _pytest
+
+    from bigdime_spark.plans.lineage import duplicate_parts
+
+    m = spark.createDataFrame([("p0", 1)], "part string, rows int")
+    with _pytest.raises(ValueError, match="no columns"):
+        duplicate_parts(m, compare_cols=["nope"])
+    with _pytest.raises(ValueError, match="no metric columns"):
+        duplicate_parts(m.select("part"))
