@@ -82,6 +82,7 @@ HEADLINE = [
     "sequence_continuity_orders",
     "fd_events_user_type",
     "type_inference_orders",
+    "benford_orders",
     "zone_overlap_orders",
     "suite_verdicts_lineitem",
 ]

@@ -3576,6 +3576,80 @@ FROM agg
 """
 
 
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46 Benford first-digit profile. Three numeric columns are
+    synthesized deterministically from orders: ``price`` is
+    o_totalprice as a double (uniform-ish — NOT Benford, which is
+    fine: the profile reports the distribution, drift in it is the
+    signal); ``logu`` = 10^((o_orderkey % 1000)/1000·3) is log-uniform
+    over three decades, i.e. Benford-distributed BY CONSTRUCTION (its
+    dev column ≈ 0, the law itself under oracle test); ``mixed``
+    interleaves NULL / negative / zero / positive by key mod so every
+    eligibility exclusion is exercised. pow with non-integral rational
+    exponents is cross-engine safe here because 10^(3m/1000) sits
+    measurably far from every digit boundary d·10^j (log10(d)
+    irrational vs exponent rational), and the digit extraction's
+    round-9-before-floor guard covers the power-of-10 boundary."""
+    from bigdime_spark.operators.stats import benford_profile
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("double")
+    logu = F.pow(
+        F.lit(10.0), (k % 1000).cast("double") / F.lit(1000.0) * F.lit(3.0)
+    )
+    mixed = (
+        F.when(k % 11 == 0, F.lit(None).cast("double"))
+        .when(k % 7 == 0, -price)
+        .when(k % 13 == 0, F.lit(0.0))
+        .otherwise(price)
+    )
+    d = o.select(price.alias("price"), logu.alias("logu"), mixed.alias("mixed"))
+    return benford_profile(d, ["price", "logu", "mixed"], part_col=None)
+
+
+SQL_BENFORD = """
+WITH vals AS (
+  SELECT 'price' AS col, CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  UNION ALL
+  SELECT 'logu', pow(10.0, (o_orderkey % 1000) / 1000.0 * 3.0) FROM orders
+  UNION ALL
+  SELECT 'mixed', CASE
+      WHEN o_orderkey % 11 = 0 THEN NULL
+      WHEN o_orderkey % 7 = 0 THEN -CAST(o_totalprice AS DOUBLE)
+      WHEN o_orderkey % 13 = 0 THEN 0.0
+      ELSE CAST(o_totalprice AS DOUBLE) END
+  FROM orders
+), digits AS (
+  -- isfinite() also rejects NaN, which DuckDB would otherwise compare
+  -- GREATER than 0 (NaN sorts last here, unlike Spark's false)
+  SELECT col, CASE WHEN x IS NOT NULL AND x > 0 AND isfinite(x)
+    THEN GREATEST(1, LEAST(9, CAST(FLOOR(
+         x / pow(10.0, FLOOR(round(log10(x), 9)))) AS INT)))
+    END AS digit
+  FROM vals
+), counts AS (
+  SELECT col, digit, count(*) AS n FROM digits GROUP BY 1, 2
+), tot AS (
+  SELECT col,
+    COALESCE(SUM(n) FILTER (WHERE digit IS NOT NULL), 0) AS n_eligible
+  FROM counts GROUP BY 1
+), spine AS (
+  SELECT t.col, d.digit, t.n_eligible
+  FROM tot t CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) d
+)
+SELECT s.col AS "column", s.digit AS digit,
+  COALESCE(c.n, 0) AS n, s.n_eligible AS n_eligible,
+  CASE WHEN s.n_eligible = 0 THEN NULL ELSE
+    round(COALESCE(c.n, 0) / CAST(s.n_eligible AS DOUBLE), 9) END AS frac,
+  round(log10(1.0 + 1.0 / s.digit), 9) AS benford,
+  CASE WHEN s.n_eligible = 0 THEN NULL ELSE
+    round(abs(COALESCE(c.n, 0) / CAST(s.n_eligible AS DOUBLE)
+              - log10(1.0 + 1.0 / s.digit)), 9) END AS dev
+FROM spine s LEFT JOIN counts c ON s.col = c.col AND s.digit = c.digit
+"""
+
+
 # =====================================================================
 # registry / driver surface
 # =====================================================================
@@ -3709,6 +3783,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "fd_events_user_type": QuerySpec(q_fd_events_user_type, SQL_FD_VIOLATIONS),
     "type_inference_orders": QuerySpec(q_type_inference_orders, SQL_TYPE_INFERENCE),
+    "benford_orders": QuerySpec(q_benford_orders, SQL_BENFORD),
     # flagship suite
     "suite_verdicts_lineitem": QuerySpec(q_suite_verdicts_lineitem, SQL_SUITE_VERDICTS),
 }

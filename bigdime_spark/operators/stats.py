@@ -610,6 +610,119 @@ def type_inference_profile(
     return agg.withColumn("inferred", inferred.otherwise(F.lit("string")))
 
 
+def first_digit_col(x: Column) -> Column:
+    """First significant digit of a positive finite numeric value —
+    ``floor(x / 10^floor(log10 x))`` with the log rounded to 9
+    decimals BEFORE the floor so a 1-ulp cross-engine libm difference
+    at an exact power of 10 (log10(1000) → 2.999…96 vs 3.0) can never
+    shift the exponent, and the quotient clamped to [1, 9] so a value
+    within 5e-10 relative of a power of 10 from below (round-up puts
+    it at quotient 0.999…) degrades to the SAME digit in every engine
+    instead of an out-of-range 0. NULL for non-positive / NULL input
+    (Benford's law is a statement about positive magnitudes)."""
+    xd = x.cast("double")
+    e = F.floor(F.round(F.log10(xd), 9))
+    d = F.floor(xd / F.pow(F.lit(10.0), e.cast("double")))
+    return F.when(
+        xd.isNotNull() & (xd > 0) & ~F.isnan(xd) & (xd != float("inf")),
+        F.greatest(F.lit(1), F.least(F.lit(9), d)).cast("int"),
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    cols: tuple[str, ...] | list[str],
+    part_col: str | None = None,
+) -> DataFrame:
+    """Benford first-significant-digit profile — the numeric-sanity
+    screen (Nigrini's digit test; deequ's Compliance family) for
+    magnitude-like columns spanning several decades (file sizes, byte
+    lengths, token counts, prices): organically generated magnitudes
+    follow P(d) = log10(1 + 1/d), while fabricated, clipped, defaulted
+    or unit-mangled feeds visibly don't — a producer silently filling
+    a size column with a constant or re-scaling units moves this
+    profile run over run even when min/max/null-rate all still pass.
+    A diagnostic profile, not a gate: columns that are NOT naturally
+    Benford (sequential ids, uniform prices) simply report their own
+    stable digit distribution, and DRIFT in it is the signal.
+
+    → (part?, column, digit ∈ 1..9, n, n_eligible, frac, benford,
+       dev) — grid-filled: every (part?, column) group emits ALL nine
+    digits (n = 0 where absent) so run-over-run frames align
+    row-for-row and a digit vanishing entirely is a visible 0, not a
+    missing row. ``n_eligible`` counts positive finite values (NULL /
+    zero / negative / NaN / Inf rows are excluded from the law, not
+    from ``frac``'s denominator drama — marginal nullness is B2's
+    business); ``frac`` = n / n_eligible, ``benford`` = the expected
+    log10(1 + 1/digit), ``dev`` = |frac − benford|, all rounded to 9
+    so a libm ulp can't split engines. An all-ineligible group keeps
+    its nine rows with n_eligible = 0 and NULL frac/dev (try_divide —
+    undefined, never a silent 0).
+
+    Plan: ONE scan (row-local struct melt + row-local digit
+    extraction) + ONE map-combined (part?, column, digit) hash-agg —
+    the exchange carries ≤ parts × |cols| × 10 groups regardless of
+    input size; the digit spine joins are key-sized (metadata-scale).
+    Summary: :func:`benford_mad`."""
+    keys = [part_col] if part_col else []
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.col(c).cast("double").alias("x"))
+        for c in cols
+    ]
+    melted = df.select(
+        *[F.col(k) for k in keys], F.explode(F.array(*structs)).alias("mv")
+    ).select(*keys, "mv.column", first_digit_col(F.col("mv.x")).alias("digit"))
+    counts = melted.groupBy(*keys, "column", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy(*keys, "column").agg(
+        F.sum(F.when(F.col("digit").isNotNull(), F.col("n")).otherwise(F.lit(0))).alias(
+            "n_eligible"
+        )
+    )
+    spine = totals.crossJoin(
+        df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    )
+    filled = spine.join(counts, [*keys, "column", "digit"], "left").select(
+        *keys,
+        "column",
+        "digit",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        "n_eligible",
+    )
+    frac = F.try_divide(F.col("n"), F.col("n_eligible"))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return filled.select(
+        *keys,
+        "column",
+        "digit",
+        "n",
+        "n_eligible",
+        F.round(frac, 9).alias("frac"),
+        F.round(benford, 9).alias("benford"),
+        F.round(F.abs(frac - benford), 9).alias("dev"),
+    )
+
+
+def benford_mad(profile: DataFrame) -> DataFrame:
+    """Mean absolute deviation summary over a :func:`benford_profile`
+    frame — Nigrini's MAD conformity statistic, one row per
+    (part?, column): mad = mean over the nine digits of
+    |frac − benford| (NULL when the group had no eligible values).
+    Nigrini's published cutoffs for reference (first-digit test):
+    ≤0.006 close conformity, ≤0.012 acceptable, ≤0.015 marginal,
+    >0.015 nonconformity — but for validation the actionable use is
+    |Δmad| across runs/snapshots, which needs no conformity at all.
+    Metadata-scale: aggregates the ≤ parts × |cols| × 9-row profile."""
+    keys = [c for c in profile.columns if c not in (
+        "column", "digit", "n", "n_eligible", "frac", "benford", "dev"
+    )]
+    return profile.groupBy(*keys, "column").agg(
+        F.max("n_eligible").alias("n_eligible"),
+        F.round(F.avg("dev"), 9).alias("mad"),
+    )
+
+
 def numeric_correlation(
     df: DataFrame,
     pairs: list[tuple[str, str]] | tuple[tuple[str, str], ...],

@@ -1,0 +1,110 @@
+"""Benford first-digit profile (C46) — digit extraction, eligibility
+exclusions, grid fill, per-part mode, undefined-group convention, and
+the MAD summary's conformity ordering (a by-construction Benford
+column scores near 0; a single-digit constant column scores huge)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators.stats import (
+    benford_mad,
+    benford_profile,
+    first_digit_col,
+)
+
+
+def _profile_map(rows):
+    return {(r["column"], r["digit"]): r for r in rows}
+
+
+def test_first_digit_known_values(spark):
+    vals = [
+        (1.0, 1),
+        (19.5, 1),
+        (0.00234, 2),
+        (999999.0, 9),
+        (1000.0, 1),
+        (0.5, 5),
+        (3e8, 3),
+        (7.0, 7),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in vals], "x double")
+    got = df.select(F.col("x"), first_digit_col(F.col("x")).alias("d")).collect()
+    want = dict(vals)
+    for r in got:
+        assert r["d"] == want[r["x"]], r
+
+
+def test_ineligible_values_yield_null_digit(spark):
+    df = spark.createDataFrame(
+        [(None,), (0.0,), (-5.0,), (float("nan"),), (float("inf",),)],
+        "x double",
+    )
+    got = df.select(first_digit_col(F.col("x")).alias("d")).collect()
+    assert all(r["d"] is None for r in got)
+
+
+def test_profile_grid_fill_and_exact_counts(spark):
+    # only digits 1 and 2 present; the other seven digits must still
+    # appear as explicit zero rows
+    df = spark.createDataFrame(
+        [(1.0,), (15.0,), (0.12,), (2.5,), (None,), (-3.0,)], "x double"
+    )
+    rows = benford_profile(df, ["x"]).collect()
+    assert len(rows) == 9
+    m = _profile_map(rows)
+    assert m[("x", 1)]["n"] == 3 and m[("x", 2)]["n"] == 1
+    for d in range(3, 10):
+        assert m[("x", d)]["n"] == 0
+    assert all(r["n_eligible"] == 4 for r in rows)
+    assert m[("x", 1)]["frac"] == 0.75
+    # benford expectation column carries the law itself
+    assert abs(m[("x", 1)]["benford"] - math.log10(2.0)) < 1e-9
+
+
+def test_profile_per_part_and_undefined_group(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 55.0), ("b", None), ("b", 0.0)],
+        "part string, x double",
+    )
+    rows = benford_profile(df, ["x"], part_col="part").collect()
+    assert len(rows) == 18  # 2 parts x 9 digits, all-ineligible part kept
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["part"], []).append(r)
+    a = {r["digit"]: r for r in by_part["a"]}
+    assert a[5]["n"] == 2 and a[5]["frac"] == 1.0
+    for r in by_part["b"]:
+        assert r["n_eligible"] == 0 and r["frac"] is None and r["dev"] is None
+
+
+def test_benford_law_on_log_uniform_column(spark):
+    # 10^(3m/1000) over m=0..999 is log-uniform across three decades —
+    # Benford by construction; every digit's frac must sit within one
+    # part-per-hundred of log10(1 + 1/d)
+    df = spark.range(1000).select(
+        F.pow(F.lit(10.0), F.col("id").cast("double") / 1000.0 * 3.0).alias("x")
+    )
+    rows = benford_profile(df, ["x"]).collect()
+    assert all(r["dev"] < 0.01 for r in rows)
+    mad = benford_mad(benford_profile(df, ["x"])).collect()[0]
+    assert mad["mad"] < 0.006  # Nigrini "close conformity"
+
+
+def test_benford_mad_orders_conformity(spark):
+    # a constant-first-digit column is maximal nonconformity; MAD must
+    # rank it far above the log-uniform column, and an all-null column
+    # stays NULL (undefined, never a silent 0)
+    df = spark.range(1000).select(
+        F.pow(F.lit(10.0), F.col("id").cast("double") / 1000.0 * 3.0).alias("good"),
+        (F.lit(7000.0) + F.col("id")).alias("flat"),  # all start with 7
+        F.lit(None).cast("double").alias("dead"),
+    )
+    rows = benford_mad(benford_profile(df, ["good", "flat", "dead"])).collect()
+    m = {r["column"]: r for r in rows}
+    assert m["dead"]["mad"] is None and m["dead"]["n_eligible"] == 0
+    assert m["flat"]["mad"] > 0.15  # 1.0 vs 0.058 on digit 7 alone
+    assert m["good"]["mad"] < 0.006 < m["flat"]["mad"]
