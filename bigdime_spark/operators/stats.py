@@ -1069,6 +1069,79 @@ class DistinctnessBound(TableConstraint):
         return found, None
 
 
+class BenfordBound(TableConstraint):
+    """Suite-integrated declared-bounds form of :func:`benford_mad` —
+    a TableConstraint (the digit distribution needs its own
+    (part, column, digit) aggregation; it cannot ride the fused stats
+    pass, same boundary as :class:`MutualInfoBound`).
+
+    Verdict family ``benford.<col>``: the per-part Nigrini MAD of the
+    first-digit distribution must stay ≤ ``max_mad``. Declare it on
+    magnitude columns KNOWN to be Benford-like (byte sizes across a
+    varied corpus, durations, token counts) with a cutoff-scale bound
+    (0.015 = Nigrini's nonconformity line), or on any numeric column
+    with a loose bound as a pure fabrication tripwire — a producer
+    filling the column with constants or re-scaling units slams MAD
+    toward its ~0.17 single-digit ceiling long before 0.05.
+
+    NOT_READY when MAD is undefined (no eligible values) OR the part
+    has fewer than ``min_eligible`` positive finite values — MAD over
+    a handful of rows is sampling noise, not evidence, and Nigrini's
+    cutoffs assume large n; an under-supplied part is a part to look
+    at, not a pass or a spurious fail.
+
+    Partial-verdicts convention (same as DriftCheck): parts absent
+    from the profile get PASS from the suite's shared grid join —
+    pair with not_null constraints when absence itself must fail."""
+
+    partial_verdicts = True
+
+    def __init__(
+        self, column: str, max_mad: float = 0.015, min_eligible: int = 100
+    ):
+        if not max_mad > 0:
+            raise ValueError(f"max_mad must be > 0, got {max_mad}")
+        if min_eligible < 1:
+            raise ValueError(f"min_eligible must be >= 1, got {min_eligible}")
+        self.column = column
+        self.max_mad = float(max_mad)
+        self.min_eligible = int(min_eligible)
+        self.name = f"benford.{column}"
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]
+
+    def run(self, ctx):
+        from bigdime_spark.schema import FAIL, NOT_READY, PASS
+
+        prof = benford_mad(
+            benford_profile(ctx.raw, (self.column,), part_col="part")
+        )
+        m = F.col("mad")
+        found = prof.select(
+            "part",
+            F.lit(self.name).alias("constraint"),
+            F.when(
+                m.isNull() | (F.col("n_eligible") < self.min_eligible),
+                F.lit(NOT_READY),
+            )
+            .when(m <= self.max_mad, F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+            .alias("verdict"),
+            F.concat(
+                F.lit("mad="),
+                F.coalesce(m.cast("string"), F.lit("undefined")),
+                F.lit(" n_eligible="),
+                F.col("n_eligible").cast("string"),
+            ).alias("observed"),
+            F.lit(
+                f"benford mad <= {self.max_mad} "
+                f"(n_eligible >= {self.min_eligible})"
+            ).alias("expected"),
+        )
+        return found, None
+
+
 def default_image_stats() -> StatsProfile:
     """Stats over the BASELINE.json:15 schema — non-binary columns only
     (the stats scan must never read `bytes` pages — SURVEY B0b)."""

@@ -40,6 +40,10 @@ that build fusable extra constraints:
                          of a column per part (deequ's hasUniqueness
                          family); a table constraint for the same
                          reason as MI (needs a value-level agg)
+``benford_bounds``       [{column, max_mad?, min_eligible?}] — Nigrini
+                         first-digit MAD of a magnitude column per
+                         part (C46); a table constraint for the same
+                         reason as MI (needs a digit-level agg)
 ``sequence_continuity``  [{id_col, max_gaps?}] — dense-id continuity
                          (B30) as a table constraint (exact distinct
                          needs its own keyed aggregation)
@@ -101,7 +105,7 @@ _PROGRAMMATIC_ONLY = (
 )
 _SECTIONS = ("schema", "domain_checks", "type_conformance", "freshness",
              "correlation_bounds", "mutual_info_bounds",
-             "distinctness_bounds", "drift_specs",
+             "distinctness_bounds", "benford_bounds", "drift_specs",
              "bit_balance_bounds", "sequence_continuity",
              "functional_dependencies")
 
@@ -323,6 +327,23 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                 float(e.get("lo", 0.0)), float(e.get("hi", 1.0)),
                 metric=metric,
             ))
+
+    if "benford_bounds" in cfg:
+        from bigdime_spark.operators.stats import BenfordBound
+
+        if not isinstance(cfg["benford_bounds"], list):
+            raise _fail("benford_bounds", "must be an array of objects")
+        for entry in cfg["benford_bounds"]:
+            e = _require_keys("benford_bounds", entry,
+                              {"column"}, {"max_mad", "min_eligible"})
+            try:
+                table_extras.append(BenfordBound(
+                    str(e["column"]),
+                    max_mad=float(e.get("max_mad", 0.015)),
+                    min_eligible=int(e.get("min_eligible", 100)),
+                ))
+            except ValueError as exc:
+                raise _fail("benford_bounds", str(exc))
 
     if "decode_sample_rate" in kwargs and not (
         0.0 < kwargs["decode_sample_rate"] <= 1.0

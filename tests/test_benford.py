@@ -108,3 +108,70 @@ def test_benford_mad_orders_conformity(spark):
     assert m["dead"]["mad"] is None and m["dead"]["n_eligible"] == 0
     assert m["flat"]["mad"] > 0.15  # 1.0 vs 0.058 on digit 7 alone
     assert m["good"]["mad"] < 0.006 < m["flat"]["mad"]
+
+
+def test_benford_bound_in_suite(spark):
+    """BenfordBound verdicts: a log-uniform part PASSes, a
+    constant-first-digit part FAILs, a part below min_eligible is
+    NOT_READY (MAD over a handful of rows is noise, not evidence)."""
+    import pytest
+
+    from bigdime_spark.operators.stats import BenfordBound
+    from bigdime_spark.plans.suite import StatsProfile, ValidationSuite
+    from bigdime_spark.schema import FAIL, NOT_READY, PASS
+
+    rows = (
+        [("p0", "a%d" % k, 10.0 ** (k / 200.0 * 3.0)) for k in range(200)]
+        + [("p1", "b%d" % k, 7000.0 + k) for k in range(200)]
+        + [("p2", "c%d" % k, 10.0 ** (k / 10.0)) for k in range(10)]
+    )
+    df = spark.createDataFrame(rows, "part string, image_id string, sz double")
+    suite = ValidationSuite(
+        declared_schema=df.schema,
+        not_null=(),
+        check_record_count=False,
+        check_checksum=False,
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_domains=False,
+        stats=StatsProfile(columns=[]),
+        extra_table_constraints=[
+            BenfordBound("sz", max_mad=0.02, min_eligible=100)
+        ],
+    )
+    res = suite.run(spark, df, run_id="benford-bound")
+    v = {
+        r["part"]: r["verdict"]
+        for r in res.verdicts.filter(
+            F.col("constraint") == "benford.sz"
+        ).collect()
+    }
+    assert v == {"p0": PASS, "p1": FAIL, "p2": NOT_READY}
+    res.release()
+
+    with pytest.raises(ValueError, match="max_mad"):
+        BenfordBound("sz", max_mad=0.0)
+    with pytest.raises(ValueError, match="min_eligible"):
+        BenfordBound("sz", min_eligible=0)
+
+
+def test_benford_bounds_config_section(spark):
+    import pytest
+
+    from bigdime_spark.operators.stats import BenfordBound
+    from bigdime_spark.plans.config import suite_from_config
+
+    suite = suite_from_config(
+        {"benford_bounds": [{"column": "bytes_len", "max_mad": 0.05}]}
+    )
+    (tc,) = suite.extra_table_constraints
+    assert isinstance(tc, BenfordBound)
+    assert tc.name == "benford.bytes_len"
+    assert (tc.max_mad, tc.min_eligible) == (0.05, 100)
+
+    with pytest.raises(ValueError, match="benford_bounds"):
+        suite_from_config({"benford_bounds": [{"column": "x", "max_mad": -1}]})
+    with pytest.raises(ValueError, match="benford_bounds"):
+        suite_from_config({"benford_bounds": [{"col": "x"}]})
