@@ -426,11 +426,19 @@ def _build_parser() -> argparse.ArgumentParser:
         "--categorical)",
     )
     pr.add_argument(
+        "--benford",
+        default="",
+        help="comma-separated magnitude columns for the first-digit "
+        "Benford profile + per-part MAD summary (fabricated / "
+        "clipped / unit-rescaled feeds move it while min/max/null "
+        "rates still pass)",
+    )
+    pr.add_argument(
         "--out",
         default=None,
         help="write full profile frames here (categorical/ "
         "correlation/ mutual_info/ type_inference/ null_patterns/ "
-        "distinctness/); without it stdout carries at "
+        "distinctness/ benford/ benford_mad/); without it stdout carries at "
         "most 20 rows per profile (bounded diagnostic, not the data "
         "path)",
     )
@@ -816,11 +824,13 @@ def main(argv: list[str] | None = None) -> int:
             infer_cols = [c.strip() for c in args.infer_types.split(",") if c.strip()]
             np_cols = [c.strip() for c in args.null_patterns.split(",") if c.strip()]
             dv_cols = [c.strip() for c in args.distinctness.split(",") if c.strip()]
+            bf_cols = [c.strip() for c in args.benford.split(",") if c.strip()]
             if not (cats or corr_pairs or mi_pairs or infer_cols or np_cols
-                    or dv_cols):
+                    or dv_cols or bf_cols):
                 raise ValueError(
                     "nothing to profile: pass --categorical, --corr, --mi, "
-                    "--infer-types, --null-patterns, or --distinctness"
+                    "--infer-types, --null-patterns, --distinctness, or "
+                    "--benford"
                 )
         except ValueError as e:
             print(f"profile: {e}", file=sys.stderr)
@@ -870,6 +880,15 @@ def main(argv: list[str] | None = None) -> int:
                 frames["distinctness"] = distinct_value_profile(
                     df, tuple(dv_cols), part_col=args.part_col
                 )
+            if bf_cols:
+                from bigdime_spark.operators.stats import (
+                    benford_mad,
+                    benford_profile,
+                )
+
+                bf = benford_profile(df, tuple(bf_cols), part_col=args.part_col)
+                frames["benford"] = bf
+                frames["benford_mad"] = benford_mad(bf)
 
             for name, frame in frames.items():
                 if args.out:

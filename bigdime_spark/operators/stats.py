@@ -723,6 +723,40 @@ def benford_mad(profile: DataFrame) -> DataFrame:
     )
 
 
+def benford_shift(
+    raw: DataFrame,
+    curated: DataFrame,
+    cols: tuple[str, ...] | list[str],
+    part_col: str = "part",
+) -> DataFrame:
+    """Cross-snapshot first-digit drift: |mad_raw − mad_cur| per
+    (partition × column) — :func:`correlation_shift`'s magnitude twin
+    and the ACTIONABLE form of the Benford family (conformity to the
+    law needs a Benford-like column; a CHANGE in the digit
+    distribution's MAD indicts the producer on any magnitude column).
+    Join is between two parts×cols-sized MAD frames — metadata-scale
+    at any corpus size; full outer, so a side whose MAD became
+    UNDEFINED (a column went all-zero/negative/null) surfaces as a
+    NULL shift instead of vanishing — that collapse is exactly the
+    regression this hunts."""
+    a = benford_mad(benford_profile(raw, cols, part_col)).select(
+        part_col,
+        "column",
+        F.col("n_eligible").alias("n_raw"),
+        F.col("mad").alias("mad_raw"),
+    )
+    b = benford_mad(benford_profile(curated, cols, part_col)).select(
+        part_col,
+        "column",
+        F.col("n_eligible").alias("n_cur"),
+        F.col("mad").alias("mad_cur"),
+    )
+    return a.join(b, [part_col, "column"], "full_outer").select(
+        part_col, "column", "n_raw", "n_cur", "mad_raw", "mad_cur",
+        F.round(F.abs(F.col("mad_raw") - F.col("mad_cur")), 9).alias("mad_shift"),
+    )
+
+
 def numeric_correlation(
     df: DataFrame,
     pairs: list[tuple[str, str]] | tuple[tuple[str, str], ...],

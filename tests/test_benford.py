@@ -175,3 +175,58 @@ def test_benford_bounds_config_section(spark):
         suite_from_config({"benford_bounds": [{"column": "x", "max_mad": -1}]})
     with pytest.raises(ValueError, match="benford_bounds"):
         suite_from_config({"benford_bounds": [{"col": "x"}]})
+
+
+def test_benford_shift_across_snapshots(spark):
+    """Cross-snapshot MAD drift: the part whose curated column was
+    flattened to a constant first digit moves, the untouched part
+    stays ~0, and a side that went all-null surfaces as a NULL shift
+    (full outer), never a dropped row."""
+    from bigdime_spark.operators.stats import benford_shift
+
+    raw_rows = [
+        ("p0", 10.0 ** (k / 100.0 * 3.0)) for k in range(100)
+    ] + [("p1", 10.0 ** (k / 100.0 * 3.0)) for k in range(100)] + [
+        ("p2", 10.0 ** (k / 50.0)) for k in range(50)
+    ]
+    cur_rows = (
+        [("p0", 10.0 ** (k / 100.0 * 3.0)) for k in range(100)]  # unchanged
+        + [("p1", 7000.0 + k) for k in range(100)]  # flattened: digit 7
+        + [("p2", None)] * 50  # collapsed to null
+    )
+    raw = spark.createDataFrame(raw_rows, "part string, x double")
+    cur = spark.createDataFrame(cur_rows, "part string, x double")
+    got = {r["part"]: r for r in benford_shift(raw, cur, ["x"]).collect()}
+    assert len(got) == 3
+    assert got["p0"]["mad_shift"] < 0.002
+    assert got["p1"]["mad_shift"] > 0.12
+    assert got["p2"]["mad_cur"] is None and got["p2"]["mad_shift"] is None
+
+
+def test_cli_profile_benford(spark, tmp_path):
+    import json
+
+    from bigdime_spark import cli
+
+    df = spark.range(200).select(
+        F.concat(F.lit("p"), (F.col("id") % 2).cast("string")).alias("part"),
+        F.pow(F.lit(10.0), F.col("id").cast("double") / 200.0 * 3.0).alias("sz"),
+    )
+    src = str(tmp_path / "tbl")
+    df.write.parquet(src)
+    out = str(tmp_path / "prof")
+    rc = cli.main(
+        ["profile", "--input", src, "--benford", "sz", "--out", out,
+         "--master", "local[2]"]
+    )
+    assert rc == 0
+    import duckdb
+
+    mad = duckdb.sql(
+        f"select part, mad from read_parquet('{out}/benford_mad/*.parquet') order by 1"
+    ).fetchall()
+    assert len(mad) == 2 and all(m < 0.02 for _, m in mad)
+    prof = duckdb.sql(
+        f"select count(*) from read_parquet('{out}/benford/*.parquet')"
+    ).fetchone()[0]
+    assert prof == 18  # 2 parts x 9 digits, grid-filled
