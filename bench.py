@@ -83,6 +83,7 @@ HEADLINE = [
     "fd_events_user_type",
     "type_inference_orders",
     "benford_orders",
+    "mask_profile_orders",
     "zone_overlap_orders",
     "suite_verdicts_lineitem",
 ]

@@ -426,6 +426,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "--categorical)",
     )
     pr.add_argument(
+        "--masks",
+        default="",
+        help="comma-separated stringly-typed columns for the "
+        "format-mask profile (value shapes like Aaaaa#999999999; "
+        "catches a producer switching id/code schemes that type "
+        "inference, null rates and lengths cannot see)",
+    )
+    pr.add_argument(
         "--benford",
         default="",
         help="comma-separated magnitude columns for the first-digit "
@@ -825,12 +833,13 @@ def main(argv: list[str] | None = None) -> int:
             np_cols = [c.strip() for c in args.null_patterns.split(",") if c.strip()]
             dv_cols = [c.strip() for c in args.distinctness.split(",") if c.strip()]
             bf_cols = [c.strip() for c in args.benford.split(",") if c.strip()]
+            mask_cols = [c.strip() for c in args.masks.split(",") if c.strip()]
             if not (cats or corr_pairs or mi_pairs or infer_cols or np_cols
-                    or dv_cols or bf_cols):
+                    or dv_cols or bf_cols or mask_cols):
                 raise ValueError(
                     "nothing to profile: pass --categorical, --corr, --mi, "
-                    "--infer-types, --null-patterns, --distinctness, or "
-                    "--benford"
+                    "--infer-types, --null-patterns, --distinctness, "
+                    "--benford, or --masks"
                 )
         except ValueError as e:
             print(f"profile: {e}", file=sys.stderr)
@@ -889,6 +898,12 @@ def main(argv: list[str] | None = None) -> int:
                 bf = benford_profile(df, tuple(bf_cols), part_col=args.part_col)
                 frames["benford"] = bf
                 frames["benford_mad"] = benford_mad(bf)
+            if mask_cols:
+                from bigdime_spark.operators.stats import mask_profile
+
+                frames["masks"] = mask_profile(
+                    df, tuple(mask_cols), part_col=args.part_col
+                )
 
             for name, frame in frames.items():
                 if args.out:

@@ -3608,6 +3608,66 @@ def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(d, ["price", "logu", "mixed"], part_col=None)
 
 
+def q_mask_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47 format-mask profile. Four stringly-typed columns from
+    orders: ``clerk`` (synthesized TPC-H-style Clerk#%09d) / ``priority`` carry fixed formats
+    (one mask resp. a handful); ``drift_id`` interleaves TWO id
+    schemes plus NULLs by key mod (the format-drift scenario the
+    profile hunts — both schemes type-infer 'string'); ``wide_id`` is
+    an unpadded number whose mask varies with digit WIDTH, so with
+    top_k=4 the deterministic cap itself truncates (n_masks > rank
+    max) and is under oracle test. Regex translation is plain
+    character classes with global replace — identical semantics in
+    Java regex and RE2."""
+    from bigdime_spark.operators.stats import mask_profile
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    drift = (
+        F.when(k % 5 == 0, F.concat(F.lit("ord_"), k.cast("string"), F.lit("x")))
+        .when(k % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ORD-"), F.lpad(k.cast("string"), 9, "0")))
+    )
+    d = o.select(
+        F.concat(
+            F.lit("Clerk#"), F.lpad(F.col("o_custkey").cast("string"), 9, "0")
+        ).alias("clerk"),
+        F.col("o_orderpriority").alias("priority"),
+        drift.alias("drift_id"),
+        F.concat(F.lit("N"), k.cast("string")).alias("wide_id"),
+    )
+    return mask_profile(d, ["clerk", "priority", "drift_id", "wide_id"], top_k=4)
+
+
+SQL_MASK_PROFILE = """
+WITH vals AS (
+  SELECT 'clerk' AS col, 'Clerk#' || lpad(o_custkey::VARCHAR, 9, '0') AS v FROM orders
+  UNION ALL SELECT 'priority', o_orderpriority FROM orders
+  UNION ALL SELECT 'drift_id', CASE
+      WHEN o_orderkey % 5 = 0 THEN 'ord_' || o_orderkey::VARCHAR || 'x'
+      WHEN o_orderkey % 11 = 0 THEN NULL
+      ELSE 'ORD-' || lpad(o_orderkey::VARCHAR, 9, '0') END FROM orders
+  UNION ALL SELECT 'wide_id', 'N' || o_orderkey::VARCHAR FROM orders
+), masked AS (
+  SELECT col, regexp_replace(regexp_replace(regexp_replace(v,
+    '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g') AS mask
+  FROM vals
+), counts AS (
+  SELECT col, mask, count(*) AS n FROM masked GROUP BY 1, 2
+), tot AS (
+  SELECT col, mask, n,
+    SUM(n) OVER (PARTITION BY col) AS n_rows,
+    COUNT(*) OVER (PARTITION BY col) AS n_masks,
+    ROW_NUMBER() OVER (PARTITION BY col
+                       ORDER BY n DESC, mask ASC NULLS FIRST) AS "rank"
+  FROM counts
+)
+SELECT col AS "column", mask, n, n_rows, n_masks,
+  round(n / CAST(n_rows AS DOUBLE), 9) AS frac, "rank"
+FROM tot WHERE "rank" <= 4
+"""
+
+
 SQL_BENFORD = """
 WITH vals AS (
   SELECT 'price' AS col, CAST(o_totalprice AS DOUBLE) AS x FROM orders
@@ -3784,6 +3844,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "fd_events_user_type": QuerySpec(q_fd_events_user_type, SQL_FD_VIOLATIONS),
     "type_inference_orders": QuerySpec(q_type_inference_orders, SQL_TYPE_INFERENCE),
     "benford_orders": QuerySpec(q_benford_orders, SQL_BENFORD),
+    "mask_profile_orders": QuerySpec(q_mask_profile_orders, SQL_MASK_PROFILE),
     # flagship suite
     "suite_verdicts_lineitem": QuerySpec(q_suite_verdicts_lineitem, SQL_SUITE_VERDICTS),
 }

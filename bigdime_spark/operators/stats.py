@@ -610,6 +610,95 @@ def type_inference_profile(
     return agg.withColumn("inferred", inferred.otherwise(F.lit("string")))
 
 
+def mask_col(x: Column, squeeze: bool = False) -> Column:
+    """Format mask of a string value: uppercase → ``A``, lowercase →
+    ``a``, digit → ``9``, everything else (punctuation, space,
+    non-ASCII) verbatim — ``Clerk#000000001`` → ``Aaaaa#999999999``.
+    The unsqueezed mask keeps LENGTH information (an id column going
+    from 9-digit to 12-digit is a mask change), and its regex chain is
+    replayable in any engine. ``squeeze=True`` additionally collapses
+    runs of the same mask character (→ ``Aa#9``) — format-shape only;
+    Spark-side extra (the run-collapse needs a backreference in the
+    regex PATTERN, which RE2-based engines like DuckDB refuse, so the
+    oracle-checked form is the unsqueezed one). NULL stays NULL."""
+    m = F.regexp_replace(x.cast("string"), "[A-Z]", "A")
+    m = F.regexp_replace(m, "[a-z]", "a")
+    m = F.regexp_replace(m, "[0-9]", "9")
+    if squeeze:
+        m = F.regexp_replace(m, r"(.)\1+", "$1")
+    return m
+
+
+def mask_profile(
+    df: DataFrame,
+    cols: tuple[str, ...] | list[str],
+    part_col: str | None = None,
+    top_k: int = 50,
+    squeeze: bool = False,
+) -> DataFrame:
+    """Format-MASK profile — the format-discovery twin of
+    :func:`type_inference_profile` (pandas-profiling's mask analysis;
+    deequ's PatternMatch is the DECLARED form, B22's DomainCheck
+    here): for stringly-typed id/code columns, what VALUE SHAPES does
+    the column actually carry, per partition? A producer switching id
+    schemes (``ORD-000123`` → ``ord_123``), widening a zero-padded
+    number, or leaking a second format into 2% of rows moves this
+    profile run over run while type inference (both are 'string'),
+    null rates and lengths-in-range all still pass.
+
+    → (part?, column, mask, n, n_rows, n_masks, frac, rank) — the top
+    ``top_k`` masks per (part?, column) by (n desc, mask asc NULLS
+    FIRST), fully deterministic so the bounded result is
+    oracle-portable; ``n_rows`` / ``n_masks`` are the UNCAPPED totals
+    so truncation is visible (rank ≤ top_k but n_masks says how many
+    existed). NULL values keep their group (mask NULL) — correlated
+    missingness is visible without cross-referencing B2.
+
+    Plan: ONE scan (row-local melt + row-local regex translation,
+    whole-stage codegen) + ONE map-combined (part?, column, mask)
+    hash-agg — the exchange carries distinct MASKS, which is the
+    point: masks collapse value populations to format populations
+    (an id column has 10^12 values and a handful of masks). Same
+    ≤~10^6-distinct-groups contract as ``categorical_profile`` for
+    pathological inputs (random-case text where every value is its
+    own mask); totals ride window sums over the aggregated relation
+    and the cap is a per-group row_number — all metadata-scale."""
+    keys = [part_col] if part_col else []
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            mask_col(F.col(c), squeeze=squeeze).alias("mask"),
+        )
+        for c in cols
+    ]
+    counts = (
+        df.select(*[F.col(k) for k in keys], F.explode(F.array(*structs)).alias("mv"))
+        .select(*keys, "mv.column", "mv.mask")
+        .groupBy(*keys, "column", "mask")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grp = Window.partitionBy(*keys, "column")
+    rk = Window.partitionBy(*keys, "column").orderBy(
+        F.desc("n"), F.asc_nulls_first("mask")
+    )
+    return (
+        counts.withColumn("n_rows", F.sum("n").over(grp))
+        .withColumn("n_masks", F.count(F.lit(1)).over(grp))
+        .withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            *keys,
+            "column",
+            "mask",
+            "n",
+            "n_rows",
+            "n_masks",
+            F.round(F.col("n") / F.col("n_rows"), 9).alias("frac"),
+            "rank",
+        )
+    )
+
+
 def first_digit_col(x: Column) -> Column:
     """First significant digit of a positive finite numeric value —
     ``floor(x / 10^floor(log10 x))`` with the log rounded to 9
