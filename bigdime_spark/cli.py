@@ -143,6 +143,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "exact value counts (verdict family drift_cat.<col>), e.g. fmt",
     )
     r.add_argument(
+        "--mask-drift",
+        type=str,
+        default="",
+        help="comma-separated high-cardinality id/code columns to "
+        "drift-test over format MASKS (verdict family "
+        "drift_mask.<col>): a producer switching id schemes moves the "
+        "mask population even when every value is unique on both sides",
+    )
+    r.add_argument(
         "--zone-clustering",
         type=str,
         default="",
@@ -1408,6 +1417,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--fd", bool(args.fd)),
             ("--referential-bloom", args.referential_bloom),
             ("--cat-drift", bool(args.cat_drift)),
+            ("--mask-drift", bool(args.mask_drift)),
             ("--zone-clustering", bool(args.zone_clustering)),
             ("--zone-max-overlap", args.zone_max_overlap != 0.5),
             ("--content-diff", args.content_diff),
@@ -1497,6 +1507,9 @@ def main(argv: list[str] | None = None) -> int:
         referential_mode="bloom" if args.referential_bloom else "exact",
         categorical_drift_cols=tuple(
             c.strip() for c in args.cat_drift.split(",") if c.strip()
+        ),
+        mask_drift_cols=tuple(
+            c.strip() for c in args.mask_drift.split(",") if c.strip()
         ),
         zone_clustering_cols=tuple(
             c.strip() for c in args.zone_clustering.split(",") if c.strip()

@@ -516,6 +516,35 @@ def categorical_drift(
     )
 
 
+def mask_drift(
+    raw: DataFrame,
+    curated: DataFrame,
+    cols: tuple[str, ...] | list[str],
+    part_col: str = "part",
+    squeeze: bool = False,
+) -> DataFrame:
+    """Format-mask drift — :func:`categorical_drift` measured over
+    VALUE MASKS instead of values (the run-over-run gating form of
+    ``mask_profile``): translate each column to its format mask
+    (``stats.mask_col``) and score the mask distributions. The right
+    tool for HIGH-cardinality id/code columns, where raw categorical
+    drift is meaningless (every id unique on both sides) but the
+    format population is tiny and a producer switching schemes moves
+    it massively — psi/js explode and a brand-new scheme shows in
+    n_cats even at sliver mass. Same output row shape and exclusions
+    as categorical_drift; the translation is row-local codegen, so
+    the plan is byte-identical in shape (two melt-aggs whose exchange
+    now carries distinct masks — strictly smaller than values)."""
+    from bigdime_spark.operators.stats import mask_col
+
+    def translate(df: DataFrame) -> DataFrame:
+        return df.withColumns(
+            {c: mask_col(F.col(c), squeeze=squeeze) for c in cols}
+        )
+
+    return categorical_drift(translate(raw), translate(curated), cols, part_col)
+
+
 class DriftCheck(TableConstraint):
     """Emits two verdict families per column: drift_ks.<col>, drift_psi.<col>.
 
@@ -572,18 +601,27 @@ class CategoricalDriftCheck(TableConstraint):
     the ε-smoothed PSI over exact value counts crosses the same
     industry threshold the numeric family uses (0.25), with js/chi2/
     n_cats carried in the observed detail. One melted value-count plan
-    serves every column (operators/drift.categorical_drift)."""
+    serves every column (operators/drift.categorical_drift).
 
-    def __init__(self, cols: tuple[str, ...] = ("fmt",)):
+    ``masked=True`` measures over format MASKS instead of values
+    (:func:`mask_drift`, verdict family ``drift_mask.<col>``) — the
+    form for HIGH-cardinality id/code columns where every value is
+    unique on both sides but a producer switching schemes moves the
+    tiny mask population massively."""
+
+    def __init__(self, cols: tuple[str, ...] = ("fmt",), masked: bool = False):
         self.cols = tuple(cols)
-        self.name = "drift_cat"
+        self.masked = bool(masked)
+        self._family = "drift_mask" if self.masked else "drift_cat"
+        self.name = self._family
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, None]:
-        d = categorical_drift(ctx.raw, ctx.curated, self.cols)
+        fn = mask_drift if self.masked else categorical_drift
+        d = fn(ctx.raw, ctx.curated, self.cols)
         not_ready = (F.col("n") == 0) | (F.col("m") == 0)
         found = d.select(
             "part",
-            F.concat(F.lit("drift_cat."), F.col("column")).alias("constraint"),
+            F.concat(F.lit(f"{self._family}."), F.col("column")).alias("constraint"),
             F.when(not_ready, F.lit(NOT_READY))
             .when(F.col("psi") < PSI_FAIL, F.lit(PASS))
             .otherwise(F.lit(FAIL))
@@ -603,4 +641,4 @@ class CategoricalDriftCheck(TableConstraint):
         return True
 
     def verdict_names(self) -> list[str]:
-        return [f"drift_cat.{c}" for c in self.cols]
+        return [f"{self._family}.{c}" for c in self.cols]

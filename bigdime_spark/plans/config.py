@@ -97,6 +97,7 @@ _STR_FIELDS = ("referential_mode", "bit_balance_col", "unique_key", "ref_key")
 #: list-of-string fields (JSON array → tuple)
 _STRLIST_FIELDS = (
     "not_null", "content_cols", "categorical_drift_cols",
+    "mask_drift_cols",
     "outlier_metrics", "decode_snapshots", "zone_clustering_cols",
 )
 _PROGRAMMATIC_ONLY = (

@@ -204,6 +204,12 @@ class ValidationSuite:
     #: drift_cat.<col>) — empty by default; ("fmt",) is the natural
     #: image-table choice
     categorical_drift_cols: tuple = ()
+    #: high-cardinality id/code columns to drift-test over format
+    #: MASKS (operators/drift.mask_drift, verdict family
+    #: drift_mask.<col>) — every value unique on both sides is
+    #: invisible to drift_cat; a scheme switch moves the mask
+    #: population massively
+    mask_drift_cols: tuple = ()
     stats: StatsProfile | None = None
     topk_violations: int | None = None
     extra_agg_constraints: list = field(default_factory=list)
@@ -264,6 +270,12 @@ class ValidationSuite:
             from bigdime_spark.operators.drift import CategoricalDriftCheck
 
             out.append(CategoricalDriftCheck(tuple(self.categorical_drift_cols)))
+        if has_curated and self.mask_drift_cols:
+            from bigdime_spark.operators.drift import CategoricalDriftCheck
+
+            out.append(
+                CategoricalDriftCheck(tuple(self.mask_drift_cols), masked=True)
+            )
         if self.check_phash_dedup:
             from bigdime_spark.operators.dedup import PhashNearDup
 

@@ -65,6 +65,87 @@ def test_profile_per_part(spark):
     assert by[("p1", "aa")]["n"] == 1 and by[("p1", "aa")]["n_masks"] == 1
 
 
+def test_mask_drift_catches_scheme_switch(spark):
+    """High-cardinality ids: every value is unique on both sides (raw
+    categorical drift would see nothing but support churn), yet the
+    MASK distribution pins the scheme switch to the changed part."""
+    from bigdime_spark.operators.drift import mask_drift
+
+    raw = spark.range(200).select(
+        F.concat(F.lit("p"), (F.col("id") % 2).cast("string")).alias("part"),
+        F.concat(F.lit("OLD-"), F.lpad(F.col("id").cast("string"), 6, "0")).alias(
+            "doc_id"
+        ),
+    )
+    cur = spark.range(200).select(
+        F.concat(F.lit("p"), (F.col("id") % 2).cast("string")).alias("part"),
+        F.when(
+            F.col("id") % 2 == 0,  # p0: half switch to the new scheme
+            F.when(
+                F.col("id") % 4 == 0,
+                F.concat(F.lit("new_"), F.col("id").cast("string")),
+            ).otherwise(
+                F.concat(F.lit("OLD-"), F.lpad(F.col("id").cast("string"), 6, "0"))
+            ),
+        ).otherwise(  # p1: unchanged scheme
+            F.concat(F.lit("OLD-"), F.lpad(F.col("id").cast("string"), 6, "0"))
+        ).alias("doc_id"),
+    )
+    got = {r["part"]: r for r in mask_drift(raw, cur, ["doc_id"]).collect()}
+    assert got["p1"]["js"] == 0.0 and got["p1"]["n_cats"] == 1
+    assert got["p0"]["js"] > 0.1 and got["p0"]["n_cats"] >= 2
+    assert got["p0"]["psi"] > got["p1"]["psi"]
+
+
+def test_mask_drift_suite_and_config(spark):
+    """drift_mask.<col> in the suite: the part whose curated ids
+    switched scheme FAILs PSI, the unchanged part PASSes; and
+    mask_drift_cols round-trips through plain config."""
+    from bigdime_spark.plans.config import suite_from_config
+    from bigdime_spark.plans.suite import StatsProfile, ValidationSuite
+    from bigdime_spark.schema import FAIL, PASS
+
+    def ids(switch_part: str | None):
+        rows = []
+        for p in ("p0", "p1"):
+            for k in range(40):
+                if p == switch_part:
+                    v = f"new_{k}xx"  # one mask: aaa_9aa / aaa_99aa
+                else:
+                    v = f"OLD-{k:06d}"
+                rows.append((p, f"{p}-{k}", v))
+        return spark.createDataFrame(
+            rows, "part string, image_id string, doc_id string"
+        )
+
+    raw, cur = ids(None), ids("p0")
+    suite = ValidationSuite(
+        declared_schema=raw.schema,
+        not_null=(),
+        check_record_count=False,
+        check_checksum=False,
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_domains=False,
+        stats=StatsProfile(columns=[]),
+        mask_drift_cols=("doc_id",),
+    )
+    res = suite.run(spark, raw, cur, run_id="mask-drift")
+    v = {
+        r["part"]: r["verdict"]
+        for r in res.verdicts.filter(
+            F.col("constraint") == "drift_mask.doc_id"
+        ).collect()
+    }
+    assert v == {"p0": FAIL, "p1": PASS}
+    res.release()
+
+    cfg_suite = suite_from_config({"mask_drift_cols": ["doc_id", "image_id"]})
+    assert cfg_suite.mask_drift_cols == ("doc_id", "image_id")
+
+
 def test_cli_profile_masks(spark, tmp_path):
     import duckdb
 
