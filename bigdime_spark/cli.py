@@ -652,25 +652,29 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("bigdime-rollup", master=args.master)
         frames = [spark.read.parquet(d) for d in args.stats]
-        missing = [
-            d for d, f in zip(args.stats, frames)
-            if not any(c.endswith("__hll") for c in f.columns)
-        ]
-        if missing:
-            print(
-                "rollup: no __hll sketch columns in: "
-                + ", ".join(missing)
-                + " (was the profile run with distinct=True columns?)",
-                file=sys.stderr,
-            )
-            return 2
-        rows = rollup_distinct(frames).collect()
-        if not rows:
-            print("rollup: stats dirs contain no rows", file=sys.stderr)
-            return 2
-        row = rows[0].asDict()
-        summary = {"cmd": "rollup", "sources": args.stats,
-                   "distincts": {k: int(v) for k, v in row.items()}}
+        summary = {"cmd": "rollup", "sources": args.stats}
+        # --zone-overlap alone needs only min/max columns: don't gate it
+        # on HLL sketches, and don't pay the distinct rollup for it
+        need_distinct = args.ratios or not args.zone_overlap
+        if need_distinct:
+            missing = [
+                d for d, f in zip(args.stats, frames)
+                if not any(c.endswith("__hll") for c in f.columns)
+            ]
+            if missing:
+                print(
+                    "rollup: no __hll sketch columns in: "
+                    + ", ".join(missing)
+                    + " (was the profile run with distinct=True columns?)",
+                    file=sys.stderr,
+                )
+                return 2
+            rows = rollup_distinct(frames).collect()
+            if not rows:
+                print("rollup: stats dirs contain no rows", file=sys.stderr)
+                return 2
+            row = rows[0].asDict()
+            summary["distincts"] = {k: int(v) for k, v in row.items()}
         if args.ratios:
             from bigdime_spark.operators.stats import distinctness_from_stats
 
@@ -904,7 +908,11 @@ def main(argv: list[str] | None = None) -> int:
                     benford_profile,
                 )
 
-                bf = benford_profile(df, tuple(bf_cols), part_col=args.part_col)
+                # persist: benford_mad, the write and the count below all
+                # reuse one scan of the input instead of re-melting it
+                bf = benford_profile(
+                    df, tuple(bf_cols), part_col=args.part_col
+                ).persist()
                 frames["benford"] = bf
                 frames["benford_mad"] = benford_mad(bf)
             if mask_cols:
@@ -925,6 +933,9 @@ def main(argv: list[str] | None = None) -> int:
                         "truncated": len(rows) > 20,
                         "sample": [r.asDict() for r in rows[:20]],
                     }
+            for frame in frames.values():
+                if frame.is_cached:
+                    frame.unpersist()
         except Exception as e:  # missing column etc. — operator error, not a crash
             print(f"profile: {e}", file=sys.stderr)
             return 2

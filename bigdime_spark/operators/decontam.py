@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdime_spark.functions.text import word_ngram_array
-from bigdime_spark.operators.dedup import _hamming_chunks
+from bigdime_spark.operators.dedup import band_fingerprint
 
 #: matched-gram sample cap per flagged doc (counts stay exact).
 MAX_SAMPLE_GRAMS = 10
@@ -279,9 +279,10 @@ def phash_contamination(
     - ``k == 0``: one broadcast-hash equality join on the fingerprint
       itself — the corpus side is a single mapper stage (scan →
       broadcast probe), no banding, no explode.
-    - ``k ≥ 1``: pigeonhole banding (the dedup ``_hamming_chunks``
-      contract — any pair within distance k agrees exactly on ≥1 of
-      the k+1 disjoint chunks). The corpus is banded with a ROW-LOCAL
+    - ``k ≥ 1``: pigeonhole banding (the shared
+      ``dedup.band_fingerprint`` — any pair within distance k agrees
+      exactly on ≥1 of the k+1 disjoint chunks, one code path for both
+      the self-join and this probe). The corpus is banded with a ROW-LOCAL
       explode (k+1 rows per image, no shuffle), the eval bands ride a
       broadcast, and exact hamming is verified by
       ``bit_count(xor)`` after the join — so false band matches cost
@@ -321,22 +322,8 @@ def phash_contamination(
             "_cid", "_eid", F.lit(0).alias("_ham")
         )
     else:
-        def banded(df: DataFrame, fp: str) -> DataFrame:
-            chunk_structs = [
-                F.struct(
-                    F.lit(i).alias("ck"),
-                    F.shiftright(F.col(fp), off)
-                    .bitwiseAND(F.lit((1 << w) - 1))
-                    .alias("cv"),
-                )
-                for i, (off, w) in enumerate(_hamming_chunks(bits, k))
-            ]
-            return df.select(
-                "*", F.explode(F.array(*chunk_structs)).alias("_c")
-            ).select(*df.columns, F.col("_c.ck").alias("ck"), F.col("_c.cv").alias("cv"))
-
-        cb = banded(c, "_cfp")
-        eb = banded(e, "_efp")
+        cb = band_fingerprint(c, "_cfp", bits=bits, k=k)
+        eb = band_fingerprint(e, "_efp", bits=bits, k=k)
         if broadcast_eval:
             eb = F.broadcast(eb)
         matched = (

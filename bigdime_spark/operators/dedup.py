@@ -318,6 +318,30 @@ def _hamming_chunks(bits: int, k: int) -> list[tuple[int, int]]:
     return out
 
 
+def band_fingerprint(df: DataFrame, fp_col: str, *, bits: int, k: int) -> DataFrame:
+    """Row-local pigeonhole banding over an int64 fingerprint column:
+    explode into k+1 rows per input row, appending ``(ck, cv)`` =
+    (chunk index, chunk value). Any two fingerprints within hamming
+    distance k agree exactly on ≥1 chunk, so a join on (ck, cv) is a
+    complete candidate generator. ``shiftright`` is arithmetic, but
+    the chunk mask keeps exactly ``w`` bits, so sign extension never
+    leaks between chunks. Pure mapper — no shuffle. Shared by
+    hamming_pairs_on_column (self-join dedup) and
+    decontam.phash_contamination (corpus × eval probe)."""
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ck"),
+            F.shiftright(F.col(fp_col), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("cv"),
+        )
+        for i, (off, w) in enumerate(_hamming_chunks(bits, k))
+    ]
+    return df.select(
+        "*", F.explode(F.array(*chunk_structs)).alias("_c")
+    ).select(*df.columns, F.col("_c.ck").alias("ck"), F.col("_c.cv").alias("cv"))
+
+
 def hamming_pairs_on_column(
     df: DataFrame,
     id_col: str,
@@ -353,18 +377,7 @@ def hamming_pairs_on_column(
         F.col(hash_col).cast("long").alias("fp"),
         *[F.col(c) for c in carry_cols],
     )
-    chunk_structs = [
-        F.struct(
-            F.lit(i).alias("ck"),
-            F.shiftright(F.col("fp"), off)
-            .bitwiseAND(F.lit((1 << w) - 1))
-            .alias("cv"),
-        )
-        for i, (off, w) in enumerate(_hamming_chunks(bits, k))
-    ]
-    banded = fp.select(
-        "id", "fp", *carry_cols, F.explode(F.array(*chunk_structs)).alias("c")
-    ).select("id", "fp", *carry_cols, F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    banded = band_fingerprint(fp, "fp", bits=bits, k=k)
     if max_bucket is not None:
         sizes = banded.groupBy("ck", "cv").agg(F.count(F.lit(1)).alias("bn"))
         banded = banded.join(

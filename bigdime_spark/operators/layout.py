@@ -33,9 +33,9 @@ Scale shape — metadata-scale end to end:
 
 NULL handling: a part with no non-null values has a NULL range — it
 keeps its output row with NULL depth (undefined, never a silent 0 or
-a dropped part); half-null ranges and inverted ranges (mn > mx) are
-refused loudly — they mean the stats frame is corrupt, not that depth
-is zero.
+a dropped part); half-null ranges, inverted ranges (mn > mx) and NaN
+endpoints are refused loudly — they mean the stats frame is corrupt,
+not that depth is zero.
 """
 
 from __future__ import annotations
@@ -53,23 +53,31 @@ def _rank_counts(
     """Distributed searchsorted: for each queries row (qid, q), the
     number of values rows with ``v <= q`` (inclusive) / ``v < q``
     (strict). Ties are decided by a sort key that places value rows
-    before equal query rows iff inclusive. → (qid, n)."""
+    before equal query rows iff inclusive. Bucketing projects to
+    double (monotone, so bucket ORDER is always consistent); the
+    within-bucket window orders by the ORIGINAL type, so int64 values
+    past 2^53 (where adjacent longs collapse to one double) still
+    rank exactly. → (qid, n)."""
     qid_type = queries.schema["qid"].dataType
     val_tb, qry_tb = (0, 1) if inclusive else (1, 0)
-    u = values.select(
-        F.col("v").cast("double").alias("val"),
-        F.lit(1).alias("is_val"),
-        F.lit(val_tb).alias("tb"),
-        F.lit(None).cast(qid_type).alias("qid"),
-    ).unionByName(
-        queries.select(
-            F.col("q").cast("double").alias("val"),
-            F.lit(0).alias("is_val"),
-            F.lit(qry_tb).alias("tb"),
-            "qid",
+    u = (
+        values.select(
+            F.col("v").alias("val"),
+            F.lit(1).alias("is_val"),
+            F.lit(val_tb).alias("tb"),
+            F.lit(None).cast(qid_type).alias("qid"),
         )
+        .unionByName(
+            queries.select(
+                F.col("q").alias("val"),
+                F.lit(0).alias("is_val"),
+                F.lit(qry_tb).alias("tb"),
+                "qid",
+            )
+        )
+        .withColumn("_vald", F.col("val").cast("double"))
     )
-    lo_hi = u.agg(F.min("val").alias("lo"), F.max("val").alias("hi")).collect()[0]
+    lo_hi = u.agg(F.min("_vald").alias("lo"), F.max("_vald").alias("hi")).collect()[0]
     lo, hi = lo_hi["lo"], lo_hi["hi"]
     if lo is None:
         return queries.select("qid", F.lit(0).cast("long").alias("n")).limit(0)
@@ -78,7 +86,7 @@ def _rank_counts(
         bucket = F.lit(0).cast("long")
     else:
         bucket = F.least(
-            F.floor((F.col("val") - F.lit(lo)) / F.lit(span) * F.lit(n_buckets)),
+            F.floor((F.col("_vald") - F.lit(lo)) / F.lit(span) * F.lit(n_buckets)),
             F.lit(n_buckets - 1),
         ).cast("long")
     b = u.withColumn("_bucket", bucket)
@@ -143,6 +151,9 @@ def zone_overlap_profile(
         F.count_if(F.col("mn").isNotNull() & F.col("mx").isNotNull()).alias("n_ranged"),
         F.count_if(F.col("mn").isNull() != F.col("mx").isNull()).alias("n_half"),
         F.count_if(F.col("mn") > F.col("mx")).alias("n_inverted"),
+        F.count_if(
+            F.isnan(F.col("mn").cast("double")) | F.isnan(F.col("mx").cast("double"))
+        ).alias("n_nan"),
     ).collect()[0]
     if g["n_rows"] == 0:
         return r.select(
@@ -170,6 +181,13 @@ def zone_overlap_profile(
         raise ValueError(
             f"zone_overlap_profile: {g['n_inverted']} part(s) with mn > mx "
             "— not a valid min/max range"
+        )
+    if g["n_nan"]:
+        raise ValueError(
+            f"zone_overlap_profile: {g['n_nan']} part(s) with a NaN range "
+            "endpoint — NaN is unordered, so overlap depth is undefined; "
+            "the stats frame is corrupt (a min/max over a float column "
+            "that contained NaN)"
         )
     n_parts = int(g["n_ranged"])
     valid = r.filter(F.col("mn").isNotNull())

@@ -188,7 +188,11 @@ def duplicate_parts(
 
     → (n_parts, parts_csv, <compare_cols...>), groups with ≥2 parts
     only."""
-    cols = compare_cols or [c for c in metrics.columns if c != part_col]
+    cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in metrics.columns if c != part_col]
+    )
     missing = [c for c in [part_col, *cols] if c not in metrics.columns]
     if missing:
         raise ValueError(f"duplicate_parts: frame has no columns {missing}")

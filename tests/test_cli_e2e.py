@@ -529,6 +529,20 @@ def test_rollup_zone_overlap_cli(spark, tmp_path_factory, capsys):
     assert rc == 2
     assert "stat__caption__" in err and "Traceback" not in err
 
+    # sketch-free stats dir (numeric-only profile): --zone-overlap alone
+    # needs only min/max columns — no __hll gate, no distinct rollup
+    p2 = StatsProfile(columns=[ColumnProfile("w", numeric=True)])
+    fx.raw.groupBy("part").agg(*p2.agg_exprs()).write.parquet(
+        f"{base}/stats_nohll"
+    )
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["rollup", "--stats", f"{base}/stats_nohll", "--zone-overlap", "w"],
+    )
+    assert rc == 0
+    assert "distincts" not in summary
+    assert summary["zone_overlap"]["n_parts"] == 4
+
 
 def test_run_zone_clustering_cli(spark, tmp_path_factory, capsys):
     """run --zone-clustering: the synth fixture's w is random per part

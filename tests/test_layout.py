@@ -118,6 +118,33 @@ def test_inverted_range_refused(spark):
         layout.zone_overlap_profile(r)
 
 
+def test_nan_range_endpoint_refused(spark):
+    # NaN is unordered: depth over a NaN endpoint is undefined, and the
+    # mn > mx / half-NULL guards can't see it (NaN comparisons are
+    # false, NaN is not NULL) — it must be refused explicitly.
+    rows = [("a", 0.0, 10.0), ("b", 20.0, float("nan")), ("c", 100.0, 110.0)]
+    r = spark.createDataFrame(rows, "part string, mn double, mx double")
+    with pytest.raises(ValueError, match="NaN"):
+        layout.zone_overlap_profile(r)
+
+
+def test_bigint_past_double_precision_exact(spark):
+    # adjacent snowflake-scale int64 ranges collapse to one double
+    # (ULP at 1.8e18 is 256); disjoint ranges must stay depth 1 —
+    # ordering inside _rank_counts has to use the original type.
+    base = 1_800_000_000_000_000_000
+    rows = [
+        ("a", base, base + 40),
+        ("b", base + 41, base + 90),   # disjoint from a by 1 long
+        ("c", base + 91, base + 130),  # disjoint from b by 1 long
+    ]
+    r = spark.createDataFrame(rows, "part string, mn bigint, mx bigint")
+    got = _collect(layout.zone_overlap_profile(r))
+    assert {p: v["overlap_depth"] for p, v in got.items()} == {
+        "a": 1, "b": 1, "c": 1,
+    }
+
+
 def test_empty_frame_returns_empty(spark):
     r = spark.createDataFrame([], "part string, mn int, mx int")
     out = layout.zone_overlap_profile(r)

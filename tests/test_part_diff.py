@@ -140,3 +140,7 @@ def test_duplicate_parts_refusals(spark):
         duplicate_parts(m, compare_cols=["nope"])
     with _pytest.raises(ValueError, match="no metric columns"):
         duplicate_parts(m.select("part"))
+    # explicit [] must refuse too, not silently fall back to
+    # compare-everything (a dynamically-built allowlist can be empty)
+    with _pytest.raises(ValueError, match="no metric columns"):
+        duplicate_parts(m, compare_cols=[])
