@@ -925,7 +925,10 @@ def main(argv: list[str] | None = None) -> int:
             for name, frame in frames.items():
                 if args.out:
                     write_table(frame, f"{args.out}/{name}", partition_by=None)
-                    summary[name] = {"rows": frame.count(), "out": f"{args.out}/{name}"}
+                    # count the WRITTEN parquet (footer metadata, no
+                    # recompute) instead of re-running the profile plan
+                    n = spark.read.parquet(f"{args.out}/{name}").count()
+                    summary[name] = {"rows": n, "out": f"{args.out}/{name}"}
                 else:
                     rows = frame.limit(21).collect()
                     summary[name] = {
