@@ -114,5 +114,13 @@ def test_engine_reports_exactly_the_injected_set(sparkref, spec):
         ("caption_equality", _part_of(v), v)
         for v in set(spec.caption_edit) | set(spec.null_caption)
         if v not in spec.orphan_raw  # orphans have no curated row to compare
+    } | {
+        # a duplicated id's foreign-part copy carries the PRISTINE
+        # caption (the generator duplicates the pre-injection row), so
+        # it mismatches exactly when the CURATED side was edited — the
+        # engine rightly attributes that copy to its landing part
+        ("caption_equality", t, v)
+        for v, t in spec.dup_image_id
+        if v in spec.caption_edit and v not in spec.orphan_raw
     }
     assert cap_viol == allowed_cap, cap_viol ^ allowed_cap
