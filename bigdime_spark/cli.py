@@ -78,6 +78,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "instead of riding the sampled decode scan)",
     )
     r.add_argument(
+        "--pixel-drift",
+        action="store_true",
+        help="image-SPACE drift riding the decode pass: pooled "
+        "channel-value histograms of the decoded pixels, scored "
+        "raw-vs-curated as drift_ks.pixels / drift_psi.pixels "
+        "(requires --decode and --curated; zero extra scans)",
+    )
+    r.add_argument(
         "--phash-dedup",
         action="store_true",
         help="enable the perceptual-hash near-duplicate constraint "
@@ -1422,6 +1430,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--decode", args.decode),
             ("--decode-seed", args.decode_seed is not None),
             ("--decode-sample", args.decode_sample != 1.0),
+            ("--pixel-drift", args.pixel_drift),
             ("--phash-dedup", args.phash_dedup),
             ("--phash-k", args.phash_k != 2),
             ("--profile-outliers", args.profile_outliers),
@@ -1483,6 +1492,16 @@ def main(argv: list[str] | None = None) -> int:
             # silently ignoring the rate would let an operator believe
             # a sampled decode screen ran when zero images were decoded
             raise ValueError("--decode-sample requires --decode")
+        if args.pixel_drift and not args.decode:
+            raise ValueError(
+                "--pixel-drift requires --decode (the pixel histograms "
+                "ride the decode pass)"
+            )
+        if args.pixel_drift and not args.curated:
+            raise ValueError(
+                "--pixel-drift requires --curated (it compares raw vs "
+                "curated pixel distributions)"
+            )
         if args.seq_continuity:
             from bigdime_spark.operators.completeness import SequenceContinuity
 
@@ -1512,6 +1531,7 @@ def main(argv: list[str] | None = None) -> int:
         check_decode=args.decode,
         decode_seed=args.decode_seed,
         decode_sample_rate=args.decode_sample,
+        decode_pixel_drift=args.pixel_drift,
         topk_violations=args.topk_violations,
         check_phash_dedup=args.phash_dedup,
         phash_k=args.phash_k,

@@ -62,18 +62,27 @@ RESULT_SCHEMA = pa.schema(
         # ints are unbounded, so the fold never wraps; Spark re-sums the
         # partials in decimal(38,0), matching checksum_agg_exprs exactly
         pa.field("psum", pa.string()),
+        # pixel-histogram-partial rows ONLY (phist IS NOT NULL marks
+        # them): the batch's pooled channel-value bucket counts for one
+        # (snapshot, part) — nbins+2 long, width_bucket layout over
+        # [0, 256) so the persisted-stats drift machinery scores it
+        pa.field("phist", pa.list_(pa.int64())),
     ]
 )
 RESULT_DDL = (
     "snapshot string, part string, image_id string, ok boolean, "
-    "psnr double, reason string, rowhash long, psum string"
+    "psnr double, reason string, rowhash long, psum string, "
+    "phist array<long>"
 )
 
 from bigdime_spark.functions.hashes import U64_MASK as _MASK
 from bigdime_spark.functions.hashes import to_signed64 as _to_signed
 
 
-def _check_row(image_id, payload, w, h, fmt, stored_phash, seed):
+def _check_row(image_id, payload, w, h, fmt, stored_phash, seed, hist_acc=None):
+    """``hist_acc`` (optional np.int64[256]): pooled channel-value
+    counts of every SUCCESSFULLY decoded image are added in place —
+    the pixel-drift fold rides the decode we are doing anyway."""
     from bigdime_spark.sources import synth
 
     if payload is None or w is None or h is None or fmt is None:
@@ -82,6 +91,8 @@ def _check_row(image_id, payload, w, h, fmt, stored_phash, seed):
         pixels = synth.decode(payload, fmt, int(w), int(h))
     except Exception as exc:  # undecodable → violation
         return (False, None, f"decode_error: {exc}")
+    if hist_acc is not None:
+        hist_acc += np.bincount(pixels.reshape(-1), minlength=256)
     lossy = fmt.startswith("rawq")
     if seed is not None:
         ref = synth.make_pixels(seed, image_id, int(w), int(h))
@@ -113,6 +124,7 @@ def decode_check_multi(
     hash_snapshots: tuple[str, ...] = (),
     hash_columns: list[str] | None = None,
     partial_checksums: bool = False,
+    pixel_bins: int | None = None,
 ) -> DataFrame:
     """ALL snapshots through ONE Arrow pass: the inputs union with a
     `snapshot` tag column, so however many snapshots are validated,
@@ -143,21 +155,39 @@ def decode_check_multi(
     batch) instead of O(rows) — at 10^12 rows the difference between
     a few GB and tens of TB of executor cache. xor and sum are both
     commutative, so bit_xor(rowhash) / sum(psum::decimal) over the
-    partials equal checksum_agg_exprs over the raw rows exactly."""
+    partials equal checksum_agg_exprs over the raw rows exactly.
+
+    ``pixel_bins``: when set, each batch ALSO folds the pooled
+    channel values of every successfully decoded image into one
+    pixel-histogram-partial row per (snapshot, part) — marker
+    ``phist IS NOT NULL`` — with bucket counts in the width_bucket
+    layout over [0, 256) (index 0 = underflow, 1..nbins in-range,
+    nbins+1 = overflow; both sentinels always 0 for uint8 pixels).
+    bincount + reshape-sum is integer-exact and batch-split
+    invariant, so the per-part aggregate (pixel_stats_frame) is
+    byte-identical at any Arrow batch size or parallelism. This is
+    the image-SPACE drift feed: it rides the decode we are already
+    paying for, adding zero scans and O(batches × parts-per-batch)
+    rows."""
     if not frames:
         raise ValueError(
             "decode_check_multi needs at least one snapshot frame "
             "(e.g. snapshots=('curated',) with no curated table supplied)"
+        )
+    if pixel_bins is not None and (pixel_bins <= 0 or 256 % pixel_bins):
+        raise ValueError(
+            f"pixel_bins must be a positive divisor of 256, got {pixel_bins}"
         )
     from bigdime_spark.functions.hashes import row_checksum_col
 
     def run_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             d = batch.to_pydict()
-            snaps, parts, ids, oks, psnrs, reasons, hashes, psums = (
-                [], [], [], [], [], [], [], [],
+            snaps, parts, ids, oks, psnrs, reasons, hashes, psums, phists = (
+                [], [], [], [], [], [], [], [], [],
             )
             partials: dict[tuple, list] = {}  # (snap, part) -> [xor, sum]
+            pixhists: dict[tuple, np.ndarray] = {}  # (snap, part) -> int64[256]
             for snap, part, image_id, payload, w, h, fmt, ph, rh in zip(
                 d["snapshot"], d["part"], d["image_id"], d["bytes"],
                 d["w"], d["h"], d["fmt"], d["phash"], d["_h"],
@@ -166,7 +196,12 @@ def decode_check_multi(
                     acc = partials.setdefault((snap, part), [0, 0])
                     acc[0] ^= rh & _MASK
                     acc[1] += rh  # exact: python ints are unbounded
-                res = _check_row(image_id, payload, w, h, fmt, ph, seed)
+                hist_acc = (
+                    pixhists.setdefault((snap, part), np.zeros(256, dtype=np.int64))
+                    if pixel_bins is not None
+                    else None
+                )
+                res = _check_row(image_id, payload, w, h, fmt, ph, seed, hist_acc)
                 if res is None:
                     if rh is None or partial_checksums:
                         continue  # skipped row; checksum (if any) folded above
@@ -183,6 +218,7 @@ def decode_check_multi(
                 reasons.append(reason)
                 hashes.append(rh)
                 psums.append(None)
+                phists.append(None)
             # None-safe key: the schema allows NULL part values, and
             # None is not orderable against str; output order is
             # irrelevant (commutative folds) but determinism is nice.
@@ -198,6 +234,24 @@ def decode_check_multi(
                 reasons.append(None)
                 hashes.append(_to_signed(x))
                 psums.append(str(s))
+                phists.append(None)
+            for (snap, part), counts in sorted(
+                pixhists.items(),
+                key=lambda kv: tuple("" if v is None else v for v in kv[0]),
+            ):
+                snaps.append(snap)
+                parts.append(part)
+                ids.append(None)
+                oks.append(True)
+                psnrs.append(None)
+                reasons.append(None)
+                hashes.append(None)
+                psums.append(None)
+                # exact rebin 256 → pixel_bins (divisibility validated
+                # above) + always-zero under/overflow sentinels so the
+                # array is drift-machinery shaped (nbins+2 long)
+                binned = counts.reshape(pixel_bins, -1).sum(axis=1)
+                phists.append([0, *(int(v) for v in binned), 0])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(snaps, pa.string()),
@@ -208,6 +262,7 @@ def decode_check_multi(
                     pa.array(reasons, pa.string()),
                     pa.array(hashes, pa.int64()),
                     pa.array(psums, pa.string()),
+                    pa.array(phists, pa.list_(pa.int64())),
                 ],
                 schema=RESULT_SCHEMA,
             )
@@ -229,6 +284,63 @@ def decode_check_multi(
     return unioned.mapInArrow(run_batches, RESULT_DDL)
 
 
+def pixel_stats_frame(
+    checked: DataFrame, snapshot: str, pixel_bins: int
+) -> DataFrame:
+    """Fold one snapshot's pixel-histogram-partial rows (decode_check_
+    multi ``pixel_bins=``) into the persisted-stats histogram shape:
+    → (part, stat__pixels__hist array<long>, stat__pixels__hist_spec).
+
+    The partial arrays are uniform (nbins+2)-long, so posexplode →
+    (part, pos) sum → array_sort rebuild is exact and tiny: the input
+    is O(batches × parts-per-batch) rows, the output parts-sized.
+    The spec string "0.0:256.0:<nbins>" matches width_bucket binning
+    of pooled uint8 channel values, so ``drift_from_stats`` (and
+    ``quantiles_from_stats``) consume the frame unchanged."""
+    return (
+        checked.filter(
+            F.col("phist").isNotNull() & (F.col("snapshot") == snapshot)
+        )
+        .select("part", F.posexplode("phist").alias("pos", "cnt"))
+        .groupBy("part", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+        .groupBy("part")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cnt"))).alias("pc"))
+        .select(
+            "part",
+            F.transform("pc", lambda s: s["cnt"]).alias("stat__pixels__hist"),
+            F.lit(f"0.0:256.0:{pixel_bins}").alias("stat__pixels__hist_spec"),
+        )
+    )
+
+
+def pixel_drift(
+    checked: DataFrame, pixel_bins: int, table_level: bool = False
+) -> DataFrame:
+    """Image-SPACE drift raw vs curated: KS/PSI/W1/JS over the pooled
+    channel-value distribution of the DECODED pixels, per part —
+    → (part, column='pixels', ks_d, ks_threshold, psi, w1, js, n, m).
+
+    This is the check byte-level validators cannot express: a curated
+    re-encode that shifts gamma/brightness or quantizes pixels, then
+    honestly RE-STAMPS phash, passes decode integrity, checksum (its
+    own manifest) and caption equality — but its pixel-value
+    distribution moves, and this scores it. Composition is entirely
+    existing machinery: the histograms ride the single Arrow decode
+    pass (zero extra scans of the payload), and scoring is
+    ``drift_from_stats`` over two parts-sized frames — n/m here count
+    PIXELS, so the KS threshold is tight at any realistic scale.
+    Under decode sampling the subset is hash-selected on image_id,
+    hence PAIRED across snapshots — sampled drift compares the same
+    images' pixels. A part with zero decodable pixels on one side
+    scores NOT_READY via n==0/m==0 (DriftCheck's convention)."""
+    fr = pixel_stats_frame(checked, "raw", pixel_bins)
+    fc = pixel_stats_frame(checked, "curated", pixel_bins)
+    from bigdime_spark.operators.drift import drift_from_stats
+
+    return drift_from_stats(fr, fc, table_level=table_level)
+
+
 def _constraint_name(snapshot: str) -> str:
     # raw keeps the bare name (historic); other snapshots qualify it
     return "decode" if snapshot == "raw" else f"decode.{snapshot}"
@@ -246,10 +358,22 @@ class DecodeIntegrity(TableConstraint):
         checksum_columns: list[str] | None = None,
         sample_rate: float = 1.0,
         sample_seed: str = "decode-sample",
+        pixel_drift: bool = False,
+        pixel_bins: int = 32,
     ):
         if not 0.0 < sample_rate <= 1.0:
             raise ValueError(
                 f"decode sample_rate must be in (0, 1], got {sample_rate}"
+            )
+        if pixel_drift and "curated" not in snapshots:
+            raise ValueError(
+                "pixel_drift compares raw vs curated pixel distributions "
+                "— the decode pass must cover both snapshots "
+                f"(snapshots={snapshots!r})"
+            )
+        if pixel_drift and (pixel_bins <= 0 or 256 % pixel_bins):
+            raise ValueError(
+                f"pixel_bins must be a positive divisor of 256, got {pixel_bins}"
             )
         if sample_rate < 1.0 and carry_checksum:
             # the riding checksum must hash EVERY row; a sampled decode
@@ -283,6 +407,14 @@ class DecodeIntegrity(TableConstraint):
         #: replaces — MUST match, or the riding checksum would silently
         #: hash a different column set than the manifest expects.
         self.checksum_columns = checksum_columns
+        #: image-SPACE drift (pixel_drift module fn): pooled channel-
+        #: value histograms ride the decode scan and score raw-vs-
+        #: curated KS/PSI per part — verdict families drift_ks.pixels /
+        #: drift_psi.pixels (the 'pixels' derived column joins the
+        #: numeric drift families; partition_level violation synthesis
+        #: matches on the drift_ prefix). Requires a curated snapshot.
+        self.pixel_drift = bool(pixel_drift)
+        self.pixel_bins = int(pixel_bins)
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame]:
         frames = {
@@ -290,6 +422,11 @@ class DecodeIntegrity(TableConstraint):
             for snap in self.snapshots
             if snap == "raw" or ctx.curated is not None
         }
+        if self.pixel_drift and "curated" not in frames:
+            raise ValueError(
+                "decode pixel_drift requires a curated snapshot — none "
+                "was supplied to this run"
+            )
         if self.sample_rate < 1.0:
             from bigdime_spark.operators.sampling import uniform_sample
 
@@ -306,6 +443,7 @@ class DecodeIntegrity(TableConstraint):
             hash_snapshots=("raw",) if self.carry_checksum else (),
             hash_columns=self.checksum_columns,
             partial_checksums=self.carry_checksum,
+            pixel_bins=self.pixel_bins if self.pixel_drift else None,
         )
         if self.carry_checksum:
             # the checked frame holds ONLY bad rows + per-batch checksum
@@ -325,12 +463,20 @@ class DecodeIntegrity(TableConstraint):
                 )
             )
             bad = checked.filter(~F.col("ok"))
+            pixel_src = checked
         else:
-            # persist only the FAILING rows (rare): the single Arrow
-            # decode stage runs once; verdicts and violations are
-            # filters over it
-            bad = checked.filter(~F.col("ok")).persist()
-            ctx.extras.setdefault("persisted", []).append(bad)
+            # persist only the FAILING rows (rare) — plus the pixel-
+            # histogram partials (batches × parts-sized) when pixel
+            # drift is on: the single Arrow decode stage runs once;
+            # verdicts, violations and pixel-stats frames are filters
+            # over the persisted bounded subset
+            keep = ~F.col("ok")
+            if self.pixel_drift:
+                keep = keep | F.col("phist").isNotNull()
+            kept = checked.filter(keep).persist()
+            ctx.extras.setdefault("persisted", []).append(kept)
+            bad = kept.filter(~F.col("ok"))
+            pixel_src = kept
 
         cname = F.when(F.col("snapshot") == "raw", F.lit("decode")).otherwise(
             F.concat(F.lit("decode."), F.col("snapshot"))
@@ -356,6 +502,47 @@ class DecodeIntegrity(TableConstraint):
                 F.lit("bad_images=0").alias("expected"),
             )
         )
+        if self.pixel_drift:
+            from bigdime_spark.operators.drift import PSI_FAIL
+            from bigdime_spark.schema import NOT_READY, PASS
+
+            d = pixel_drift(pixel_src, self.pixel_bins)
+            not_ready = (
+                (F.col("n") == 0) | (F.col("m") == 0) | F.col("ks_d").isNull()
+            )
+            # same two-family explode DriftCheck uses — one plan, both
+            # verdicts; parts with pixels on neither side are absent
+            # here and grid-fill PASS (DriftCheck's convention for
+            # all-null drift columns)
+            ks_struct = F.struct(
+                F.lit("drift_ks.pixels").alias("constraint"),
+                F.when(not_ready, F.lit(NOT_READY))
+                .when(F.col("ks_d") <= F.col("ks_threshold"), F.lit(PASS))
+                .otherwise(F.lit(FAIL))
+                .alias("verdict"),
+                F.concat(
+                    F.lit("D="), F.round("ks_d", 6).cast("string")
+                ).alias("observed"),
+                F.concat(
+                    F.lit("D<="), F.round("ks_threshold", 6).cast("string")
+                ).alias("expected"),
+            )
+            psi_struct = F.struct(
+                F.lit("drift_psi.pixels").alias("constraint"),
+                F.when(not_ready, F.lit(NOT_READY))
+                .when(F.col("psi") < PSI_FAIL, F.lit(PASS))
+                .otherwise(F.lit(FAIL))
+                .alias("verdict"),
+                F.concat(
+                    F.lit("psi="), F.round("psi", 6).cast("string")
+                ).alias("observed"),
+                F.lit(f"psi<{PSI_FAIL}").alias("expected"),
+            )
+            pixel_verdicts = d.select(
+                "part", F.explode(F.array(ks_struct, psi_struct)).alias("v")
+            ).select("part", "v.constraint", "v.verdict", "v.observed", "v.expected")
+            failed_parts = failed_parts.unionByName(pixel_verdicts)
+
         # partial frame: suite grid join fills the PASS rows (pass 6)
         return failed_parts, violations
 
@@ -364,4 +551,7 @@ class DecodeIntegrity(TableConstraint):
         return True
 
     def verdict_names(self) -> list[str]:
-        return [_constraint_name(s) for s in self.snapshots]
+        names = [_constraint_name(s) for s in self.snapshots]
+        if self.pixel_drift:
+            names += ["drift_ks.pixels", "drift_psi.pixels"]
+        return names

@@ -86,11 +86,11 @@ _BOOL_FIELDS = (
     "check_referential", "check_caption", "check_content", "check_drift",
     "check_domains", "check_phash_dedup", "check_profile_outliers",
     "check_bit_balance", "check_decode", "check_payload_conformance",
-    "keyed_assume_clustered",
+    "keyed_assume_clustered", "decode_pixel_drift",
 )
 _INT_FIELDS = (
     "referential_bloom_bits", "referential_bloom_k", "phash_k",
-    "decode_seed", "topk_violations",
+    "decode_seed", "topk_violations", "decode_pixel_bins",
 )
 _FLOAT_FIELDS = ("outlier_threshold", "decode_sample_rate", "zone_max_overlap")
 _STR_FIELDS = ("referential_mode", "bit_balance_col", "unique_key", "ref_key")
@@ -350,6 +350,16 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
         0.0 < kwargs["decode_sample_rate"] <= 1.0
     ):
         raise _fail("decode_sample_rate", "must be in (0, 1]")
+    if "decode_pixel_bins" in kwargs and (
+        kwargs["decode_pixel_bins"] <= 0 or 256 % kwargs["decode_pixel_bins"]
+    ):
+        raise _fail("decode_pixel_bins", "must be a positive divisor of 256")
+    if kwargs.get("decode_pixel_drift") and not kwargs.get("check_decode"):
+        raise _fail(
+            "decode_pixel_drift",
+            "requires check_decode: true (the pixel histograms ride "
+            "the decode pass)",
+        )
 
     if extras:
         kwargs["extra_agg_constraints"] = extras

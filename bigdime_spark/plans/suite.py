@@ -190,6 +190,17 @@ class ValidationSuite:
     #: curated-side payload corruption, so both run by default when a
     #: curated snapshot is supplied.
     decode_snapshots: tuple[str, ...] = ("raw", "curated")
+    #: image-SPACE drift riding the decode pass (operators/decode.
+    #: pixel_drift): pooled channel-value histograms of the DECODED
+    #: pixels per (snapshot, part), scored raw-vs-curated through
+    #: drift_from_stats — verdict families drift_ks.pixels /
+    #: drift_psi.pixels. Catches a curated re-encode that shifts the
+    #: pixel distribution and re-stamps phash (decode integrity,
+    #: checksum and caption equality all pass). Requires check_decode
+    #: and a curated snapshot; adds zero scans (the fold rides the
+    #: decode Arrow stage).
+    decode_pixel_drift: bool = False
+    decode_pixel_bins: int = 32
     unique_key: str = "image_id"
     ref_key: str = "image_id"
     #: True when raw/curated are BUCKETED tables on the keyed-pass key
@@ -414,6 +425,11 @@ class ValidationSuite:
         decode_tc = None
         decode_found = None
         decode_viol = None
+        if self.decode_pixel_drift and not self.check_decode:
+            raise ValueError(
+                "decode_pixel_drift requires check_decode=True — the "
+                "pixel histograms ride the decode pass"
+            )
         if decode_snaps:
             decode_tc = DecodeIntegrity(
                 seed=self.decode_seed,
@@ -423,6 +439,8 @@ class ValidationSuite:
                 # Checksum constraint (and its manifest) uses
                 checksum_columns=heavy[0].columns if ride else None,
                 sample_rate=self.decode_sample_rate,
+                pixel_drift=self.decode_pixel_drift,
+                pixel_bins=self.decode_pixel_bins,
             )
         if ride:
             decode_found, decode_viol = decode_tc.run(ctx)
