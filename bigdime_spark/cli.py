@@ -86,6 +86,27 @@ def _build_parser() -> argparse.ArgumentParser:
         "(requires --decode and --curated; zero extra scans)",
     )
     r.add_argument(
+        "--quality-min-std",
+        type=float,
+        default=None,
+        help="image-quality gate riding the decode pass: flag images "
+        "whose pixel std is below this (flat/constant images); a part "
+        "FAILs image_quality when flagged count > --quality-max-flagged",
+    )
+    r.add_argument(
+        "--quality-mean-range",
+        default=None,
+        help="LO~HI pixel-mean bounds for the image-quality gate "
+        "(dark/bright detection); requires --decode",
+    )
+    r.add_argument(
+        "--quality-max-flagged",
+        type=int,
+        default=0,
+        help="flagged images a part may hold before image_quality "
+        "FAILs (default 0)",
+    )
+    r.add_argument(
         "--phash-dedup",
         action="store_true",
         help="enable the perceptual-hash near-duplicate constraint "
@@ -1431,6 +1452,9 @@ def main(argv: list[str] | None = None) -> int:
             ("--decode-seed", args.decode_seed is not None),
             ("--decode-sample", args.decode_sample != 1.0),
             ("--pixel-drift", args.pixel_drift),
+            ("--quality-min-std", args.quality_min_std is not None),
+            ("--quality-mean-range", args.quality_mean_range is not None),
+            ("--quality-max-flagged", args.quality_max_flagged != 0),
             ("--phash-dedup", args.phash_dedup),
             ("--phash-k", args.phash_k != 2),
             ("--profile-outliers", args.profile_outliers),
@@ -1502,6 +1526,23 @@ def main(argv: list[str] | None = None) -> int:
                 "--pixel-drift requires --curated (it compares raw vs "
                 "curated pixel distributions)"
             )
+        q_mean_lo = q_mean_hi = None
+        if args.quality_mean_range is not None:
+            sides = args.quality_mean_range.split("~")
+            if len(sides) != 2:
+                raise ValueError(
+                    f"--quality-mean-range: expected LO~HI, got "
+                    f"{args.quality_mean_range!r}"
+                )
+            q_mean_lo, q_mean_hi = float(sides[0]), float(sides[1])
+        if (
+            args.quality_min_std is not None
+            or args.quality_mean_range is not None
+        ) and not args.decode:
+            raise ValueError(
+                "--quality-min-std/--quality-mean-range require --decode "
+                "(the image-quality gate rides the decode pass)"
+            )
         if args.seq_continuity:
             from bigdime_spark.operators.completeness import SequenceContinuity
 
@@ -1532,6 +1573,10 @@ def main(argv: list[str] | None = None) -> int:
         decode_seed=args.decode_seed,
         decode_sample_rate=args.decode_sample,
         decode_pixel_drift=args.pixel_drift,
+        decode_quality_min_std=args.quality_min_std,
+        decode_quality_mean_lo=q_mean_lo,
+        decode_quality_mean_hi=q_mean_hi,
+        decode_quality_max_flagged=args.quality_max_flagged,
         topk_violations=args.topk_violations,
         check_phash_dedup=args.phash_dedup,
         phash_k=args.phash_k,

@@ -67,22 +67,50 @@ RESULT_SCHEMA = pa.schema(
         # (snapshot, part) — nbins+2 long, width_bucket layout over
         # [0, 256) so the persisted-stats drift machinery scores it
         pa.field("phist", pa.list_(pa.int64())),
+        # image-quality flag (NULL = fine): semicolon-joined reasons a
+        # DECODABLE image fails the curation gate — flat(std<t) /
+        # dark(mean<lo) / bright(mean>hi). Orthogonal to `ok`: a flagged
+        # image decoded correctly; it is just bad training data.
+        pa.field("quality", pa.string()),
     ]
 )
 RESULT_DDL = (
     "snapshot string, part string, image_id string, ok boolean, "
     "psnr double, reason string, rowhash long, psum string, "
-    "phist array<long>"
+    "phist array<long>, quality string"
 )
 
 from bigdime_spark.functions.hashes import U64_MASK as _MASK
 from bigdime_spark.functions.hashes import to_signed64 as _to_signed
 
 
-def _check_row(image_id, payload, w, h, fmt, stored_phash, seed, hist_acc=None):
+def _quality_flags(pixels, quality):
+    """Curation-gate flags for a DECODED image: (min_std, mean_lo,
+    mean_hi) → 'flat(...)'/'dark(...)'/'bright(...)' joined with ';',
+    or None when the image is fine. mean/std over all pooled channel
+    values — per-image, so invariant under any partition layout."""
+    min_std, mean_lo, mean_hi = quality
+    flags = []
+    m = float(pixels.mean())
+    if min_std is not None:
+        s = float(pixels.std())
+        if s < min_std:
+            flags.append(f"flat(std={s:.2f}<{min_std:g})")
+    if mean_lo is not None and m < mean_lo:
+        flags.append(f"dark(mean={m:.2f}<{mean_lo:g})")
+    if mean_hi is not None and m > mean_hi:
+        flags.append(f"bright(mean={m:.2f}>{mean_hi:g})")
+    return ";".join(flags) or None
+
+
+def _check_row(
+    image_id, payload, w, h, fmt, stored_phash, seed, hist_acc=None, quality=None
+):
     """``hist_acc`` (optional np.int64[256]): pooled channel-value
     counts of every SUCCESSFULLY decoded image are added in place —
-    the pixel-drift fold rides the decode we are doing anyway."""
+    the pixel-drift fold rides the decode we are doing anyway.
+    ``quality`` (optional (min_std, mean_lo, mean_hi)): curation-gate
+    thresholds; the fourth returned element is the flag string."""
     from bigdime_spark.sources import synth
 
     if payload is None or w is None or h is None or fmt is None:
@@ -90,9 +118,10 @@ def _check_row(image_id, payload, w, h, fmt, stored_phash, seed, hist_acc=None):
     try:
         pixels = synth.decode(payload, fmt, int(w), int(h))
     except Exception as exc:  # undecodable → violation
-        return (False, None, f"decode_error: {exc}")
+        return (False, None, f"decode_error: {exc}", None)
     if hist_acc is not None:
         hist_acc += np.bincount(pixels.reshape(-1), minlength=256)
+    qual = _quality_flags(pixels, quality) if quality is not None else None
     lossy = fmt.startswith("rawq")
     if seed is not None:
         ref = synth.make_pixels(seed, image_id, int(w), int(h))
@@ -101,13 +130,19 @@ def _check_row(image_id, payload, w, h, fmt, stored_phash, seed, hist_acc=None):
             # array_equal replaces the float PSNR math (10x cheaper on
             # the common path; exact same verdict)
             ok = np.array_equal(ref, pixels)
-            return (ok, None, None if ok else "lossless pixels differ from reference")
+            return (
+                ok, None,
+                None if ok else "lossless pixels differ from reference", qual,
+            )
         p = synth.psnr(ref, pixels)
         ok = p >= PSNR_THRESHOLD_DB
-        return (ok, p, None if ok else f"psnr {p:.2f} dB < {PSNR_THRESHOLD_DB}")
+        return (ok, p, None if ok else f"psnr {p:.2f} dB < {PSNR_THRESHOLD_DB}", qual)
     actual_phash = synth.phash64(pixels)
     ok = stored_phash is not None and int(stored_phash) == actual_phash
-    return (ok, None, None if ok else f"phash {stored_phash} != recomputed {actual_phash}")
+    return (
+        ok, None,
+        None if ok else f"phash {stored_phash} != recomputed {actual_phash}", qual,
+    )
 
 
 def decode_check(
@@ -125,6 +160,7 @@ def decode_check_multi(
     hash_columns: list[str] | None = None,
     partial_checksums: bool = False,
     pixel_bins: int | None = None,
+    quality: tuple | None = None,
 ) -> DataFrame:
     """ALL snapshots through ONE Arrow pass: the inputs union with a
     `snapshot` tag column, so however many snapshots are validated,
@@ -168,7 +204,15 @@ def decode_check_multi(
     byte-identical at any Arrow batch size or parallelism. This is
     the image-SPACE drift feed: it rides the decode we are already
     paying for, adding zero scans and O(batches × parts-per-batch)
-    rows."""
+    rows.
+
+    ``quality``: optional (min_std, mean_lo, mean_hi) curation-gate
+    thresholds evaluated on every successfully decoded image; flagged
+    images get their flag string in the ``quality`` column and are
+    ALWAYS emitted (even in partial_checksums mode, where ok rows are
+    otherwise folded away) — flagged images are rare by intent, so the
+    output stays bounded. Orthogonal to ``ok``: a flat/dark/bright
+    image decoded fine; it is just bad training data."""
     if not frames:
         raise ValueError(
             "decode_check_multi needs at least one snapshot frame "
@@ -183,8 +227,8 @@ def decode_check_multi(
     def run_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             d = batch.to_pydict()
-            snaps, parts, ids, oks, psnrs, reasons, hashes, psums, phists = (
-                [], [], [], [], [], [], [], [], [],
+            snaps, parts, ids, oks, psnrs, reasons, hashes, psums, phists, quals = (
+                [], [], [], [], [], [], [], [], [], [],
             )
             partials: dict[tuple, list] = {}  # (snap, part) -> [xor, sum]
             pixhists: dict[tuple, np.ndarray] = {}  # (snap, part) -> int64[256]
@@ -201,14 +245,16 @@ def decode_check_multi(
                     if pixel_bins is not None
                     else None
                 )
-                res = _check_row(image_id, payload, w, h, fmt, ph, seed, hist_acc)
+                res = _check_row(
+                    image_id, payload, w, h, fmt, ph, seed, hist_acc, quality
+                )
                 if res is None:
                     if rh is None or partial_checksums:
                         continue  # skipped row; checksum (if any) folded above
-                    ok, p, reason = True, None, None
+                    ok, p, reason, qual = True, None, None, None
                 else:
-                    ok, p, reason = res
-                if partial_checksums and ok:
+                    ok, p, reason, qual = res
+                if partial_checksums and ok and qual is None:
                     continue  # ok rows live only in the partials
                 snaps.append(snap)
                 parts.append(part)
@@ -219,6 +265,7 @@ def decode_check_multi(
                 hashes.append(rh)
                 psums.append(None)
                 phists.append(None)
+                quals.append(qual)
             # None-safe key: the schema allows NULL part values, and
             # None is not orderable against str; output order is
             # irrelevant (commutative folds) but determinism is nice.
@@ -235,6 +282,7 @@ def decode_check_multi(
                 hashes.append(_to_signed(x))
                 psums.append(str(s))
                 phists.append(None)
+                quals.append(None)
             for (snap, part), counts in sorted(
                 pixhists.items(),
                 key=lambda kv: tuple("" if v is None else v for v in kv[0]),
@@ -252,6 +300,7 @@ def decode_check_multi(
                 # array is drift-machinery shaped (nbins+2 long)
                 binned = counts.reshape(pixel_bins, -1).sum(axis=1)
                 phists.append([0, *(int(v) for v in binned), 0])
+                quals.append(None)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(snaps, pa.string()),
@@ -263,6 +312,7 @@ def decode_check_multi(
                     pa.array(hashes, pa.int64()),
                     pa.array(psums, pa.string()),
                     pa.array(phists, pa.list_(pa.int64())),
+                    pa.array(quals, pa.string()),
                 ],
                 schema=RESULT_SCHEMA,
             )
@@ -360,10 +410,27 @@ class DecodeIntegrity(TableConstraint):
         sample_seed: str = "decode-sample",
         pixel_drift: bool = False,
         pixel_bins: int = 32,
+        quality_min_std: float | None = None,
+        quality_mean_lo: float | None = None,
+        quality_mean_hi: float | None = None,
+        quality_max_flagged: int = 0,
     ):
         if not 0.0 < sample_rate <= 1.0:
             raise ValueError(
                 f"decode sample_rate must be in (0, 1], got {sample_rate}"
+            )
+        if (
+            quality_mean_lo is not None
+            and quality_mean_hi is not None
+            and quality_mean_lo > quality_mean_hi
+        ):
+            raise ValueError(
+                f"quality mean range is inverted: lo={quality_mean_lo} > "
+                f"hi={quality_mean_hi}"
+            )
+        if quality_max_flagged < 0:
+            raise ValueError(
+                f"quality_max_flagged must be >= 0, got {quality_max_flagged}"
             )
         if pixel_drift and "curated" not in snapshots:
             raise ValueError(
@@ -415,6 +482,26 @@ class DecodeIntegrity(TableConstraint):
         #: matches on the drift_ prefix). Requires a curated snapshot.
         self.pixel_drift = bool(pixel_drift)
         self.pixel_bins = int(pixel_bins)
+        #: image-quality curation gate (C49): flat/dark/bright images
+        #: flagged per the thresholds; a part FAILs image_quality when
+        #: its flagged count exceeds quality_max_flagged (default 0 —
+        #: any flagged image fails its part). Orthogonal to decode
+        #: integrity: a flat image decodes fine, it is just bad
+        #: training data the curation pipeline must not ship.
+        self.quality_min_std = quality_min_std
+        self.quality_mean_lo = quality_mean_lo
+        self.quality_mean_hi = quality_mean_hi
+        self.quality_max_flagged = int(quality_max_flagged)
+
+    @property
+    def _quality_spec(self) -> tuple | None:
+        if (
+            self.quality_min_std is None
+            and self.quality_mean_lo is None
+            and self.quality_mean_hi is None
+        ):
+            return None
+        return (self.quality_min_std, self.quality_mean_lo, self.quality_mean_hi)
 
     def run(self, ctx: SuiteContext) -> tuple[DataFrame, DataFrame]:
         frames = {
@@ -444,6 +531,7 @@ class DecodeIntegrity(TableConstraint):
             hash_columns=self.checksum_columns,
             partial_checksums=self.carry_checksum,
             pixel_bins=self.pixel_bins if self.pixel_drift else None,
+            quality=self._quality_spec,
         )
         if self.carry_checksum:
             # the checked frame holds ONLY bad rows + per-batch checksum
@@ -473,6 +561,8 @@ class DecodeIntegrity(TableConstraint):
             keep = ~F.col("ok")
             if self.pixel_drift:
                 keep = keep | F.col("phist").isNotNull()
+            if self._quality_spec is not None:
+                keep = keep | F.col("quality").isNotNull()
             kept = checked.filter(keep).persist()
             ctx.extras.setdefault("persisted", []).append(kept)
             bad = kept.filter(~F.col("ok"))
@@ -502,6 +592,48 @@ class DecodeIntegrity(TableConstraint):
                 F.lit("bad_images=0").alias("expected"),
             )
         )
+        if self._quality_spec is not None:
+            from bigdime_spark.schema import PASS
+
+            flagged = pixel_src.filter(F.col("quality").isNotNull())
+            qname = F.when(
+                F.col("snapshot") == "raw", F.lit("image_quality")
+            ).otherwise(F.concat(F.lit("image_quality."), F.col("snapshot")))
+            violations = violations.unionByName(
+                flagged.select(
+                    qname.alias("constraint"),
+                    F.col("part").cast("string").alias("part"),
+                    F.col("image_id").cast("string").alias("image_id"),
+                    F.lit("bytes").alias("column"),
+                    F.col("quality").cast("string").alias("detail"),
+                    F.col("snapshot"),
+                )
+            )
+            q_parts = (
+                flagged.groupBy("snapshot", "part")
+                .agg(F.count(F.lit(1)).alias("flagged"))
+                .select(
+                    "part",
+                    F.when(
+                        F.col("snapshot") == "raw", F.lit("image_quality")
+                    )
+                    .otherwise(
+                        F.concat(F.lit("image_quality."), F.col("snapshot"))
+                    )
+                    .alias("constraint"),
+                    F.when(
+                        F.col("flagged") > self.quality_max_flagged, F.lit(FAIL)
+                    )
+                    .otherwise(F.lit(PASS))
+                    .alias("verdict"),
+                    F.concat(
+                        F.lit("flagged="), F.col("flagged").cast("string")
+                    ).alias("observed"),
+                    F.lit(f"flagged<={self.quality_max_flagged}").alias("expected"),
+                )
+            )
+            failed_parts = failed_parts.unionByName(q_parts)
+
         if self.pixel_drift:
             from bigdime_spark.operators.drift import PSI_FAIL
             from bigdime_spark.schema import NOT_READY, PASS
@@ -552,6 +684,11 @@ class DecodeIntegrity(TableConstraint):
 
     def verdict_names(self) -> list[str]:
         names = [_constraint_name(s) for s in self.snapshots]
+        if self._quality_spec is not None:
+            names += [
+                "image_quality" if s == "raw" else f"image_quality.{s}"
+                for s in self.snapshots
+            ]
         if self.pixel_drift:
             names += ["drift_ks.pixels", "drift_psi.pixels"]
         return names

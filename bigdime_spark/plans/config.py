@@ -91,8 +91,13 @@ _BOOL_FIELDS = (
 _INT_FIELDS = (
     "referential_bloom_bits", "referential_bloom_k", "phash_k",
     "decode_seed", "topk_violations", "decode_pixel_bins",
+    "decode_quality_max_flagged",
 )
-_FLOAT_FIELDS = ("outlier_threshold", "decode_sample_rate", "zone_max_overlap")
+_FLOAT_FIELDS = (
+    "outlier_threshold", "decode_sample_rate", "zone_max_overlap",
+    "decode_quality_min_std", "decode_quality_mean_lo",
+    "decode_quality_mean_hi",
+)
 _STR_FIELDS = ("referential_mode", "bit_balance_col", "unique_key", "ref_key")
 #: list-of-string fields (JSON array → tuple)
 _STRLIST_FIELDS = (
@@ -359,6 +364,19 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             "decode_pixel_drift",
             "requires check_decode: true (the pixel histograms ride "
             "the decode pass)",
+        )
+    if any(
+        kwargs.get(k) is not None
+        for k in (
+            "decode_quality_min_std",
+            "decode_quality_mean_lo",
+            "decode_quality_mean_hi",
+        )
+    ) and not kwargs.get("check_decode"):
+        raise _fail(
+            "decode_quality_min_std",
+            "quality thresholds require check_decode: true (the "
+            "image-quality gate rides the decode pass)",
         )
 
     if extras:

@@ -201,6 +201,16 @@ class ValidationSuite:
     #: decode Arrow stage).
     decode_pixel_drift: bool = False
     decode_pixel_bins: int = 32
+    #: image-quality curation gate riding the decode pass (C49): flag
+    #: decodable-but-degenerate images — flat (pixel std below
+    #: quality_min_std), dark/bright (pixel mean outside
+    #: [quality_mean_lo, quality_mean_hi]) — as image_quality[.snap]
+    #: verdicts + per-image violations; a part FAILs when its flagged
+    #: count exceeds decode_quality_max_flagged. All None = gate off.
+    decode_quality_min_std: float | None = None
+    decode_quality_mean_lo: float | None = None
+    decode_quality_mean_hi: float | None = None
+    decode_quality_max_flagged: int = 0
     unique_key: str = "image_id"
     ref_key: str = "image_id"
     #: True when raw/curated are BUCKETED tables on the keyed-pass key
@@ -430,6 +440,16 @@ class ValidationSuite:
                 "decode_pixel_drift requires check_decode=True — the "
                 "pixel histograms ride the decode pass"
             )
+        quality_on = (
+            self.decode_quality_min_std is not None
+            or self.decode_quality_mean_lo is not None
+            or self.decode_quality_mean_hi is not None
+        )
+        if quality_on and not self.check_decode:
+            raise ValueError(
+                "decode_quality_* thresholds require check_decode=True — "
+                "the image-quality gate rides the decode pass"
+            )
         if decode_snaps:
             decode_tc = DecodeIntegrity(
                 seed=self.decode_seed,
@@ -441,6 +461,10 @@ class ValidationSuite:
                 sample_rate=self.decode_sample_rate,
                 pixel_drift=self.decode_pixel_drift,
                 pixel_bins=self.decode_pixel_bins,
+                quality_min_std=self.decode_quality_min_std,
+                quality_mean_lo=self.decode_quality_mean_lo,
+                quality_mean_hi=self.decode_quality_mean_hi,
+                quality_max_flagged=self.decode_quality_max_flagged,
             )
         if ride:
             decode_found, decode_viol = decode_tc.run(ctx)
