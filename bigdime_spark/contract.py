@@ -3200,6 +3200,62 @@ def q_shard_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEIGHTED_SEED = "r5w"
+_WEIGHTED_RATE = 0.5
+
+
+def q_sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50: deterministic WEIGHTED sample — per-row keep probability =
+    clamp(weight) × rate, the quality-weighted soft filter a curation
+    pipeline runs after scoring (DCLM/FineWeb-style). Weight here is
+    n_chars/1500 (clamps engage above 1500 chars) with NULLs injected
+    on doc_id % 97 so the exclude-undefined convention is itself under
+    oracle test. Same scan-local md5 predicate as C23a — zero shuffles;
+    the oracle replays the hash, the clamp and the per-row threshold
+    digit-by-digit (wgt × 0.5 × 2^40 multiplies by powers of two only,
+    so the threshold is exact given the shared n_chars/1500.0 double)."""
+    from bigdime_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = d.withColumn(
+        "wgt",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("n_chars") / F.lit(1500.0)
+        ),
+    )
+    out = weighted_sample(
+        d, "doc_id", "wgt", _WEIGHTED_SEED, rate=_WEIGHTED_RATE, keep_hash=True
+    )
+    return out.select(
+        "doc_id",
+        F.col("_sample_h").alias("sample_h"),
+        F.col("_sample_thr").alias("thr"),
+    )
+
+
+def _weighted_sql() -> str:
+    from bigdime_spark.operators.sampling import SAMPLE_SPACE
+
+    thr = (
+        f"CAST(floor(least(greatest(n_chars / 1500.0, 0.0), 1.0) "
+        f"* {_WEIGHTED_RATE} * {SAMPLE_SPACE}) AS BIGINT)"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN NULL ELSE {thr} END AS thr,
+         substr(md5(concat_ws(':', doc_id::VARCHAR, '{_WEIGHTED_SEED}')), 1, 10) AS h
+  FROM documents
+)
+SELECT doc_id, ({_DIGITS}) AS sample_h, thr
+FROM w
+WHERE ({_DIGITS}) < thr
+"""
+
+
+SQL_SAMPLE_WEIGHTED = _weighted_sql()
+
+
 def _mix_values_sql() -> str:
     from bigdime_spark.operators.sampling import normalized_weights
 
@@ -3836,6 +3892,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_sample_stratified_documents, SQL_SAMPLE_STRATIFIED
     ),
     "shard_pack_documents": QuerySpec(q_shard_pack_documents, SQL_SHARD_PACK),
+    "sample_weighted_documents": QuerySpec(
+        q_sample_weighted_documents, SQL_SAMPLE_WEIGHTED
+    ),
     # completeness / structural integrity (C40–C41, B30)
     "null_pattern_events": QuerySpec(q_null_pattern_events, SQL_NULL_PATTERN),
     "sequence_continuity_orders": QuerySpec(

@@ -81,6 +81,52 @@ def uniform_sample(
     return out if keep_hash else out.drop("_sample_h")
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    seed: str,
+    rate: float = 1.0,
+    keep_hash: bool = False,
+) -> DataFrame:
+    """Deterministic WEIGHTED sample: each row's keep probability is
+    ``clamp(weight, 0, 1) * rate`` — the quality-weighted selection a
+    curation pipeline runs after scoring (sample high-quality
+    documents at a higher rate instead of gating on a hard threshold;
+    DCLM/FineWeb-style soft filtering). Selection is the same pure
+    md5-hash predicate as :func:`uniform_sample` — keep iff
+    ``hash(key, seed) < floor(clamp(weight) * rate * 2^40)`` — so the
+    subset is identical on re-run, resume, or any repartitioning, and
+    the whole decision is scan-local: zero shuffles at any scale.
+    With a constant weight of 1.0 this degrades to ``uniform_sample``
+    exactly (same hash, same threshold arithmetic).
+
+    NULL and NaN weights EXCLUDE the row (an undefined preference is
+    never silently kept — the caller's scorer abstained, so must the
+    sampler); weights outside [0, 1] are clamped, so a raw score
+    column can be passed without pre-normalization.
+
+    ``keep_hash=True`` retains ``_sample_h`` (the 40-bit hash) and
+    ``_sample_thr`` (the per-row integer threshold) for auditability —
+    the contract oracle replays both digit-by-digit.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sampling rate must be in [0, 1], got {rate}")
+    w = F.col(weight_col).cast("double")
+    # NaN ranks above every double in both Spark and DuckDB orderings,
+    # so least(greatest(NaN, 0), 1) would silently become 1.0 — map it
+    # to NULL first (excluded), never a max-rate keep
+    w = F.when(F.isnan(w), F.lit(None).cast("double")).otherwise(w)
+    clamped = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    thr = F.floor(clamped * F.lit(float(rate)) * F.lit(SAMPLE_SPACE)).cast("long")
+    out = (
+        df.withColumn("_sample_h", sample_hash(F.col(key), seed))
+        .withColumn("_sample_thr", thr)
+        .filter(F.col("_sample_h") < F.col("_sample_thr"))
+    )
+    return out if keep_hash else out.drop("_sample_h", "_sample_thr")
+
+
 def normalized_weights(weights: Mapping[str, float]) -> dict[str, float]:
     """Normalize mixture weights to proportions summing to 1."""
     if not weights:

@@ -207,3 +207,85 @@ def test_sample_hash_range(docs):
         F.max(sample_hash(F.col("doc_id"), "s")).alias("hi"),
     ).collect()[0]
     assert 0 <= row["lo"] <= row["hi"] < SAMPLE_SPACE
+
+
+# ---------------------------------------------------------------- weighted
+
+def _wdocs(docs):
+    """Weight column spanning the clamp range plus NULL and NaN rows:
+    doc_id 0-99 → 0.0..~2.0 ramp (clamp engages above 1.0), %101==0 →
+    NULL, %103==0 → NaN."""
+    return docs.withColumn(
+        "wgt",
+        F.when(F.col("doc_id") % 101 == 0, F.lit(None).cast("double"))
+        .when(F.col("doc_id") % 103 == 0, F.lit(float("nan")))
+        .otherwise(F.col("doc_id") / F.lit(300.0)),
+    )
+
+
+def test_weighted_sample_determinism_and_repartition(docs):
+    from bigdime_spark.operators.sampling import weighted_sample
+
+    wd = _wdocs(docs)
+    a = {r["doc_id"] for r in weighted_sample(wd, "doc_id", "wgt", "w1").collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(wd.repartition(13), "doc_id", "wgt", "w1").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_weighted_sample_excludes_null_and_nan(docs):
+    from bigdime_spark.operators.sampling import weighted_sample
+
+    wd = _wdocs(docs)
+    kept = {r["doc_id"] for r in weighted_sample(wd, "doc_id", "wgt", "w2").collect()}
+    assert not any(i % 101 == 0 or i % 103 == 0 for i in kept)
+    # zero weight is a real (never-kept) preference, not an exclusion bug
+    assert 0 not in kept
+
+
+def test_weighted_sample_probability_monotone(docs):
+    """Clamped weight 1.0 keeps everything at rate 1.0; the kept set at
+    rate r is a SUBSET of the kept set at any higher rate (thresholds
+    scale monotonically against the same hash)."""
+    from bigdime_spark.operators.sampling import weighted_sample
+
+    wd = _wdocs(docs)
+    full = weighted_sample(
+        wd.filter(F.col("doc_id") >= 300), "doc_id", "wgt", "w3"
+    )  # weights >= 1.0 → clamp → keep-all at rate 1
+    eligible = wd.filter(
+        (F.col("doc_id") >= 300)
+        & (F.col("doc_id") % 101 != 0)
+        & (F.col("doc_id") % 103 != 0)
+    ).count()
+    assert full.count() == eligible
+    lo = {r["doc_id"] for r in weighted_sample(wd, "doc_id", "wgt", "w4", rate=0.2).collect()}
+    hi = {r["doc_id"] for r in weighted_sample(wd, "doc_id", "wgt", "w4", rate=0.8).collect()}
+    assert lo <= hi
+
+
+def test_weighted_sample_degrades_to_uniform(docs):
+    """Constant weight 1.0 at rate r == uniform_sample(r): same hash,
+    same integer threshold arithmetic."""
+    from bigdime_spark.operators.sampling import weighted_sample
+
+    wd = docs.withColumn("wgt", F.lit(1.0))
+    w = {r["doc_id"] for r in weighted_sample(wd, "doc_id", "wgt", "s9", rate=0.4).collect()}
+    u = {r["doc_id"] for r in uniform_sample(docs, "doc_id", 0.4, "s9").collect()}
+    assert w == u
+
+
+def test_weighted_sample_is_scan_local(docs):
+    from bigdime_spark.operators.sampling import weighted_sample
+
+    plan = weighted_sample(_wdocs(docs), "doc_id", "wgt", "w5")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_rate_validation(docs):
+    from bigdime_spark.operators.sampling import weighted_sample
+
+    with pytest.raises(ValueError, match="rate"):
+        weighted_sample(_wdocs(docs), "doc_id", "wgt", "w6", rate=1.5)
