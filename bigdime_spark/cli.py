@@ -549,6 +549,14 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument("--target-rows", type=int, default=None)
     cu.add_argument("--sample-rate", type=float, default=None)
+    cu.add_argument(
+        "--quality-weighted-rate",
+        type=float,
+        default=None,
+        help="quality-weighted sampling: per-row keep probability = "
+        "quality_score(text) * RATE (soft filter; mutually exclusive "
+        "with --mix and --sample-rate)",
+    )
     cu.add_argument("--seed", default="curate")
     cu.add_argument("--shard-budget", type=int, default=None)
     cu.add_argument("--master", default=None)
@@ -1105,6 +1113,7 @@ def main(argv: list[str] | None = None) -> int:
                 mix_weights=mix,
                 target_rows=args.target_rows,
                 sample_rate=args.sample_rate,
+                quality_weighted_rate=args.quality_weighted_rate,
                 seed=args.seed,
                 shard_budget=args.shard_budget,
             )

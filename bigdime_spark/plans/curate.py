@@ -75,18 +75,30 @@ class CurateConfig:
     max_hot_fraction: float | None = None
     hot_gram_n: int = 8
     hot_gram_min_docs: int = 2
-    # stage 4: sampling (mix and rate are mutually exclusive)
+    # stage 4: sampling — exactly one mode: domain mixture, uniform
+    # rate, or quality-weighted rate (per-row keep probability =
+    # quality_score(text) × rate — the C50 soft filter using the C12
+    # score; scan-local, no stored state)
     mix_weights: dict[str, float] | None = None
     target_rows: int | None = None
     sample_rate: float | None = None
+    quality_weighted_rate: float | None = None
     seed: str = "curate"
     # stage 5: shard packing
     shard_budget: int | None = None
     shard_buckets: int = 64
 
     def __post_init__(self) -> None:
-        if self.mix_weights is not None and self.sample_rate is not None:
-            raise ValueError("mix_weights and sample_rate are mutually exclusive")
+        modes = [
+            m
+            for m in (self.mix_weights, self.sample_rate, self.quality_weighted_rate)
+            if m is not None
+        ]
+        if len(modes) > 1:
+            raise ValueError(
+                "mix_weights, sample_rate and quality_weighted_rate are "
+                "mutually exclusive"
+            )
         if self.mix_weights is not None and self.target_rows is None:
             raise ValueError("mix_weights requires target_rows")
 
@@ -208,6 +220,25 @@ def curate(df: DataFrame, cfg: CurateConfig) -> CurateResult:
     elif cfg.sample_rate is not None:
         cur = _advance(
             uniform_sample(cur, cfg.id_col, cfg.sample_rate, cfg.seed),
+            "after_sample",
+        )
+    elif cfg.quality_weighted_rate is not None:
+        from bigdime_spark.functions.text import quality_metrics
+        from bigdime_spark.operators.sampling import weighted_sample
+
+        # per-row keep probability = quality_score × rate: higher-
+        # quality docs survive at a higher rate instead of a hard
+        # score gate. The score is a row-local Column — the decision
+        # stays one scan-local predicate, zero shuffles.
+        wgt = quality_metrics(F.col(cfg.text_col))["quality_score"]
+        cur = _advance(
+            weighted_sample(
+                cur.withColumn("_q_wgt", wgt),
+                cfg.id_col,
+                "_q_wgt",
+                cfg.seed,
+                rate=cfg.quality_weighted_rate,
+            ).drop("_q_wgt"),
             "after_sample",
         )
 

@@ -202,3 +202,54 @@ def test_cli_curate_boilerplate_flag(spark, corpus, tmp_path_factory, capsys):
     assert summary["after_boilerplate"] == summary["input"] - 4
     written = spark.read.parquet(f"{base}/out/curated")
     assert written.filter(F.col("doc_id") == 130).count() == 0
+
+
+def test_quality_weighted_sampling_matches_predicate(corpus):
+    """The weighted stage keeps EXACTLY the rows whose sample hash
+    falls under floor(quality_score × rate × 2^40) — replayed here
+    row-by-row, no statistics."""
+    from bigdime_spark.functions.text import quality_metrics
+    from bigdime_spark.operators.sampling import SAMPLE_SPACE, sample_hash
+
+    rate = 0.9
+    res = curate(corpus, CurateConfig(quality_weighted_rate=rate))
+    kept = {r["doc_id"] for r in res.curated.select("doc_id").collect()}
+    res.release()
+    ref = corpus.select(
+        "doc_id",
+        sample_hash(F.col("doc_id"), "curate").alias("h"),
+        quality_metrics(F.col("text"))["quality_score"].alias("q"),
+    ).collect()
+    expected = {
+        r["doc_id"]
+        for r in ref
+        if r["h"] < int(min(max(r["q"], 0.0), 1.0) * rate * SAMPLE_SPACE)
+    }
+    assert kept == expected
+    assert 0 < len(kept) < 31  # the soft filter actually filtered
+
+
+def test_sampling_modes_mutually_exclusive():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CurateConfig(sample_rate=0.5, quality_weighted_rate=0.5)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CurateConfig(
+            mix_weights={"dom0": 1.0}, target_rows=10, quality_weighted_rate=0.5
+        )
+
+
+def test_cli_quality_weighted_flag(spark, corpus, tmp_path_factory, capsys):
+    d = tmp_path_factory.mktemp("curate_qw")
+    corpus.write.mode("overwrite").parquet(f"{d}/in")
+    rc = cli.main([
+        "curate", "--input", f"{d}/in", "--out", f"{d}/out",
+        "--quality-weighted-rate", "0.9",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["after_sample"] == out["output"] < out["input"]
+    rc = cli.main([
+        "curate", "--input", f"{d}/in", "--out", f"{d}/out2",
+        "--quality-weighted-rate", "0.9", "--sample-rate", "0.5",
+    ])
+    assert rc == 2
