@@ -508,6 +508,28 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     pl.add_argument("--master", default=None)
 
+    hi = sub.add_parser(
+        "history",
+        help="cross-run verdict history / flakiness profile over an "
+        "accumulated verdicts table (run_id-stamped rows from many "
+        "runs): stable/regressed/recovered/flaky per (part, "
+        "constraint); exit 1 when anything regressed or flaky",
+    )
+    hi.add_argument(
+        "--verdicts",
+        required=True,
+        help="dir/glob of run_id-stamped verdicts parquet (union of "
+        "many runs' <out>/verdicts)",
+    )
+    hi.add_argument(
+        "--max-rows",
+        type=int,
+        default=20,
+        help="worst rows printed (flaky first, then regressed; "
+        "counts are always exact)",
+    )
+    hi.add_argument("--master", default=None)
+
     cu = sub.add_parser(
         "curate",
         help="end-to-end corpus curation: row-local quality/lang/PII "
@@ -1082,6 +1104,60 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    if args.cmd == "history":
+        from pyspark.sql import functions as F
+
+        from bigdime_spark.plans.lineage import verdict_history
+
+        spark = get_spark("bigdime-history", master=args.master)
+        try:
+            hist = verdict_history(read_table(spark, args.verdicts)).persist()
+            counts = {
+                r["status"]: r["n"]
+                for r in hist.groupBy("status")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            # worst rows only — the full profile is parts × constraints
+            # and belongs in a table, not stdout
+            order = F.when(F.col("status") == "flaky", 0).when(
+                F.col("status") == "regressed", 1
+            )
+            worst = (
+                hist.filter(F.col("status").isin("flaky", "regressed"))
+                .orderBy(order, F.desc("n_transitions"), "part", "constraint")
+                .limit(args.max_rows)
+                .collect()
+            )
+            hist.unpersist()
+        except ValueError as e:
+            print(f"history: {e}", file=sys.stderr)
+            return 2
+        print(
+            json.dumps(
+                {
+                    "cmd": "history",
+                    "statuses": dict(sorted(counts.items())),
+                    "worst": [
+                        {
+                            "part": r["part"],
+                            "constraint": r["constraint"],
+                            "status": r["status"],
+                            "n_runs": r["n_runs"],
+                            "n_transitions": r["n_transitions"],
+                            "last_verdict": r["last_verdict"],
+                        }
+                        for r in worst
+                    ],
+                }
+            )
+        )
+        return (
+            1
+            if counts.get("flaky", 0) + counts.get("regressed", 0) > 0
+            else 0
+        )
+
     if args.cmd == "curate":
         from bigdime_spark.plans.curate import CurateConfig, curate
 
@@ -1624,7 +1700,13 @@ def main(argv: list[str] | None = None) -> int:
         # config file) — the operator-error contract, not a traceback
         print(f"run: {exc}", file=sys.stderr)
         return 2
-    write_table(res.verdicts, f"{args.out}/verdicts", partition_by=None)
+    # run_id-stamped so many runs' verdicts union into the exact shape
+    # `history` (plans/lineage.verdict_history) consumes
+    write_table(
+        res.verdicts.withColumn("run_id", F.lit(res.run_id)),
+        f"{args.out}/verdicts",
+        partition_by=None,
+    )
     write_table(res.violations, f"{args.out}/violations", partition_by=None)
     # the binary __hll sketch columns are persisted ON PURPOSE: they are
     # what makes `rollup` a metadata-sized aggregation instead of a

@@ -3200,6 +3200,87 @@ def q_shard_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared Spark/DuckDB CASE for the synthetic 4-run verdict pattern:
+#: pattern index p = ((first digit of the part) - 1) * 2 + cidx, mod 6
+#: — the six patterns exercise every history status exactly once per
+#: (part, constraint) combo (stable_pass / stable_fail / regressed /
+#: recovered / flaky / changed).
+_HIST_VERDICT_CASE = """
+CASE ((CAST(substr(part, 1, 1) AS INT) - 1) * 2 + cidx) % 6
+  WHEN 0 THEN 'PASS'
+  WHEN 1 THEN 'FAIL'
+  WHEN 2 THEN CASE WHEN i <= 2 THEN 'PASS' ELSE 'FAIL' END
+  WHEN 3 THEN CASE WHEN i = 1 THEN 'FAIL' ELSE 'PASS' END
+  WHEN 4 THEN CASE WHEN i % 2 = 1 THEN 'PASS' ELSE 'FAIL' END
+  ELSE CASE WHEN i <= 2 THEN 'NOT_READY' ELSE 'PASS' END
+END
+"""
+
+
+def q_verdict_history_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C51: cross-run verdict history / flakiness profile
+    (plans/lineage.verdict_history). Input synthesized from orders'
+    five priorities × two constraints × four runs with the shared
+    verdict CASE, so every status class (stable_pass/stable_fail/
+    regressed/recovered/flaky/changed) is under oracle test; the
+    window lag, transition count, arg-min/max first/last verdicts and
+    the classification CASE are all replayed in DuckDB."""
+    from bigdime_spark.plans.lineage import verdict_history
+
+    o = _t(spark, sf_dir, "orders")
+    prios = o.select(F.col("o_orderpriority").alias("part")).distinct()
+    cons = spark.createDataFrame(
+        [("record_count", 0), ("checksum", 1)], "constraint string, cidx int"
+    )
+    runs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "i int")
+    hist_in = (
+        prios.crossJoin(F.broadcast(cons))
+        .crossJoin(F.broadcast(runs))
+        .select(
+            F.concat(F.lit("r"), F.col("i").cast("string")).alias("run_id"),
+            "part",
+            "constraint",
+            F.expr(_HIST_VERDICT_CASE).alias("verdict"),
+        )
+    )
+    return verdict_history(hist_in)
+
+
+SQL_VERDICT_HISTORY = f"""
+WITH prios AS (SELECT DISTINCT o_orderpriority AS part FROM orders),
+cons(cons_name, cidx) AS (VALUES ('record_count', 0), ('checksum', 1)),
+runs(i) AS (VALUES (1), (2), (3), (4)),
+hist AS (
+  SELECT 'r' || CAST(i AS VARCHAR) AS run_id, part, cons_name, {_HIST_VERDICT_CASE} AS verdict
+  FROM prios, cons, runs
+),
+seq AS (
+  SELECT *, lag(verdict) OVER (PARTITION BY part, cons_name ORDER BY run_id) AS prev
+  FROM hist
+),
+agg AS (
+  SELECT part, cons_name,
+         count(*) AS n_runs,
+         count(*) FILTER (WHERE verdict = 'PASS') AS n_pass,
+         count(*) FILTER (WHERE verdict = 'FAIL') AS n_fail,
+         count(*) FILTER (WHERE prev IS NOT NULL AND verdict <> prev) AS n_transitions,
+         arg_min(verdict, run_id) AS first_verdict,
+         arg_max(verdict, run_id) AS last_verdict
+  FROM seq GROUP BY part, cons_name
+)
+SELECT part, cons_name AS "constraint", n_runs, n_pass, n_fail, n_transitions,
+       first_verdict, last_verdict,
+       CASE WHEN n_transitions >= 2 THEN 'flaky'
+            WHEN n_transitions = 1 AND last_verdict = 'FAIL' AND n_pass > 0 THEN 'regressed'
+            WHEN n_transitions = 1 AND last_verdict = 'PASS' AND n_fail > 0 THEN 'recovered'
+            WHEN n_transitions = 1 THEN 'changed'
+            WHEN last_verdict = 'PASS' THEN 'stable_pass'
+            WHEN last_verdict = 'FAIL' THEN 'stable_fail'
+            ELSE 'stable_other' END AS status
+FROM agg
+"""
+
+
 _WEIGHTED_SEED = "r5w"
 _WEIGHTED_RATE = 0.5
 
@@ -3894,6 +3975,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "shard_pack_documents": QuerySpec(q_shard_pack_documents, SQL_SHARD_PACK),
     "sample_weighted_documents": QuerySpec(
         q_sample_weighted_documents, SQL_SAMPLE_WEIGHTED
+    ),
+    "verdict_history_orders": QuerySpec(
+        q_verdict_history_orders, SQL_VERDICT_HISTORY
     ),
     # completeness / structural integrity (C40–C41, B30)
     "null_pattern_events": QuerySpec(q_null_pattern_events, SQL_NULL_PATTERN),

@@ -219,3 +219,96 @@ def duplicate_parts(
         .filter(F.col("n_parts") >= 2)
         .select("n_parts", "parts_csv", *cols)
     )
+
+
+def verdict_history(verdicts: DataFrame) -> DataFrame:
+    """Cross-run VERDICT history / flakiness profile over an
+    accumulated verdicts table (one row per (run_id, part,
+    constraint); the CLI stamps ``run_id`` on every written verdicts
+    frame so runs concatenate into exactly this shape).
+
+    → one row per (part, constraint): ``(part, constraint, n_runs,
+    n_pass, n_fail, n_transitions, first_verdict, last_verdict,
+    status)`` with status ∈
+
+    - ``stable_pass`` / ``stable_fail`` / ``stable_other`` — the same
+      verdict every run (other = NOT_READY/SKIPPED_CONFIG histories);
+    - ``regressed`` — exactly one change, now FAIL (page someone);
+    - ``recovered`` — exactly one change, now PASS (close the ticket);
+    - ``changed`` — exactly one change, now neither (e.g. a check that
+      went NOT_READY → PASS when its config landed);
+    - ``flaky`` — two or more changes: the check flip-flops, which is
+      an INFRASTRUCTURE signal (nondeterministic input, racing
+      producer, marginal threshold) no single run can show.
+
+    Run order is the lexicographic order of ``run_id`` — use sortable
+    ids (timestamps, zero-padded counters). Duplicate (run_id, part,
+    constraint) rows are refused loudly: transitions would depend on
+    an arbitrary tie-break.
+
+    Scale: the input is runs × parts × constraints — metadata-sized at
+    any corpus size. One window pass (partitioned by (part,
+    constraint) — never a single global partition) feeds one hash-agg
+    on the same keys, so the whole profile is one key-sized shuffle.
+    """
+    from bigdime_spark.schema import FAIL as V_FAIL
+    from bigdime_spark.schema import PASS as V_PASS
+
+    required = ("run_id", "part", "constraint", "verdict")
+    missing = [c for c in required if c not in verdicts.columns]
+    if missing:
+        raise ValueError(
+            f"verdict_history: frame has no columns {missing} — pass "
+            "an accumulated verdicts table (the CLI stamps run_id on "
+            "every run's verdicts)"
+        )
+    guard = verdicts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(
+            F.struct("run_id", "part", "constraint")
+        ).alias("d"),
+    ).first()
+    if guard["n"] != guard["d"]:
+        raise ValueError(
+            f"verdict_history: {guard['n']} rows over {guard['d']} "
+            "distinct (run_id, part, constraint) keys — duplicate "
+            "verdicts per run make transition counts order-ambiguous; "
+            "filter to one row per key first"
+        )
+    w = Window.partitionBy("part", "constraint").orderBy("run_id")
+    seq = verdicts.select("run_id", "part", "constraint", "verdict").withColumn(
+        "_prev", F.lag("verdict").over(w)
+    )
+    hist = seq.groupBy("part", "constraint").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.count_if(F.col("verdict") == V_PASS).alias("n_pass"),
+        F.count_if(F.col("verdict") == V_FAIL).alias("n_fail"),
+        F.count_if(
+            F.col("_prev").isNotNull() & (F.col("verdict") != F.col("_prev"))
+        ).alias("n_transitions"),
+        F.min_by("verdict", "run_id").alias("first_verdict"),
+        F.max_by("verdict", "run_id").alias("last_verdict"),
+    )
+    # regressed/recovered demand the complementary verdict actually
+    # occurred: NOT_READY → PASS is a config landing ("changed"), not a
+    # recovery, and NOT_READY → FAIL never passed to regress from
+    status = (
+        F.when(F.col("n_transitions") >= 2, F.lit("flaky"))
+        .when(
+            (F.col("n_transitions") == 1)
+            & (F.col("last_verdict") == V_FAIL)
+            & (F.col("n_pass") > 0),
+            F.lit("regressed"),
+        )
+        .when(
+            (F.col("n_transitions") == 1)
+            & (F.col("last_verdict") == V_PASS)
+            & (F.col("n_fail") > 0),
+            F.lit("recovered"),
+        )
+        .when(F.col("n_transitions") == 1, F.lit("changed"))
+        .when(F.col("last_verdict") == V_PASS, F.lit("stable_pass"))
+        .when(F.col("last_verdict") == V_FAIL, F.lit("stable_fail"))
+        .otherwise(F.lit("stable_other"))
+    )
+    return hist.withColumn("status", status)
