@@ -844,7 +844,9 @@ def main(argv: list[str] | None = None) -> int:
         ]
         print(json.dumps({"cmd": "drift", "a": args.stats_a, "b": args.stats_b,
                           "scores": rows}))
-        return 0
+        # same exit contract as edrift/outliers/history: 1 when any
+        # score crosses its gate, so the nightly wrapper can page
+        return 1 if any(r["ks_exceeds"] or r["psi_fail"] for r in rows) else 0
 
     if args.cmd == "edrift":
         from pyspark.sql import functions as F

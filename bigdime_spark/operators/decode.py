@@ -638,6 +638,14 @@ class DecodeIntegrity(TableConstraint):
             from bigdime_spark.operators.drift import PSI_FAIL
             from bigdime_spark.schema import NOT_READY, PASS
 
+            # the raw snapshot's per-part pixel histograms join the
+            # suite's persisted stats frame (stat__pixels__hist — the
+            # same shape as the B9 arrays), so the `drift` CLI scores
+            # CROSS-RUN image drift between two runs' stats with zero
+            # rescan and zero re-decode
+            ctx.extras["pixel_stats_frame"] = pixel_stats_frame(
+                pixel_src, "raw", self.pixel_bins
+            )
             d = pixel_drift(pixel_src, self.pixel_bins)
             not_ready = (
                 (F.col("n") == 0) | (F.col("m") == 0) | F.col("ks_d").isNull()

@@ -764,6 +764,14 @@ class ValidationSuite:
                 "part",
                 "left",
             )
+        pixel_frame = ctx.extras.pop("pixel_stats_frame", None)
+        if pixel_frame is not None:
+            # decode pixel histograms persist beside the B9 arrays:
+            # `drift` on two runs' stats then scores image-space drift
+            # run-over-run with zero rescan (a part that decoded
+            # nothing stays spec-less and the cross-run drift refuses
+            # loudly — the C18 null-mix convention, never silent)
+            stats_out = stats_out.join(pixel_frame, "part", "left")
 
         part_status = (
             verdicts.filter(F.col("part") != "*")

@@ -314,7 +314,7 @@ def test_stream_cli_histograms_feed_drift(spark, tmp_path_factory, capsys):
         capsys,
         ["drift", "--stats-a", f"{out}/stats", "--stats-b", f"{base}/bstats"],
     )
-    assert rc == 0
+    assert rc == 1  # drift found → page (same contract as edrift/outliers)
     scores = {(s["part"], s["column"]): s for s in summary["scores"]}
     # the drift-injected part shows up; undrifted parts stay quiet
     assert scores[("p0001", "w")]["psi_fail"] is True
@@ -338,7 +338,7 @@ def test_stream_cli_histograms_feed_drift(spark, tmp_path_factory, capsys):
         capsys,
         ["drift", "--stats-a", f"{out}/hist_sink", "--stats-b", f"{base}/bstats"],
     )
-    assert rc == 0 and len(summary["scores"]) == 12
+    assert rc == 1 and len(summary["scores"]) == 12  # drifted part still present
     rc, summary, _ = _run_cli(
         capsys,
         ["outliers", "--stats", f"{out}/hist_sink", "--metrics", "rows_total"],

@@ -208,3 +208,39 @@ def test_config_rejections():
         {"check_decode": True, "decode_pixel_drift": True, "decode_pixel_bins": 64}
     )
     assert s.decode_pixel_drift is True and s.decode_pixel_bins == 64
+
+
+def test_pixel_hist_persists_into_stats_for_cross_run_drift(spark):
+    """The raw snapshot's pixel histograms land in the suite's stats
+    frame (stat__pixels__hist), so drift_from_stats over two RUNS'
+    persisted stats scores image-space drift run-over-run — zero
+    rescan, zero re-decode (the `drift` CLI path)."""
+    from bigdime_spark.operators.drift import drift_from_stats
+
+    raw = generate_images(spark, 32, n_parts=2, fmts=("raw", "pngz"))
+    shifted = _requantized_copy(spark, raw)
+
+    def run(df, rid):
+        return ValidationSuite(
+            not_null=("image_id",),
+            check_record_count=False,
+            check_checksum=False,
+            check_drift=False,
+            check_domains=False,
+            stats=StatsProfile(columns=[]),
+            check_decode=True,
+            decode_pixel_drift=True,
+            decode_pixel_bins=BINS,
+        ).run(spark, df, df, run_id=rid)
+
+    r1, r2 = run(raw, "x1"), run(shifted, "x2")
+    assert "stat__pixels__hist" in r1.stats.columns
+    same = {r["part"]: r for r in drift_from_stats(r1.stats, r1.stats).collect()}
+    moved = {r["part"]: r for r in drift_from_stats(r1.stats, r2.stats).collect()}
+    r1.release()
+    r2.release()
+    assert set(moved) == {"p0000", "p0001"}
+    for p, r in moved.items():
+        assert r["column"] == "pixels"
+        assert r["ks_d"] > r["ks_threshold"]  # requantize flagged
+        assert same[p]["ks_d"] == 0.0  # identical runs score zero
