@@ -84,16 +84,34 @@ from bigdime_spark.functions.hashes import U64_MASK as _MASK
 from bigdime_spark.functions.hashes import to_signed64 as _to_signed
 
 
-def _quality_flags(pixels, quality):
+_PIX_VALS = np.arange(256, dtype=np.int64)
+_PIX_SQ = _PIX_VALS * _PIX_VALS
+
+
+def _quality_flags(pixels, quality, counts=None):
     """Curation-gate flags for a DECODED image: (min_std, mean_lo,
     mean_hi) → 'flat(...)'/'dark(...)'/'bright(...)' joined with ';',
     or None when the image is fine. mean/std over all pooled channel
-    values — per-image, so invariant under any partition layout."""
+    values — per-image, so invariant under any partition layout.
+
+    Moments come from the 256-bin value COUNTS (Σc·v and Σc·v² are
+    exact int64 for any realistic image; one bincount pass replaces
+    numpy's two float passes — measured ~25% of the whole decode wall
+    when computed via pixels.mean()/std()). Pass ``counts`` when a
+    bincount already exists (the pixel-drift fold) so quality adds
+    zero extra passes."""
+    if counts is None:
+        counts = np.bincount(pixels.reshape(-1), minlength=256)
     min_std, mean_lo, mean_hi = quality
+    n = int(counts.sum())
+    if n == 0:
+        return None  # zero-pixel image: nothing to judge
+    s1 = int(counts @ _PIX_VALS)
+    m = s1 / n
     flags = []
-    m = float(pixels.mean())
     if min_std is not None:
-        s = float(pixels.std())
+        var = int(counts @ _PIX_SQ) / n - m * m
+        s = math.sqrt(max(var, 0.0))
         if s < min_std:
             flags.append(f"flat(std={s:.2f}<{min_std:g})")
     if mean_lo is not None and m < mean_lo:
@@ -119,9 +137,14 @@ def _check_row(
         pixels = synth.decode(payload, fmt, int(w), int(h))
     except Exception as exc:  # undecodable → violation
         return (False, None, f"decode_error: {exc}", None)
+    counts = (
+        np.bincount(pixels.reshape(-1), minlength=256)
+        if (hist_acc is not None or quality is not None)
+        else None
+    )
     if hist_acc is not None:
-        hist_acc += np.bincount(pixels.reshape(-1), minlength=256)
-    qual = _quality_flags(pixels, quality) if quality is not None else None
+        hist_acc += counts
+    qual = _quality_flags(pixels, quality, counts) if quality is not None else None
     lossy = fmt.startswith("rawq")
     if seed is not None:
         ref = synth.make_pixels(seed, image_id, int(w), int(h))
@@ -240,11 +263,15 @@ def decode_check_multi(
                     acc = partials.setdefault((snap, part), [0, 0])
                     acc[0] ^= rh & _MASK
                     acc[1] += rh  # exact: python ints are unbounded
-                hist_acc = (
-                    pixhists.setdefault((snap, part), np.zeros(256, dtype=np.int64))
-                    if pixel_bins is not None
-                    else None
-                )
+                hist_acc = None
+                if pixel_bins is not None:
+                    # not setdefault: its default argument would
+                    # allocate a fresh zeros(256) on EVERY row
+                    hist_acc = pixhists.get((snap, part))
+                    if hist_acc is None:
+                        hist_acc = pixhists[(snap, part)] = np.zeros(
+                            256, dtype=np.int64
+                        )
                 res = _check_row(
                     image_id, payload, w, h, fmt, ph, seed, hist_acc, quality
                 )
