@@ -70,6 +70,7 @@ HEADLINE = [
     "ann_lsh_nn",
     "ann_hyperplane_recall",
     "sample_stratified_documents",
+    "sample_weighted_documents",
     "shard_pack_documents",
     "referential_bloom_customer",
     "bit_balance_documents",
@@ -85,6 +86,7 @@ HEADLINE = [
     "benford_orders",
     "mask_profile_orders",
     "zone_overlap_orders",
+    "verdict_history_orders",
     "suite_verdicts_lineitem",
 ]
 
