@@ -3695,8 +3695,9 @@ WITH d AS (
                        AND regexp_matches(trim(v),
                            '^[0-9]{{4,}}-[0-9]{{1,2}}-[0-9]{{1,2}}$')) AS n_date,
     count(*) FILTER (WHERE {_TI_BOOL}) AS n_boolean,
-    count(*) FILTER (WHERE TRY_CAST(v AS TIMESTAMP) IS NOT NULL
-                       AND NOT regexp_matches(trim(v), '^[+-]?[0-9]+$')) AS n_timestamp
+    count(*) FILTER (WHERE regexp_matches(trim(v), '^[+-]?[0-9]{{4,}}-')
+                       AND NOT regexp_matches(trim(v), '^[+-]?[0-9]+$')
+                       AND TRY_CAST(v AS TIMESTAMP) IS NOT NULL) AS n_timestamp
   FROM d GROUP BY 1
 )
 SELECT *,
