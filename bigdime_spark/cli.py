@@ -530,6 +530,29 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     hi.add_argument("--master", default=None)
 
+    fl = sub.add_parser(
+        "files",
+        help="physical file-layout profile / small-files detector: "
+        "files-per-partition, sizes, zero-row commit artifacts (one "
+        "driver FS listing + one zero-column scan)",
+    )
+    fl.add_argument("--input", required=True, help="parquet table dir")
+    fl.add_argument("--part-col", default=None, help="hive partition column")
+    fl.add_argument(
+        "--small-file-mb",
+        type=float,
+        default=32.0,
+        help="files under this are 'small' (default 32 MB)",
+    )
+    fl.add_argument(
+        "--max-small-frac",
+        type=float,
+        default=None,
+        help="exit 1 when any partition's small-file fraction exceeds "
+        "this (omit = report only)",
+    )
+    fl.add_argument("--master", default=None)
+
     cu = sub.add_parser(
         "curate",
         help="end-to-end corpus curation: row-local quality/lang/PII "
@@ -1104,6 +1127,50 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "files":
+        from bigdime_spark.operators.filelayout import file_layout_profile
+
+        spark = get_spark("bigdime-files", master=args.master)
+        try:
+            prof = file_layout_profile(
+                spark,
+                args.input,
+                part_col=args.part_col,
+                small_file_bytes=int(args.small_file_mb * 1024 * 1024),
+            ).collect()  # parts-sized
+        except ValueError as e:
+            print(f"files: {e}", file=sys.stderr)
+            return 2
+        worst = sorted(prof, key=lambda r: (-(r["small_frac"] or 0), r["part"]))
+        print(
+            json.dumps(
+                {
+                    "cmd": "files",
+                    "input": args.input,
+                    "n_parts": len(prof),
+                    "n_files": sum(r["n_files"] for r in prof),
+                    "n_rows": sum(r["n_rows"] for r in prof),
+                    "total_bytes": sum(r["total_bytes"] for r in prof),
+                    "n_empty": sum(r["n_empty"] for r in prof),
+                    "worst": [
+                        {
+                            "part": r["part"],
+                            "n_files": r["n_files"],
+                            "avg_file_bytes": r["avg_file_bytes"],
+                            "small_frac": r["small_frac"],
+                            "n_empty": r["n_empty"],
+                        }
+                        for r in worst[:20]
+                    ],
+                }
+            )
+        )
+        if args.max_small_frac is not None and any(
+            (r["small_frac"] or 0) > args.max_small_frac for r in prof
+        ):
+            return 1
         return 0
 
     if args.cmd == "history":
