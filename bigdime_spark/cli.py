@@ -551,6 +551,18 @@ def _build_parser() -> argparse.ArgumentParser:
         help="exit 1 when any partition's small-file fraction exceeds "
         "this (omit = report only)",
     )
+    fl.add_argument(
+        "--plan-compaction",
+        action="store_true",
+        help="also emit the compaction plan: partitions holding more "
+        "files than their bytes justify at --target-file-mb",
+    )
+    fl.add_argument(
+        "--target-file-mb",
+        type=float,
+        default=256.0,
+        help="target file size for --plan-compaction (default 256 MB)",
+    )
     fl.add_argument("--master", default=None)
 
     cu = sub.add_parser(
@@ -1130,16 +1142,37 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "files":
+        from pyspark.sql import functions as F
+
         from bigdime_spark.operators.filelayout import file_layout_profile
 
         spark = get_spark("bigdime-files", master=args.master)
         try:
-            prof = file_layout_profile(
+            prof_df = file_layout_profile(
                 spark,
                 args.input,
                 part_col=args.part_col,
                 small_file_bytes=int(args.small_file_mb * 1024 * 1024),
-            ).collect()  # parts-sized
+            )
+            prof_df = prof_df.persist()
+            prof = prof_df.collect()  # parts-sized
+            compaction = None
+            if args.plan_compaction:
+                from bigdime_spark.operators.filelayout import plan_compaction
+
+                compaction = [
+                    {
+                        "part": r["part"],
+                        "n_files": r["n_files"],
+                        "target_files": r["target_files"],
+                    }
+                    for r in plan_compaction(
+                        prof_df, int(args.target_file_mb * 1024 * 1024)
+                    )
+                    .filter(F.col("action") == "compact")
+                    .collect()
+                ]
+            prof_df.unpersist()
         except ValueError as e:
             print(f"files: {e}", file=sys.stderr)
             return 2
@@ -1154,6 +1187,11 @@ def main(argv: list[str] | None = None) -> int:
                     "n_rows": sum(r["n_rows"] for r in prof),
                     "total_bytes": sum(r["total_bytes"] for r in prof),
                     "n_empty": sum(r["n_empty"] for r in prof),
+                    **(
+                        {"compaction": compaction}
+                        if compaction is not None
+                        else {}
+                    ),
                     "worst": [
                         {
                             "part": r["part"],

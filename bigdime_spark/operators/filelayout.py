@@ -144,3 +144,37 @@ def file_layout_profile(
         )
         .orderBy("part")
     )
+
+
+def plan_compaction(
+    profile: DataFrame,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Compaction plan from a :func:`file_layout_profile` frame:
+    → (part, n_files, total_bytes, target_files, action) where
+    ``target_files = max(1, ceil(total_bytes / target_file_bytes))``
+    and ``action`` is 'compact' when the partition holds more files
+    than its data justifies (n_files > target_files), else 'ok'.
+
+    Pure column arithmetic over the parts-sized profile — the plan is
+    metadata-scale at any corpus size, and the 'compact' parts feed a
+    ``df.filter(part).repartition(target_files).write`` rewrite (or an
+    Iceberg rewrite_data_files call) part by part, resumable the same
+    way validation is."""
+    if target_file_bytes <= 0:
+        raise ValueError(
+            f"target_file_bytes must be positive, got {target_file_bytes}"
+        )
+    tgt = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("total_bytes") / F.lit(float(target_file_bytes))).cast("long"),
+    )
+    return profile.select(
+        "part",
+        "n_files",
+        "total_bytes",
+        tgt.alias("target_files"),
+        F.when(F.col("n_files") > tgt, F.lit("compact"))
+        .otherwise(F.lit("ok"))
+        .alias("action"),
+    ).orderBy("part")

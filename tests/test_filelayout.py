@@ -122,3 +122,33 @@ def test_cli_files(spark, table, capsys):
     ]) == 1
     capsys.readouterr()
     assert cli.main(["files", "--input", f"{table}-missing"]) == 2
+
+
+def test_plan_compaction(spark, table):
+    from bigdime_spark.operators.filelayout import plan_compaction
+
+    prof = file_layout_profile(spark, table, "source")
+    # generous target: every partition fits in ONE file → the 10-file
+    # partition compacts to 1, single-file partitions are ok
+    plan = {r["part"]: r for r in plan_compaction(prof, 256 * 1024 * 1024).collect()}
+    assert plan["dom0"]["action"] == "compact" and plan["dom0"]["target_files"] == 1
+    assert plan["dom1"]["action"] == "ok"
+    assert plan["dom2"]["action"] == "ok"
+    # 1-byte target: every partition already holds fewer files than
+    # its byte count justifies → nothing to compact
+    tiny = {r["part"]: r for r in plan_compaction(prof, 1).collect()}
+    assert all(r["action"] == "ok" for r in tiny.values())
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        plan_compaction(prof, 0)
+
+
+def test_cli_plan_compaction(spark, table, capsys):
+    rc = cli.main([
+        "files", "--input", table, "--part-col", "source",
+        "--plan-compaction", "--target-file-mb", "256",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["compaction"] == [
+        {"part": "dom0", "n_files": 10, "target_files": 1}
+    ]
