@@ -87,6 +87,7 @@ HEADLINE = [
     "mask_profile_orders",
     "zone_overlap_orders",
     "verdict_history_orders",
+    "metric_trend_orders",
     "suite_verdicts_lineitem",
 ]
 

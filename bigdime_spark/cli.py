@@ -565,6 +565,32 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     fl.add_argument("--master", default=None)
 
+    tr = sub.add_parser(
+        "trend",
+        help="run-over-run metric anomaly detection over an "
+        "accumulated run_id-stamped stats history (union of many "
+        "runs' <out>/stats): latest vs previous relative change per "
+        "(part, metric); exit 1 on any ANOMALY",
+    )
+    tr.add_argument(
+        "--history",
+        required=True,
+        help="dir/glob of run_id-stamped stats parquet",
+    )
+    tr.add_argument(
+        "--metrics",
+        default=None,
+        help="comma-separated metric columns (default: every numeric "
+        "scalar stat__ column)",
+    )
+    tr.add_argument(
+        "--max-rel-change",
+        type=float,
+        default=0.5,
+        help="flag |latest-prev|/|prev| above this (default 0.5)",
+    )
+    tr.add_argument("--master", default=None)
+
     cu = sub.add_parser(
         "curate",
         help="end-to-end corpus curation: row-local quality/lang/PII "
@@ -1265,6 +1291,63 @@ def main(argv: list[str] | None = None) -> int:
             else 0
         )
 
+    if args.cmd == "trend":
+        from pyspark.sql import functions as F
+
+        from bigdime_spark.operators.outliers import (
+            ANOMALY,
+            metric_trend,
+            numeric_stat_metrics,
+        )
+
+        spark = get_spark("bigdime-trend", master=args.master)
+        try:
+            hist = read_table(spark, args.history)
+            metrics = (
+                [m.strip() for m in args.metrics.split(",") if m.strip()]
+                if args.metrics
+                else numeric_stat_metrics(hist)
+            )
+            scored = metric_trend(
+                hist, metrics, max_rel_change=args.max_rel_change
+            ).persist()
+            counts = {
+                r["verdict"]: r["n"]
+                for r in scored.groupBy("verdict")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            worst = (
+                scored.filter(F.col("verdict") == ANOMALY)
+                .orderBy(F.desc_nulls_first("rel_change"), "part", "metric")
+                .limit(20)
+                .collect()
+            )
+            scored.unpersist()
+        except ValueError as e:
+            print(f"trend: {e}", file=sys.stderr)
+            return 2
+        print(
+            json.dumps(
+                {
+                    "cmd": "trend",
+                    "verdicts": dict(sorted(counts.items())),
+                    "worst": [
+                        {
+                            "part": r["part"],
+                            "metric": r["metric"],
+                            "run_id": r["run_id"],
+                            "value": r["value"],
+                            "prev_value": r["prev_value"],
+                            "rel_change": r["rel_change"],
+                        }
+                        for r in worst
+                    ],
+                }
+            )
+        )
+        return 1 if counts.get(ANOMALY, 0) > 0 else 0
+
     if args.cmd == "curate":
         from bigdime_spark.plans.curate import CurateConfig, curate
 
@@ -1817,8 +1900,13 @@ def main(argv: list[str] | None = None) -> int:
     write_table(res.violations, f"{args.out}/violations", partition_by=None)
     # the binary __hll sketch columns are persisted ON PURPOSE: they are
     # what makes `rollup` a metadata-sized aggregation instead of a
-    # rescan (B6 mergeable-sketch requirement)
-    write_table(res.stats, f"{args.out}/stats", partition_by=None)
+    # rescan (B6 mergeable-sketch requirement); run_id-stamped so many
+    # runs' stats union into the `trend` (metric_trend) history shape
+    write_table(
+        res.stats.withColumn("run_id", F.lit(res.run_id)),
+        f"{args.out}/stats",
+        partition_by=None,
+    )
 
     # one row per partition can be 10^6+ at scale — the four summary
     # numbers are a single aggregate, never a full-frame collect

@@ -3281,6 +3281,82 @@ FROM agg
 """
 
 
+#: shared Spark/DuckDB CASE for the synthetic 4-run metric history:
+#: pattern p = ((first digit of part) - 1) * 2 + mi, mod 4 — the four
+#: patterns exercise OK (small additive drift), ANOMALY (10x per run),
+#: ANOMALY via zero→nonzero (infinite rate, rel NULL), and NOT_READY
+#: (NULL latest value).
+_TREND_VALUE_CASE = """
+CASE ((CAST(substr(part, 1, 1) AS INT) - 1) * 2 + {mi}) % 4
+  WHEN 0 THEN 100.0 + i
+  WHEN 1 THEN power(10.0, i)
+  WHEN 2 THEN CASE WHEN i < 4 THEN 0.0 ELSE 5.0 END
+  ELSE CASE WHEN i = 4 THEN NULL ELSE 50.0 END
+END
+"""
+
+
+def q_metric_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C53: run-over-run metric anomaly detection
+    (operators/outliers.metric_trend — deequ's RelativeRateOfChange).
+    Input synthesized from orders' five priorities × four runs × two
+    metric columns with the shared value CASE, so every verdict class
+    (OK / rel-change ANOMALY / zero→nonzero infinite-rate ANOMALY /
+    NULL-latest NOT_READY) is under oracle test; the melt, lag window,
+    latest-run selection and verdict CASE are all replayed in DuckDB."""
+    from bigdime_spark.operators.outliers import metric_trend
+
+    o = _t(spark, sf_dir, "orders")
+    prios = o.select(F.col("o_orderpriority").alias("part")).distinct()
+    runs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "i int")
+    hist = prios.crossJoin(F.broadcast(runs)).select(
+        F.concat(F.lit("r"), F.col("i").cast("string")).alias("run_id"),
+        "part",
+        F.expr(_TREND_VALUE_CASE.format(mi=0)).alias("m_a"),
+        F.expr(_TREND_VALUE_CASE.format(mi=1)).alias("m_b"),
+    )
+    return metric_trend(hist, ["m_a", "m_b"], max_rel_change=0.5)
+
+
+SQL_METRIC_TREND = f"""
+WITH prios AS (SELECT DISTINCT o_orderpriority AS part FROM orders),
+runs(i) AS (VALUES (1), (2), (3), (4)),
+hist AS (
+  SELECT 'r' || CAST(i AS VARCHAR) AS run_id, part, i,
+         {_TREND_VALUE_CASE.format(mi=0)} AS m_a,
+         {_TREND_VALUE_CASE.format(mi=1)} AS m_b
+  FROM prios, runs
+),
+melted AS (
+  SELECT run_id, part, 'm_a' AS metric, m_a AS value FROM hist
+  UNION ALL
+  SELECT run_id, part, 'm_b' AS metric, m_b AS value FROM hist
+),
+seq AS (
+  SELECT *,
+         lag(value) OVER w AS prev_value,
+         lag(run_id) OVER w AS prev_run_id,
+         row_number() OVER (PARTITION BY part, metric ORDER BY run_id DESC) AS rn
+  FROM melted
+  WINDOW w AS (PARTITION BY part, metric ORDER BY run_id)
+)
+SELECT part, metric, run_id,
+       round(value, 6) AS value,
+       prev_run_id,
+       round(prev_value, 6) AS prev_value,
+       round(abs(value - prev_value) / nullif(abs(prev_value), 0), 6) AS rel_change,
+       CASE
+         WHEN value IS NULL OR prev_run_id IS NULL THEN 'NOT_READY'
+         WHEN prev_value = 0 AND value <> 0 THEN 'ANOMALY'
+         WHEN prev_value IS NULL THEN 'NOT_READY'
+         WHEN abs(value - prev_value) / nullif(abs(prev_value), 0) > 0.5
+           THEN 'ANOMALY'
+         ELSE 'OK'
+       END AS verdict
+FROM seq WHERE rn = 1
+"""
+
+
 _WEIGHTED_SEED = "r5w"
 _WEIGHTED_RATE = 0.5
 
@@ -3980,6 +4056,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "verdict_history_orders": QuerySpec(
         q_verdict_history_orders, SQL_VERDICT_HISTORY
     ),
+    "metric_trend_orders": QuerySpec(q_metric_trend_orders, SQL_METRIC_TREND),
     # completeness / structural integrity (C40–C41, B30)
     "null_pattern_events": QuerySpec(q_null_pattern_events, SQL_NULL_PATTERN),
     "sequence_continuity_orders": QuerySpec(

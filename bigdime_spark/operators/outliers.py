@@ -29,7 +29,7 @@ to exact inequality — any deviating part is OUTLIER.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdime_spark.operators.base import SuiteContext, TableConstraint
@@ -207,3 +207,129 @@ class ProfileOutliers(TableConstraint):
 
     def verdict_names(self) -> list[str]:
         return [f"profile_outlier.{m}" for m in self._resolved]
+
+
+ANOMALY = "ANOMALY"
+
+
+def metric_trend(
+    history: DataFrame,
+    metrics: list[str],
+    part_col: str = "part",
+    max_rel_change: float = 0.5,
+) -> DataFrame:
+    """Run-over-run metric ANOMALY detection — the cross-RUN twin of
+    :func:`robust_part_outliers` (which scores across parts within one
+    run) and the metric-level twin of ``verdict_history`` (which needs
+    a verdict to already exist; this catches the drift BEFORE any
+    declared check fails). deequ's RelativeRateOfChange strategy: per
+    (part, metric), the LATEST run's value against the previous run's,
+
+        rel_change = |value − prev| / |prev|
+
+    flagged when above ``max_rel_change``. A row count quietly
+    shrinking 60% run-over-run passes every within-run check — only
+    the run axis shows it.
+
+    → (part, metric, run_id, value, prev_run_id, prev_value,
+       rel_change, verdict) with verdict ∈ OK / ANOMALY / NOT_READY.
+    Conventions: fewer than two observations, or a NULL latest value →
+    NOT_READY (undefined, never a silent OK); prev == 0 with a nonzero
+    latest is an infinite rate — ANOMALY with rel_change NULL; 0 → 0
+    is OK. Run order is lexicographic ``run_id`` (sortable ids — the
+    same contract as verdict_history); duplicate (run_id, part) rows
+    are refused loudly.
+
+    ``history`` is the union of run_id-stamped per-part stats frames —
+    the CLI stamps ``run_id`` on every written ``<out>/stats``, so
+    runs concatenate into exactly this shape. Everything is
+    runs × parts × metrics sized: one melt, one (part, metric) window,
+    metadata-scale at any corpus size."""
+    if "run_id" not in history.columns:
+        raise ValueError(
+            "metric_trend: history frame has no run_id column — pass "
+            "a union of run_id-stamped stats outputs"
+        )
+    if max_rel_change <= 0:
+        raise ValueError(
+            f"max_rel_change must be positive, got {max_rel_change}"
+        )
+    if not metrics:
+        raise ValueError("metric_trend needs at least one metric column")
+    missing = [m for m in metrics if m not in history.columns]
+    if missing:
+        raise ValueError(f"metric columns not in history frame: {missing}")
+    dtypes = dict(history.dtypes)
+    bad = [
+        m
+        for m in metrics
+        if dtypes[m] not in _NUMERIC_DTYPES and not dtypes[m].startswith("decimal")
+    ]
+    if bad:
+        raise ValueError(
+            "metric columns must be numeric scalars: "
+            + ", ".join(f"{m} is {dtypes[m]}" for m in bad)
+        )
+    guard = history.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct("run_id", F.col(part_col))).alias("d"),
+    ).first()
+    if guard["n"] != guard["d"]:
+        raise ValueError(
+            f"metric_trend: {guard['n']} rows over {guard['d']} distinct "
+            "(run_id, part) keys — duplicate stats per run make the "
+            "previous-run value ambiguous; filter to one row per key"
+        )
+    melted = history.select(
+        "run_id",
+        F.col(part_col).alias("part"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        F.col(m).cast("double").alias("value"),
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("mv"),
+    ).select("run_id", "part", "mv.metric", "mv.value")
+    w = Window.partitionBy("part", "metric").orderBy("run_id")
+    seq = (
+        melted.withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("prev_run_id", F.lag("run_id").over(w))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("part", "metric").orderBy(F.desc("run_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rel = F.try_divide(
+        F.abs(F.col("value") - F.col("prev_value")), F.abs(F.col("prev_value"))
+    )
+    verdict = (
+        F.when(
+            F.col("value").isNull() | F.col("prev_run_id").isNull(),
+            F.lit(NOT_READY),
+        )
+        .when(
+            (F.col("prev_value") == 0) & (F.col("value") != 0), F.lit(ANOMALY)
+        )
+        .when(F.col("prev_value").isNull(), F.lit(NOT_READY))
+        .when(rel > max_rel_change, F.lit(ANOMALY))
+        .otherwise(F.lit(OK))
+    )
+    return seq.select(
+        "part",
+        "metric",
+        "run_id",
+        F.round("value", 6).alias("value"),
+        "prev_run_id",
+        F.round("prev_value", 6).alias("prev_value"),
+        F.round(rel, 6).alias("rel_change"),
+        verdict.alias("verdict"),
+    )
