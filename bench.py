@@ -88,6 +88,7 @@ HEADLINE = [
     "zone_overlap_orders",
     "verdict_history_orders",
     "metric_trend_orders",
+    "metric_zscore_orders",
     "suite_verdicts_lineitem",
 ]
 

@@ -589,6 +589,23 @@ def _build_parser() -> argparse.ArgumentParser:
         default=0.5,
         help="flag |latest-prev|/|prev| above this (default 0.5)",
     )
+    tr.add_argument(
+        "--zscore",
+        type=float,
+        default=None,
+        metavar="THRESHOLD",
+        help="score the latest run against the median/MAD of ALL "
+        "prior runs (robust modified z) instead of the one-step "
+        "relative change — catches slow per-run drifts the step gate "
+        "misses; flag |z| above THRESHOLD (3.5 = Iglewicz-Hoaglin)",
+    )
+    tr.add_argument(
+        "--min-history",
+        type=int,
+        default=3,
+        help="non-null prior runs required before --zscore scores a "
+        "(part, metric); fewer -> NOT_READY (default 3)",
+    )
     tr.add_argument("--master", default=None)
 
     cu = sub.add_parser(
@@ -1297,10 +1314,12 @@ def main(argv: list[str] | None = None) -> int:
         from bigdime_spark.operators.outliers import (
             ANOMALY,
             metric_trend,
+            metric_zscore,
             numeric_stat_metrics,
         )
 
         spark = get_spark("bigdime-trend", master=args.master)
+        zmode = args.zscore is not None
         try:
             hist = read_table(spark, args.history)
             metrics = (
@@ -1308,9 +1327,19 @@ def main(argv: list[str] | None = None) -> int:
                 if args.metrics
                 else numeric_stat_metrics(hist)
             )
-            scored = metric_trend(
-                hist, metrics, max_rel_change=args.max_rel_change
-            ).persist()
+            if zmode:
+                scored = metric_zscore(
+                    hist,
+                    metrics,
+                    threshold=args.zscore,
+                    min_history=args.min_history,
+                ).persist()
+                rank_col = "robust_z"
+            else:
+                scored = metric_trend(
+                    hist, metrics, max_rel_change=args.max_rel_change
+                ).persist()
+                rank_col = "rel_change"
             counts = {
                 r["verdict"]: r["n"]
                 for r in scored.groupBy("verdict")
@@ -1319,7 +1348,7 @@ def main(argv: list[str] | None = None) -> int:
             }
             worst = (
                 scored.filter(F.col("verdict") == ANOMALY)
-                .orderBy(F.desc_nulls_first("rel_change"), "part", "metric")
+                .orderBy(F.desc_nulls_first(F.abs(F.col(rank_col))), "part", "metric")
                 .limit(20)
                 .collect()
             )
@@ -1331,6 +1360,7 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps(
                 {
                     "cmd": "trend",
+                    "mode": "zscore" if zmode else "rel_change",
                     "verdicts": dict(sorted(counts.items())),
                     "worst": [
                         {
@@ -1338,8 +1368,18 @@ def main(argv: list[str] | None = None) -> int:
                             "metric": r["metric"],
                             "run_id": r["run_id"],
                             "value": r["value"],
-                            "prev_value": r["prev_value"],
-                            "rel_change": r["rel_change"],
+                            **(
+                                {
+                                    "med": r["med"],
+                                    "mad": r["mad"],
+                                    "robust_z": r["robust_z"],
+                                }
+                                if zmode
+                                else {
+                                    "prev_value": r["prev_value"],
+                                    "rel_change": r["rel_change"],
+                                }
+                            ),
                         }
                         for r in worst
                     ],

@@ -3357,6 +3357,105 @@ FROM seq WHERE rn = 1
 """
 
 
+#: shared Spark/DuckDB CASE for the synthetic 6-run z-score history:
+#: pattern p = ((first digit of part) - 1) * 2 + mi, mod 6 — the six
+#: patterns exercise OK (stable noise, with a NULL prior forcing the
+#: even-count interpolated median/MAD), ANOMALY (level jump far off a
+#: tight history), MAD-0 constant history with an on-history latest
+#: (OK), MAD-0 with an off-history latest (ANOMALY, z NULL), short
+#: history (NOT_READY), and NULL latest (NOT_READY).
+_ZSCORE_VALUE_CASE = """
+CASE ((CAST(substr(part, 1, 1) AS INT) - 1) * 2 + {mi}) % 6
+  WHEN 0 THEN CASE WHEN i = 2 THEN NULL
+                   WHEN i < 6 THEN 100.0 + (i % 3) ELSE 100.0 END
+  WHEN 1 THEN CASE WHEN i < 6 THEN 100.0 + i ELSE 500.0 END
+  WHEN 2 THEN 42.0
+  WHEN 3 THEN CASE WHEN i < 6 THEN 7.0 ELSE 9.0 END
+  WHEN 4 THEN CASE WHEN i >= 5 THEN 10.0 * i ELSE NULL END
+  ELSE CASE WHEN i = 6 THEN NULL ELSE 50.0 + i END
+END
+"""
+
+
+def q_metric_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C54: cross-run robust z-score anomaly detection
+    (operators/outliers.metric_zscore — deequ's BatchNormalStrategy
+    made robust via the Iglewicz–Hoaglin modified z over the FULL
+    prior-run history). Input synthesized from orders' five
+    priorities × six runs × two metric columns with the shared value
+    CASE, so every verdict class — incl. the even-count interpolated
+    median/MAD from a NULL-excluded prior and both MAD=0 degradations
+    — is under oracle test; the melt, latest/priors split, two exact
+    medians and the verdict CASE are all replayed in DuckDB."""
+    from bigdime_spark.operators.outliers import metric_zscore
+
+    o = _t(spark, sf_dir, "orders")
+    prios = o.select(F.col("o_orderpriority").alias("part")).distinct()
+    runs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6)], "i int")
+    hist = prios.crossJoin(F.broadcast(runs)).select(
+        F.concat(F.lit("r"), F.col("i").cast("string")).alias("run_id"),
+        "part",
+        F.expr(_ZSCORE_VALUE_CASE.format(mi=0)).alias("m_a"),
+        F.expr(_ZSCORE_VALUE_CASE.format(mi=1)).alias("m_b"),
+    )
+    return metric_zscore(hist, ["m_a", "m_b"], threshold=3.5, min_history=3)
+
+
+SQL_METRIC_ZSCORE = f"""
+WITH prios AS (SELECT DISTINCT o_orderpriority AS part FROM orders),
+runs(i) AS (VALUES (1), (2), (3), (4), (5), (6)),
+hist AS (
+  SELECT 'r' || CAST(i AS VARCHAR) AS run_id, part, i,
+         {_ZSCORE_VALUE_CASE.format(mi=0)} AS m_a,
+         {_ZSCORE_VALUE_CASE.format(mi=1)} AS m_b
+  FROM prios, runs
+),
+melted AS (
+  SELECT run_id, part, 'm_a' AS metric, m_a AS value FROM hist
+  UNION ALL
+  SELECT run_id, part, 'm_b' AS metric, m_b AS value FROM hist
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY part, metric ORDER BY run_id DESC) AS rn
+  FROM melted
+),
+latest AS (SELECT part, metric, run_id, value FROM ranked WHERE rn = 1),
+med AS (
+  SELECT part, metric, count(value) AS n_history,
+         quantile_cont(value, 0.5) AS med
+  FROM ranked WHERE rn > 1 GROUP BY part, metric
+),
+mad AS (
+  SELECT r.part, r.metric,
+         quantile_cont(abs(r.value - m.med), 0.5) AS mad
+  FROM ranked r JOIN med m ON r.part = m.part AND r.metric = m.metric
+  WHERE r.rn > 1 GROUP BY r.part, r.metric
+),
+scored AS (
+  SELECT l.part, l.metric, l.run_id, l.value,
+         coalesce(m.n_history, 0) AS n_history, m.med, d.mad,
+         0.6745 * (l.value - m.med) / nullif(d.mad, 0) AS z
+  FROM latest l
+  LEFT JOIN med m ON l.part = m.part AND l.metric = m.metric
+  LEFT JOIN mad d ON l.part = d.part AND l.metric = d.metric
+)
+SELECT part, metric, run_id,
+       round(value, 6) AS value,
+       n_history,
+       round(med, 6) AS med,
+       round(mad, 6) AS mad,
+       round(z, 6) AS robust_z,
+       CASE
+         WHEN value IS NULL OR n_history < 3 THEN 'NOT_READY'
+         WHEN mad > 0 THEN
+           CASE WHEN abs(z) > 3.5 THEN 'ANOMALY' ELSE 'OK' END
+         WHEN value <> med THEN 'ANOMALY'
+         ELSE 'OK'
+       END AS verdict
+FROM scored
+"""
+
+
 _WEIGHTED_SEED = "r5w"
 _WEIGHTED_RATE = 0.5
 
@@ -4057,6 +4156,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_verdict_history_orders, SQL_VERDICT_HISTORY
     ),
     "metric_trend_orders": QuerySpec(q_metric_trend_orders, SQL_METRIC_TREND),
+    "metric_zscore_orders": QuerySpec(q_metric_zscore_orders, SQL_METRIC_ZSCORE),
     # completeness / structural integrity (C40–C41, B30)
     "null_pattern_events": QuerySpec(q_null_pattern_events, SQL_NULL_PATTERN),
     "sequence_continuity_orders": QuerySpec(

@@ -212,6 +212,64 @@ class ProfileOutliers(TableConstraint):
 ANOMALY = "ANOMALY"
 
 
+def _melted_history(
+    caller: str, history: DataFrame, metrics: list[str], part_col: str
+) -> DataFrame:
+    """Shared cross-run-history front door for :func:`metric_trend`
+    and :func:`metric_zscore`: validates the run_id-stamped frame
+    (guards below) and melts it to (run_id, part, metric, value
+    double) — one row-local explode, no shuffle. Guards: run_id
+    column present; metrics non-empty, present, numeric scalars;
+    duplicate (run_id, part) rows refused loudly (they make every
+    per-run value ambiguous)."""
+    if "run_id" not in history.columns:
+        raise ValueError(
+            f"{caller}: history frame has no run_id column — pass "
+            "a union of run_id-stamped stats outputs"
+        )
+    if not metrics:
+        raise ValueError(f"{caller} needs at least one metric column")
+    missing = [m for m in metrics if m not in history.columns]
+    if missing:
+        raise ValueError(f"metric columns not in history frame: {missing}")
+    dtypes = dict(history.dtypes)
+    bad = [
+        m
+        for m in metrics
+        if dtypes[m] not in _NUMERIC_DTYPES and not dtypes[m].startswith("decimal")
+    ]
+    if bad:
+        raise ValueError(
+            "metric columns must be numeric scalars: "
+            + ", ".join(f"{m} is {dtypes[m]}" for m in bad)
+        )
+    guard = history.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct("run_id", F.col(part_col))).alias("d"),
+    ).first()
+    if guard["n"] != guard["d"]:
+        raise ValueError(
+            f"{caller}: {guard['n']} rows over {guard['d']} distinct "
+            "(run_id, part) keys — duplicate stats per run make the "
+            "per-run value ambiguous; filter to one row per key"
+        )
+    return history.select(
+        "run_id",
+        F.col(part_col).alias("part"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        F.col(m).cast("double").alias("value"),
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("mv"),
+    ).select("run_id", "part", "mv.metric", "mv.value")
+
+
 def metric_trend(
     history: DataFrame,
     metrics: list[str],
@@ -245,56 +303,11 @@ def metric_trend(
     runs concatenate into exactly this shape. Everything is
     runs × parts × metrics sized: one melt, one (part, metric) window,
     metadata-scale at any corpus size."""
-    if "run_id" not in history.columns:
-        raise ValueError(
-            "metric_trend: history frame has no run_id column — pass "
-            "a union of run_id-stamped stats outputs"
-        )
     if max_rel_change <= 0:
         raise ValueError(
             f"max_rel_change must be positive, got {max_rel_change}"
         )
-    if not metrics:
-        raise ValueError("metric_trend needs at least one metric column")
-    missing = [m for m in metrics if m not in history.columns]
-    if missing:
-        raise ValueError(f"metric columns not in history frame: {missing}")
-    dtypes = dict(history.dtypes)
-    bad = [
-        m
-        for m in metrics
-        if dtypes[m] not in _NUMERIC_DTYPES and not dtypes[m].startswith("decimal")
-    ]
-    if bad:
-        raise ValueError(
-            "metric columns must be numeric scalars: "
-            + ", ".join(f"{m} is {dtypes[m]}" for m in bad)
-        )
-    guard = history.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.struct("run_id", F.col(part_col))).alias("d"),
-    ).first()
-    if guard["n"] != guard["d"]:
-        raise ValueError(
-            f"metric_trend: {guard['n']} rows over {guard['d']} distinct "
-            "(run_id, part) keys — duplicate stats per run make the "
-            "previous-run value ambiguous; filter to one row per key"
-        )
-    melted = history.select(
-        "run_id",
-        F.col(part_col).alias("part"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("metric"),
-                        F.col(m).cast("double").alias("value"),
-                    )
-                    for m in metrics
-                ]
-            )
-        ).alias("mv"),
-    ).select("run_id", "part", "mv.metric", "mv.value")
+    melted = _melted_history("metric_trend", history, metrics, part_col)
     w = Window.partitionBy("part", "metric").orderBy("run_id")
     seq = (
         melted.withColumn("prev_value", F.lag("value").over(w))
@@ -331,5 +344,97 @@ def metric_trend(
         "prev_run_id",
         F.round("prev_value", 6).alias("prev_value"),
         F.round(rel, 6).alias("rel_change"),
+        verdict.alias("verdict"),
+    )
+
+
+def metric_zscore(
+    history: DataFrame,
+    metrics: list[str],
+    part_col: str = "part",
+    threshold: float = DEFAULT_Z_THRESHOLD,
+    min_history: int = 3,
+) -> DataFrame:
+    """Cross-run robust z-score anomaly detection (C54) — the
+    whole-history complement of :func:`metric_trend` (deequ's
+    BatchNormalStrategy, made robust): per (part, metric), score the
+    LATEST run's value against the median/MAD of ALL prior runs with
+    the Iglewicz–Hoaglin modified z-score,
+
+        z = 0.6745 · (x − median(priors)) / MAD(priors)
+
+    flagged ANOMALY when |z| > ``threshold``. The failure mode
+    ``metric_trend`` cannot see: a metric drifting 10% per run never
+    trips a 50% step gate, but after a few runs it sits far outside
+    its own history — and conversely one noisy previous run makes the
+    step gate cry wolf while the median shrugs it off.
+
+    → (part, metric, run_id, value, n_history, med, mad, robust_z,
+       verdict), verdict ∈ OK / ANOMALY / NOT_READY. Conventions:
+    NULL latest value, or fewer than ``min_history`` non-null prior
+    observations → NOT_READY (an undefined score is never a silent
+    OK; NULL priors are excluded from the baseline, not zero-filled);
+    MAD = 0 (half the history shares one value) degrades to exact
+    inequality like :func:`robust_part_outliers` — a latest value off
+    the constant history is ANOMALY with z NULL, on it is OK. Run
+    order is lexicographic ``run_id``; duplicate (run_id, part) rows
+    are refused loudly (the ``_melted_history`` contract).
+
+    Plan shape: everything is runs × parts × metrics sized — one melt,
+    one (part, metric) window to split latest vs priors, two exact
+    median hash-aggregations (median, then MAD over |x − med|) on the
+    same key, key-sized joins back. Metadata-scale at any corpus size,
+    zero rescans of the data the stats describe."""
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    if min_history < 1:
+        raise ValueError(f"min_history must be >= 1, got {min_history}")
+    melted = _melted_history("metric_zscore", history, metrics, part_col)
+    ranked = melted.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("part", "metric").orderBy(F.desc("run_id"))
+        ),
+    )
+    latest = ranked.filter(F.col("_rn") == 1).select(
+        "part", "metric", "run_id", "value"
+    )
+    priors = ranked.filter(F.col("_rn") > 1).select("part", "metric", "value")
+    med = priors.groupBy("part", "metric").agg(
+        F.count("value").alias("n_history"),
+        F.percentile("value", 0.5).alias("med"),
+    )
+    mad = (
+        priors.join(med.select("part", "metric", "med"), ["part", "metric"])
+        .groupBy("part", "metric")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    )
+    scored = latest.join(med, ["part", "metric"], "left").join(
+        mad, ["part", "metric"], "left"
+    )
+    z = F.lit(MODIFIED_Z_COEFF) * F.try_divide(
+        F.col("value") - F.col("med"), F.col("mad")
+    )
+    n_hist = F.coalesce(F.col("n_history"), F.lit(0))
+    verdict = (
+        F.when(
+            F.col("value").isNull() | (n_hist < min_history), F.lit(NOT_READY)
+        )
+        .when(
+            F.col("mad") > 0,
+            F.when(F.abs(z) > threshold, F.lit(ANOMALY)).otherwise(F.lit(OK)),
+        )
+        .when(F.col("value") != F.col("med"), F.lit(ANOMALY))
+        .otherwise(F.lit(OK))
+    )
+    return scored.select(
+        "part",
+        "metric",
+        "run_id",
+        F.round("value", 6).alias("value"),
+        n_hist.cast("long").alias("n_history"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round(z, 6).alias("robust_z"),
         verdict.alias("verdict"),
     )

@@ -118,3 +118,158 @@ def test_cli_trend_and_run_stamps_stats(spark, tmp_path_factory, capsys):
     # operator error → exit 2
     assert cli.main(["trend", "--history", f"{d}/hist",
                      "--metrics", "nope"]) == 2
+
+# ---------------------------------------------------------------- C54
+# metric_zscore: the whole-history robust-z complement. SQL-oracle
+# twin: metric_zscore_orders in the driver contract.
+
+from bigdime_spark.operators.outliers import metric_zscore
+
+
+def _zscore(spark, rows, **kw):
+    return metric_zscore(
+        spark.createDataFrame(rows, SCHEMA), ["rows", "bytes"], **kw
+    )
+
+
+def _six_run_history():
+    """Six runs over three parts covering every verdict class; the
+    pairs of (rows, bytes) patterns mirror the contract query."""
+    rows = []
+    for i in range(1, 7):
+        # p0.rows: jump off a tight history -> ANOMALY (mad > 0);
+        # p0.bytes: constant 42, latest on it -> OK via mad=0 branch
+        rows.append((f"r{i}", "p0", float(100 + i) if i < 6 else 500.0, 42.0))
+        # p1.rows: constant 7 priors, latest 9 -> ANOMALY, z NULL;
+        # p1.bytes: NULL latest -> NOT_READY
+        rows.append(
+            (f"r{i}", "p1", 7.0 if i < 6 else 9.0,
+             float(50 + i) if i < 6 else None)
+        )
+        # p2.rows: 1 non-null prior < min_history -> NOT_READY;
+        # p2.bytes: NULL prior at i=2 -> 4-element interpolated med/MAD
+        rows.append(
+            (f"r{i}", "p2", float(10 * i) if i >= 5 else None,
+             None if i == 2 else float(100 + (i % 3)) if i < 6 else 100.0)
+        )
+    return rows
+
+
+def test_zscore_verdict_classes(spark):
+    out = {
+        (r["part"], r["metric"]): r
+        for r in _zscore(spark, _six_run_history()).collect()
+    }
+    assert len(out) == 6
+    a = out[("p0", "rows")]  # priors {101..105}: med 103, mad 1
+    assert a["verdict"] == "ANOMALY" and a["run_id"] == "r6"
+    assert (a["med"], a["mad"], a["n_history"]) == (103.0, 1.0, 5)
+    assert a["robust_z"] == round(0.6745 * (500.0 - 103.0) / 1.0, 6)
+    c = out[("p0", "bytes")]  # constant history, latest on it
+    assert c["verdict"] == "OK" and c["mad"] == 0.0 and c["robust_z"] is None
+    m = out[("p1", "rows")]  # constant history, latest OFF it
+    assert m["verdict"] == "ANOMALY" and m["robust_z"] is None
+    n = out[("p1", "bytes")]
+    assert n["verdict"] == "NOT_READY" and n["value"] is None
+    s = out[("p2", "rows")]  # one non-null prior < min_history=3
+    assert s["verdict"] == "NOT_READY" and s["n_history"] == 1
+    i = out[("p2", "bytes")]  # NULL prior excluded -> even-count medians
+    assert (i["n_history"], i["med"], i["mad"]) == (4, 101.0, 0.5)
+    assert i["verdict"] == "OK"
+    assert i["robust_z"] == round(0.6745 * (100.0 - 101.0) / 0.5, 6)
+
+
+def test_zscore_catches_drift_the_step_gate_misses(spark):
+    """Two consecutive 40% steps each pass a 50% step gate, but the
+    result sits ~65 robust-z off the stable history — the motivating
+    complementarity (the last-vs-prev gate only ever sees one step)."""
+    vals = [100.0, 101.0, 99.0, 100.0, 101.0, 100.0, 140.0, 196.0]
+    rows = [(f"r{i}", "p0", vals[i - 1], 1.0) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    step = {r["metric"]: r for r in metric_trend(df, ["rows"]).collect()}
+    assert step["rows"]["verdict"] == "OK"
+    z = {r["metric"]: r for r in metric_zscore(df, ["rows"]).collect()}
+    assert z["rows"]["verdict"] == "ANOMALY"
+
+
+def test_zscore_threshold_strict_and_min_history(spark):
+    # priors {99,100,101,100}: med 100, mad 0.5; latest 102 -> z 2.698
+    rows = [
+        ("r1", "p0", 99.0, 1.0), ("r2", "p0", 100.0, 1.0),
+        ("r3", "p0", 101.0, 1.0), ("r4", "p0", 100.0, 1.0),
+        ("r5", "p0", 102.0, 1.0),
+    ]
+    z = round(0.6745 * 2.0 / 0.5, 6)
+    at = {r["metric"]: r for r in _zscore(spark, rows, threshold=z).collect()}
+    assert at["rows"]["verdict"] == "OK"  # exactly-at passes (strict >)
+    above = {
+        r["metric"]: r for r in _zscore(spark, rows, threshold=z - 0.01).collect()
+    }
+    assert above["rows"]["verdict"] == "ANOMALY"
+    # min_history raised above the available priors -> NOT_READY
+    high = {
+        r["metric"]: r for r in _zscore(spark, rows, min_history=5).collect()
+    }
+    assert high["rows"]["verdict"] == "NOT_READY"
+
+
+def test_zscore_refusals(spark):
+    df = [("r1", "p0", 1.0, 1.0)]
+    with pytest.raises(ValueError, match="threshold"):
+        _zscore(spark, df, threshold=0.0)
+    with pytest.raises(ValueError, match="min_history"):
+        _zscore(spark, df, min_history=0)
+    with pytest.raises(ValueError, match="run_id"):
+        metric_zscore(
+            spark.createDataFrame([("p0", 1.0)], "part string, rows double"),
+            ["rows"],
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        _zscore(spark, df + df).collect()
+
+
+def test_cli_trend_zscore_mode(spark, tmp_path_factory, capsys):
+    """--zscore scores latest-vs-whole-history: four stable runs plus
+    a collapsed fifth exit 1 with med/mad/robust_z in the worst rows;
+    a stable fifth exits 0; bad threshold exits 2."""
+    from bigdime_spark.sources.synth import build_fixture
+    from bigdime_spark.sources.tables import write_table
+
+    d = tmp_path_factory.mktemp("zscore")
+    fx = build_fixture(spark, n_rows=32, n_parts=2)
+    write_table(fx.raw, f"{d}/raw")
+    assert cli.main(["run", "--raw", f"{d}/raw", "--out", f"{d}/o1",
+                     "--run-id", "r0001"]) == 0
+    s1 = spark.read.parquet(f"{d}/o1/stats")
+    rows_t = dict(s1.dtypes)["stat__rows"]
+    jitter = [0, 1, -1, 0]  # tight history so MAD is small but nonzero
+    runs = [
+        s1.withColumn("run_id", F.lit(f"r{i:04d}")).withColumn(
+            "stat__rows", (F.col("stat__rows") + jitter[i - 1]).cast(rows_t)
+        )
+        for i in range(1, 5)
+    ]
+    bad = s1.withColumn("run_id", F.lit("r0005")).withColumn(
+        "stat__rows", (F.col("stat__rows") / 10).cast(rows_t)
+    )
+    hist = runs[0]
+    for fr in runs[1:]:
+        hist = hist.unionByName(fr)
+    hist.unionByName(bad).write.parquet(f"{d}/hist")
+    capsys.readouterr()
+    rc = cli.main(["trend", "--history", f"{d}/hist",
+                   "--metrics", "stat__rows", "--zscore", "3.5"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert out["mode"] == "zscore"
+    assert out["verdicts"]["ANOMALY"] == 2  # both parts collapsed
+    assert {"med", "mad", "robust_z"} <= set(out["worst"][0])
+    # stable fifth run -> exit 0
+    ok = s1.withColumn("run_id", F.lit("r0005"))
+    hist.unionByName(ok).write.parquet(f"{d}/hist_ok")
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist_ok",
+                     "--metrics", "stat__rows", "--zscore", "3.5"]) == 0
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist",
+                     "--metrics", "stat__rows", "--zscore", "-1"]) == 2
