@@ -273,3 +273,87 @@ def test_cli_trend_zscore_mode(spark, tmp_path_factory, capsys):
     capsys.readouterr()
     assert cli.main(["trend", "--history", f"{d}/hist",
                      "--metrics", "stat__rows", "--zscore", "-1"]) == 2
+
+
+# ------------------------------------------------- property test (C54)
+# hypothesis draws a random run_id-stamped history (integer-valued
+# doubles and NULLs, so medians/MADs are exact binary arithmetic in
+# both engines) and metric_zscore must agree with an independent
+# pure-python reference on every field. Examples are few (one Spark
+# job each); the drawn space covers short/constant/NULL-heavy and
+# mixed histories.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HVAL = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+history_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["r1", "r2", "r3", "r4", "r5", "r6"]),
+        st.sampled_from(["p0", "p1"]),
+        _HVAL,
+        _HVAL,
+    ),
+    min_size=1,
+    max_size=24,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+def _ref_zscore(rows, threshold=3.5, min_history=3):
+    from statistics import median
+
+    by_key: dict = {}
+    for run, part, a, b in rows:
+        for metric, v in (("rows", a), ("bytes", b)):
+            by_key.setdefault((part, metric), []).append(
+                (run, None if v is None else float(v))
+            )
+    out = {}
+    for (part, metric), seq in by_key.items():
+        seq.sort()
+        _, x = seq[-1]
+        priors = [v for _, v in seq[:-1] if v is not None]
+        n = len(priors)
+        med = median(priors) if priors else None
+        mad = median(abs(v - med) for v in priors) if priors else None
+        z = 0.6745 * (x - med) / mad if (x is not None and mad) else None
+        if x is None or n < min_history:
+            verdict = "NOT_READY"
+        elif mad and mad > 0:
+            verdict = "ANOMALY" if abs(z) > threshold else "OK"
+        elif x != med:
+            verdict = "ANOMALY"
+        else:
+            verdict = "OK"
+        out[(part, metric)] = (n, med, mad, z, verdict)
+    return out
+
+
+@given(rows=history_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_zscore_property_vs_python_reference(spark, rows):
+    data = [
+        (run, part, None if a is None else float(a),
+         None if b is None else float(b))
+        for run, part, a, b in rows
+    ]
+    got = {
+        (r["part"], r["metric"]): r
+        for r in _zscore(spark, data).collect()
+    }
+    ref = _ref_zscore(rows)
+    assert set(got) == set(ref)
+    for key, (n, med, mad, z, verdict) in ref.items():
+        r = got[key]
+        assert r["verdict"] == verdict, (key, dict(r.asDict()), ref[key])
+        assert r["n_history"] == n
+        for name, want in (("med", med), ("mad", mad), ("robust_z", z)):
+            if want is None:
+                assert r[name] is None, (key, name, r[name])
+            else:
+                assert abs(r[name] - want) < 1e-6, (key, name, r[name], want)
