@@ -1179,6 +1179,51 @@ SELECT 'l_extendedprice_under_100k', count(*) FILTER (WHERE NOT (l_extendedprice
 """
 
 
+def q_compliance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C55 Compliance (deequ parity): tolerance-bounded predicate
+    fractions per part, via the REAL fusable constraint objects —
+    three constraints in ONE aggregation exercising the PASS branch,
+    the FAIL branch, and the NULL-predicate → non-satisfying collapse
+    (`nullif(event_type,'error') = event_type` is NULL for every
+    'error' row, so that part's fraction is exactly 0)."""
+    from bigdime_spark.operators.row_checks import Compliance
+
+    ev = _t(spark, sf_dir, "events")
+    cons = [
+        Compliance("value_nonneg", F.expr("value >= 0"), "value", 0.999),
+        Compliance("value_under_100", F.expr("value < 100.0"), "value", 0.865),
+        Compliance(
+            "non_error",
+            F.expr("nullif(event_type, 'error') = event_type"),
+            "event_type",
+            0.5,
+        ),
+    ]
+    aggs = [e for c in cons for e in c.agg_exprs()]
+    out = ev.groupBy(F.col("event_type").alias("part")).agg(*aggs)
+    sel = [F.col("part")]
+    for c in cons:
+        short = c.name.split(".", 1)[1]
+        sel.append(F.round(c._frac(), 6).alias(f"{short}_frac"))
+        sel.append(c.verdict_col().alias(f"{short}_verdict"))
+    return out.select(*sel)
+
+
+SQL_COMPLIANCE = """
+SELECT event_type AS part,
+  round(count(*) FILTER (WHERE COALESCE(value >= 0, FALSE)) / CAST(count(*) AS DOUBLE), 6) AS value_nonneg_frac,
+  CASE WHEN count(*) FILTER (WHERE COALESCE(value >= 0, FALSE)) / CAST(count(*) AS DOUBLE) >= 0.999
+       THEN 'PASS' ELSE 'FAIL' END AS value_nonneg_verdict,
+  round(count(*) FILTER (WHERE COALESCE(value < 100.0, FALSE)) / CAST(count(*) AS DOUBLE), 6) AS value_under_100_frac,
+  CASE WHEN count(*) FILTER (WHERE COALESCE(value < 100.0, FALSE)) / CAST(count(*) AS DOUBLE) >= 0.865
+       THEN 'PASS' ELSE 'FAIL' END AS value_under_100_verdict,
+  round(count(*) FILTER (WHERE COALESCE(nullif(event_type, 'error') = event_type, FALSE)) / CAST(count(*) AS DOUBLE), 6) AS non_error_frac,
+  CASE WHEN count(*) FILTER (WHERE COALESCE(nullif(event_type, 'error') = event_type, FALSE)) / CAST(count(*) AS DOUBLE) >= 0.5
+       THEN 'PASS' ELSE 'FAIL' END AS non_error_verdict
+FROM events GROUP BY 1
+"""
+
+
 def q_type_conformance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 type-conformance validator: per-part counts of string values
     that fail try_cast to the declared type. `o_orderpriority` never
@@ -4053,6 +4098,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_referential_bloom_customer, SQL_REFERENTIAL_BLOOM
     ),
     "domain_violations": QuerySpec(q_domain_violations, SQL_DOMAIN_VIOLATIONS),
+    "compliance_events": QuerySpec(q_compliance_events, SQL_COMPLIANCE),
     "categorical_drift_orders": QuerySpec(q_categorical_drift_orders, SQL_CATEGORICAL_DRIFT),
     "content_diff_orders": QuerySpec(q_content_diff_orders, SQL_CONTENT_DIFF),
     "embedding_drift": QuerySpec(q_embedding_drift, SQL_EMBEDDING_DRIFT),

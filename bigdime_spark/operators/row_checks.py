@@ -140,6 +140,75 @@ class TypeConformance(AggConstraint):
         return self._agg
 
 
+class Compliance(AggConstraint):
+    """Tolerance-bounded predicate constraint (deequ's Compliance
+    analyzer, C55): PASS iff the fraction of the partition's rows
+    satisfying ``predicate`` is ≥ ``min_fraction``.
+
+    DomainCheck (B22) is ZERO-tolerance — one bad row fails the part.
+    Real corpora carry known dirt: "≥ 99.5% of captions are non-empty
+    after trim" is a reviewable, enforceable contract where "no empty
+    captions ever" would page someone nightly at 10^12 rows. The two
+    are different constraint families, not a parameterization of each
+    other — Compliance deliberately emits NO row-level violations
+    (inside the declared tolerance a failing row is expected dirt, not
+    a violation; the part-level verdict is the whole contract).
+
+    NULL predicate results count as non-satisfying (explicit
+    ``coalesce(pred, false)``, matching deequ's three-valued-logic
+    collapse) — a row the predicate cannot even evaluate must not
+    count toward compliance. Fraction is over ALL rows of the part;
+    empty parts never reach the fused agg (groupBy emits no row).
+
+    Fuses into the suite's single stats pass: one ``count_if`` +
+    shared row count, whole-stage codegen, no extra scan.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        predicate: Column,
+        column: str,
+        min_fraction: float,
+        detail: str | None = None,
+    ):
+        if not (0.0 <= float(min_fraction) <= 1.0):
+            raise ValueError(
+                f"compliance {name!r}: min_fraction must be in [0, 1], "
+                f"got {min_fraction}"
+            )
+        self.name = f"compliance.{name}"
+        self.predicate = predicate
+        self.column = column
+        self.min_fraction = float(min_fraction)
+        self.detail = detail or f"compliance below {min_fraction}"
+        self._ok = f"comp_{name}__ok"
+        self._n = f"comp_{name}__n"
+
+    def agg_exprs(self) -> list[Column]:
+        return [
+            F.count_if(F.coalesce(self.predicate, F.lit(False))).alias(self._ok),
+            F.count(F.lit(1)).alias(self._n),
+        ]
+
+    def _frac(self) -> Column:
+        return F.try_divide(F.col(self._ok), F.col(self._n))
+
+    def verdict_col(self) -> Column:
+        return (
+            F.when(self._frac() >= self.min_fraction, F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+        )
+
+    def observed_col(self) -> Column:
+        return F.concat(
+            F.lit("frac="), F.round(self._frac(), 6).cast("string")
+        )
+
+    def expected_col(self) -> Column:
+        return F.lit(f"frac>={self.min_fraction}")
+
+
 def default_image_domain_checks() -> list[DomainCheck]:
     """Domain constraints for the BASELINE.json:15 image schema."""
     from bigdime_spark.sources.synth import ALL_FMTS

@@ -109,7 +109,8 @@ _PROGRAMMATIC_ONLY = (
     "declared_schema", "stats", "extra_agg_constraints",
     "extra_table_constraints",
 )
-_SECTIONS = ("schema", "domain_checks", "type_conformance", "freshness",
+_SECTIONS = ("schema", "domain_checks", "compliance", "type_conformance",
+             "freshness",
              "correlation_bounds", "mutual_info_bounds",
              "distinctness_bounds", "benford_bounds", "drift_specs",
              "bit_balance_bounds", "sequence_continuity",
@@ -242,6 +243,27 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                 str(e["name"]), F.expr(str(e["predicate"])),
                 str(e["column"]), e.get("detail"),
             ))
+
+    if "compliance" in cfg:
+        from bigdime_spark.operators.row_checks import Compliance
+
+        if not isinstance(cfg["compliance"], list):
+            raise _fail("compliance", "must be an array of objects")
+        for entry in cfg["compliance"]:
+            e = _require_keys("compliance", entry,
+                              {"name", "column", "predicate", "min_fraction"},
+                              {"detail"})
+            if type(e["min_fraction"]) not in (int, float) \
+                    or type(e["min_fraction"]) is bool:
+                raise _fail("compliance", "min_fraction must be a number")
+            try:
+                extras.append(Compliance(
+                    str(e["name"]), F.expr(str(e["predicate"])),
+                    str(e["column"]), float(e["min_fraction"]),
+                    e.get("detail"),
+                ))
+            except ValueError as exc:
+                raise _fail("compliance", str(exc))
 
     if "type_conformance" in cfg:
         if not isinstance(cfg["type_conformance"], list):
