@@ -603,8 +603,25 @@ def _build_parser() -> argparse.ArgumentParser:
         "--min-history",
         type=int,
         default=3,
-        help="non-null prior runs required before --zscore scores a "
-        "(part, metric); fewer -> NOT_READY (default 3)",
+        help="non-null prior runs required before --zscore/--ewma "
+        "scores a (part, metric); fewer -> NOT_READY (default 3)",
+    )
+    tr.add_argument(
+        "--ewma",
+        type=float,
+        default=None,
+        metavar="ALPHA",
+        help="score the latest run against the exponentially-weighted "
+        "moving mean/stddev of prior runs (decay ALPHA in (0,1); "
+        "recent runs dominate the baseline, so a drifting-but-healthy "
+        "metric stops crying wolf after a level shift); flag |z| "
+        "above --ewma-threshold; mutually exclusive with --zscore",
+    )
+    tr.add_argument(
+        "--ewma-threshold",
+        type=float,
+        default=3.0,
+        help="|z| cutoff for --ewma (default 3.0)",
     )
     tr.add_argument("--master", default=None)
 
@@ -1313,13 +1330,22 @@ def main(argv: list[str] | None = None) -> int:
 
         from bigdime_spark.operators.outliers import (
             ANOMALY,
+            metric_ewma,
             metric_trend,
             metric_zscore,
             numeric_stat_metrics,
         )
 
-        spark = get_spark("bigdime-trend", master=args.master)
         zmode = args.zscore is not None
+        emode = args.ewma is not None
+        if zmode and emode:
+            print(
+                "trend: --zscore and --ewma are mutually exclusive "
+                "(one baseline per invocation)",
+                file=sys.stderr,
+            )
+            return 2
+        spark = get_spark("bigdime-trend", master=args.master)
         try:
             hist = read_table(spark, args.history)
             metrics = (
@@ -1335,6 +1361,15 @@ def main(argv: list[str] | None = None) -> int:
                     min_history=args.min_history,
                 ).persist()
                 rank_col = "robust_z"
+            elif emode:
+                scored = metric_ewma(
+                    hist,
+                    metrics,
+                    alpha=args.ewma,
+                    threshold=args.ewma_threshold,
+                    min_history=args.min_history,
+                ).persist()
+                rank_col = "z"
             else:
                 scored = metric_trend(
                     hist, metrics, max_rel_change=args.max_rel_change
@@ -1360,7 +1395,9 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps(
                 {
                     "cmd": "trend",
-                    "mode": "zscore" if zmode else "rel_change",
+                    "mode": (
+                        "zscore" if zmode else "ewma" if emode else "rel_change"
+                    ),
                     "verdicts": dict(sorted(counts.items())),
                     "worst": [
                         {
@@ -1375,6 +1412,12 @@ def main(argv: list[str] | None = None) -> int:
                                     "robust_z": r["robust_z"],
                                 }
                                 if zmode
+                                else {
+                                    "ewma": r["ewma"],
+                                    "ewmstd": r["ewmstd"],
+                                    "z": r["z"],
+                                }
+                                if emode
                                 else {
                                     "prev_value": r["prev_value"],
                                     "rel_change": r["rel_change"],

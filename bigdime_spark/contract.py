@@ -3501,6 +3501,109 @@ FROM scored
 """
 
 
+#: shared Spark/DuckDB value CASE for the EWMA history: six classes
+#: covering OK (small z), ANOMALY (spike), constant history + on-it
+#: latest (OK via the ewmstd=0 exact-equality degradation), constant
+#: history + off-it latest (ANOMALY, z NULL), short non-null history
+#: (NOT_READY), and NULL latest (NOT_READY). α = 0.5 keeps every
+#: weight a power of two — bit-identical across engines.
+_EWMA_VALUE_CASE = """
+CASE ((CAST(substr(part, 1, 1) AS INT) - 1) * 2 + {mi}) % 6
+  WHEN 0 THEN CASE WHEN i = 6 THEN 12.5 WHEN i = 1 THEN 10.0
+                   WHEN i = 2 THEN 12.0 WHEN i = 3 THEN 11.0
+                   WHEN i = 4 THEN 13.0 ELSE 12.0 END
+  WHEN 1 THEN CASE WHEN i = 6 THEN 100.0 WHEN i = 1 THEN 10.0
+                   WHEN i = 2 THEN 12.0 WHEN i = 3 THEN 11.0
+                   WHEN i = 4 THEN 13.0 ELSE 12.0 END
+  WHEN 2 THEN 42.0
+  WHEN 3 THEN CASE WHEN i < 6 THEN 7.0 ELSE 9.0 END
+  WHEN 4 THEN CASE WHEN i < 4 THEN NULL ELSE 10.0 * i END
+  ELSE CASE WHEN i = 6 THEN NULL ELSE 50.0 + i END
+END
+"""
+
+
+def q_metric_ewma_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C56: EWMA anomaly detection (operators/outliers.metric_ewma —
+    deequ's OnlineNormalStrategy as a recency-weighted control chart,
+    closed-form weights so the identical arithmetic replays in
+    DuckDB). Same synthesized-history recipe as C53/C54: orders'
+    five priorities × six runs × two metric columns, every verdict
+    class under oracle test."""
+    from bigdime_spark.operators.outliers import metric_ewma
+
+    o = _t(spark, sf_dir, "orders")
+    prios = o.select(F.col("o_orderpriority").alias("part")).distinct()
+    runs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6)], "i int")
+    hist = prios.crossJoin(F.broadcast(runs)).select(
+        F.concat(F.lit("r"), F.col("i").cast("string")).alias("run_id"),
+        "part",
+        F.expr(_EWMA_VALUE_CASE.format(mi=0)).alias("m_a"),
+        F.expr(_EWMA_VALUE_CASE.format(mi=1)).alias("m_b"),
+    )
+    return metric_ewma(
+        hist, ["m_a", "m_b"], alpha=0.5, threshold=3.0, min_history=3
+    )
+
+
+SQL_METRIC_EWMA = f"""
+WITH prios AS (SELECT DISTINCT o_orderpriority AS part FROM orders),
+runs(i) AS (VALUES (1), (2), (3), (4), (5), (6)),
+hist AS (
+  SELECT 'r' || CAST(i AS VARCHAR) AS run_id, part, i,
+         {_EWMA_VALUE_CASE.format(mi=0)} AS m_a,
+         {_EWMA_VALUE_CASE.format(mi=1)} AS m_b
+  FROM prios, runs
+),
+melted AS (
+  SELECT run_id, part, 'm_a' AS metric, m_a AS value FROM hist
+  UNION ALL
+  SELECT run_id, part, 'm_b' AS metric, m_b AS value FROM hist
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY part, metric ORDER BY run_id DESC) AS rn
+  FROM melted
+),
+latest AS (SELECT part, metric, run_id, value FROM ranked WHERE rn = 1),
+priors AS (
+  SELECT part, metric, value,
+         row_number() OVER (PARTITION BY part, metric ORDER BY run_id) AS ord,
+         count(*) OVER (PARTITION BY part, metric) AS n
+  FROM ranked WHERE rn > 1 AND value IS NOT NULL
+),
+agg AS (
+  SELECT part, metric, CAST(max(n) AS BIGINT) AS n_history,
+         sum(CASE WHEN ord = 1 THEN pow(0.5, n - 1)
+                  ELSE 0.5 * pow(0.5, n - ord) END * value) AS ewma,
+         sum(CASE WHEN ord = 1 THEN pow(0.5, n - 1)
+                  ELSE 0.5 * pow(0.5, n - ord) END * value * value) AS m2
+  FROM priors GROUP BY part, metric
+),
+scored AS (
+  SELECT l.part, l.metric, l.run_id, l.value,
+         coalesce(a.n_history, 0) AS n_history, a.ewma,
+         sqrt(greatest(0.0, a.m2 - a.ewma * a.ewma)) AS ewmstd
+  FROM latest l
+  LEFT JOIN agg a ON l.part = a.part AND l.metric = a.metric
+)
+SELECT part, metric, run_id,
+       round(value, 6) AS value,
+       n_history,
+       round(ewma, 6) AS ewma,
+       round(ewmstd, 6) AS ewmstd,
+       round((value - ewma) / nullif(ewmstd, 0), 6) AS z,
+       CASE
+         WHEN value IS NULL OR n_history < 3 THEN 'NOT_READY'
+         WHEN ewmstd > 0 THEN
+           CASE WHEN abs((value - ewma) / ewmstd) > 3.0
+                THEN 'ANOMALY' ELSE 'OK' END
+         WHEN value <> ewma THEN 'ANOMALY'
+         ELSE 'OK'
+       END AS verdict
+FROM scored
+"""
+
+
 _WEIGHTED_SEED = "r5w"
 _WEIGHTED_RATE = 0.5
 
@@ -4203,6 +4306,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "metric_trend_orders": QuerySpec(q_metric_trend_orders, SQL_METRIC_TREND),
     "metric_zscore_orders": QuerySpec(q_metric_zscore_orders, SQL_METRIC_ZSCORE),
+    "metric_ewma_orders": QuerySpec(q_metric_ewma_orders, SQL_METRIC_EWMA),
     # completeness / structural integrity (C40–C41, B30)
     "null_pattern_events": QuerySpec(q_null_pattern_events, SQL_NULL_PATTERN),
     "sequence_continuity_orders": QuerySpec(

@@ -438,3 +438,124 @@ def metric_zscore(
         F.round(z, 6).alias("robust_z"),
         verdict.alias("verdict"),
     )
+
+
+def metric_ewma(
+    history: DataFrame,
+    metrics: list[str],
+    part_col: str = "part",
+    alpha: float = 0.3,
+    threshold: float = 3.0,
+    min_history: int = 3,
+) -> DataFrame:
+    """Recency-weighted anomaly detection over metric history (C56 —
+    deequ's OnlineNormalStrategy re-expressed as an EWMA control
+    chart): per (part, metric), score the LATEST run's value against
+    the exponentially-weighted moving mean/stddev of ALL prior runs,
+
+        z = (x − ewma(priors)) / ewmstd(priors),  ANOMALY iff |z| > threshold.
+
+    The niche between its two siblings: :func:`metric_trend` sees only
+    ONE step back (a noisy previous run cries wolf), and
+    :func:`metric_zscore`'s median/MAD weighs a run from last quarter
+    the same as yesterday's — after a legitimate level shift it keeps
+    flagging the new normal until half the history has moved. EWMA
+    forgets: weight α(1−α)^(age) decays old runs, so the baseline
+    tracks drifting-but-healthy metrics while still flagging a step
+    the trend gate's single noisy reference would miss.
+
+    Closed form, not a sequential fold: with priors ordered by run_id
+    ascending (i = 1..n), the EWMA recursion s₁ = x₁,
+    sₜ = αxₜ + (1−α)sₜ₋₁ telescopes to weights
+
+        w₁ = (1−α)^(n−1),   wᵢ = α(1−α)^(n−i)  (i ≥ 2),   Σwᵢ = 1,
+
+    so ewma = Σwᵢxᵢ and the weighted variance Σwᵢxᵢ² − ewma² are two
+    plain aggregations — no UDF, no driver loop, and the identical
+    arithmetic replays in the DuckDB oracle.
+
+    → (part, metric, run_id, value, n_history, ewma, ewmstd, z,
+       verdict), verdict ∈ OK / ANOMALY / NOT_READY. Conventions
+    shared with C54: NULL latest, or fewer than ``min_history``
+    non-null priors → NOT_READY (NULL priors are excluded, never
+    zero-filled); a degenerate ewmstd = 0 (constant history) falls
+    back to exact inequality — off the constant is ANOMALY with z
+    NULL, on it is OK; strict > threshold; lexicographic run order;
+    duplicate (run_id, part) rows refused loudly (the
+    ``_melted_history`` contract).
+
+    Plan shape: runs × parts × metrics sized — one melt, one
+    (part, metric) window to split latest vs priors and rank priors,
+    ONE hash aggregation for (n, Σwx, Σwx²), a key-sized join back.
+    Metadata-scale at any corpus size, zero rescans."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    if min_history < 1:
+        raise ValueError(f"min_history must be >= 1, got {min_history}")
+    melted = _melted_history("metric_ewma", history, metrics, part_col)
+    ranked = melted.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("part", "metric").orderBy(F.desc("run_id"))
+        ),
+    )
+    latest = ranked.filter(F.col("_rn") == 1).select(
+        "part", "metric", "run_id", "value"
+    )
+    priors = (
+        ranked.filter((F.col("_rn") > 1) & F.col("value").isNotNull())
+        .withColumn(
+            "_ord",
+            F.row_number().over(
+                Window.partitionBy("part", "metric").orderBy("run_id")
+            ),
+        )
+        .withColumn(
+            "_n",
+            F.count(F.lit(1)).over(Window.partitionBy("part", "metric")),
+        )
+    )
+    w = F.when(
+        F.col("_ord") == 1, F.pow(F.lit(1.0 - alpha), F.col("_n") - 1)
+    ).otherwise(
+        F.lit(alpha) * F.pow(F.lit(1.0 - alpha), F.col("_n") - F.col("_ord"))
+    )
+    agg = priors.groupBy("part", "metric").agg(
+        F.max("_n").cast("long").alias("n_history"),
+        F.sum(w * F.col("value")).alias("ewma"),
+        F.sum(w * F.col("value") * F.col("value")).alias("_m2"),
+    )
+    # clamp fp noise: Σw·x² − (Σw·x)² is mathematically ≥ 0
+    ewmvar = F.greatest(
+        F.lit(0.0), F.col("_m2") - F.col("ewma") * F.col("ewma")
+    )
+    scored = latest.join(agg, ["part", "metric"], "left")
+    ewmstd = F.sqrt(ewmvar)
+    z = F.try_divide(F.col("value") - F.col("ewma"), ewmstd)
+    n_hist = F.coalesce(F.col("n_history"), F.lit(0))
+    verdict = (
+        F.when(
+            F.col("value").isNull() | (n_hist < min_history), F.lit(NOT_READY)
+        )
+        .when(
+            ewmstd > 0,
+            F.when(F.abs(z) > threshold, F.lit(ANOMALY)).otherwise(F.lit(OK)),
+        )
+        .when(F.col("value") != F.col("ewma"), F.lit(ANOMALY))
+        .otherwise(F.lit(OK))
+    )
+    return scored.select(
+        "part",
+        "metric",
+        "run_id",
+        F.round("value", 6).alias("value"),
+        n_hist.cast("long").alias("n_history"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round(ewmstd, 6).alias("ewmstd"),
+        F.round(
+            F.when(ewmstd > 0, z), 6
+        ).alias("z"),
+        verdict.alias("verdict"),
+    )

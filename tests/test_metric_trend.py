@@ -357,3 +357,142 @@ def test_zscore_property_vs_python_reference(spark, rows):
                 assert r[name] is None, (key, name, r[name])
             else:
                 assert abs(r[name] - want) < 1e-6, (key, name, r[name], want)
+
+
+# ------------------------------------------------- EWMA mode (C56)
+
+from bigdime_spark.operators.outliers import metric_ewma
+
+
+def _ewma(spark, rows, **kw):
+    return metric_ewma(
+        spark.createDataFrame(rows, SCHEMA), ["rows", "bytes"], **kw
+    )
+
+
+def test_ewma_verdict_classes_exact_values(spark):
+    """Hand-computed α=0.5 weights (all powers of two — exact fp):
+    priors 10,12,11,13,12 → ewma 12.0, var 0.625. A 12.5 latest is
+    OK (z 0.632456); a 100.0 latest is ANOMALY; a constant history
+    degrades to exact inequality with z NULL both ways."""
+    rows = []
+    pri = [10.0, 12.0, 11.0, 13.0, 12.0]
+    for i, v in enumerate(pri, start=1):
+        rows.append((f"r{i}", "p0", v, v))
+        rows.append((f"r{i}", "p1", 42.0, 7.0))
+    rows.append(("r6", "p0", 12.5, 100.0))
+    rows.append(("r6", "p1", 42.0, 9.0))
+    out = {
+        (r["part"], r["metric"]): r
+        for r in _ewma(spark, rows, alpha=0.5, threshold=3.0).collect()
+    }
+    ok = out[("p0", "rows")]
+    assert (ok["ewma"], ok["ewmstd"]) == (12.0, 0.790569)
+    assert (ok["z"], ok["verdict"], ok["n_history"]) == (0.632456, "OK", 5)
+    spike = out[("p0", "bytes")]
+    assert spike["verdict"] == "ANOMALY" and spike["z"] == 111.312174
+    flat_on = out[("p1", "rows")]
+    assert (flat_on["ewmstd"], flat_on["z"], flat_on["verdict"]) == (
+        0.0, None, "OK",
+    )
+    flat_off = out[("p1", "bytes")]
+    assert (flat_off["ewmstd"], flat_off["z"], flat_off["verdict"]) == (
+        0.0, None, "ANOMALY",
+    )
+
+
+def test_ewma_forgets_level_shift_the_median_still_flags(spark):
+    """The C56 niche: after a legitimate level shift (five runs at
+    100, then 199/201/200), a healthy 200.0 latest is OK under the
+    recency-weighted baseline but ANOMALY under C54's whole-history
+    median/MAD (median still 100, MAD 0 → exact-inequality flag)."""
+    from bigdime_spark.operators.outliers import metric_zscore
+
+    vals = [100.0] * 5 + [199.0, 201.0, 200.0, 200.0]
+    rows = [(f"r{i}", "p0", v, v) for i, v in enumerate(vals, start=1)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    e = metric_ewma(df, ["rows"], alpha=0.5, threshold=3.0).first()
+    z = metric_zscore(df, ["rows"], threshold=3.5).first()
+    assert e["verdict"] == "OK" and e["ewma"] == 187.625
+    assert z["verdict"] == "ANOMALY"
+
+
+def test_ewma_min_history_and_null_latest(spark):
+    rows = [
+        ("r1", "p0", None, 50.0),
+        ("r2", "p0", None, 51.0),
+        ("r3", "p0", 10.0, 52.0),
+        ("r4", "p0", 11.0, 53.0),
+        ("r5", "p0", 12.0, None),
+    ]
+    out = {
+        r["metric"]: r
+        for r in _ewma(spark, rows, alpha=0.5, min_history=3).collect()
+    }
+    # rows: only 2 non-null priors → NOT_READY (NULLs never zero-fill)
+    assert out["rows"]["verdict"] == "NOT_READY"
+    assert out["rows"]["n_history"] == 2
+    # bytes: NULL latest → NOT_READY even with enough history
+    assert out["bytes"]["verdict"] == "NOT_READY"
+
+
+def test_ewma_refusals(spark):
+    df = spark.createDataFrame([("r1", "p0", 1.0, 1.0)], SCHEMA)
+    for alpha in (0.0, 1.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="alpha"):
+            metric_ewma(df, ["rows"], alpha=alpha)
+    with pytest.raises(ValueError, match="threshold"):
+        metric_ewma(df, ["rows"], threshold=0.0)
+    with pytest.raises(ValueError, match="min_history"):
+        metric_ewma(df, ["rows"], min_history=0)
+
+
+def test_cli_trend_ewma_mode(spark, tmp_path_factory, capsys):
+    """--ewma ALPHA drives the EWMA baseline through the CLI: a
+    planted 90% collapse exits 1 with ewma/ewmstd/z in the worst
+    rows; a stable latest exits 0; --zscore alongside --ewma and an
+    out-of-range alpha exit 2."""
+    from bigdime_spark.sources.synth import build_fixture
+    from bigdime_spark.sources.tables import write_table
+
+    d = tmp_path_factory.mktemp("ewma")
+    fx = build_fixture(spark, n_rows=32, n_parts=2)
+    write_table(fx.raw, f"{d}/raw")
+    assert cli.main(["run", "--raw", f"{d}/raw", "--out", f"{d}/o1",
+                     "--run-id", "r0001"]) == 0
+    s1 = spark.read.parquet(f"{d}/o1/stats")
+    rows_t = dict(s1.dtypes)["stat__rows"]
+    jitter = [0, 1, -1, 0]
+    runs = [
+        s1.withColumn("run_id", F.lit(f"r{i:04d}")).withColumn(
+            "stat__rows", (F.col("stat__rows") + jitter[i - 1]).cast(rows_t)
+        )
+        for i in range(1, 5)
+    ]
+    bad = s1.withColumn("run_id", F.lit("r0005")).withColumn(
+        "stat__rows", (F.col("stat__rows") / 10).cast(rows_t)
+    )
+    hist = runs[0]
+    for fr in runs[1:]:
+        hist = hist.unionByName(fr)
+    hist.unionByName(bad).write.parquet(f"{d}/hist")
+    capsys.readouterr()
+    rc = cli.main(["trend", "--history", f"{d}/hist",
+                   "--metrics", "stat__rows", "--ewma", "0.5"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert out["mode"] == "ewma"
+    assert out["verdicts"]["ANOMALY"] == 2
+    assert {"ewma", "ewmstd", "z"} <= set(out["worst"][0])
+    ok = s1.withColumn("run_id", F.lit("r0005"))
+    hist.unionByName(ok).write.parquet(f"{d}/hist_ok")
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist_ok",
+                     "--metrics", "stat__rows", "--ewma", "0.5"]) == 0
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist",
+                     "--metrics", "stat__rows", "--ewma", "0.5",
+                     "--zscore", "3.5"]) == 2
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist",
+                     "--metrics", "stat__rows", "--ewma", "1.5"]) == 2
