@@ -490,6 +490,39 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("--master", default=None)
 
+    sg = sub.add_parser(
+        "suggest",
+        help="profile a table and suggest a ready-to-run suite config "
+        "(deequ ConstraintSuggestion): not_null / compliance / unique "
+        "/ non-negative / isin / type-conformance rules, each with "
+        "evidence; review, prune, then feed to run --config",
+    )
+    sg.add_argument("--input", required=True, help="table dir (parquet)")
+    sg.add_argument(
+        "--columns",
+        default=None,
+        help="comma-separated columns to profile (default: every "
+        "non-binary, non-nested column)",
+    )
+    sg.add_argument(
+        "--max-values",
+        type=int,
+        default=10,
+        help="suggest an isin domain check when a string column has "
+        "at most this many distinct values (default 10)",
+    )
+    sg.add_argument(
+        "--tol-null",
+        type=float,
+        default=0.05,
+        help="suggest a compliance bound (not not_null) when the "
+        "null rate is in (0, TOL] (default 0.05)",
+    )
+    sg.add_argument(
+        "--out", default=None, help="also write the config JSON here"
+    )
+    sg.add_argument("--master", default=None)
+
     pl = sub.add_parser(
         "plan",
         help="incremental-run planner: diff two per-part metric "
@@ -1099,6 +1132,45 @@ def main(argv: list[str] | None = None) -> int:
             print(f"profile: {e}", file=sys.stderr)
             return 2
         print(json.dumps(summary, default=str))
+        return 0
+
+    if args.cmd == "suggest":
+        from bigdime_spark.plans.suggest import (
+            suggest_constraints,
+            to_config,
+        )
+
+        spark = get_spark("bigdime-suggest", master=args.master)
+        try:
+            df = read_table(spark, args.input)
+            cols = (
+                [c.strip() for c in args.columns.split(",") if c.strip()]
+                if args.columns
+                else None
+            )
+            sugg = suggest_constraints(
+                df,
+                columns=cols,
+                max_values=args.max_values,
+                tol_null=args.tol_null,
+            )
+        except ValueError as e:
+            print(f"suggest: {e}", file=sys.stderr)
+            return 2
+        cfg = to_config(sugg)
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump(cfg, fh, indent=2, sort_keys=True)
+        print(
+            json.dumps(
+                {
+                    "cmd": "suggest",
+                    "n_suggestions": len(sugg),
+                    "suggestions": sugg[:50],
+                    "config": cfg,
+                }
+            )
+        )
         return 0
 
     if args.cmd == "outliers":

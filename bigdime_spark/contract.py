@@ -4171,6 +4171,121 @@ FROM spine s LEFT JOIN counts c ON s.col = c.col AND s.digit = c.digit
 """
 
 
+def q_suggest_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C57 constraint suggestion (plans/suggest — deequ's
+    ConstraintSuggestion): profile → rules → suggestions, with every
+    rule firing at least once. The profiled frame derives from orders:
+    the raw columns exercise R1 not_null / R3 unique / R4 non-negative
+    / R5 isin; `num_str`/`dbl_str` (stringified keys/prices) exercise
+    R6 type-conformance inference; `mostly` (2% planted NULLs over
+    o_orderstatus) exercises R2 compliance with the floored
+    min_fraction. The two-level melt aggregation, the value-capture
+    pass and all six rule gates are replayed in DuckDB."""
+    from bigdime_spark.plans.suggest import (
+        suggest_constraints,
+        suggestions_frame,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.expr("CAST(o_custkey AS STRING)").alias("num_str"),
+        F.expr("CAST(o_totalprice AS STRING)").alias("dbl_str"),
+        F.expr(
+            "CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_orderstatus END"
+        ).alias("mostly"),
+    )
+    return suggestions_frame(spark, suggest_constraints(o))
+
+
+# the oracle hard-codes the declared-dtype gates exactly as the engine
+# reads them off df.dtypes: numeric = {o_orderkey, o_totalprice},
+# string = {o_orderstatus, num_str, dbl_str, mostly}
+SQL_SUGGEST = """
+WITH melted AS (
+  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+  UNION ALL
+  SELECT 'num_str', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'dbl_str', CAST(o_totalprice AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'mostly', CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                        ELSE o_orderstatus END FROM orders
+),
+lvl1 AS (SELECT col, v, count(*) AS cnt FROM melted GROUP BY 1, 2),
+prof AS (
+  SELECT col,
+    sum(cnt) AS n_rows,
+    coalesce(sum(cnt) FILTER (WHERE v IS NULL), 0) AS n_null,
+    count(*) FILTER (WHERE v IS NOT NULL) AS n_distinct,
+    coalesce(sum(cnt) FILTER (WHERE v IS NOT NULL
+        AND regexp_matches(trim(v), '^[+-]?[0-9]+$')
+        AND TRY_CAST(trim(v) AS HUGEINT)
+            BETWEEN -9223372036854775808 AND 9223372036854775807),
+      0) AS n_bigint,
+    coalesce(sum(cnt) FILTER (WHERE v IS NOT NULL
+        AND TRY_CAST(v AS DOUBLE) IS NOT NULL), 0) AS n_double,
+    min(TRY_CAST(v AS DOUBLE)) AS min_num,
+    col IN ('o_orderstatus', 'num_str', 'dbl_str', 'mostly') AS is_string,
+    col IN ('o_orderkey', 'o_totalprice') AS is_numeric
+  FROM lvl1 GROUP BY col
+),
+gated AS (
+  SELECT col FROM prof
+  WHERE is_string AND n_distinct BETWEEN 1 AND 10
+    AND n_rows >= 10 * n_distinct
+),
+vals AS (
+  SELECT l.col,
+    string_agg('''' || replace(l.v, '''', '''''') || '''', ','
+               ORDER BY l.v) AS vlist
+  FROM lvl1 l JOIN gated g ON l.col = g.col
+  WHERE l.v IS NOT NULL GROUP BY l.col
+),
+rules AS (
+  SELECT col, 'not_null' AS chk, '' AS params, n_rows, n_null, n_distinct
+  FROM prof WHERE n_rows > 0 AND n_null = 0
+  UNION ALL
+  SELECT col, 'compliance',
+    col || ' IS NOT NULL|min_fraction=' ||
+      CAST(floor((1.0 - n_null / CAST(n_rows AS DOUBLE)) * 100) / 100
+           AS VARCHAR),
+    n_rows, n_null, n_distinct
+  FROM prof WHERE n_rows > 0 AND n_null > 0
+    AND n_null / CAST(n_rows AS DOUBLE) <= 0.05
+  UNION ALL
+  SELECT col, 'unique', '', n_rows, n_null, n_distinct
+  FROM prof WHERE n_rows >= 2 AND n_null = 0 AND n_distinct = n_rows
+  UNION ALL
+  SELECT col, 'domain_check', col || ' >= 0', n_rows, n_null, n_distinct
+  FROM prof WHERE n_rows > 0 AND is_numeric
+    AND min_num IS NOT NULL AND min_num >= 0
+  UNION ALL
+  SELECT p.col, 'domain_check', p.col || ' IN (' || v.vlist || ')',
+         p.n_rows, p.n_null, p.n_distinct
+  FROM prof p JOIN vals v ON p.col = v.col WHERE p.n_rows > 0
+  UNION ALL
+  SELECT col, 'type_conformance',
+    CASE WHEN n_bigint = n_rows - n_null THEN 'bigint' ELSE 'double' END,
+    n_rows, n_null, n_distinct
+  FROM prof
+  WHERE n_rows > 0 AND is_string AND n_rows - n_null > 0
+    AND col NOT IN (SELECT col FROM gated)
+    AND (n_bigint = n_rows - n_null OR n_double = n_rows - n_null)
+)
+SELECT col AS "column", chk AS "check", params, n_rows, n_null, n_distinct
+FROM rules
+"""
+
+
 # =====================================================================
 # registry / driver surface
 # =====================================================================
@@ -4316,6 +4431,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "type_inference_orders": QuerySpec(q_type_inference_orders, SQL_TYPE_INFERENCE),
     "benford_orders": QuerySpec(q_benford_orders, SQL_BENFORD),
     "mask_profile_orders": QuerySpec(q_mask_profile_orders, SQL_MASK_PROFILE),
+    # constraint suggestion (C57)
+    "suggest_constraints_orders": QuerySpec(
+        q_suggest_constraints_orders, SQL_SUGGEST
+    ),
     # flagship suite
     "suite_verdicts_lineitem": QuerySpec(q_suite_verdicts_lineitem, SQL_SUITE_VERDICTS),
 }

@@ -1,0 +1,289 @@
+"""Constraint suggestion (C57 — deequ's ConstraintSuggestion): profile
+a table once and emit a reviewable, ready-to-run suite config — the
+discovery→declaration loop closer. C38 consumes a reviewed JSON
+config; C42/C40/C43 discover profiles; this module turns the profile
+into the config, with every suggestion carrying the evidence that
+produced it, so the human review step is "read and prune", not "write
+from scratch".
+
+Rules (deterministic — identical inputs give byte-identical configs,
+and each replays as plain SQL in the driver-contract oracle):
+
+- R1 ``not_null``       — the column has zero NULLs.
+- R2 ``compliance``     — null rate in (0, tol_null]: suggest
+  ``c IS NOT NULL`` with min_fraction = the observed non-null rate
+  floored to 2 decimals (a tolerance that admits today's dirt and
+  pages on worse — deequ's hasCompleteness suggestion).
+- R3 ``unique``         — zero NULLs and distinct == rows (≥ 2 rows):
+  a key candidate; `to_config` promotes the lexicographically first
+  one to ``unique_key``.
+- R4 ``domain_check c >= 0`` — declared-numeric column whose observed
+  min is ≥ 0 (deequ's isNonNegative; the observed-range form is
+  deliberately NOT suggested — exact min/max bounds overfit one
+  snapshot).
+- R5 ``domain_check c IN (...)`` — string column with 1 ≤ distinct
+  non-null values ≤ max_values AND rows ≥ 10× distinct (a genuine
+  categorical, not a small table of free text). Values sorted, quotes
+  escaped by doubling.
+- R6 ``type_conformance`` — string column whose every non-null value
+  try_casts to bigint (or, failing that, to double): the column is a
+  stringly-typed number; suggest the declared-type check (B11).
+
+Scale posture (the 10^12-row story):
+
+- Pass 1 is ONE scan + ONE Expand-free two-level aggregation: columns
+  melt row-locally to (column, value-as-string) structs, level 1
+  groups by (column, value) — so try_cast runs once per DISTINCT
+  value, not per row — and level 2 folds (column)-level counts.
+  Multiple ``count_distinct`` columns in one flat agg would plan as
+  an Expand (input × #columns rows); the melt pays the same row
+  multiplication but gets distinct counts, castability AND numeric
+  min from one hash-shuffle pipeline with map-side partials.
+- Pass 2 (value capture for R5) runs ONLY when some column passed the
+  low-cardinality gate, and scans ONLY those columns (parquet column
+  pruning) — collect_set state is bounded by max_values per column by
+  construction.
+- Rule evaluation is driver-side over the #columns-row pass-1 result
+  (a bounded collect, like every parts-sized summary in this engine).
+
+Long-text / binary / nested columns: binary and complex types are
+excluded automatically (casting bytes to string is lossy and a
+groupBy on payload bytes is never the right plan); pass ``columns=``
+to additionally skip long-text columns where distinct-profiling a
+10^12-row corpus is not worth one shuffle of the text.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: source dtypes the profiler refuses to melt (lossy/meaningless as
+#: string group keys)
+_SKIP_DTYPE_PREFIXES = ("binary", "array", "map", "struct")
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+)
+
+SUGGESTION_SCHEMA = (
+    "column string, check string, params string, "
+    "n_rows bigint, n_null bigint, n_distinct bigint"
+)
+
+
+def _profilable(df: DataFrame, columns) -> list[str]:
+    dtypes = dict(df.dtypes)
+    explicit = columns is not None
+    out = []
+    for c in (columns if explicit else df.columns):
+        if c not in dtypes:
+            raise ValueError(f"suggest: column {c!r} not in frame")
+        if dtypes[c].startswith(_SKIP_DTYPE_PREFIXES):
+            if explicit:
+                # explicitly requested but unprofilable — refuse loudly
+                raise ValueError(
+                    f"suggest: column {c!r} has unprofilable type "
+                    f"{dtypes[c]!r} (binary/nested)"
+                )
+        else:
+            out.append(c)
+    if not out:
+        raise ValueError("suggest: no profilable columns")
+    return out
+
+
+def _pass1(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, n_bigint, n_double,
+    min_num) via the melt → (column, value) → (column) two-level agg.
+    n_distinct counts distinct NON-NULL values (the R3/R5 currency);
+    castability counts weight each distinct value by its row count."""
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.col(c).cast("string").alias("v"))
+        for c in cols
+    ]
+    melted = df.select(F.explode(F.array(*structs)).alias("mv")).select(
+        "mv.column", "mv.v"
+    )
+    lvl1 = melted.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    v = F.col("v")
+    as_big = F.expr("try_cast(v AS bigint)").isNotNull()
+    as_dbl = F.expr("try_cast(v AS double)").isNotNull()
+    return lvl1.groupBy("column").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(v.isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_null"),
+        F.count_if(v.isNotNull()).alias("n_distinct"),
+        F.coalesce(
+            F.sum(F.when(v.isNotNull() & as_big, F.col("cnt"))), F.lit(0)
+        ).alias("n_bigint"),
+        F.coalesce(
+            F.sum(F.when(v.isNotNull() & as_dbl, F.col("cnt"))), F.lit(0)
+        ).alias("n_double"),
+        F.min(F.expr("try_cast(v AS double)")).alias("min_num"),
+    )
+
+
+def _quote(val: str) -> str:
+    return "'" + val.replace("'", "''") + "'"
+
+
+def suggest_constraints(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_values: int = 10,
+    tol_null: float = 0.05,
+    min_support: int = 10,
+) -> list[dict]:
+    """Run the profile passes and the R1–R6 rules; → list of
+    suggestion dicts (column, check, params, n_rows, n_null,
+    n_distinct), deterministically ordered by (column, check)."""
+    if not (0.0 < tol_null < 1.0):
+        raise ValueError(f"tol_null must be in (0, 1), got {tol_null}")
+    if max_values < 1:
+        raise ValueError(f"max_values must be >= 1, got {max_values}")
+    dtypes = dict(df.dtypes)
+    cols = _profilable(df, columns)
+    prof = {r["column"]: r for r in _pass1(df, cols).collect()}
+
+    # pass 2: value sets for R5-gated columns only (column-pruned scan)
+    gated = sorted(
+        c
+        for c in cols
+        if dtypes[c] == "string"
+        and prof[c]["n_distinct"] >= 1
+        and prof[c]["n_distinct"] <= max_values
+        and prof[c]["n_rows"] >= min_support * prof[c]["n_distinct"]
+    )
+    values: dict[str, list[str]] = {}
+    if gated:
+        sets = df.select(
+            *[
+                F.sort_array(F.collect_set(F.col(c))).alias(c)
+                for c in gated
+            ]
+        ).first()
+        values = {c: list(sets[c]) for c in gated}
+
+    out: list[dict] = []
+
+    def emit(c: str, check: str, params: str) -> None:
+        p = prof[c]
+        out.append(
+            {
+                "column": c,
+                "check": check,
+                "params": params,
+                "n_rows": p["n_rows"],
+                "n_null": p["n_null"],
+                "n_distinct": p["n_distinct"],
+            }
+        )
+
+    for c in cols:
+        p = prof[c]
+        n, nn = p["n_rows"], p["n_rows"] - p["n_null"]
+        if n == 0:
+            continue
+        if p["n_null"] == 0:
+            emit(c, "not_null", "")
+        else:
+            null_rate = p["n_null"] / n
+            if null_rate <= tol_null:
+                # floor to 2 decimals: admits today's dirt, pages on worse
+                mf = int((1.0 - null_rate) * 100) / 100
+                emit(
+                    c,
+                    "compliance",
+                    f"{c} IS NOT NULL|min_fraction={mf}",
+                )
+        if p["n_null"] == 0 and p["n_distinct"] == n and n >= 2:
+            emit(c, "unique", "")
+        if (
+            dtypes[c].startswith(_NUMERIC_PREFIXES)
+            and p["min_num"] is not None
+            and p["min_num"] >= 0
+        ):
+            emit(c, "domain_check", f"{c} >= 0")
+        if c in values:
+            vals = ",".join(_quote(x) for x in values[c])
+            emit(c, "domain_check", f"{c} IN ({vals})")
+        if dtypes[c] == "string" and nn > 0 and c not in values:
+            if p["n_bigint"] == nn:
+                emit(c, "type_conformance", "bigint")
+            elif p["n_double"] == nn:
+                emit(c, "type_conformance", "double")
+
+    out.sort(key=lambda s: (s["column"], s["check"], s["params"]))
+    return out
+
+
+def suggestions_frame(spark: SparkSession, suggestions: list[dict]) -> DataFrame:
+    """Suggestions as a DataFrame in SUGGESTION_SCHEMA order (the
+    driver-contract shape)."""
+    rows = [
+        (
+            s["column"], s["check"], s["params"],
+            s["n_rows"], s["n_null"], s["n_distinct"],
+        )
+        for s in suggestions
+    ]
+    return spark.createDataFrame(rows, SUGGESTION_SCHEMA)
+
+
+def to_config(suggestions: list[dict]) -> dict:
+    """Assemble the suggestions into a `suite_from_config`-ready JSON
+    document. Deterministic: sorted inputs produce a byte-stable
+    config. The unique-key promotion takes the lexicographically
+    first R3 candidate (all candidates stay visible in the
+    suggestions frame for the reviewer)."""
+    cfg: dict = {}
+    not_null = [s["column"] for s in suggestions if s["check"] == "not_null"]
+    if not_null:
+        cfg["not_null"] = sorted(not_null)
+    uniques = sorted(
+        s["column"] for s in suggestions if s["check"] == "unique"
+    )
+    if uniques:
+        cfg["unique_key"] = uniques[0]
+    domain = []
+    for s in suggestions:
+        if s["check"] == "domain_check":
+            kind = "nonneg" if s["params"].endswith(">= 0") else "isin"
+            domain.append(
+                {
+                    "name": f"{s['column']}_{kind}",
+                    "column": s["column"],
+                    "predicate": s["params"],
+                }
+            )
+    if domain:
+        cfg["domain_checks"] = domain
+    comp = []
+    for s in suggestions:
+        if s["check"] == "compliance":
+            pred, mf = s["params"].rsplit("|min_fraction=", 1)
+            comp.append(
+                {
+                    "name": f"{s['column']}_mostly_present",
+                    "column": s["column"],
+                    "predicate": pred,
+                    "min_fraction": float(mf),
+                }
+            )
+    if comp:
+        cfg["compliance"] = comp
+    tc = [
+        {"column": s["column"], "dtype": s["params"]}
+        for s in suggestions
+        if s["check"] == "type_conformance"
+    ]
+    if tc:
+        cfg["type_conformance"] = tc
+    return cfg
+
+
+def config_json(suggestions: list[dict]) -> str:
+    return json.dumps(to_config(suggestions), indent=2, sort_keys=True)

@@ -1,0 +1,142 @@
+"""Constraint suggestion (C57, plans/suggest — deequ's
+ConstraintSuggestion): rule firing, the suggest → config → suite
+round-trip, value escaping, refusals, and the CLI. SQL-oracle twin:
+`suggest_constraints_orders` in the driver contract."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdime_spark import cli
+from bigdime_spark.plans.config import suite_from_config
+from bigdime_spark.plans.suggest import (
+    suggest_constraints,
+    suggestions_frame,
+    to_config,
+)
+
+
+def _sugg_set(suggestions):
+    return {(s["column"], s["check"], s["params"]) for s in suggestions}
+
+
+def test_rules_fire_on_planted_frame(spark):
+    """One frame, every rule: ids (unique, non-null, non-negative),
+    a categorical (isin), a stringly-typed number (type_conformance),
+    and a 10%-null column below tol (compliance at the floored rate)."""
+    rows = [
+        (i, "cat_a" if i % 2 else "cat_b", str(100 + i),
+         None if i < 2 else "x")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, cat string, num_str string, mostly string"
+    )
+    got = _sugg_set(suggest_constraints(df, tol_null=0.2))
+    assert ("id", "not_null", "") in got
+    assert ("id", "unique", "") in got
+    assert ("id", "domain_check", "id >= 0") in got
+    assert ("cat", "domain_check", "cat IN ('cat_a','cat_b')") in got
+    assert ("num_str", "type_conformance", "bigint") in got
+    # 2/20 null → rate 0.1 ≤ 0.2 → floor(0.9·100)/100 = 0.9
+    assert ("mostly", "compliance",
+            "mostly IS NOT NULL|min_fraction=0.9") in got
+    # a nullable column never gets not_null; a non-unique one never unique
+    assert ("mostly", "not_null", "") not in got
+    assert ("cat", "unique", "") not in got
+
+
+def test_negative_min_blocks_nonneg_and_high_card_blocks_isin(spark):
+    rows = [(float(i - 5), f"v{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, s string")
+    got = _sugg_set(suggest_constraints(df))
+    assert not any(c == "domain_check" and "x >= 0" in p
+                   for _, c, p in got)
+    # 10 distinct over 10 rows fails the rows >= 10*distinct support gate
+    assert not any(c == "domain_check" and "IN (" in p for _, c, p in got)
+
+
+def test_isin_quote_escaping_yields_parseable_predicate(spark):
+    rows = [("it's", ), ("plain", )] * 10
+    df = spark.createDataFrame(rows, "s string")
+    sugg = suggest_constraints(df)
+    isin = [s for s in sugg if "IN (" in s["params"]][0]
+    assert isin["params"] == "s IN ('it''s','plain')"
+    # the suggested predicate must be valid Spark SQL over the frame
+    assert df.filter(F.expr(isin["params"])).count() == 20
+
+
+def test_suggest_to_config_round_trip_suite_passes(spark):
+    """The loop closer: suggestions from a pristine fixture build a
+    config whose suite PASSes on the very data that produced it —
+    not one suggested constraint may FAIL."""
+    from bigdime_spark.sources.synth import build_fixture
+
+    fx = build_fixture(spark, n_rows=128, n_parts=4)
+    sugg = suggest_constraints(fx.raw)  # bytes auto-excluded (binary)
+    assert all(s["column"] != "bytes" for s in sugg)
+    cfg = to_config(sugg)
+    assert "not_null" in cfg and "image_id" in cfg["not_null"]
+    assert cfg.get("unique_key") in ("caption", "image_id")
+    suite = suite_from_config(cfg)
+    res = suite.run(spark, fx.raw, run_id="suggest-rt")
+    fails = (
+        res.verdicts.filter(F.col("verdict") == "FAIL")
+        .select("constraint")
+        .distinct()
+        .collect()
+    )
+    assert fails == [], [r["constraint"] for r in fails]
+    res.release()
+
+
+def test_refusals(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "a bigint, b binary")
+    # explicit unprofilable column → loud
+    with pytest.raises(ValueError, match="unprofilable"):
+        suggest_constraints(df, columns=["b"])
+    with pytest.raises(ValueError, match="not in frame"):
+        suggest_constraints(df, columns=["nope"])
+    with pytest.raises(ValueError, match="tol_null"):
+        suggest_constraints(df, tol_null=0.0)
+    with pytest.raises(ValueError, match="max_values"):
+        suggest_constraints(df, max_values=0)
+    only_bin = spark.createDataFrame([(bytearray(b"x"),)], "b binary")
+    with pytest.raises(ValueError, match="no profilable"):
+        suggest_constraints(only_bin)
+
+
+def test_suggestions_frame_schema(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id bigint")
+    fr = suggestions_frame(spark, suggest_constraints(df))
+    assert fr.columns == [
+        "column", "check", "params", "n_rows", "n_null", "n_distinct",
+    ]
+    assert fr.count() >= 2
+
+
+def test_cli_suggest_e2e(spark, tmp_path_factory, capsys):
+    """suggest → --out config → run --config on the same table exits
+    0; bad --columns exits 2."""
+    from bigdime_spark.sources.synth import build_fixture
+    from bigdime_spark.sources.tables import write_table
+
+    d = tmp_path_factory.mktemp("suggest")
+    fx = build_fixture(spark, n_rows=64, n_parts=2)
+    write_table(fx.raw, f"{d}/raw")
+    capsys.readouterr()
+    rc = cli.main(["suggest", "--input", f"{d}/raw",
+                   "--out", f"{d}/cfg.json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["n_suggestions"] >= 5
+    assert out["config"] == json.load(open(f"{d}/cfg.json"))
+    capsys.readouterr()
+    assert cli.main(["run", "--raw", f"{d}/raw", "--out", f"{d}/vout",
+                     "--run-id", "r1", "--config", f"{d}/cfg.json"]) == 0
+    capsys.readouterr()
+    assert cli.main(["suggest", "--input", f"{d}/raw",
+                     "--columns", "bytes"]) == 2
