@@ -89,6 +89,9 @@ HEADLINE = [
     "verdict_history_orders",
     "metric_trend_orders",
     "metric_zscore_orders",
+    "metric_ewma_orders",
+    "compliance_events",
+    "suggest_constraints_orders",
     "suite_verdicts_lineitem",
 ]
 

@@ -4233,7 +4233,10 @@ prof AS (
       0) AS n_bigint,
     coalesce(sum(cnt) FILTER (WHERE v IS NOT NULL
         AND TRY_CAST(v AS DOUBLE) IS NOT NULL), 0) AS n_double,
-    min(TRY_CAST(v AS DOUBLE)) AS min_num,
+    min(TRY_CAST(v AS DOUBLE)) FILTER (
+      WHERE isfinite(TRY_CAST(v AS DOUBLE))) AS min_num,
+    max(TRY_CAST(v AS DOUBLE)) FILTER (
+      WHERE isfinite(TRY_CAST(v AS DOUBLE))) AS max_num,
     col IN ('o_orderstatus', 'num_str', 'dbl_str', 'mostly') AS is_string,
     col IN ('o_orderkey', 'o_totalprice') AS is_numeric
   FROM lvl1 GROUP BY col
@@ -4280,6 +4283,17 @@ rules AS (
   WHERE n_rows > 0 AND is_string AND n_rows - n_null > 0
     AND col NOT IN (SELECT col FROM gated)
     AND (n_bigint = n_rows - n_null OR n_double = n_rows - n_null)
+  UNION ALL
+  SELECT col, 'drift_spec',
+    'lo=' || CAST(floor(min_num) AS VARCHAR) ||
+    '|hi=' || CAST(CASE WHEN ceil(max_num) <= floor(min_num)
+                        THEN floor(min_num) + 1.0
+                        ELSE ceil(max_num) END AS VARCHAR) ||
+    '|nbins=32',
+    n_rows, n_null, n_distinct
+  FROM prof
+  WHERE n_rows > 0 AND is_numeric
+    AND min_num IS NOT NULL AND max_num IS NOT NULL
 )
 SELECT col AS "column", chk AS "check", params, n_rows, n_null, n_distinct
 FROM rules

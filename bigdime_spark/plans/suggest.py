@@ -28,6 +28,13 @@ and each replays as plain SQL in the driver-contract oracle):
 - R6 ``type_conformance`` — string column whose every non-null value
   try_casts to bigint (or, failing that, to double): the column is a
   stringly-typed number; suggest the declared-type check (B11).
+- R7 ``drift_spec`` — declared-numeric column with a finite observed
+  range: suggest the B18/B19 histogram spec with lo = floor(min),
+  hi = ceil(max) (hi bumped by 1 when the rounding collapses them),
+  nbins 32 — the binning a drift check needs declared up front,
+  derived from the data instead of guessed. Unlike R4, widening to
+  whole numbers is deliberate: bin EDGES are layout, not a bound, so
+  a snapshot-exact range would only shift buckets run over run.
 
 Scale posture (the 10^12-row story):
 
@@ -122,8 +129,17 @@ def _pass1(df: DataFrame, cols: list[str]) -> DataFrame:
         F.coalesce(
             F.sum(F.when(v.isNotNull() & as_dbl, F.col("cnt"))), F.lit(0)
         ).alias("n_double"),
-        F.min(F.expr("try_cast(v AS double)")).alias("min_num"),
+        F.min(_finite_num()).alias("min_num"),
+        F.max(_finite_num()).alias("max_num"),
     )
+
+
+def _finite_num():
+    """try_cast(v AS double) with NaN/Inf excluded — min/max over a
+    column containing 'NaN' strings would otherwise diverge between
+    engines (Spark sorts NaN greatest; DuckDB's min skips it)."""
+    d = F.expr("try_cast(v AS double)")
+    return F.when(~F.isnan(d) & (F.abs(d) != float("inf")), d)
 
 
 def _quote(val: str) -> str:
@@ -215,6 +231,18 @@ def suggest_constraints(
                 emit(c, "type_conformance", "bigint")
             elif p["n_double"] == nn:
                 emit(c, "type_conformance", "double")
+        if (
+            dtypes[c].startswith(_NUMERIC_PREFIXES)
+            and p["min_num"] is not None
+            and p["max_num"] is not None
+        ):
+            import math
+
+            lo = float(math.floor(p["min_num"]))
+            hi = float(math.ceil(p["max_num"]))
+            if hi <= lo:
+                hi = lo + 1.0
+            emit(c, "drift_spec", f"lo={lo}|hi={hi}|nbins=32")
 
     out.sort(key=lambda s: (s["column"], s["check"], s["params"]))
     return out
@@ -282,6 +310,20 @@ def to_config(suggestions: list[dict]) -> dict:
     ]
     if tc:
         cfg["type_conformance"] = tc
+    drift = []
+    for s in suggestions:
+        if s["check"] == "drift_spec":
+            parts = dict(kv.split("=", 1) for kv in s["params"].split("|"))
+            drift.append(
+                {
+                    "column": s["column"],
+                    "lo": float(parts["lo"]),
+                    "hi": float(parts["hi"]),
+                    "nbins": int(parts["nbins"]),
+                }
+            )
+    if drift:
+        cfg["drift_specs"] = drift
     return cfg
 
 

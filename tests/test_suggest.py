@@ -29,11 +29,11 @@ def test_rules_fire_on_planted_frame(spark):
     and a 10%-null column below tol (compliance at the floored rate)."""
     rows = [
         (i, "cat_a" if i % 2 else "cat_b", str(100 + i),
-         None if i < 2 else "x")
+         None if i < 2 else "x", 1.0)
         for i in range(20)
     ]
     df = spark.createDataFrame(
-        rows, "id bigint, cat string, num_str string, mostly string"
+        rows, "id bigint, cat string, num_str string, mostly string, one double"
     )
     got = _sugg_set(suggest_constraints(df, tol_null=0.2))
     assert ("id", "not_null", "") in got
@@ -47,6 +47,15 @@ def test_rules_fire_on_planted_frame(spark):
     # a nullable column never gets not_null; a non-unique one never unique
     assert ("mostly", "not_null", "") not in got
     assert ("cat", "unique", "") not in got
+    # R7: observed numeric range → drift spec; a constant column's
+    # collapsed range bumps hi to lo+1
+    assert ("id", "drift_spec", "lo=0.0|hi=19.0|nbins=32") in got
+    assert ("one", "drift_spec", "lo=1.0|hi=2.0|nbins=32") in got
+    # drift specs round-trip into the config section
+    cfg = to_config(suggest_constraints(df, tol_null=0.2))
+    assert {"column": "id", "lo": 0.0, "hi": 19.0, "nbins": 32} in cfg[
+        "drift_specs"
+    ]
 
 
 def test_negative_min_blocks_nonneg_and_high_card_blocks_isin(spark):
