@@ -1203,6 +1203,81 @@ class DistinctnessBound(TableConstraint):
         return found, None
 
 
+class CategoricalBound(TableConstraint):
+    """Suite-integrated declared-bounds form of
+    :func:`categorical_profile` — deequ's hasEntropy /
+    hasHistogramValues family as a TableConstraint (the exact value
+    distribution needs its own (part, column, value) aggregation;
+    same boundary as :class:`DistinctnessBound`).
+
+    Verdict family ``categorical_<metric>.<col>`` with ``metric`` ∈
+    {entropy, top_frac, n_distinct}, bound to ``[lo, hi]`` per part:
+
+    - ``entropy`` lo-bound catches mode collapse (every image suddenly
+      'raw' — the categorical analogue of a stuck phash bit) as a
+      DECLARED gate, before the cross-run drift machinery needs two
+      snapshots to see it; the hi-bound catches value-set explosions.
+    - ``top_frac`` hi-bound is the operationally blunter twin ("no
+      single fmt may exceed 80% of a part").
+    - ``n_distinct`` bounds the value-set size itself.
+
+    NOT_READY when the part has zero non-null values (the profile
+    emits no row; the suite's partial-verdict grid fills the gap)."""
+
+    partial_verdicts = True
+
+    _METRICS = ("entropy", "top_frac", "n_distinct")
+
+    def __init__(
+        self,
+        column: str,
+        metric: str = "entropy",
+        lo: float = 0.0,
+        hi: float | None = None,
+    ):
+        if metric not in self._METRICS:
+            raise ValueError(
+                f"metric={metric!r} unsupported: one of {self._METRICS}"
+            )
+        self.column = column
+        self.metric = metric
+        self.lo = float(lo)
+        self.hi = float("inf") if hi is None else float(hi)
+        if self.hi < self.lo:
+            raise ValueError(
+                f"categorical bound: hi {self.hi} < lo {self.lo}"
+            )
+        self.name = f"categorical_{metric}.{column}"
+
+    def verdict_names(self) -> list[str]:
+        return [self.name]
+
+    def run(self, ctx):
+        from bigdime_spark.schema import FAIL, NOT_READY, PASS
+
+        prof = categorical_profile(ctx.raw, (self.column,))
+        if ctx.parts is not None:
+            # an all-NULL part emits no profile row (NULLs are excluded
+            # from the value distribution); that part is NOT_READY, not
+            # the grid-fill PASS a missing row would become
+            prof = ctx.parts.select("part").join(prof, "part", "left")
+        m = F.col(self.metric).cast("double")
+        hi_txt = "inf" if self.hi == float("inf") else str(self.hi)
+        found = prof.select(
+            "part",
+            F.lit(self.name).alias("constraint"),
+            F.when(m.isNull(), F.lit(NOT_READY))
+            .when((m >= self.lo) & (m <= self.hi), F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+            .alias("verdict"),
+            F.concat(
+                F.lit(f"{self.metric}="), F.round(m, 6).cast("string")
+            ).alias("observed"),
+            F.lit(f"{self.metric} in [{self.lo}, {hi_txt}]").alias("expected"),
+        )
+        return found, None
+
+
 class BenfordBound(TableConstraint):
     """Suite-integrated declared-bounds form of :func:`benford_mad` —
     a TableConstraint (the digit distribution needs its own

@@ -112,7 +112,8 @@ _PROGRAMMATIC_ONLY = (
 _SECTIONS = ("schema", "domain_checks", "compliance", "type_conformance",
              "freshness",
              "correlation_bounds", "mutual_info_bounds",
-             "distinctness_bounds", "benford_bounds", "drift_specs",
+             "distinctness_bounds", "categorical_bounds",
+             "benford_bounds", "drift_specs",
              "bit_balance_bounds", "sequence_continuity",
              "functional_dependencies")
 
@@ -355,6 +356,24 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                 float(e.get("lo", 0.0)), float(e.get("hi", 1.0)),
                 metric=metric,
             ))
+
+    if "categorical_bounds" in cfg:
+        from bigdime_spark.operators.stats import CategoricalBound
+
+        if not isinstance(cfg["categorical_bounds"], list):
+            raise _fail("categorical_bounds", "must be an array of objects")
+        for entry in cfg["categorical_bounds"]:
+            e = _require_keys("categorical_bounds", entry,
+                              {"column"}, {"metric", "lo", "hi"})
+            try:
+                table_extras.append(CategoricalBound(
+                    str(e["column"]),
+                    metric=str(e.get("metric", "entropy")),
+                    lo=float(e.get("lo", 0.0)),
+                    hi=(None if e.get("hi") is None else float(e["hi"])),
+                ))
+            except ValueError as exc:
+                raise _fail("categorical_bounds", str(exc))
 
     if "benford_bounds" in cfg:
         from bigdime_spark.operators.stats import BenfordBound
