@@ -169,6 +169,7 @@ def suggest_constraints(
         c
         for c in cols
         if dtypes[c] == "string"
+        and c in prof
         and prof[c]["n_distinct"] >= 1
         and prof[c]["n_distinct"] <= max_values
         and prof[c]["n_rows"] >= min_support * prof[c]["n_distinct"]
@@ -199,10 +200,12 @@ def suggest_constraints(
         )
 
     for c in cols:
-        p = prof[c]
-        n, nn = p["n_rows"], p["n_rows"] - p["n_null"]
-        if n == 0:
+        # a zero-row table produces no profile rows at all — nothing
+        # to suggest (never a KeyError)
+        p = prof.get(c)
+        if p is None or p["n_rows"] == 0:
             continue
+        n, nn = p["n_rows"], p["n_rows"] - p["n_null"]
         if p["n_null"] == 0:
             emit(c, "not_null", "")
         else:

@@ -149,3 +149,83 @@ def test_cli_suggest_e2e(spark, tmp_path_factory, capsys):
     capsys.readouterr()
     assert cli.main(["suggest", "--input", f"{d}/raw",
                      "--columns", "bytes"]) == 2
+
+
+def test_zero_row_table_suggests_nothing(spark):
+    df = spark.createDataFrame([], "a bigint, s string")
+    assert suggest_constraints(df) == []
+
+
+# ------------------------------------------------- property test (C57)
+# hypothesis draws a small 2-column frame from an alphabet where Spark
+# and pure-python castability agree exactly; suggest_constraints must
+# match an independent python reference on the full suggestion set.
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_NUM = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
+_STR = st.one_of(st.none(), st.sampled_from(["x", "y", "1", "2", "3.5"]))
+rows_strategy = st.lists(st.tuples(_NUM, _STR), min_size=0, max_size=25)
+
+_TOL, _MAXV, _SUPP = 0.5, 3, 2
+
+
+def _ref_suggest(rows):
+    out = set()
+    for idx, (name, is_num, is_str) in enumerate(
+        (("a", True, False), ("s", False, True))
+    ):
+        vals = [r[idx] for r in rows]
+        n = len(vals)
+        nonnull = [v for v in vals if v is not None]
+        nn, n_null = len(nonnull), n - len(nonnull)
+        nd = len(set(nonnull))
+        if n == 0:
+            continue
+        if n_null == 0:
+            out.add((name, "not_null", ""))
+        elif n_null / n <= _TOL:
+            mf = math.floor((1.0 - n_null / n) * 100) / 100
+            out.add((name, "compliance",
+                     f"{name} IS NOT NULL|min_fraction={mf}"))
+        if n_null == 0 and nd == n and n >= 2:
+            out.add((name, "unique", ""))
+        gated = (
+            is_str and 1 <= nd <= _MAXV and n >= _SUPP * nd
+        )
+        if gated:
+            vlist = ",".join(f"'{v}'" for v in sorted(set(nonnull)))
+            out.add((name, "domain_check", f"{name} IN ({vlist})"))
+        if is_num and nonnull and min(nonnull) >= 0:
+            out.add((name, "domain_check", f"{name} >= 0"))
+        if is_str and nn > 0 and not gated:
+            if all(v in ("1", "2") for v in nonnull):
+                out.add((name, "type_conformance", "bigint"))
+            elif all(v in ("1", "2", "3.5") for v in nonnull):
+                out.add((name, "type_conformance", "double"))
+        if is_num and nonnull:
+            lo = float(math.floor(min(nonnull)))
+            hi = float(math.ceil(max(nonnull)))
+            if hi <= lo:
+                hi = lo + 1.0
+            out.add((name, "drift_spec", f"lo={lo}|hi={hi}|nbins=32"))
+    return out
+
+
+@given(rows=rows_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_suggest_property_vs_python_reference(spark, rows):
+    df = spark.createDataFrame(rows, "a bigint, s string")
+    got = _sugg_set(
+        suggest_constraints(
+            df, tol_null=_TOL, max_values=_MAXV, min_support=_SUPP
+        )
+    )
+    assert got == _ref_suggest(rows)
