@@ -247,3 +247,61 @@ def test_keyed_pass_content_digest_adds_no_exchange(spark, parquet_fixture):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges == 2, plan
     assert "xxhash64" in plan
+
+
+def test_suggest_pass1_is_expand_free_two_level_agg(spark, parquet_fixture):
+    """C57 pass 1: the per-column profile (distinct counts +
+    castability + numeric range) must plan as melt → two hash
+    aggregations with exactly two exchanges — never the Expand node
+    that multiple count_distinct columns in one flat agg would plan,
+    and never a window."""
+    from bigdime_spark.plans.suggest import _pass1
+
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    cols = [c for c, t in raw.dtypes if t != "binary"]
+    plan = _explain(_pass1(raw, cols))
+    assert "Expand" not in plan
+    assert "Window" not in plan
+    import re
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 2, plan
+
+
+def test_compliance_rides_fused_agg_single_exchange(spark, parquet_fixture):
+    """C55 fuses into the suite's stats pass: adding three Compliance
+    constraints must not add a single exchange beyond the baseline
+    suite plan."""
+    import re
+
+    from bigdime_spark.operators.row_checks import Compliance
+    from bigdime_spark.operators.stats import ColumnProfile
+    from bigdime_spark.plans.suite import StatsProfile
+
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+
+    def n_exchanges(extra):
+        suite = ValidationSuite(
+            check_checksum=False,
+            check_uniqueness=False,
+            check_referential=False,
+            check_caption=False,
+            check_drift=False,
+            check_record_count=False,
+            check_domains=False,
+            stats=StatsProfile(
+                columns=[ColumnProfile("w"), ColumnProfile("h")]
+            ),
+            extra_agg_constraints=extra,
+        )
+        res = suite.run(spark, raw, run_id="plan-comp")
+        plan = _explain(res.verdicts)
+        res.release()
+        return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+    base = n_exchanges([])
+    cons = [
+        Compliance("w_pos", F.col("w") > 0, "w", 0.99),
+        Compliance("h_pos", F.col("h") > 0, "h", 0.99),
+        Compliance("cap", F.length("caption") > 0, "caption", 0.9),
+    ]
+    assert n_exchanges(cons) == base
