@@ -1137,6 +1137,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "suggest":
         from bigdime_spark.plans.suggest import (
             suggest_constraints,
+            suggest_image_checks,
             to_config,
         )
 
@@ -1158,6 +1159,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"suggest: {e}", file=sys.stderr)
             return 2
         cfg = to_config(sugg)
+        cfg.update(suggest_image_checks(df))
         if args.out:
             with open(args.out, "w") as fh:
                 json.dump(cfg, fh, indent=2, sort_keys=True)

@@ -4237,6 +4237,7 @@ prof AS (
       WHERE isfinite(TRY_CAST(v AS DOUBLE))) AS min_num,
     max(TRY_CAST(v AS DOUBLE)) FILTER (
       WHERE isfinite(TRY_CAST(v AS DOUBLE))) AS max_num,
+    max(length(v)) AS max_len,
     col IN ('o_orderstatus', 'num_str', 'dbl_str', 'mostly') AS is_string,
     col IN ('o_orderkey', 'o_totalprice') AS is_numeric
   FROM lvl1 GROUP BY col
@@ -4283,6 +4284,16 @@ rules AS (
   WHERE n_rows > 0 AND is_string AND n_rows - n_null > 0
     AND col NOT IN (SELECT col FROM gated)
     AND (n_bigint = n_rows - n_null OR n_double = n_rows - n_null)
+  UNION ALL
+  SELECT col, 'domain_check',
+    'length(' || col || ') <= ' ||
+    CAST(CAST(pow(2, CASE WHEN max_len <= 1 THEN 0
+                          ELSE ceil(log2(max_len)) END) AS BIGINT)
+         AS VARCHAR),
+    n_rows, n_null, n_distinct
+  FROM prof
+  WHERE n_rows > 0 AND is_string AND n_rows - n_null > 0
+    AND max_len IS NOT NULL
   UNION ALL
   SELECT col, 'drift_spec',
     'lo=' || CAST(floor(min_num) AS VARCHAR) ||

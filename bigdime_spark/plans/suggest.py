@@ -35,6 +35,11 @@ and each replays as plain SQL in the driver-contract oracle):
   derived from the data instead of guessed. Unlike R4, widening to
   whole numbers is deliberate: bin EDGES are layout, not a bound, so
   a snapshot-exact range would only shift buckets run over run.
+- R8 ``domain_check length(c) <= B`` — string column with non-null
+  values: B = the next power of two ≥ the observed max length
+  (deequ's hasMaxLength, widened so ordinary growth doesn't page —
+  a caption column jumping past double its historical bound is a
+  producer change, not growth).
 
 Scale posture (the 10^12-row story):
 
@@ -131,6 +136,7 @@ def _pass1(df: DataFrame, cols: list[str]) -> DataFrame:
         ).alias("n_double"),
         F.min(_finite_num()).alias("min_num"),
         F.max(_finite_num()).alias("max_num"),
+        F.max(F.length("v")).alias("max_len"),
     )
 
 
@@ -246,6 +252,9 @@ def suggest_constraints(
             if hi <= lo:
                 hi = lo + 1.0
             emit(c, "drift_spec", f"lo={lo}|hi={hi}|nbins=32")
+        if dtypes[c] == "string" and nn > 0 and p["max_len"] is not None:
+            b = 1 << max(0, int(p["max_len"]) - 1).bit_length()
+            emit(c, "domain_check", f"length({c}) <= {b}")
 
     out.sort(key=lambda s: (s["column"], s["check"], s["params"]))
     return out
@@ -282,7 +291,13 @@ def to_config(suggestions: list[dict]) -> dict:
     domain = []
     for s in suggestions:
         if s["check"] == "domain_check":
-            kind = "nonneg" if s["params"].endswith(">= 0") else "isin"
+            kind = (
+                "nonneg"
+                if s["params"].endswith(">= 0")
+                else "maxlen"
+                if s["params"].startswith("length(")
+                else "isin"
+            )
             domain.append(
                 {
                     "name": f"{s['column']}_{kind}",
@@ -328,6 +343,20 @@ def to_config(suggestions: list[dict]) -> dict:
     if drift:
         cfg["drift_specs"] = drift
     return cfg
+
+
+def suggest_image_checks(df: DataFrame) -> dict:
+    """Image-shaped tables (the BASELINE.json:15 schema) get the
+    structural gate the generic column rules cannot see: payload
+    conformance (B31) validates `bytes` against fmt/w/h inside the
+    scan, zero extra passes. Decode (B20) is deliberately NOT
+    auto-suggested — it pays the Arrow boundary per image, a
+    nightly/weekly cadence choice the reviewer owns."""
+    dtypes = dict(df.dtypes)
+    need = {"bytes": "binary", "fmt": "string", "w": "int", "h": "int"}
+    if all(dtypes.get(k) == t for k, t in need.items()):
+        return {"check_payload_conformance": True}
+    return {}
 
 
 def config_json(suggestions: list[dict]) -> str:

@@ -90,6 +90,17 @@ def test_suggest_to_config_round_trip_suite_passes(spark):
     cfg = to_config(sugg)
     assert "not_null" in cfg and "image_id" in cfg["not_null"]
     assert cfg.get("unique_key") in ("caption", "image_id")
+    # R8: every string column gets a widened max-length bound
+    assert any(
+        s2["check"] == "domain_check"
+        and s2["params"].startswith("length(caption)")
+        for s2 in sugg
+    )
+    # image-shaped frame → payload conformance flipped on
+    from bigdime_spark.plans.suggest import suggest_image_checks
+
+    cfg.update(suggest_image_checks(fx.raw))
+    assert cfg["check_payload_conformance"] is True
     suite = suite_from_config(cfg)
     res = suite.run(spark, fx.raw, run_id="suggest-rt")
     fails = (
@@ -142,6 +153,7 @@ def test_cli_suggest_e2e(spark, tmp_path_factory, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0
     assert out["n_suggestions"] >= 5
+    assert out["config"]["check_payload_conformance"] is True
     assert out["config"] == json.load(open(f"{d}/cfg.json"))
     capsys.readouterr()
     assert cli.main(["run", "--raw", f"{d}/raw", "--out", f"{d}/vout",
@@ -212,6 +224,9 @@ def _ref_suggest(rows):
             if hi <= lo:
                 hi = lo + 1.0
             out.add((name, "drift_spec", f"lo={lo}|hi={hi}|nbins=32"))
+        if is_str and nonnull:
+            b = 1 << max(0, max(len(v) for v in nonnull) - 1).bit_length()
+            out.add((name, "domain_check", f"length({name}) <= {b}"))
     return out
 
 
