@@ -656,6 +656,25 @@ def _build_parser() -> argparse.ArgumentParser:
         default=3.0,
         help="|z| cutoff for --ewma (default 3.0)",
     )
+    tr.add_argument(
+        "--hw",
+        type=int,
+        default=None,
+        metavar="SEASON",
+        help="score the latest run against an additive Holt-Winters "
+        "one-step forecast with this season length (level + trend + "
+        "per-phase seasonals; the strategy for metrics with a real "
+        "period, which every non-seasonal baseline flags at their "
+        "healthy peaks); needs >= 2*SEASON gap-free prior runs; flag "
+        "|z| above --hw-threshold; mutually exclusive with "
+        "--zscore/--ewma",
+    )
+    tr.add_argument(
+        "--hw-threshold",
+        type=float,
+        default=3.0,
+        help="|z| cutoff for --hw (default 3.0)",
+    )
     tr.add_argument("--master", default=None)
 
     cu = sub.add_parser(
@@ -1405,6 +1424,7 @@ def main(argv: list[str] | None = None) -> int:
         from bigdime_spark.operators.outliers import (
             ANOMALY,
             metric_ewma,
+            metric_holt_winters,
             metric_trend,
             metric_zscore,
             numeric_stat_metrics,
@@ -1412,10 +1432,11 @@ def main(argv: list[str] | None = None) -> int:
 
         zmode = args.zscore is not None
         emode = args.ewma is not None
-        if zmode and emode:
+        hmode = args.hw is not None
+        if zmode + emode + hmode > 1:
             print(
-                "trend: --zscore and --ewma are mutually exclusive "
-                "(one baseline per invocation)",
+                "trend: --zscore, --ewma and --hw are mutually "
+                "exclusive (one baseline per invocation)",
                 file=sys.stderr,
             )
             return 2
@@ -1444,6 +1465,14 @@ def main(argv: list[str] | None = None) -> int:
                     min_history=args.min_history,
                 ).persist()
                 rank_col = "z"
+            elif hmode:
+                scored = metric_holt_winters(
+                    hist,
+                    metrics,
+                    season=args.hw,
+                    threshold=args.hw_threshold,
+                ).persist()
+                rank_col = "z"
             else:
                 scored = metric_trend(
                     hist, metrics, max_rel_change=args.max_rel_change
@@ -1470,7 +1499,13 @@ def main(argv: list[str] | None = None) -> int:
                 {
                     "cmd": "trend",
                     "mode": (
-                        "zscore" if zmode else "ewma" if emode else "rel_change"
+                        "zscore"
+                        if zmode
+                        else "ewma"
+                        if emode
+                        else "holt_winters"
+                        if hmode
+                        else "rel_change"
                     ),
                     "verdicts": dict(sorted(counts.items())),
                     "worst": [
@@ -1492,6 +1527,12 @@ def main(argv: list[str] | None = None) -> int:
                                     "z": r["z"],
                                 }
                                 if emode
+                                else {
+                                    "forecast": r["forecast"],
+                                    "sigma": r["sigma"],
+                                    "z": r["z"],
+                                }
+                                if hmode
                                 else {
                                     "prev_value": r["prev_value"],
                                     "rel_change": r["rel_change"],

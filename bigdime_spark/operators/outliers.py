@@ -559,3 +559,129 @@ def metric_ewma(
         ).alias("z"),
         verdict.alias("verdict"),
     )
+
+
+_HW_SCHEMA = (
+    "part string, metric string, run_id string, value double, "
+    "n_history bigint, forecast double, sigma double, z double, "
+    "verdict string"
+)
+
+
+def metric_holt_winters(
+    history: DataFrame,
+    metrics: list[str],
+    part_col: str = "part",
+    season: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal anomaly detection over metric history (deequ's
+    HoltWinters strategy, simplified to fixed smoothing parameters) —
+    the fourth and last member of the cross-run family. The niche the
+    other three cannot cover: a metric with a real period (weekend
+    row-count dips, a nightly compaction's byte spike) looks like an
+    anomaly to the step gate (C53), the whole-history median (C54) AND
+    the EWMA chart (C56) exactly when it is healthiest — at its
+    seasonal peak. Holt–Winters carries level + trend + per-phase
+    seasonal components, forecasts the latest run one step ahead, and
+    scores the residual against the in-sample one-step residual scale
+    (σ = uncentered RMS of the in-sample residuals):
+
+        z = (x − forecast) / σ,  ANOMALY iff |z| > threshold.
+
+    Additive HW with the standard first-two-seasons initialization
+    (level = mean of season 1; trend = (mean₂ − mean₁)/m; seasonals =
+    season-1 deviations), recursion from t = m. Fixed (α, β, γ) — deequ's MSE
+    re-optimization per series is deliberately NOT reproduced: a
+    validation gate must be deterministic and explainable, not a tiny
+    curve-fit that can chase the very anomaly it should flag.
+
+    Conventions: NULL latest → NOT_READY; fewer than 2·season priors,
+    or ANY NULL prior → NOT_READY (a seasonal index is phase
+    arithmetic — silently dropping a null would shift every later
+    phase; the caller fills gaps explicitly or uses the non-seasonal
+    siblings); σ = 0 degrades to exact inequality (off a perfectly
+    forecastable history is ANOMALY with z NULL); strict >;
+    lexicographic run order; duplicate (run_id, part) refused via the
+    shared ``_melted_history`` front door.
+
+    Plan shape: runs × parts × metrics sized. The recursion is
+    inherently sequential per (part, metric), so this is the one
+    family member implemented at the Arrow boundary
+    (``applyInPandas`` over the melted history — each group is
+    #runs rows of METADATA; the corpus the stats describe is never
+    rescanned). Everything else stays column expressions."""
+    if season < 2:
+        raise ValueError(f"season must be >= 2, got {season}")
+    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not (0.0 < v < 1.0):
+            raise ValueError(f"{name} must be in (0, 1), got {v}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    melted = _melted_history("metric_holt_winters", history, metrics, part_col)
+    m, thr = int(season), float(threshold)
+    a, b, g = float(alpha), float(beta), float(gamma)
+
+    def fit(pdf):
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("run_id").reset_index(drop=True)
+        part, metric = pdf["part"].iloc[0], pdf["metric"].iloc[0]
+        run_id = pdf["run_id"].iloc[-1]
+        x = pdf["value"].iloc[-1]
+        x = None if pd.isna(x) else float(x)
+        priors = pdf["value"].iloc[:-1]
+        n = len(priors)
+        n_nonnull = int(priors.notna().sum())
+
+        def row(fc=None, sig=None, z=None, verdict="NOT_READY"):
+            return pd.DataFrame(
+                [
+                    {
+                        "part": part,
+                        "metric": metric,
+                        "run_id": run_id,
+                        "value": None if x is None else round(x, 6),
+                        "n_history": n_nonnull,
+                        "forecast": None if fc is None else round(fc, 6),
+                        "sigma": None if sig is None else round(sig, 6),
+                        "z": None if z is None else round(z, 6),
+                        "verdict": verdict,
+                    }
+                ]
+            )
+
+        if x is None or n < 2 * m or n_nonnull < n:
+            return row()
+        y = [float(v) for v in priors]
+        mean1 = sum(y[:m]) / m
+        mean2 = sum(y[m : 2 * m]) / m
+        lvl = mean1
+        trend = (mean2 - mean1) / m
+        seas = [y[i] - mean1 for i in range(m)]
+        resids = []
+        for t in range(m, n):
+            fc_t = lvl + trend + seas[t % m]
+            resids.append(y[t] - fc_t)
+            new_lvl = a * (y[t] - seas[t % m]) + (1 - a) * (lvl + trend)
+            trend = b * (new_lvl - lvl) + (1 - b) * trend
+            seas[t % m] = g * (y[t] - new_lvl) + (1 - g) * seas[t % m]
+            lvl = new_lvl
+        fc = lvl + trend + seas[n % m]
+        # σ = RMS of the one-step residuals (uncentered: the residuals
+        # of a well-specified additive fit are ~zero-mean, and an
+        # uncentered scale cannot hide a systematic forecast bias the
+        # way a centered one would)
+        sig = math.sqrt(sum(r * r for r in resids) / len(resids))
+        if sig > 0:
+            z = (x - fc) / sig
+            verdict = ANOMALY if abs(z) > thr else OK
+            return row(fc, sig, z, verdict)
+        return row(fc, 0.0, None, ANOMALY if x != fc else OK)
+
+    return melted.groupBy("part", "metric").applyInPandas(fit, _HW_SCHEMA)

@@ -496,3 +496,192 @@ def test_cli_trend_ewma_mode(spark, tmp_path_factory, capsys):
     capsys.readouterr()
     assert cli.main(["trend", "--history", f"{d}/hist",
                      "--metrics", "stat__rows", "--ewma", "1.5"]) == 2
+
+
+# ------------------------------------------------- Holt-Winters (HW)
+
+from bigdime_spark.operators.outliers import metric_holt_winters
+
+#: period-4 pattern, integral values exactly representable so the
+#: additive recursion is float-exact (residuals identically 0)
+_HW_PATTERN = [10.0, 20.0, 10.0, 60.0]
+
+
+def _hw_rows(n_priors, latest, part="p0"):
+    vals = [_HW_PATTERN[i % 4] for i in range(n_priors)] + [latest]
+    return [(f"r{i:02d}", part, v, v) for i, v in enumerate(vals, start=1)]
+
+
+def test_hw_accepts_seasonal_peak_the_zscore_flags(spark):
+    """The C-family niche: 11 priors of a perfect period-4 pattern put
+    the latest run at the seasonal PEAK (phase 3, value 60). The
+    whole-history median/MAD gate flags it (median 10, MAD 0 — the
+    peak IS far from its history); Holt-Winters forecasts exactly 60
+    and says OK. A genuinely broken latest (200) still fails."""
+    from bigdime_spark.operators.outliers import metric_zscore
+
+    df = spark.createDataFrame(_hw_rows(11, 60.0), SCHEMA)
+    hw = metric_holt_winters(df, ["rows"], season=4).first()
+    assert (hw["verdict"], hw["forecast"], hw["sigma"]) == ("OK", 60.0, 0.0)
+    assert hw["z"] is None  # σ=0 degradation, exact-equality OK
+    z = metric_zscore(df, ["rows"], threshold=3.5).first()
+    assert z["verdict"] == "ANOMALY"  # healthy peak, flagged wrongly
+
+    broken = spark.createDataFrame(_hw_rows(11, 200.0), SCHEMA)
+    hb = metric_holt_winters(broken, ["rows"], season=4).first()
+    assert hb["verdict"] == "ANOMALY" and hb["forecast"] == 60.0
+
+
+def test_hw_noisy_history_scores_a_real_z(spark):
+    """One +1 blip inside the priors makes σ > 0: the on-pattern
+    latest scores a finite small |z| → OK."""
+    rows = _hw_rows(11, 60.0)
+    r5 = rows[5]
+    rows[5] = (r5[0], r5[1], r5[2] + 1.0, r5[3] + 1.0)
+    df = spark.createDataFrame(rows, SCHEMA)
+    hw = metric_holt_winters(df, ["rows"], season=4, threshold=3.0).first()
+    assert hw["sigma"] > 0 and hw["z"] is not None
+    assert hw["verdict"] == "OK"
+
+
+def test_hw_not_ready_conventions(spark):
+    # 7 priors < 2*4 → NOT_READY
+    short = spark.createDataFrame(_hw_rows(7, 10.0), SCHEMA)
+    assert metric_holt_winters(short, ["rows"], season=4).first()[
+        "verdict"
+    ] == "NOT_READY"
+    # a NULL prior breaks phase arithmetic → NOT_READY, never a guess
+    rows = _hw_rows(11, 60.0)
+    r3 = rows[3]
+    rows[3] = (r3[0], r3[1], None, r3[3])
+    gap = spark.createDataFrame(rows, SCHEMA)
+    out = {r["metric"]: r for r in metric_holt_winters(
+        gap, ["rows", "bytes"], season=4).collect()}
+    assert out["rows"]["verdict"] == "NOT_READY"
+    assert out["bytes"]["verdict"] == "OK"  # untouched metric unaffected
+    # NULL latest → NOT_READY
+    rows = _hw_rows(11, 60.0)
+    last = rows[-1]
+    rows[-1] = (last[0], last[1], None, last[3])
+    nl = spark.createDataFrame(rows, SCHEMA)
+    assert metric_holt_winters(nl, ["rows"], season=4).first()[
+        "verdict"
+    ] == "NOT_READY"
+
+
+def test_hw_refusals(spark):
+    df = spark.createDataFrame([("r1", "p0", 1.0, 1.0)], SCHEMA)
+    with pytest.raises(ValueError, match="season"):
+        metric_holt_winters(df, ["rows"], season=1)
+    for kw in ({"alpha": 0.0}, {"beta": 1.0}, {"gamma": -0.1}):
+        with pytest.raises(ValueError, match=list(kw)[0]):
+            metric_holt_winters(df, ["rows"], **kw)
+    with pytest.raises(ValueError, match="threshold"):
+        metric_holt_winters(df, ["rows"], threshold=0.0)
+
+
+def _ref_holt_winters(vals, m=2, a=0.3, b=0.1, g=0.3, thr=3.0):
+    """Independent pure-python reference of the additive fit."""
+    import math
+
+    x, priors = vals[-1], vals[:-1]
+    n = len(priors)
+    if x is None or n < 2 * m or any(v is None for v in priors):
+        return ("NOT_READY", None, None, None)
+    y = [float(v) for v in priors]
+    mean1 = sum(y[:m]) / m
+    mean2 = sum(y[m:2 * m]) / m
+    lvl, trend = mean1, (mean2 - mean1) / m
+    seas = [y[i] - mean1 for i in range(m)]
+    resids = []
+    for t in range(m, n):
+        resids.append(y[t] - (lvl + trend + seas[t % m]))
+        new_lvl = a * (y[t] - seas[t % m]) + (1 - a) * (lvl + trend)
+        trend = b * (new_lvl - lvl) + (1 - b) * trend
+        seas[t % m] = g * (y[t] - new_lvl) + (1 - g) * seas[t % m]
+        lvl = new_lvl
+    fc = lvl + trend + seas[n % m]
+    sig = math.sqrt(sum(r * r for r in resids) / len(resids))
+    if sig > 0:
+        z = (float(x) - fc) / sig
+        return ("ANOMALY" if abs(z) > thr else "OK", fc, sig, z)
+    return ("ANOMALY" if float(x) != fc else "OK", fc, 0.0, None)
+
+
+_HWVAL = st.one_of(st.none(), st.integers(min_value=-4, max_value=4))
+
+
+@given(vals=st.lists(_HWVAL, min_size=1, max_size=12))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hw_property_vs_python_reference(spark, vals):
+    rows = [
+        (f"r{i:02d}", "p0", None if v is None else float(v), 0.0)
+        for i, v in enumerate(vals, start=1)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = metric_holt_winters(df, ["rows"], season=2).first()
+    verdict, fc, sig, z = _ref_holt_winters(
+        [None if v is None else float(v) for v in vals]
+    )
+    assert got["verdict"] == verdict
+    for name, ref in (("forecast", fc), ("sigma", sig), ("z", z)):
+        if ref is None:
+            assert got[name] is None
+        else:
+            assert got[name] == pytest.approx(round(ref, 6), abs=1e-6)
+
+
+def test_cli_trend_hw_mode(spark, tmp_path_factory, capsys):
+    """--hw SEASON through the CLI: a period-2 jitter history with an
+    on-pattern fifth run exits 0; a collapsed fifth exits 1 with
+    forecast/sigma/z in the worst rows; --hw with --ewma and a bad
+    season exit 2."""
+    from bigdime_spark.sources.synth import build_fixture
+    from bigdime_spark.sources.tables import write_table
+
+    d = tmp_path_factory.mktemp("hw")
+    fx = build_fixture(spark, n_rows=32, n_parts=2)
+    write_table(fx.raw, f"{d}/raw")
+    assert cli.main(["run", "--raw", f"{d}/raw", "--out", f"{d}/o1",
+                     "--run-id", "r0001"]) == 0
+    s1 = spark.read.parquet(f"{d}/o1/stats")
+    rows_t = dict(s1.dtypes)["stat__rows"]
+    jitter = [0, 1, 0, 1]  # perfect period-2 pattern
+    runs = [
+        s1.withColumn("run_id", F.lit(f"r{i:04d}")).withColumn(
+            "stat__rows", (F.col("stat__rows") + jitter[i - 1]).cast(rows_t)
+        )
+        for i in range(1, 5)
+    ]
+    hist = runs[0]
+    for fr in runs[1:]:
+        hist = hist.unionByName(fr)
+    bad = s1.withColumn("run_id", F.lit("r0005")).withColumn(
+        "stat__rows", (F.col("stat__rows") / 10).cast(rows_t)
+    )
+    hist.unionByName(bad).write.parquet(f"{d}/hist")
+    capsys.readouterr()
+    rc = cli.main(["trend", "--history", f"{d}/hist",
+                   "--metrics", "stat__rows", "--hw", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert out["mode"] == "holt_winters"
+    assert out["verdicts"]["ANOMALY"] == 2
+    assert {"forecast", "sigma", "z"} <= set(out["worst"][0])
+    # on-pattern fifth run (phase 0 → expected = base value) → exit 0
+    ok = s1.withColumn("run_id", F.lit("r0005"))
+    hist.unionByName(ok).write.parquet(f"{d}/hist_ok")
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist_ok",
+                     "--metrics", "stat__rows", "--hw", "2"]) == 0
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist",
+                     "--metrics", "stat__rows", "--hw", "2",
+                     "--ewma", "0.5"]) == 2
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist",
+                     "--metrics", "stat__rows", "--hw", "1"]) == 2
