@@ -519,6 +519,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "null rate is in (0, TOL] (default 0.05)",
     )
     sg.add_argument(
+        "--min-support",
+        type=int,
+        default=10,
+        help="isin needs rows >= MIN_SUPPORT * distinct values (a "
+        "genuine categorical, not a small table of free text; "
+        "default 10)",
+    )
+    sg.add_argument(
         "--out", default=None, help="also write the config JSON here"
     )
     sg.add_argument("--master", default=None)
@@ -1173,6 +1181,7 @@ def main(argv: list[str] | None = None) -> int:
                 columns=cols,
                 max_values=args.max_values,
                 tol_null=args.tol_null,
+                min_support=args.min_support,
             )
         except ValueError as e:
             print(f"suggest: {e}", file=sys.stderr)

@@ -166,6 +166,8 @@ def suggest_constraints(
         raise ValueError(f"tol_null must be in (0, 1), got {tol_null}")
     if max_values < 1:
         raise ValueError(f"max_values must be >= 1, got {max_values}")
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
     dtypes = dict(df.dtypes)
     cols = _profilable(df, columns)
     prof = {r["column"]: r for r in _pass1(df, cols).collect()}

@@ -124,6 +124,8 @@ def test_refusals(spark):
         suggest_constraints(df, tol_null=0.0)
     with pytest.raises(ValueError, match="max_values"):
         suggest_constraints(df, max_values=0)
+    with pytest.raises(ValueError, match="min_support"):
+        suggest_constraints(df, min_support=0)
     only_bin = spark.createDataFrame([(bytearray(b"x"),)], "b binary")
     with pytest.raises(ValueError, match="no profilable"):
         suggest_constraints(only_bin)
