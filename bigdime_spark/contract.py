@@ -1186,6 +1186,7 @@ def q_compliance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FAIL branch, and the NULL-predicate → non-satisfying collapse
     (`nullif(event_type,'error') = event_type` is NULL for every
     'error' row, so that part's fraction is exactly 0)."""
+    from bigdime_spark.operators.base import fused_agg_exprs
     from bigdime_spark.operators.row_checks import Compliance
 
     ev = _t(spark, sf_dir, "events")
@@ -1199,8 +1200,9 @@ def q_compliance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.5,
         ),
     ]
-    aggs = [e for c in cons for e in c.agg_exprs()]
-    out = ev.groupBy(F.col("event_type").alias("part")).agg(*aggs)
+    out = ev.groupBy(F.col("event_type").alias("part")).agg(
+        *fused_agg_exprs(cons)
+    )
     sel = [F.col("part")]
     for c in cons:
         short = c.name.split(".", 1)[1]
@@ -4259,7 +4261,7 @@ rules AS (
   FROM prof WHERE n_rows > 0 AND n_null = 0
   UNION ALL
   SELECT col, 'compliance',
-    col || ' IS NOT NULL|min_fraction=' ||
+    '`' || col || '` IS NOT NULL|min_fraction=' ||
       CAST(floor((1.0 - n_null / CAST(n_rows AS DOUBLE)) * 100) / 100
            AS VARCHAR),
     n_rows, n_null, n_distinct
@@ -4269,11 +4271,12 @@ rules AS (
   SELECT col, 'unique', '', n_rows, n_null, n_distinct
   FROM prof WHERE n_rows >= 2 AND n_null = 0 AND n_distinct = n_rows
   UNION ALL
-  SELECT col, 'domain_check', col || ' >= 0', n_rows, n_null, n_distinct
+  SELECT col, 'domain_check', '`' || col || '` >= 0',
+         n_rows, n_null, n_distinct
   FROM prof WHERE n_rows > 0 AND is_numeric
     AND min_num IS NOT NULL AND min_num >= 0
   UNION ALL
-  SELECT p.col, 'domain_check', p.col || ' IN (' || v.vlist || ')',
+  SELECT p.col, 'domain_check', '`' || p.col || '` IN (' || v.vlist || ')',
          p.n_rows, p.n_null, p.n_distinct
   FROM prof p JOIN vals v ON p.col = v.col WHERE p.n_rows > 0
   UNION ALL
@@ -4286,7 +4289,7 @@ rules AS (
     AND (n_bigint = n_rows - n_null OR n_double = n_rows - n_null)
   UNION ALL
   SELECT col, 'domain_check',
-    'length(' || col || ') <= ' ||
+    'length(`' || col || '`) <= ' ||
     CAST(CAST(pow(2, CASE WHEN max_len <= 1 THEN 0
                           ELSE ceil(log2(max_len)) END) AS BIGINT)
          AS VARCHAR),

@@ -50,6 +50,16 @@ class AggConstraint:
     def agg_exprs(self) -> list[Column]:
         raise NotImplementedError
 
+    def shared_agg_exprs(self) -> dict[str, Column]:
+        """Aggregates this constraint needs that OTHER constraints may
+        need identically (e.g. the per-part row count every Compliance
+        bound divides by). Keyed by output alias; the fused-agg
+        assembler emits each alias ONCE no matter how many constraints
+        request it — k tolerance bounds share one counter instead of
+        k identical aggregate buffers. Columns here must NOT be
+        pre-aliased (the assembler aliases by key)."""
+        return {}
+
     def verdict_col(self) -> Column:
         raise NotImplementedError
 
@@ -99,6 +109,22 @@ class TableConstraint:
         """→ (verdicts[part, constraint, verdict, observed, expected],
         violations | None)."""
         raise NotImplementedError
+
+
+def fused_agg_exprs(constraints) -> list[Column]:
+    """Assemble the aggregate list for a fused pass over several
+    AggConstraints: every ``shared_agg_exprs`` alias is emitted once
+    (first requester wins — identical by contract), then each
+    constraint's own ``agg_exprs``. Standalone consumers (contract
+    queries, tests) MUST use this instead of concatenating
+    ``agg_exprs`` by hand, or shared aliases would collide."""
+    shared: dict[str, Column] = {}
+    own: list[Column] = []
+    for c in constraints:
+        for alias, col in c.shared_agg_exprs().items():
+            shared.setdefault(alias, col.alias(alias))
+        own.extend(c.agg_exprs())
+    return list(shared.values()) + own
 
 
 def violation_rows(

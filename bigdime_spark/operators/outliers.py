@@ -270,6 +270,29 @@ def _melted_history(
     ).select("run_id", "part", "mv.metric", "mv.value")
 
 
+def _latest_and_priors(melted):
+    """Shared latest-vs-priors split for the cross-run scorers
+    (metric_zscore, metric_ewma): rank each (part, metric) series by
+    run_id descending — row 1 is the run under test, the rest are its
+    history. One place owns the ordering/tie convention so the
+    siblings cannot silently diverge.
+    → (latest[part, metric, run_id, value],
+       priors[run_id, part, metric, value])."""
+    ranked = melted.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("part", "metric").orderBy(F.desc("run_id"))
+        ),
+    )
+    latest = ranked.filter(F.col("_rn") == 1).select(
+        "part", "metric", "run_id", "value"
+    )
+    priors = ranked.filter(F.col("_rn") > 1).select(
+        "run_id", "part", "metric", "value"
+    )
+    return latest, priors
+
+
 def metric_trend(
     history: DataFrame,
     metrics: list[str],
@@ -390,16 +413,8 @@ def metric_zscore(
     if min_history < 1:
         raise ValueError(f"min_history must be >= 1, got {min_history}")
     melted = _melted_history("metric_zscore", history, metrics, part_col)
-    ranked = melted.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("part", "metric").orderBy(F.desc("run_id"))
-        ),
-    )
-    latest = ranked.filter(F.col("_rn") == 1).select(
-        "part", "metric", "run_id", "value"
-    )
-    priors = ranked.filter(F.col("_rn") > 1).select("part", "metric", "value")
+    latest, priors_all = _latest_and_priors(melted)
+    priors = priors_all.select("part", "metric", "value")
     med = priors.groupBy("part", "metric").agg(
         F.count("value").alias("n_history"),
         F.percentile("value", 0.5).alias("med"),
@@ -495,17 +510,9 @@ def metric_ewma(
     if min_history < 1:
         raise ValueError(f"min_history must be >= 1, got {min_history}")
     melted = _melted_history("metric_ewma", history, metrics, part_col)
-    ranked = melted.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("part", "metric").orderBy(F.desc("run_id"))
-        ),
-    )
-    latest = ranked.filter(F.col("_rn") == 1).select(
-        "part", "metric", "run_id", "value"
-    )
+    latest, priors_all = _latest_and_priors(melted)
     priors = (
-        ranked.filter((F.col("_rn") > 1) & F.col("value").isNotNull())
+        priors_all.filter(F.col("value").isNotNull())
         .withColumn(
             "_ord",
             F.row_number().over(

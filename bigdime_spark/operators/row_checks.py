@@ -183,13 +183,17 @@ class Compliance(AggConstraint):
         self.min_fraction = float(min_fraction)
         self.detail = detail or f"compliance below {min_fraction}"
         self._ok = f"comp_{name}__ok"
-        self._n = f"comp_{name}__n"
+        #: one per-part row counter serves EVERY Compliance bound (the
+        #: fused-agg assembler dedupes shared aliases)
+        self._n = "comp__n"
 
     def agg_exprs(self) -> list[Column]:
         return [
             F.count_if(F.coalesce(self.predicate, F.lit(False))).alias(self._ok),
-            F.count(F.lit(1)).alias(self._n),
         ]
+
+    def shared_agg_exprs(self) -> dict[str, Column]:
+        return {self._n: F.count(F.lit(1))}
 
     def _frac(self) -> Column:
         return F.try_divide(F.col(self._ok), F.col(self._n))

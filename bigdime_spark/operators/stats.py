@@ -1255,12 +1255,26 @@ class CategoricalBound(TableConstraint):
     def run(self, ctx):
         from bigdime_spark.schema import FAIL, NOT_READY, PASS
 
-        prof = categorical_profile(ctx.raw, (self.column,))
-        if ctx.parts is not None:
-            # an all-NULL part emits no profile row (NULLs are excluded
-            # from the value distribution); that part is NOT_READY, not
-            # the grid-fill PASS a missing row would become
-            prof = ctx.parts.select("part").join(prof, "part", "left")
+        # several bounds on one column (entropy + top_frac +
+        # n_distinct is the normal trio) share ONE profile scan: the
+        # single profile row already carries all three metrics, so the
+        # first bound builds + persists it and the siblings reuse it
+        # (released with the run via the suite's persisted registry)
+        cache = ctx.extras.setdefault("categorical_bound_profiles", {})
+        prof = cache.get(self.column)
+        if prof is None:
+            prof = categorical_profile(ctx.raw, (self.column,))
+            if ctx.parts is not None:
+                # an all-NULL part emits no profile row (NULLs are
+                # excluded from the value distribution); that part is
+                # NOT_READY, not the grid-fill PASS a missing row
+                # would become
+                prof = ctx.parts.select("part").join(prof, "part", "left")
+            registry = ctx.extras.get("persisted")
+            if registry is not None:
+                prof = prof.persist()
+                registry.append(prof)
+            cache[self.column] = prof
         m = F.col(self.metric).cast("double")
         hi_txt = "inf" if self.hi == float("inf") else str(self.hi)
         found = prof.select(

@@ -149,7 +149,20 @@ def _finite_num():
 
 
 def _quote(val: str) -> str:
-    return "'" + val.replace("'", "''") + "'"
+    """Spark SQL string literal: backslashes doubled FIRST (Spark's
+    parser processes backslash escapes inside literals, unlike ANSI
+    engines), then quotes doubled. The driver-contract oracle only
+    replays the quote-doubling — its fixture data carries no
+    backslashes, and the predicate strings are Spark SQL by contract
+    (they exist to be fed to F.expr via the config loader)."""
+    return "'" + val.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _ident(c: str) -> str:
+    """Backtick-quoted identifier: parquet legally allows column names
+    with spaces, hyphens or reserved words; an unquoted interpolation
+    would make the generated config crash at load time."""
+    return "`" + c.replace("`", "``") + "`"
 
 
 def suggest_constraints(
@@ -224,7 +237,7 @@ def suggest_constraints(
                 emit(
                     c,
                     "compliance",
-                    f"{c} IS NOT NULL|min_fraction={mf}",
+                    f"{_ident(c)} IS NOT NULL|min_fraction={mf}",
                 )
         if p["n_null"] == 0 and p["n_distinct"] == n and n >= 2:
             emit(c, "unique", "")
@@ -233,10 +246,10 @@ def suggest_constraints(
             and p["min_num"] is not None
             and p["min_num"] >= 0
         ):
-            emit(c, "domain_check", f"{c} >= 0")
+            emit(c, "domain_check", f"{_ident(c)} >= 0")
         if c in values:
             vals = ",".join(_quote(x) for x in values[c])
-            emit(c, "domain_check", f"{c} IN ({vals})")
+            emit(c, "domain_check", f"{_ident(c)} IN ({vals})")
         if dtypes[c] == "string" and nn > 0 and c not in values:
             if p["n_bigint"] == nn:
                 emit(c, "type_conformance", "bigint")
@@ -256,7 +269,7 @@ def suggest_constraints(
             emit(c, "drift_spec", f"lo={lo}|hi={hi}|nbins=32")
         if dtypes[c] == "string" and nn > 0 and p["max_len"] is not None:
             b = 1 << max(0, int(p["max_len"]) - 1).bit_length()
-            emit(c, "domain_check", f"length({c}) <= {b}")
+            emit(c, "domain_check", f"length({_ident(c)}) <= {b}")
 
     out.sort(key=lambda s: (s["column"], s["check"], s["params"]))
     return out

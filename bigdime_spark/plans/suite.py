@@ -478,8 +478,20 @@ class ValidationSuite:
         # NOT the fused agg — dense count_if arrays defeat whole-stage
         # codegen there (see StatsProfile.agg_exprs docstring)
         exprs = list(stats.agg_exprs(include_histograms=False))
-        for c in light:
-            exprs.extend(c.agg_exprs())  # aliases are unique by construction
+        # own aliases are unique by construction; shared aliases (e.g.
+        # the per-part row count k Compliance bounds divide by) are
+        # merged so the fused agg carries each ONCE
+        shared_aggs: dict = {}
+
+        def _collect(cs_list) -> list:
+            out = []
+            for c in cs_list:
+                for alias, col in c.shared_agg_exprs().items():
+                    shared_aggs.setdefault(alias, col.alias(alias))
+                out.extend(c.agg_exprs())
+            return out
+
+        exprs.extend(_collect(light))
 
         if heavy and not ride:
             # checksum with no decode pass to ride: it must read every
@@ -489,11 +501,12 @@ class ValidationSuite:
             pre = raw
             for name, col in cs.pre_columns().items():
                 pre = pre.withColumn(name, col)
-            exprs.extend(cs.agg_exprs())
+            exprs.extend(_collect([cs]))
             # payload-reading constraints ride the same full scan free
-            for c in payload_cs:
-                exprs.extend(c.agg_exprs())
-            fused = pre.groupBy("part").agg(*exprs)
+            exprs.extend(_collect(payload_cs))
+            fused = pre.groupBy("part").agg(
+                *(list(shared_aggs.values()) + exprs)
+            )
         else:
             # the stats pass must NEVER touch binary columns (SURVEY
             # B0b): parquet prunes the image pages — EXCEPT columns an
@@ -507,7 +520,11 @@ class ValidationSuite:
                 if f.name != "part"
                 and (not isinstance(f.dataType, BinaryType) or f.name in bytelike_cols)
             ]
-            fused = raw.select("part", *stats_cols).groupBy("part").agg(*exprs)
+            fused = (
+                raw.select("part", *stats_cols)
+                .groupBy("part")
+                .agg(*(list(shared_aggs.values()) + exprs))
+            )
             if ride:
                 # per-part checksum aggregate from the decode scan; tiny
                 fused = fused.join(cs_frame, "part", "left")
@@ -518,7 +535,9 @@ class ValidationSuite:
                 # decode is on this is a redundant second payload read —
                 # the config docstring steers conformance to decode-OFF
                 # runs, but an explicit opt-in still runs honestly.
-                pexprs = [e for c in payload_cs for e in c.agg_exprs()]
+                from bigdime_spark.operators.base import fused_agg_exprs
+
+                pexprs = fused_agg_exprs(payload_cs)
                 fused = fused.join(
                     raw.groupBy("part").agg(*pexprs), "part", "left"
                 )

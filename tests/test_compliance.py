@@ -13,8 +13,9 @@ from bigdime_spark.schema import FAIL, PASS
 
 
 def _run_standalone(spark, df, cons):
-    aggs = [e for c in cons for e in c.agg_exprs()]
-    out = df.groupBy("part").agg(*aggs)
+    from bigdime_spark.operators.base import fused_agg_exprs
+
+    out = df.groupBy("part").agg(*fused_agg_exprs(cons))
     sel = [F.col("part")] + [
         c.verdict_col().alias(c.name) for c in cons
     ] + [F.round(c._frac(), 6).alias(f"{c.name}__frac") for c in cons]
@@ -138,3 +139,19 @@ def test_compliance_config_section(spark):
 def test_compliance_config_rejects(entry, frag):
     with pytest.raises(ValueError, match=frag):
         suite_from_config({"compliance": [entry]})
+
+
+def test_shared_count_emitted_once_for_many_bounds(spark):
+    """k Compliance bounds share ONE per-part row counter in the fused
+    aggregation (the shared_agg_exprs dedup) — not k identical ones."""
+    from bigdime_spark.operators.base import fused_agg_exprs
+
+    df = spark.createDataFrame([("p0", 1.0)], "part string, v double")
+    cons = [
+        Compliance("a", F.col("v") > 0, "v", 0.5),
+        Compliance("b", F.col("v") < 10, "v", 0.5),
+        Compliance("c", F.col("v") != 5, "v", 0.5),
+    ]
+    out = df.groupBy("part").agg(*fused_agg_exprs(cons))
+    assert out.columns.count("comp__n") == 1
+    assert {c._ok for c in cons} <= set(out.columns)

@@ -38,12 +38,12 @@ def test_rules_fire_on_planted_frame(spark):
     got = _sugg_set(suggest_constraints(df, tol_null=0.2))
     assert ("id", "not_null", "") in got
     assert ("id", "unique", "") in got
-    assert ("id", "domain_check", "id >= 0") in got
-    assert ("cat", "domain_check", "cat IN ('cat_a','cat_b')") in got
+    assert ("id", "domain_check", "`id` >= 0") in got
+    assert ("cat", "domain_check", "`cat` IN ('cat_a','cat_b')") in got
     assert ("num_str", "type_conformance", "bigint") in got
     # 2/20 null → rate 0.1 ≤ 0.2 → floor(0.9·100)/100 = 0.9
     assert ("mostly", "compliance",
-            "mostly IS NOT NULL|min_fraction=0.9") in got
+            "`mostly` IS NOT NULL|min_fraction=0.9") in got
     # a nullable column never gets not_null; a non-unique one never unique
     assert ("mostly", "not_null", "") not in got
     assert ("cat", "unique", "") not in got
@@ -73,7 +73,7 @@ def test_isin_quote_escaping_yields_parseable_predicate(spark):
     df = spark.createDataFrame(rows, "s string")
     sugg = suggest_constraints(df)
     isin = [s for s in sugg if "IN (" in s["params"]][0]
-    assert isin["params"] == "s IN ('it''s','plain')"
+    assert isin["params"] == "`s` IN ('it''s','plain')"
     # the suggested predicate must be valid Spark SQL over the frame
     assert df.filter(F.expr(isin["params"])).count() == 20
 
@@ -93,7 +93,7 @@ def test_suggest_to_config_round_trip_suite_passes(spark):
     # R8: every string column gets a widened max-length bound
     assert any(
         s2["check"] == "domain_check"
-        and s2["params"].startswith("length(caption)")
+        and s2["params"].startswith("length(`caption`)")
         for s2 in sugg
     )
     # image-shaped frame → payload conformance flipped on
@@ -204,7 +204,7 @@ def _ref_suggest(rows):
         elif n_null / n <= _TOL:
             mf = math.floor((1.0 - n_null / n) * 100) / 100
             out.add((name, "compliance",
-                     f"{name} IS NOT NULL|min_fraction={mf}"))
+                     f"`{name}` IS NOT NULL|min_fraction={mf}"))
         if n_null == 0 and nd == n and n >= 2:
             out.add((name, "unique", ""))
         gated = (
@@ -212,9 +212,9 @@ def _ref_suggest(rows):
         )
         if gated:
             vlist = ",".join(f"'{v}'" for v in sorted(set(nonnull)))
-            out.add((name, "domain_check", f"{name} IN ({vlist})"))
+            out.add((name, "domain_check", f"`{name}` IN ({vlist})"))
         if is_num and nonnull and min(nonnull) >= 0:
-            out.add((name, "domain_check", f"{name} >= 0"))
+            out.add((name, "domain_check", f"`{name}` >= 0"))
         if is_str and nn > 0 and not gated:
             if all(v in ("1", "2") for v in nonnull):
                 out.add((name, "type_conformance", "bigint"))
@@ -228,7 +228,7 @@ def _ref_suggest(rows):
             out.add((name, "drift_spec", f"lo={lo}|hi={hi}|nbins=32"))
         if is_str and nonnull:
             b = 1 << max(0, max(len(v) for v in nonnull) - 1).bit_length()
-            out.add((name, "domain_check", f"length({name}) <= {b}"))
+            out.add((name, "domain_check", f"length(`{name}`) <= {b}"))
     return out
 
 
@@ -246,3 +246,36 @@ def test_suggest_property_vs_python_reference(spark, rows):
         )
     )
     assert got == _ref_suggest(rows)
+
+
+def test_backslash_values_and_awkward_column_names_round_trip(spark):
+    """Review findings: backslashes in values must survive the Spark
+    literal escaping, and non-identifier column names (spaces,
+    reserved words) must be backtick-quoted so the generated config
+    loads and the predicates match exactly."""
+    rows = [("a\\b",), ("plain",)] * 10
+    df = spark.createDataFrame(rows, "s string")
+    isin = [
+        x for x in suggest_constraints(df) if "IN (" in x["params"]
+    ][0]
+    assert df.filter(F.expr(isin["params"])).count() == 20
+    # a value ENDING in a backslash must not swallow the close quote
+    tail = spark.createDataFrame([("a\\",), ("b",)] * 10, "s string")
+    isin2 = [
+        x for x in suggest_constraints(tail) if "IN (" in x["params"]
+    ][0]
+    assert tail.filter(F.expr(isin2["params"])).count() == 20
+
+    awkward = spark.createDataFrame(
+        [(1, "x", None), (2, "y", "z"), (3, "x", "z"), (4, "y", "z")] * 5,
+        ["order date", "from", "mostly null"],
+    )
+    sugg = suggest_constraints(awkward, tol_null=0.5)
+    cfg = to_config(sugg)
+    suite = suite_from_config(cfg)  # must not raise ParseException
+    preds = [c.predicate for c in suite.extra_agg_constraints]
+    assert preds  # at least the isin/nonneg/compliance checks built
+    got = {s2["params"] for s2 in sugg}
+    assert "`order date` >= 0" in got
+    assert "`from` IN ('x','y')" in got
+    assert any(p.startswith("`mostly null` IS NOT NULL") for p in got)
