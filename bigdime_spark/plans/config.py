@@ -138,6 +138,26 @@ def _require_keys(key: str, entry: object, required: set[str],
     return entry
 
 
+def _num(key: str, v, what: str, integer: bool = False) -> float | int:
+    """Typed scalar extraction for section entries: JSON null / bools /
+    strings in a numeric slot must raise the section's ValueError, not
+    escape as the bare TypeError int(None) throws."""
+    if type(v) is bool or not isinstance(v, (int, float)):
+        raise _fail(key, f"{what} must be "
+                         f"{'an integer' if integer else 'a number'}")
+    if integer and type(v) is not int:
+        raise _fail(key, f"{what} must be an integer")
+    return int(v) if integer else float(v)
+
+
+def _txt(key: str, v, what: str) -> str:
+    """String extraction: a JSON null in a name/column/predicate slot
+    must be refused, not silently become the literal string 'None'."""
+    if not isinstance(v, str) or not v:
+        raise _fail(key, f"{what} must be a non-empty string")
+    return v
+
+
 def suite_from_config(cfg: dict) -> ValidationSuite:
     """Build a :class:`ValidationSuite` from a parsed JSON document.
 
@@ -202,8 +222,10 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             e = _require_keys("schema", entry, {"name", "type"}, {"nullable"})
             if "nullable" in e and type(e["nullable"]) is not bool:
                 raise _fail("schema", "nullable must be true/false")
+            nm = _txt("schema", e["name"], "name")
+            tp = _txt("schema", e["type"], "type")
             try:
-                parsed = T.StructType.fromDDL(f"`{e['name']}` {e['type']}")
+                parsed = T.StructType.fromDDL(f"`{nm}` {tp}")
             except Exception as exc:
                 raise _fail(
                     "schema", f"bad type {e['type']!r} for {e['name']!r}: {exc}"
@@ -229,8 +251,11 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             e = _require_keys("drift_specs", entry,
                               {"column", "lo", "hi"}, {"nbins"})
             specs.append(DriftColumn(
-                str(e["column"]), float(e["lo"]), float(e["hi"]),
-                int(e.get("nbins", 32)),
+                _txt("drift_specs", e["column"], "column"),
+                _num("drift_specs", e["lo"], "lo"),
+                _num("drift_specs", e["hi"], "hi"),
+                _num("drift_specs", e.get("nbins", 32), "nbins",
+                     integer=True),
             ))
         kwargs["drift_specs"] = tuple(specs)
 
@@ -240,9 +265,14 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
         for entry in cfg["domain_checks"]:
             e = _require_keys("domain_checks", entry,
                               {"name", "column", "predicate"}, {"detail"})
+            detail = e.get("detail")
+            if detail is not None and not isinstance(detail, str):
+                raise _fail("domain_checks", "detail must be a string")
             extras.append(DomainCheck(
-                str(e["name"]), F.expr(str(e["predicate"])),
-                str(e["column"]), e.get("detail"),
+                _txt("domain_checks", e["name"], "name"),
+                F.expr(_txt("domain_checks", e["predicate"], "predicate")),
+                _txt("domain_checks", e["column"], "column"),
+                detail,
             ))
 
     if "compliance" in cfg:
@@ -257,11 +287,16 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             if type(e["min_fraction"]) not in (int, float) \
                     or type(e["min_fraction"]) is bool:
                 raise _fail("compliance", "min_fraction must be a number")
+            detail = e.get("detail")
+            if detail is not None and not isinstance(detail, str):
+                raise _fail("compliance", "detail must be a string")
             try:
                 extras.append(Compliance(
-                    str(e["name"]), F.expr(str(e["predicate"])),
-                    str(e["column"]), float(e["min_fraction"]),
-                    e.get("detail"),
+                    _txt("compliance", e["name"], "name"),
+                    F.expr(_txt("compliance", e["predicate"], "predicate")),
+                    _txt("compliance", e["column"], "column"),
+                    float(e["min_fraction"]),
+                    detail,
                 ))
             except ValueError as exc:
                 raise _fail("compliance", str(exc))
@@ -271,14 +306,19 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             raise _fail("type_conformance", "must be an array of objects")
         for entry in cfg["type_conformance"]:
             e = _require_keys("type_conformance", entry, {"column", "dtype"})
-            extras.append(TypeConformance(str(e["column"]), str(e["dtype"])))
+            extras.append(TypeConformance(
+                _txt("type_conformance", e["column"], "column"),
+                _txt("type_conformance", e["dtype"], "dtype"),
+            ))
 
     if "freshness" in cfg:
         e = _require_keys("freshness", cfg["freshness"],
                           {"ts_col", "as_of", "max_lag_seconds"})
         extras.append(Freshness(
-            str(e["ts_col"]), as_of=str(e["as_of"]),
-            max_lag_seconds=int(e["max_lag_seconds"]),
+            _txt("freshness", e["ts_col"], "ts_col"),
+            as_of=_txt("freshness", e["as_of"], "as_of"),
+            max_lag_seconds=_num("freshness", e["max_lag_seconds"],
+                                 "max_lag_seconds", integer=True),
         ))
 
     if "correlation_bounds" in cfg:
@@ -288,8 +328,10 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             e = _require_keys("correlation_bounds", entry,
                               {"x", "y"}, {"lo", "hi"})
             extras.append(CorrelationBound(
-                str(e["x"]), str(e["y"]),
-                float(e.get("lo", -1.0)), float(e.get("hi", 1.0)),
+                _txt("correlation_bounds", e["x"], "x"),
+                _txt("correlation_bounds", e["y"], "y"),
+                _num("correlation_bounds", e.get("lo", -1.0), "lo"),
+                _num("correlation_bounds", e.get("hi", 1.0), "hi"),
             ))
 
     table_extras: list = []
@@ -304,7 +346,8 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             if "max_gaps" in e and (type(e["max_gaps"]) is not int):
                 raise _fail("sequence_continuity", "max_gaps must be an integer")
             table_extras.append(SequenceContinuity(
-                str(e["id_col"]), max_gaps=int(e.get("max_gaps", 0)),
+                _txt("sequence_continuity", e["id_col"], "id_col"),
+                max_gaps=int(e.get("max_gaps", 0)),
             ))
 
     if "functional_dependencies" in cfg:
@@ -320,7 +363,8 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                     "functional_dependencies", "max_violations must be an integer"
                 )
             table_extras.append(FunctionalDependency(
-                str(e["det"]), str(e["dep"]),
+                _txt("functional_dependencies", e["det"], "det"),
+                _txt("functional_dependencies", e["dep"], "dep"),
                 max_violations=int(e.get("max_violations", 100)),
             ))
 
@@ -333,8 +377,10 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             e = _require_keys("mutual_info_bounds", entry,
                               {"x", "y"}, {"lo", "hi"})
             table_extras.append(MutualInfoBound(
-                str(e["x"]), str(e["y"]),
-                float(e.get("lo", 0.0)), float(e.get("hi", 1.0)),
+                _txt("mutual_info_bounds", e["x"], "x"),
+                _txt("mutual_info_bounds", e["y"], "y"),
+                _num("mutual_info_bounds", e.get("lo", 0.0), "lo"),
+                _num("mutual_info_bounds", e.get("hi", 1.0), "hi"),
             ))
 
     if "distinctness_bounds" in cfg:
@@ -352,8 +398,9 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                     f"metric must be one of {DistinctnessBound._METRICS}",
                 )
             table_extras.append(DistinctnessBound(
-                str(e["column"]),
-                float(e.get("lo", 0.0)), float(e.get("hi", 1.0)),
+                _txt("distinctness_bounds", e["column"], "column"),
+                _num("distinctness_bounds", e.get("lo", 0.0), "lo"),
+                _num("distinctness_bounds", e.get("hi", 1.0), "hi"),
                 metric=metric,
             ))
 
@@ -367,10 +414,12 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                               {"column"}, {"metric", "lo", "hi"})
             try:
                 table_extras.append(CategoricalBound(
-                    str(e["column"]),
-                    metric=str(e.get("metric", "entropy")),
-                    lo=float(e.get("lo", 0.0)),
-                    hi=(None if e.get("hi") is None else float(e["hi"])),
+                    _txt("categorical_bounds", e["column"], "column"),
+                    metric=_txt("categorical_bounds",
+                                e.get("metric", "entropy"), "metric"),
+                    lo=_num("categorical_bounds", e.get("lo", 0.0), "lo"),
+                    hi=(None if e.get("hi") is None
+                        else _num("categorical_bounds", e["hi"], "hi")),
                 ))
             except ValueError as exc:
                 raise _fail("categorical_bounds", str(exc))
@@ -385,9 +434,12 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                               {"column"}, {"max_mad", "min_eligible"})
             try:
                 table_extras.append(BenfordBound(
-                    str(e["column"]),
-                    max_mad=float(e.get("max_mad", 0.015)),
-                    min_eligible=int(e.get("min_eligible", 100)),
+                    _txt("benford_bounds", e["column"], "column"),
+                    max_mad=_num("benford_bounds",
+                                 e.get("max_mad", 0.015), "max_mad"),
+                    min_eligible=_num("benford_bounds",
+                                      e.get("min_eligible", 100),
+                                      "min_eligible", integer=True),
                 ))
             except ValueError as exc:
                 raise _fail("benford_bounds", str(exc))

@@ -155,3 +155,38 @@ def test_shared_count_emitted_once_for_many_bounds(spark):
     out = df.groupBy("part").agg(*fused_agg_exprs(cons))
     assert out.columns.count("comp__n") == 1
     assert {c._ok for c in cons} <= set(out.columns)
+
+
+# ------------------------------------------------- property test (C55)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_CVAL = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
+
+
+@given(
+    vals=st.lists(_CVAL, min_size=1, max_size=30),
+    bound_pct=st.integers(min_value=0, max_value=100),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compliance_property_vs_python_reference(spark, vals, bound_pct):
+    """Random single-part frames: frac and verdict must match a pure
+    python reference applying the same NULL-collapse and inclusive
+    bound (bound chosen in percent so frac >= bound compares exactly
+    representable quarters/hundredths often enough to exercise the
+    boundary)."""
+    bound = bound_pct / 100.0
+    df = spark.createDataFrame(
+        [("p0", v) for v in vals], "part string, v int"
+    )
+    con = Compliance("nonneg", F.col("v") >= 0, "v", bound)
+    got = _run_standalone(spark, df, [con])["p0"]
+    ok = sum(1 for v in vals if v is not None and v >= 0)
+    frac = ok / len(vals)
+    assert got[f"{con.name}__frac"] == round(frac, 6)
+    assert got[con.name] == (PASS if frac >= bound else FAIL)

@@ -146,6 +146,34 @@ def test_completeness_sections_build_table_constraints(spark):
          "unknown keys"),
         ({"check_payload_conformance": "yes"}, "must be true/false"),
         ({"decode_sample_rate": 0.0}, "must be in \\(0, 1\\]"),
+        # typed-extraction hardening: JSON null / wrong-typed scalars
+        # in section slots raise the section's ValueError, never a
+        # bare TypeError, and never silently build a 'None' name
+        ({"freshness": {"ts_col": "ts", "as_of": "2026-01-01 00:00:00",
+                        "max_lag_seconds": None}}, "must be an integer"),
+        ({"freshness": {"ts_col": "ts", "as_of": None,
+                        "max_lag_seconds": 5}}, "non-empty string"),
+        ({"drift_specs": [{"column": "w", "lo": None, "hi": 1}]},
+         "must be a number"),
+        ({"functional_dependencies": [{"det": None, "dep": "b"}]},
+         "non-empty string"),
+        ({"compliance": [{"name": None, "column": "v", "predicate": "v>0",
+                          "min_fraction": 0.5}]}, "non-empty string"),
+        ({"categorical_bounds": [{"column": "fmt", "lo": None}]},
+         "must be a number"),
+        ({"sequence_continuity": [{"id_col": None}]}, "non-empty string"),
+        ({"benford_bounds": [{"column": "x", "max_mad": None}]},
+         "must be a number"),
+        ({"distinctness_bounds": [{"column": "x", "lo": "z"}]},
+         "must be a number"),
+        ({"schema": [{"name": None, "type": "int"}]}, "non-empty string"),
+        ({"domain_checks": [{"name": "x", "column": "v",
+                             "predicate": "v>0", "detail": 7}]},
+         "detail must be a string"),
+        ({"type_conformance": [{"column": "v", "dtype": None}]},
+         "non-empty string"),
+        ({"mutual_info_bounds": [{"x": "a", "y": "b", "hi": True}]},
+         "must be a number"),
         ({"decode_sample_rate": 1.5}, "must be in \\(0, 1\\]"),
         ([], "must be an object"),
     ],
@@ -404,3 +432,56 @@ def test_run_config_schema_mismatch_fails_run(spark, tmp_path_factory, capsys):
     verdicts = spark.read.parquet(f"{out}/verdicts")
     schema_v = verdicts.filter(F.col("constraint") == "schema").collect()
     assert schema_v and all(r["verdict"] == "FAIL" for r in schema_v)
+
+
+# ---------------------------------------------- loud-rejection fuzz
+# the config contract is "ValueError or a built suite, never a raw
+# TypeError/KeyError traceback"; hypothesis throws JSON-shaped garbage
+# at every section to hold it.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SCALAR = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-5, max_value=5),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=6),
+)
+_JSONISH = st.recursive(
+    _SCALAR,
+    lambda ch: st.one_of(
+        st.lists(ch, max_size=3),
+        st.dictionaries(st.text(max_size=10), ch, max_size=3),
+    ),
+    max_leaves=6,
+)
+_KNOWN_KEYS = st.sampled_from([
+    "not_null", "unique_key", "check_decode", "decode_seed", "phash_k",
+    "domain_checks", "compliance", "type_conformance", "freshness",
+    "correlation_bounds", "mutual_info_bounds", "distinctness_bounds",
+    "categorical_bounds", "benford_bounds", "drift_specs",
+    "sequence_continuity", "functional_dependencies", "schema",
+    "bit_balance_bounds", "decode_sample_rate", "topk_violations",
+])
+
+
+@given(
+    cfg=st.dictionaries(
+        st.one_of(_KNOWN_KEYS, st.text(max_size=8)), _JSONISH, max_size=3
+    )
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_config_loader_rejects_loudly_or_builds(spark, cfg):
+    from bigdime_spark.plans.suite import ValidationSuite
+
+    try:
+        suite = suite_from_config(cfg)
+    except ValueError:
+        return
+    assert isinstance(suite, ValidationSuite)
