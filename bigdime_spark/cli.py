@@ -558,9 +558,17 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     hi.add_argument(
         "--verdicts",
-        required=True,
+        default=None,
         help="dir/glob of run_id-stamped verdicts parquet (union of "
         "many runs' <out>/verdicts)",
+    )
+    hi.add_argument(
+        "--schemas",
+        default=None,
+        help="dir/glob of run_id-stamped schema fingerprints (union "
+        "of many runs' <out>/schema): cross-run SCHEMA evolution — "
+        "columns dropped / retyped / flapping fail (exit 1), added / "
+        "reordered are reported; mutually exclusive with --verdicts",
     )
     hi.add_argument(
         "--max-rows",
@@ -1378,7 +1386,62 @@ def main(argv: list[str] | None = None) -> int:
 
         from bigdime_spark.plans.lineage import verdict_history
 
+        if (args.verdicts is None) == (args.schemas is None):
+            print(
+                "history: pass exactly one of --verdicts or --schemas",
+                file=sys.stderr,
+            )
+            return 2
         spark = get_spark("bigdime-history", master=args.master)
+        if args.schemas is not None:
+            from bigdime_spark.schema import SCHEMA_BREAKING, schema_history
+
+            try:
+                hist = schema_history(
+                    read_table(spark, args.schemas)
+                ).persist()
+                counts = {
+                    r["status"]: r["n"]
+                    for r in hist.groupBy("status")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                changed = (
+                    hist.filter(F.col("status") != "stable")
+                    .orderBy("status", "column")
+                    .limit(args.max_rows)
+                    .collect()
+                )
+                hist.unpersist()
+            except ValueError as e:
+                print(f"history: {e}", file=sys.stderr)
+                return 2
+            print(
+                json.dumps(
+                    {
+                        "cmd": "history",
+                        "mode": "schemas",
+                        "statuses": dict(sorted(counts.items())),
+                        "changed": [
+                            {
+                                "column": r["column"],
+                                "status": r["status"],
+                                "n_runs": r["n_runs"],
+                                "first_run": r["first_run"],
+                                "last_run": r["last_run"],
+                                "latest_dtype": r["latest_dtype"],
+                                "detail": r["detail"],
+                            }
+                            for r in changed
+                        ],
+                    }
+                )
+            )
+            return (
+                1
+                if any(counts.get(s, 0) for s in SCHEMA_BREAKING)
+                else 0
+            )
         try:
             hist = verdict_history(read_table(spark, args.verdicts)).persist()
             counts = {
@@ -2112,6 +2175,15 @@ def main(argv: list[str] | None = None) -> int:
     write_table(
         res.stats.withColumn("run_id", F.lit(res.run_id)),
         f"{args.out}/stats",
+        partition_by=None,
+    )
+    # observed-schema fingerprint (C59): run_id-stamped so many runs'
+    # frames union into the `history --schemas` evolution shape
+    from bigdime_spark.schema import schema_fingerprint
+
+    write_table(
+        schema_fingerprint(raw).withColumn("run_id", F.lit(res.run_id)),
+        f"{args.out}/schema",
         partition_by=None,
     )
 

@@ -4173,6 +4173,117 @@ FROM spine s LEFT JOIN counts c ON s.col = c.col AND s.digit = c.digit
 """
 
 
+_FP_SCHEMA = "ordinal int, column string, dtype string, run_id string"
+
+
+def q_schema_history_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C59 cross-run schema evolution (schema.schema_history): a
+    three-run history built from orders' REAL observed fingerprint
+    with every status class planted — drop (o_orderpriority gone in
+    r3), retype (o_totalprice double→decimal in r3), reorder
+    (o_orderstatus ordinal 2→9), add (x_new from r2), flap (flappy in
+    r1 and r3 but not r2), and three stable columns. The ranked-run
+    span arithmetic, status precedence and detail strings are all
+    replayed in DuckDB (the fingerprint itself is hard-coded there —
+    it is driver-side metadata; the DIFF is the operator under
+    test)."""
+    from bigdime_spark.schema import schema_fingerprint, schema_history
+
+    o = _t(spark, sf_dir, "orders")
+    fp = schema_fingerprint(o)
+
+    def extra(ordinal, column, run_id):
+        return spark.createDataFrame(
+            [(ordinal, column, "int", run_id)], _FP_SCHEMA
+        )
+
+    r1 = fp.withColumn("run_id", F.lit("r1")).unionByName(
+        extra(6, "flappy", "r1")
+    )
+    r2 = fp.withColumn("run_id", F.lit("r2")).unionByName(
+        extra(6, "x_new", "r2")
+    )
+    r3 = (
+        fp.filter(F.col("column") != "o_orderpriority")
+        .withColumn(
+            "dtype",
+            F.when(
+                F.col("column") == "o_totalprice", F.lit("decimal(12,2)")
+            ).otherwise(F.col("dtype")),
+        )
+        .withColumn(
+            "ordinal",
+            F.when(F.col("column") == "o_orderstatus", F.lit(9)).otherwise(
+                F.col("ordinal")
+            ),
+        )
+        .withColumn("run_id", F.lit("r3"))
+        .unionByName(extra(6, "x_new", "r3"))
+        .unionByName(extra(7, "flappy", "r3"))
+    )
+    return schema_history(r1.unionByName(r2).unionByName(r3))
+
+
+SQL_SCHEMA_HISTORY = """
+WITH fp(ordinal, col, dtype) AS (VALUES
+  (0, 'o_orderkey', 'bigint'), (1, 'o_custkey', 'bigint'),
+  (2, 'o_orderstatus', 'string'), (3, 'o_totalprice', 'double'),
+  (4, 'o_orderdate', 'timestamp_ntz'), (5, 'o_orderpriority', 'string')),
+hist AS (
+  SELECT ordinal, col, dtype, 'r1' AS run_id FROM fp
+  UNION ALL SELECT 6, 'flappy', 'int', 'r1'
+  UNION ALL SELECT ordinal, col, dtype, 'r2' FROM fp
+  UNION ALL SELECT 6, 'x_new', 'int', 'r2'
+  UNION ALL SELECT CASE WHEN col = 'o_orderstatus' THEN 9 ELSE ordinal END,
+    col, CASE WHEN col = 'o_totalprice' THEN 'decimal(12,2)' ELSE dtype END,
+    'r3' FROM fp WHERE col <> 'o_orderpriority'
+  UNION ALL SELECT 6, 'x_new', 'int', 'r3'
+  UNION ALL SELECT 7, 'flappy', 'int', 'r3'
+),
+runs AS (SELECT DISTINCT run_id FROM hist),
+ranked AS (SELECT run_id, row_number() OVER (ORDER BY run_id) AS rk FROM runs),
+bounds AS (SELECT min(run_id) AS min_run, max(run_id) AS max_run FROM runs),
+per AS (
+  SELECT col, count(DISTINCT run_id) AS n_runs, min(run_id) AS first_run,
+    max(run_id) AS last_run, count(DISTINCT dtype) AS n_dtypes,
+    arg_max(dtype, run_id) AS latest_dtype,
+    arg_min(ordinal, run_id) AS first_ordinal,
+    arg_max(ordinal, run_id) AS last_ordinal
+  FROM hist GROUP BY col
+),
+j AS (
+  SELECT p.*, rf.rk AS rk_first, rl.rk AS rk_last, b.min_run, b.max_run,
+         rl.rk - rf.rk + 1 AS span
+  FROM per p
+  JOIN ranked rf ON p.first_run = rf.run_id
+  JOIN ranked rl ON p.last_run = rl.run_id
+  CROSS JOIN bounds b
+),
+scored AS (
+  SELECT *,
+    CASE WHEN last_run < max_run THEN 'dropped'
+         WHEN n_dtypes > 1 THEN 'type_changed'
+         WHEN n_runs < span THEN 'intermittent'
+         WHEN first_run > min_run THEN 'added'
+         WHEN first_ordinal <> last_ordinal THEN 'moved'
+         ELSE 'stable' END AS status
+  FROM j
+)
+SELECT col AS "column", status, n_runs, first_run, last_run, latest_dtype,
+  CASE status
+    WHEN 'dropped' THEN 'last seen in ' || last_run
+    WHEN 'type_changed' THEN 'dtypes=' || CAST(n_dtypes AS VARCHAR)
+         || ' latest=' || latest_dtype
+    WHEN 'intermittent' THEN 'seen ' || CAST(n_runs AS VARCHAR) || '/'
+         || CAST(span AS VARCHAR) || ' runs in span'
+    WHEN 'added' THEN 'first seen in ' || first_run
+    WHEN 'moved' THEN 'ordinal ' || CAST(first_ordinal AS VARCHAR)
+         || ' -> ' || CAST(last_ordinal AS VARCHAR)
+    ELSE '' END AS detail
+FROM scored
+"""
+
+
 def q_suggest_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C57 constraint suggestion (plans/suggest — deequ's
     ConstraintSuggestion): profile → rules → suggestions, with every
@@ -4459,6 +4570,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "type_inference_orders": QuerySpec(q_type_inference_orders, SQL_TYPE_INFERENCE),
     "benford_orders": QuerySpec(q_benford_orders, SQL_BENFORD),
     "mask_profile_orders": QuerySpec(q_mask_profile_orders, SQL_MASK_PROFILE),
+    # cross-run schema evolution (C59)
+    "schema_history_orders": QuerySpec(
+        q_schema_history_orders, SQL_SCHEMA_HISTORY
+    ),
     # constraint suggestion (C57)
     "suggest_constraints_orders": QuerySpec(
         q_suggest_constraints_orders, SQL_SUGGEST
