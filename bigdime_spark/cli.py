@@ -691,6 +691,32 @@ def _build_parser() -> argparse.ArgumentParser:
         default=3.0,
         help="|z| cutoff for --hw (default 3.0)",
     )
+    tr.add_argument(
+        "--cusum",
+        type=float,
+        default=None,
+        metavar="H_SIGMA",
+        help="CUSUM change-point chart: fix the first --cusum-baseline "
+        "runs as the reference (mu, sigma), then accumulate every "
+        "later run's deviation beyond the --cusum-k allowance; flag "
+        "when the running sum exceeds H_SIGMA sigmas — catches the "
+        "small persistent drift every per-run gate misses; mutually "
+        "exclusive with --zscore/--ewma/--hw",
+    )
+    tr.add_argument(
+        "--cusum-k",
+        type=float,
+        default=0.5,
+        help="per-run allowance in sigmas discarded before the sum "
+        "accumulates (default 0.5)",
+    )
+    tr.add_argument(
+        "--cusum-baseline",
+        type=int,
+        default=3,
+        help="non-null leading runs fixed as the CUSUM reference "
+        "window (default 3, minimum 2)",
+    )
     tr.add_argument("--master", default=None)
 
     cu = sub.add_parser(
@@ -1495,6 +1521,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from bigdime_spark.operators.outliers import (
             ANOMALY,
+            metric_cusum,
             metric_ewma,
             metric_holt_winters,
             metric_trend,
@@ -1505,9 +1532,10 @@ def main(argv: list[str] | None = None) -> int:
         zmode = args.zscore is not None
         emode = args.ewma is not None
         hmode = args.hw is not None
-        if zmode + emode + hmode > 1:
+        cmode = args.cusum is not None
+        if zmode + emode + hmode + cmode > 1:
             print(
-                "trend: --zscore, --ewma and --hw are mutually "
+                "trend: --zscore, --ewma, --hw and --cusum are mutually "
                 "exclusive (one baseline per invocation)",
                 file=sys.stderr,
             )
@@ -1545,6 +1573,15 @@ def main(argv: list[str] | None = None) -> int:
                     threshold=args.hw_threshold,
                 ).persist()
                 rank_col = "z"
+            elif cmode:
+                scored = metric_cusum(
+                    hist,
+                    metrics,
+                    k_sigma=args.cusum_k,
+                    h_sigma=args.cusum,
+                    baseline_n=args.cusum_baseline,
+                ).persist()
+                rank_col = None
             else:
                 scored = metric_trend(
                     hist, metrics, max_rel_change=args.max_rel_change
@@ -1556,9 +1593,16 @@ def main(argv: list[str] | None = None) -> int:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
+            # cusum's two one-sided sums are both >= 0 — rank by the
+            # larger side; every other mode ranks by |score|
+            rank_expr = (
+                F.greatest("cusum_pos", "cusum_neg")
+                if rank_col is None
+                else F.abs(F.col(rank_col))
+            )
             worst = (
                 scored.filter(F.col("verdict") == ANOMALY)
-                .orderBy(F.desc_nulls_first(F.abs(F.col(rank_col))), "part", "metric")
+                .orderBy(F.desc_nulls_first(rank_expr), "part", "metric")
                 .limit(20)
                 .collect()
             )
@@ -1577,6 +1621,8 @@ def main(argv: list[str] | None = None) -> int:
                         if emode
                         else "holt_winters"
                         if hmode
+                        else "cusum"
+                        if cmode
                         else "rel_change"
                     ),
                     "verdicts": dict(sorted(counts.items())),
@@ -1605,6 +1651,13 @@ def main(argv: list[str] | None = None) -> int:
                                     "z": r["z"],
                                 }
                                 if hmode
+                                else {
+                                    "mu": r["mu"],
+                                    "sigma": r["sigma"],
+                                    "cusum_pos": r["cusum_pos"],
+                                    "cusum_neg": r["cusum_neg"],
+                                }
+                                if cmode
                                 else {
                                     "prev_value": r["prev_value"],
                                     "rel_change": r["rel_change"],

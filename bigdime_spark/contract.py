@@ -3606,6 +3606,139 @@ FROM scored
 """
 
 
+#: shared Spark/DuckDB value CASE for the CUSUM history: seven classes
+#: covering OK (walk jitter inside the kσ allowance), positive-shift
+#: ANOMALY (persistent +2σ walk), constant history + on-it walk (OK via
+#: the σ=0 exact-equality degradation), constant history + one off
+#: value (ANOMALY, scores NULL), short series (NOT_READY), NULL latest
+#: (NOT_READY, stale walk stats reported), and negative-shift ANOMALY.
+#: Baseline 10,12,14 → μ=12, σ=2 exactly — every statistic is halves
+#: and quarters, bit-identical across engines.
+_CUSUM_VALUE_CASE = """
+CASE ((CAST(substr(part, 1, 1) AS INT) - 1) * 2 + {mi}) % 7
+  WHEN 0 THEN CASE WHEN i = 1 THEN 10.0 WHEN i = 2 THEN 12.0
+                   WHEN i = 3 THEN 14.0 WHEN i = 4 THEN 13.0
+                   WHEN i = 5 THEN 11.0 ELSE 13.0 END
+  WHEN 1 THEN CASE WHEN i = 1 THEN 10.0 WHEN i = 2 THEN 12.0
+                   WHEN i = 3 THEN 14.0 ELSE 16.0 END
+  WHEN 2 THEN 42.0
+  WHEN 3 THEN CASE WHEN i < 6 THEN 7.0 ELSE 9.0 END
+  WHEN 4 THEN CASE WHEN i >= 5 THEN 10.0 * i ELSE NULL END
+  WHEN 5 THEN CASE WHEN i = 6 THEN NULL ELSE 50.0 + i END
+  ELSE CASE WHEN i = 1 THEN 10.0 WHEN i = 2 THEN 12.0
+            WHEN i = 3 THEN 14.0 ELSE 8.0 END
+END
+"""
+
+
+def q_metric_cusum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C60: CUSUM change-point detection
+    (operators/outliers.metric_cusum — Page's cumulative-sum chart in
+    its closed prefix-sum/prefix-min form, so the identical window
+    arithmetic replays in DuckDB). Same synthesized-history recipe as
+    C53/C54/C56: orders' five priorities × six runs × two metric
+    columns, all seven verdict classes — incl. both σ=0 degradations,
+    the kσ allowance absorbing healthy jitter, and a negative
+    persistent shift — under oracle test."""
+    from bigdime_spark.operators.outliers import metric_cusum
+
+    o = _t(spark, sf_dir, "orders")
+    prios = o.select(F.col("o_orderpriority").alias("part")).distinct()
+    runs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6)], "i int")
+    hist = prios.crossJoin(F.broadcast(runs)).select(
+        F.concat(F.lit("r"), F.col("i").cast("string")).alias("run_id"),
+        "part",
+        F.expr(_CUSUM_VALUE_CASE.format(mi=0)).alias("m_a"),
+        F.expr(_CUSUM_VALUE_CASE.format(mi=1)).alias("m_b"),
+    )
+    return metric_cusum(
+        hist, ["m_a", "m_b"], k_sigma=0.5, h_sigma=4.0, baseline_n=3
+    )
+
+
+SQL_METRIC_CUSUM = f"""
+WITH prios AS (SELECT DISTINCT o_orderpriority AS part FROM orders),
+runs(i) AS (VALUES (1), (2), (3), (4), (5), (6)),
+hist AS (
+  SELECT 'r' || CAST(i AS VARCHAR) AS run_id, part, i,
+         {_CUSUM_VALUE_CASE.format(mi=0)} AS m_a,
+         {_CUSUM_VALUE_CASE.format(mi=1)} AS m_b
+  FROM prios, runs
+),
+melted AS (
+  SELECT run_id, part, 'm_a' AS metric, m_a AS value FROM hist
+  UNION ALL
+  SELECT run_id, part, 'm_b' AS metric, m_b AS value FROM hist
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY part, metric ORDER BY run_id DESC) AS rn
+  FROM melted
+),
+latest AS (SELECT part, metric, run_id, value FROM ranked WHERE rn = 1),
+seq AS (
+  SELECT part, metric, run_id, value,
+         row_number() OVER (PARTITION BY part, metric ORDER BY run_id) AS ord,
+         count(*) OVER (PARTITION BY part, metric) AS n
+  FROM melted WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT part, metric, CAST(max(n) AS BIGINT) AS n_history
+  FROM seq GROUP BY part, metric
+),
+base AS (
+  SELECT part, metric, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM seq WHERE ord <= 3 GROUP BY part, metric
+),
+walk1 AS (
+  SELECT s.part, s.metric, s.run_id, b.mu, b.sigma,
+         sum(s.value - b.mu - 0.5 * b.sigma) OVER
+           (PARTITION BY s.part, s.metric ORDER BY s.run_id
+            ROWS UNBOUNDED PRECEDING) AS p,
+         sum(b.mu - s.value - 0.5 * b.sigma) OVER
+           (PARTITION BY s.part, s.metric ORDER BY s.run_id
+            ROWS UNBOUNDED PRECEDING) AS q,
+         abs(s.value - b.mu) AS dev
+  FROM seq s JOIN base b ON s.part = b.part AND s.metric = b.metric
+  WHERE s.ord > 3
+),
+walk2 AS (
+  SELECT *,
+         min(p) OVER (PARTITION BY part, metric ORDER BY run_id
+                      ROWS UNBOUNDED PRECEDING) AS minp,
+         min(q) OVER (PARTITION BY part, metric ORDER BY run_id
+                      ROWS UNBOUNDED PRECEDING) AS minq,
+         max(dev) OVER (PARTITION BY part, metric) AS dev_max,
+         row_number() OVER (PARTITION BY part, metric ORDER BY run_id DESC) AS rn2
+  FROM walk1
+),
+tail AS (
+  SELECT part, metric, mu, sigma,
+         (p - least(0.0, minp)) / nullif(sigma, 0) AS cpos,
+         (q - least(0.0, minq)) / nullif(sigma, 0) AS cneg,
+         dev_max
+  FROM walk2 WHERE rn2 = 1
+)
+SELECT l.part, l.metric, l.run_id,
+       round(l.value, 6) AS value,
+       coalesce(c.n_history, 0) AS n_history,
+       round(t.mu, 6) AS mu,
+       round(t.sigma, 6) AS sigma,
+       round(CASE WHEN t.sigma > 0 THEN t.cpos END, 6) AS cusum_pos,
+       round(CASE WHEN t.sigma > 0 THEN t.cneg END, 6) AS cusum_neg,
+       CASE
+         WHEN l.value IS NULL OR coalesce(c.n_history, 0) < 4 THEN 'NOT_READY'
+         WHEN t.sigma > 0 THEN
+           CASE WHEN greatest(t.cpos, t.cneg) > 4.0
+                THEN 'ANOMALY' ELSE 'OK' END
+         WHEN t.dev_max > 0 THEN 'ANOMALY'
+         ELSE 'OK'
+       END AS verdict
+FROM latest l
+LEFT JOIN counts c ON l.part = c.part AND l.metric = c.metric
+LEFT JOIN tail t ON l.part = t.part AND l.metric = t.metric
+"""
+
+
 _WEIGHTED_SEED = "r5w"
 _WEIGHTED_RATE = 0.5
 
@@ -4561,6 +4694,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "metric_trend_orders": QuerySpec(q_metric_trend_orders, SQL_METRIC_TREND),
     "metric_zscore_orders": QuerySpec(q_metric_zscore_orders, SQL_METRIC_ZSCORE),
     "metric_ewma_orders": QuerySpec(q_metric_ewma_orders, SQL_METRIC_EWMA),
+    # CUSUM change-point detection (C60)
+    "metric_cusum_orders": QuerySpec(q_metric_cusum_orders, SQL_METRIC_CUSUM),
     # completeness / structural integrity (C40–C41, B30)
     "null_pattern_events": QuerySpec(q_null_pattern_events, SQL_NULL_PATTERN),
     "sequence_continuity_orders": QuerySpec(

@@ -692,3 +692,170 @@ def metric_holt_winters(
         return row(fc, 0.0, None, ANOMALY if x != fc else OK)
 
     return melted.groupBy("part", "metric").applyInPandas(fit, _HW_SCHEMA)
+
+
+def metric_cusum(
+    history: DataFrame,
+    metrics: list[str],
+    part_col: str = "part",
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+    baseline_n: int = 3,
+) -> DataFrame:
+    """CUSUM change-point detection over metric history (C60 — Page's
+    cumulative-sum control chart [Page 1954, Biometrika 41]): per
+    (part, metric), fix a reference window of the FIRST ``baseline_n``
+    non-null runs (μ = mean, σ = sample stddev), then accumulate the
+    post-baseline deviations
+
+        C⁺_t = max(0, C⁺_{t−1} + (x_t − μ − kσ))
+        C⁻_t = max(0, C⁻_{t−1} + (μ − x_t − kσ))
+
+    and flag ANOMALY when either exceeds h·σ at the latest run. The
+    failure mode NONE of the four siblings can see: a *small but
+    persistent* shift — a row count sagging 0.4σ every run trips no
+    step gate (C53), stays inside every per-run z band (C54/C56), and
+    has no season for HW (C58); CUSUM *integrates* it, so after a few
+    runs the sum walks past any threshold. The allowance k discards
+    noise smaller than kσ per run, so a healthy jittering metric never
+    accumulates.
+
+    Closed form, not a sequential fold: the max(0, ·) recursion
+    telescopes to running sums — with P_t = Σ_{j≤t}(x_j − μ − kσ) and
+    P_0 = 0,
+
+        C⁺_t = P_t − min(0, min_{j≤t} P_j)
+
+    (symmetrically for C⁻), so the whole statistic is one prefix sum +
+    one prefix min per side — plain window functions, no UDF, no
+    driver loop, and the identical arithmetic replays in the DuckDB
+    oracle.
+
+    → (part, metric, run_id, value, n_history, mu, sigma, cusum_pos,
+       cusum_neg, verdict), cusum_* in σ units, verdict ∈
+    OK / ANOMALY / NOT_READY. Conventions: NULL latest, or fewer than
+    ``baseline_n`` + 1 non-null observations → NOT_READY; NULL
+    mid-history values are excluded (CUSUM is phase-free, unlike HW —
+    a gap just shortens the walk); σ = 0 (constant baseline) degrades
+    to exact inequality — any post-baseline value off μ is ANOMALY
+    with scores NULL, all on μ is OK; strict >; lexicographic run
+    order; duplicate (run_id, part) refused via the shared
+    ``_melted_history`` front door. ``n_history`` counts ALL non-null
+    observations (baseline + walk) — unlike the latest-vs-priors
+    siblings, CUSUM scores the sequence itself.
+
+    Plan shape: runs × parts × metrics sized — one melt, one
+    (part, metric) window to order the series, one baseline hash-agg,
+    two prefix-sum/prefix-min window pairs on the same ordering (one
+    exchange total), a key-sized join back. Metadata-scale at any
+    corpus size, zero rescans."""
+    if k_sigma < 0:
+        raise ValueError(f"k_sigma must be >= 0, got {k_sigma}")
+    if h_sigma <= 0:
+        raise ValueError(f"h_sigma must be positive, got {h_sigma}")
+    if baseline_n < 2:
+        raise ValueError(
+            f"baseline_n must be >= 2 (a stddev needs it), got {baseline_n}"
+        )
+    melted = _melted_history("metric_cusum", history, metrics, part_col)
+    latest, _ = _latest_and_priors(melted)
+    seq = (
+        melted.filter(F.col("value").isNotNull())
+        .withColumn(
+            "_ord",
+            F.row_number().over(
+                Window.partitionBy("part", "metric").orderBy("run_id")
+            ),
+        )
+        .withColumn(
+            "_n",
+            F.count(F.lit(1)).over(Window.partitionBy("part", "metric")),
+        )
+    )
+    base = (
+        seq.filter(F.col("_ord") <= baseline_n)
+        .groupBy("part", "metric")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev_samp("value").alias("sigma"),
+        )
+    )
+    walk = seq.filter(F.col("_ord") > baseline_n).join(
+        base, ["part", "metric"]
+    )
+    wseq = (
+        Window.partitionBy("part", "metric")
+        .orderBy("run_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = F.lit(float(k_sigma)) * F.col("sigma")
+    walk = (
+        walk.withColumn("_p", F.sum(F.col("value") - F.col("mu") - k).over(wseq))
+        .withColumn("_q", F.sum(F.col("mu") - F.col("value") - k).over(wseq))
+        .withColumn("_minp", F.min("_p").over(wseq))
+        .withColumn("_minq", F.min("_q").over(wseq))
+        .withColumn(
+            "_dev_max",
+            F.max(F.abs(F.col("value") - F.col("mu"))).over(
+                Window.partitionBy("part", "metric")
+            ),
+        )
+    )
+    tail = walk.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("part", "metric").orderBy(F.desc("run_id"))
+        ),
+    ).filter(F.col("_rn") == 1)
+    cpos = F.try_divide(
+        F.col("_p") - F.least(F.lit(0.0), F.col("_minp")), F.col("sigma")
+    )
+    cneg = F.try_divide(
+        F.col("_q") - F.least(F.lit(0.0), F.col("_minq")), F.col("sigma")
+    )
+    # n_history from the sequence itself, not the walk tail — a too-
+    # short series still reports its true non-null count on NOT_READY
+    counts = seq.groupBy("part", "metric").agg(
+        F.max("_n").cast("long").alias("n_history")
+    )
+    scored = latest.join(counts, ["part", "metric"], "left").join(
+        tail.select(
+            "part",
+            "metric",
+            "mu",
+            "sigma",
+            cpos.alias("_cpos"),
+            cneg.alias("_cneg"),
+            "_dev_max",
+        ),
+        ["part", "metric"],
+        "left",
+    )
+    n_hist = F.coalesce(F.col("n_history"), F.lit(0))
+    sigma_pos = F.col("sigma") > 0
+    verdict = (
+        F.when(
+            F.col("value").isNull() | (n_hist < baseline_n + 1),
+            F.lit(NOT_READY),
+        )
+        .when(
+            sigma_pos,
+            F.when(
+                F.greatest("_cpos", "_cneg") > h_sigma, F.lit(ANOMALY)
+            ).otherwise(F.lit(OK)),
+        )
+        .when(F.col("_dev_max") > 0, F.lit(ANOMALY))
+        .otherwise(F.lit(OK))
+    )
+    return scored.select(
+        "part",
+        "metric",
+        "run_id",
+        F.round("value", 6).alias("value"),
+        n_hist.alias("n_history"),
+        F.round("mu", 6).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round(F.when(sigma_pos, F.col("_cpos")), 6).alias("cusum_pos"),
+        F.round(F.when(sigma_pos, F.col("_cneg")), 6).alias("cusum_neg"),
+        verdict.alias("verdict"),
+    )

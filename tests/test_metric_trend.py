@@ -685,3 +685,250 @@ def test_cli_trend_hw_mode(spark, tmp_path_factory, capsys):
     capsys.readouterr()
     assert cli.main(["trend", "--history", f"{d}/hist",
                      "--metrics", "stat__rows", "--hw", "1"]) == 2
+
+
+# ------------------------------------------------- CUSUM mode (C60)
+
+from bigdime_spark.operators.outliers import metric_cusum
+
+
+def _cusum(spark, rows, **kw):
+    return metric_cusum(
+        spark.createDataFrame(rows, SCHEMA), ["rows", "bytes"], **kw
+    )
+
+
+def _series(part, vals):
+    return [
+        (f"r{i}", part, None if v is None else float(v), None)
+        for i, v in enumerate(vals, 1)
+    ]
+
+
+def test_cusum_verdict_classes_exact_values(spark):
+    """Hand-computed table — baseline 10,12,14 gives mu=12, sigma=2
+    exactly, so every statistic is halves and quarters (exact fp):
+    walk jitter inside the 0.5-sigma allowance (OK, both sums 0),
+    persistent +-2-sigma shifts (4.5 sigma > 4, ANOMALY both sides),
+    both sigma=0 degradations, short series and NULL latest
+    (NOT_READY; the NULL-latest row reports the stale walk stats)."""
+    rows = (
+        _series("p_ok", [10, 12, 14, 13, 11, 13])
+        + _series("p_pos", [10, 12, 14, 16, 16, 16])
+        + _series("p_neg", [10, 12, 14, 8, 8, 8])
+        + _series("p_const_on", [42, 42, 42, 42, 42, 42])
+        + _series("p_const_off", [7, 7, 7, 7, 7, 9])
+        + [("r5", "p_short", 50.0, None), ("r6", "p_short", 51.0, None)]
+        + _series("p_nulllatest", [50, 51, 52, 53, 54, None])
+    )
+    got = {
+        r["part"]: r
+        for r in _cusum(spark, rows).filter(F.col("metric") == "rows").collect()
+    }
+    ok = got["p_ok"]
+    assert (ok["verdict"], ok["mu"], ok["sigma"]) == ("OK", 12.0, 2.0)
+    assert (ok["cusum_pos"], ok["cusum_neg"]) == (0.0, 0.0)
+    pos = got["p_pos"]
+    assert (pos["verdict"], pos["cusum_pos"], pos["cusum_neg"]) == (
+        "ANOMALY", 4.5, 0.0,
+    )
+    neg = got["p_neg"]
+    assert (neg["verdict"], neg["cusum_pos"], neg["cusum_neg"]) == (
+        "ANOMALY", 0.0, 4.5,
+    )
+    con = got["p_const_on"]
+    assert (con["verdict"], con["sigma"], con["cusum_pos"]) == ("OK", 0.0, None)
+    off = got["p_const_off"]
+    assert (off["verdict"], off["cusum_pos"]) == ("ANOMALY", None)
+    assert got["p_short"]["verdict"] == "NOT_READY"
+    assert got["p_short"]["n_history"] == 2
+    nl = got["p_nulllatest"]
+    assert (nl["verdict"], nl["run_id"], nl["value"]) == ("NOT_READY", "r6", None)
+    assert (nl["mu"], nl["sigma"], nl["cusum_pos"]) == (51.0, 1.0, 4.0)
+
+
+def test_cusum_catches_small_persistent_drift_every_sibling_misses(spark):
+    """THE niche: a +1.2-sigma level shift held for six runs. The step
+    gate sees 0% run-over-run change, the whole-history median IS the
+    shifted value, EWMA has converged onto it — all three say OK; only
+    the integrating chart walks past its threshold."""
+    from bigdime_spark.operators.outliers import metric_zscore
+
+    vals = [100, 102, 98] + [102.4] * 6  # mu=100, sigma=2, d_pos=1.4/run
+    rows = _series("p0", vals)
+    c = _cusum(spark, rows).filter(F.col("metric") == "rows").first()
+    assert c["verdict"] == "ANOMALY"
+    assert c["cusum_pos"] == 4.2  # 6 * (2.4 - 1.0) / 2
+    z = (
+        metric_zscore(spark.createDataFrame(rows, SCHEMA), ["rows"])
+        .filter(F.col("metric") == "rows")
+        .first()
+    )
+    assert z["verdict"] == "OK"  # latest == median of its own history
+    t = _trend(spark, rows).filter(F.col("metric") == "rows").first()
+    assert t["verdict"] == "OK"  # zero step between identical runs
+
+
+def test_cusum_threshold_strict_and_null_gap(spark):
+    """cusum == h is OK (strict >); a NULL mid-walk value just
+    shortens the walk — identical output to the same series with the
+    run absent entirely."""
+    vals = [10, 12, 14, 16, 16, 16]  # cusum_pos exactly 4.5
+    rows = _series("p0", vals)
+    at = _cusum(spark, rows, h_sigma=4.5).filter(F.col("metric") == "rows").first()
+    assert at["verdict"] == "OK"
+    above = _cusum(spark, rows, h_sigma=4.4).filter(F.col("metric") == "rows").first()
+    assert above["verdict"] == "ANOMALY"
+    gap = _series("p0", [10, 12, 14, 16, None, 16, 16])
+    nogap = _series("p0", [10, 12, 14, 16, 16, 16])
+    g = _cusum(spark, gap).filter(F.col("metric") == "rows").first()
+    n = _cusum(spark, nogap).filter(F.col("metric") == "rows").first()
+    for f in ("n_history", "mu", "sigma", "cusum_pos", "cusum_neg", "verdict"):
+        assert g[f] == n[f], f
+
+
+def test_cusum_refusals(spark):
+    rows = _series("p0", [1, 2, 3, 4])
+    with pytest.raises(ValueError, match="k_sigma"):
+        _cusum(spark, rows, k_sigma=-0.1)
+    with pytest.raises(ValueError, match="h_sigma"):
+        _cusum(spark, rows, h_sigma=0)
+    with pytest.raises(ValueError, match="baseline_n"):
+        _cusum(spark, rows, baseline_n=1)
+    with pytest.raises(ValueError, match="duplicate"):
+        _cusum(spark, rows + [("r1", "p0", 9.0, None)]).collect()
+
+
+def _ref_cusum(rows, k_sigma=0.5, h_sigma=4.0, baseline_n=3):
+    """Independent pure-python reference using Page's ORIGINAL
+    max(0, .) recursion — the closed prefix-sum/prefix-min form under
+    test must agree with it."""
+    from statistics import mean, stdev
+
+    by_key: dict = {}
+    for run, part, a, b in rows:
+        for metric, v in (("rows", a), ("bytes", b)):
+            by_key.setdefault((part, metric), []).append(
+                (run, None if v is None else float(v))
+            )
+    out = {}
+    for key, seq in by_key.items():
+        seq.sort()
+        latest = seq[-1][1]
+        vals = [v for _, v in seq if v is not None]
+        n = len(vals)
+        mu = sigma = cpos = cneg = dev = None
+        if n > baseline_n:
+            base, walk = vals[:baseline_n], vals[baseline_n:]
+            mu, sigma = mean(base), stdev(base)
+            if sigma > 0:
+                k = k_sigma * sigma
+                cp = cn = 0.0
+                for x in walk:
+                    cp = max(0.0, cp + (x - mu - k))
+                    cn = max(0.0, cn + (mu - x - k))
+                cpos, cneg = cp / sigma, cn / sigma
+            else:
+                dev = max(abs(x - mu) for x in walk)
+        if latest is None or n < baseline_n + 1:
+            verdict = "NOT_READY"
+        elif sigma > 0:
+            verdict = "ANOMALY" if max(cpos, cneg) > h_sigma else "OK"
+        else:
+            verdict = "ANOMALY" if dev > 0 else "OK"
+        out[key] = (n, mu, sigma, cpos, cneg, verdict)
+    return out
+
+
+@given(rows=history_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cusum_property_vs_python_reference(spark, rows):
+    data = [
+        (run, part, None if a is None else float(a),
+         None if b is None else float(b))
+        for run, part, a, b in rows
+    ]
+    got = {
+        (r["part"], r["metric"]): r for r in _cusum(spark, data).collect()
+    }
+    ref = _ref_cusum(rows)
+    assert set(got) == set(ref)
+    for key, (n, mu, sigma, cpos, cneg, verdict) in ref.items():
+        r = got[key]
+        assert r["n_history"] == n, (key, dict(r.asDict()))
+        for name, want in (
+            ("mu", mu), ("sigma", sigma),
+            ("cusum_pos", cpos), ("cusum_neg", cneg),
+        ):
+            if want is None:
+                assert r[name] is None, (key, name, r[name])
+            else:
+                assert abs(r[name] - want) < 1e-5, (key, name, r[name], want)
+        # recursion vs closed form may differ in the last fp bits; skip
+        # the verdict assertion only on a knife-edge threshold hit
+        knife = (
+            sigma is not None and sigma > 0
+            and abs(max(cpos, cneg) - 4.0) < 1e-9
+        )
+        if not knife:
+            assert r["verdict"] == verdict, (key, dict(r.asDict()), ref[key])
+
+
+def test_cli_trend_cusum_mode(spark, tmp_path_factory, capsys):
+    """--cusum integrates a small persistent drift across five runs
+    into exit 1 with mu/sigma/cusum_* in the worst rows; a flat walk
+    exits 0; mode exclusion and a bad baseline exit 2."""
+    from bigdime_spark.sources.synth import build_fixture
+    from bigdime_spark.sources.tables import write_table
+
+    d = tmp_path_factory.mktemp("cusum")
+    fx = build_fixture(spark, n_rows=32, n_parts=2)
+    write_table(fx.raw, f"{d}/raw")
+    assert cli.main(["run", "--raw", f"{d}/raw", "--out", f"{d}/o1",
+                     "--run-id", "r0001"]) == 0
+    s1 = spark.read.parquet(f"{d}/o1/stats")
+    rows_t = dict(s1.dtypes)["stat__rows"]
+
+    def stamped(i, delta):
+        return s1.withColumn("run_id", F.lit(f"r{i:04d}")).withColumn(
+            "stat__rows", (F.col("stat__rows") + delta).cast(rows_t)
+        )
+
+    # baseline jitter 0,+1,-1 -> mu = s, sigma = 1; then +2 held for
+    # five runs -> cusum_pos = 5 * 1.5 = 7.5 sigma
+    frames = [stamped(i, d_) for i, d_ in enumerate([0, 1, -1], 1)]
+    drift = [stamped(i, 2) for i in range(4, 9)]
+    hist = frames[0]
+    for fr in frames[1:] + drift:
+        hist = hist.unionByName(fr)
+    hist.write.parquet(f"{d}/hist")
+    capsys.readouterr()
+    rc = cli.main(["trend", "--history", f"{d}/hist",
+                   "--metrics", "stat__rows", "--cusum", "4.0"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert out["mode"] == "cusum"
+    assert out["verdicts"]["ANOMALY"] == 2  # both parts drifted
+    assert {"mu", "sigma", "cusum_pos", "cusum_neg"} <= set(out["worst"][0])
+    assert out["worst"][0]["cusum_pos"] == 7.5
+    # flat walk -> exit 0
+    flat = [stamped(i, 0) for i in range(4, 9)]
+    hok = frames[0]
+    for fr in frames[1:] + flat:
+        hok = hok.unionByName(fr)
+    hok.write.parquet(f"{d}/hist_ok")
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist_ok",
+                     "--metrics", "stat__rows", "--cusum", "4.0"]) == 0
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist",
+                     "--metrics", "stat__rows", "--cusum", "4.0",
+                     "--zscore", "3.5"]) == 2
+    capsys.readouterr()
+    assert cli.main(["trend", "--history", f"{d}/hist",
+                     "--metrics", "stat__rows", "--cusum", "4.0",
+                     "--cusum-baseline", "1"]) == 2
