@@ -744,6 +744,20 @@ def _build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--minhash-dedup", action="store_true")
     cu.add_argument("--minhash-threshold", type=float, default=0.5)
     cu.add_argument(
+        "--containment-dedup",
+        action="store_true",
+        help="also drop docs whose shingle set sits (near-)entirely "
+        "inside another doc's — the excerpt / boilerplate-wrapped "
+        "copy minhash cannot see (containment 1.0 at ~0 Jaccard)",
+    )
+    cu.add_argument(
+        "--containment-threshold",
+        type=float,
+        default=0.8,
+        help="directed |A-intersect-B|/|A| at or above this drops A "
+        "(default 0.8)",
+    )
+    cu.add_argument(
         "--max-hot-fraction",
         type=float,
         default=None,
@@ -1696,6 +1710,8 @@ def main(argv: list[str] | None = None) -> int:
                 exact_dedup=args.exact_dedup,
                 minhash_dedup=args.minhash_dedup,
                 minhash_threshold=args.minhash_threshold,
+                containment_dedup=args.containment_dedup,
+                containment_threshold=args.containment_threshold,
                 max_hot_fraction=args.max_hot_fraction,
                 hot_gram_n=args.hot_gram_n,
                 hot_gram_min_docs=args.hot_gram_min_docs,

@@ -2541,6 +2541,77 @@ SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.2
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C61 asymmetric containment near-dup
+    (operators/dedup.containment_pairs): directed C(A→B) = |A∩B|/|A|
+    over word 3-gram shingles, prefix-filtered candidates (lossless
+    pigeonhole — no LSH recall gap for the high-containment/
+    low-Jaccard population this exists for). Fixture plants the
+    asymmetry the operator hunts: every doc_id % 5 == 0 document
+    contributes a 10-token excerpt twin (id + 1,000,000) whose gram
+    set is a strict subset of its source — containment 1.0 toward the
+    source at a Jaccard far below any C2/C5 threshold. The oracle
+    replays shingling, the hot-gram valve and the exact intersection
+    arithmetic over ALL gram-sharing pairs, so the prefix filter's
+    losslessness is itself under test."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exc = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " "
+        ).alias("text"),
+    )
+    return dedup.containment_pairs(
+        d.unionByName(exc),
+        "doc_id",
+        "text",
+        ngram=3,
+        threshold=0.8,
+        max_gram_docs=1000,
+    )
+
+
+SQL_DEDUP_CONTAINMENT = r"""
+WITH docs AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(regexp_split_to_array(trim(text), '\s+')[1:10], ' ')
+  FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM docs
+), gr AS (
+  SELECT id,
+         list_filter(list_distinct([array_to_string(t[i:i+2], ' ')
+             FOR i IN generate_series(1, greatest(len(t) - 2, 1))]),
+             g -> g <> '') AS gs
+  FROM toks
+), sh0 AS (
+  SELECT id, unnest(gs) AS gram FROM gr
+), hot AS (
+  SELECT gram FROM (SELECT gram, count(*) AS nd FROM sh0 GROUP BY 1)
+  WHERE nd > 1000
+), sh AS (
+  SELECT * FROM sh0 WHERE gram NOT IN (SELECT gram FROM hot)
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.id <> b.id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id1, id2, inter, s1.sz AS size1, s2.sz AS size2,
+         round(inter::DOUBLE / s1.sz::DOUBLE, 6) AS containment,
+         round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) AS jaccard
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+)
+SELECT * FROM scored WHERE containment >= 0.8
+"""
+
+
 def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.contamination_scan):
     docs sharing word n-grams with a held-out benchmark set. The
@@ -4655,6 +4726,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_dedup_phash_clusters_star, SQL_DEDUP_PHASH_CLUSTERS
     ),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # asymmetric containment near-dup (C61)
+    "dedup_containment": QuerySpec(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "contamination_documents": QuerySpec(
         q_contamination_documents, SQL_CONTAMINATION
     ),

@@ -485,6 +485,124 @@ def ngram_jaccard_pairs(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.8,
+    max_gram_docs: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: directed shingle-set containment
+    C(A→B) = |A ∩ B| / |A| over word n-gram shingles — the duplication
+    Jaccard structurally CANNOT see. A 50-token doc quoted whole
+    inside a 5,000-token doc has Jaccard ≈ 1% (invisible to C2/C5 at
+    any sane threshold) but containment 1.0; in a training corpus that
+    is the boilerplate-wrapped copy, the excerpt, the concatenation.
+
+    → one row per ORDERED pair (id1 contained-in id2):
+    (id1, id2, inter, size1, size2, containment, jaccard) with
+    containment = inter/size1 ≥ ``threshold``; mutually-containing
+    (identical-set) docs yield both directions. Docs with zero
+    shingles (blank text) have undefined containment and emit nothing.
+
+    Candidate generation is PREFIX FILTERING (pigeonhole; the
+    PPJoin-family bound, Xiao et al., WWW'08): if C(A→B) ≥ t then A
+    shares with B all but at most (1−t)·|A| of its shingles, so ANY
+    ⌊(1−t)·|A|⌋ + 1 of them must hit B — index only the L smallest
+    shingles of each doc under the global md5(gram) order and join
+    that prefix against the full shingle relation. LOSSLESS for every
+    pair at or above the threshold (no LSH recall gap — Jaccard-tuned
+    MinHash bands systematically MISS high-containment/low-Jaccard
+    pairs, which is exactly the population this operator exists for),
+    and the indexed side is ≈ (1−t) of the shingle volume.
+
+    Scale valves: grams appearing in more than ``max_gram_docs`` docs
+    are dropped from BOTH sides before anything else (corpus-wide
+    boilerplate would quadratically blow up the gram join — the C2
+    ``max_bucket`` convention; a dropped gram shrinks both |A∩B| and
+    |A|, so boilerplate stops being evidence of containment, which is
+    the point). The verify join is bounded by candidates × shingles;
+    the prefix window is per-doc (hash(id) partitioning, bounded
+    groups). Nothing is all-pairs, nothing driver-side."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold} — containment "
+            "below any positive bound is every gram-sharing pair"
+        )
+    if max_gram_docs < 1:
+        raise ValueError(f"max_gram_docs must be >= 1, got {max_gram_docs}")
+    sh = word_ngram_shingles(df, id_col, text_col, ngram)
+    hot = (
+        sh.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > max_gram_docs)
+        .select("gram")
+    )
+    sh = sh.join(hot, "gram", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # lossless bound in INTEGER terms: containment >= t with integer
+    # inter means inter >= ceil(t*sz), so |A\B| <= sz - ceil(t*sz) and
+    # L = that + 1; the 1e-9 nudge keeps ceil() from over-rounding when
+    # t*sz lands on an exact integer through fp noise (0.8*5 = 4.0000…2
+    # would otherwise demand inter >= 5 and silently drop an exact-0.8
+    # pair from the index)
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
+        + 1
+    )
+    pref = (
+        sh.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.md5("gram"), "gram")
+            ),
+        )
+        .join(sizes, "id")
+        .filter(F.col("rk") <= prefix_len)
+        .select(F.col("id").alias("id1"), "gram")
+    )
+    cand = (
+        pref.join(sh.select(F.col("id").alias("id2"), "gram"), "gram")
+        .filter(F.col("id1") != F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id1"), "gram"), "id1")
+        .join(sh.select(F.col("id").alias("id2"), "gram"), ["id2", "gram"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id1"), F.col("sz").alias("size1")),
+            "id1",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id2"), F.col("sz").alias("size2")),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            "inter",
+            "size1",
+            "size2",
+            F.round(
+                F.col("inter").cast("double") / F.col("size1").cast("double"), 6
+            ).alias("containment"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("size1") + F.col("size2") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ------------------------------------------- image phash near-dup constraint
 
 class PhashNearDup:
@@ -891,4 +1009,39 @@ def drop_near_dups(
         .localCheckpoint(eager=True)
     )
     cc.unpersist()
+    return df.join(losers, id_col, "left_anti")
+
+
+def drop_contained(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Drop every doc CONTAINED in another (the excerpt, the
+    boilerplate-wrapped copy), keep the container — the asymmetric
+    keeper policy for :func:`containment_pairs` output (directed
+    (id1 contained-in id2) rows).
+
+    Policy: id1 of every pair is a loser, EXCEPT on a MUTUAL pair
+    (both directions at/above the threshold — near-identical sets)
+    where the side with MORE shingles survives (it is the container:
+    dropping it would lose the extra content), ties broken min-id (the
+    :func:`drop_near_dups` keeper convention). Chains resolve
+    naturally: A⊂B⊂C drops A and B and keeps C, and containment is
+    transitive so every dropped doc's content survives in some keeper.
+    A containment cycle implies near-equality, i.e. mutuality — so the
+    exception covers every cycle.
+
+    Scale: pairs-sized self-join to mark mutuality, pairs-sized
+    distinct losers, broadcast anti-join against the corpus — the
+    corpus never shuffles."""
+    rev = pairs.select(
+        F.col("id1").alias("id2"), F.col("id2").alias("id1")
+    ).withColumn("_mutual", F.lit(True))
+    marked = pairs.select("id1", "id2", "size1", "size2").join(
+        rev.select("id1", "id2", "_mutual"), ["id1", "id2"], "left"
+    )
+    survives = F.coalesce(F.col("_mutual"), F.lit(False)) & (
+        (F.col("size1") > F.col("size2"))
+        | ((F.col("size1") == F.col("size2")) & (F.col("id1") < F.col("id2")))
+    )
+    losers = (
+        marked.filter(~survives).select(F.col("id1").alias(id_col)).distinct()
+    )
     return df.join(losers, id_col, "left_anti")

@@ -39,6 +39,8 @@ from bigdime_spark.functions.text import (
     ws_token_count,
 )
 from bigdime_spark.operators.dedup import (
+    containment_pairs,
+    drop_contained,
     drop_exact_dups,
     drop_near_dups,
     minhash_lsh_dedup,
@@ -67,6 +69,13 @@ class CurateConfig:
     minhash_dedup: bool = False
     minhash_threshold: float = 0.5
     minhash_ngram: int = 3
+    # stage 3a: asymmetric containment dedup — drops docs whose shingle
+    # set sits (near-)entirely inside another doc's (the excerpt, the
+    # boilerplate-wrapped copy: containment 1.0 at a Jaccard far below
+    # any minhash threshold, so stage 3 cannot see it). Runs AFTER
+    # minhash so symmetric near-dups are already collapsed.
+    containment_dedup: bool = False
+    containment_threshold: float = 0.8
     # stage 3b: boilerplate gate — drop docs whose hot_fraction (share
     # of their n-grams repeated across ≥ hot_gram_min_docs docs,
     # operators/decontam.duplicated_gram_scan) exceeds this. Runs
@@ -188,6 +197,18 @@ def curate(df: DataFrame, cfg: CurateConfig) -> CurateResult:
             drop_near_dups(cur, cfg.id_col, pairs), "after_neardup"
         )
 
+    if cfg.containment_dedup:
+        cpairs = containment_pairs(
+            cur,
+            cfg.id_col,
+            cfg.text_col,
+            ngram=cfg.minhash_ngram,
+            threshold=cfg.containment_threshold,
+        )
+        cur = _advance(
+            drop_contained(cur, cfg.id_col, cpairs), "after_containment"
+        )
+
     if cfg.max_hot_fraction is not None:
         from bigdime_spark.operators.decontam import duplicated_gram_scan
 
@@ -256,7 +277,7 @@ def curate(df: DataFrame, cfg: CurateConfig) -> CurateResult:
 
     for stage in (
         "after_shards", "after_sample", "after_boilerplate",
-        "after_neardup", "after_exact_dedup",
+        "after_containment", "after_neardup", "after_exact_dedup",
     ):
         if stage in counts:
             counts["output"] = counts[stage]

@@ -253,3 +253,43 @@ def test_cli_quality_weighted_flag(spark, corpus, tmp_path_factory, capsys):
         "--quality-weighted-rate", "0.9", "--sample-rate", "0.5",
     ])
     assert rc == 2
+
+
+def test_containment_stage_drops_excerpts(spark, corpus):
+    """Stage 3a: a contiguous 6-token excerpt of doc 0 (containment
+    1.0, Jaccard ~0.2 — invisible to the minhash stage) is dropped;
+    the 110/111/120 family collapses onto 120 (110's base grams sit
+    whole inside 120's base+extra, and 111 is 110's mutual twin);
+    every other clean doc survives untouched."""
+    excerpt = spark.createDataFrame(
+        [(130, "dom0", " ".join(f"u0w{j}" for j in range(6)))],
+        "doc_id bigint, source string, text string",
+    )
+    df = corpus.union(excerpt)
+    res = curate(df, CurateConfig(containment_dedup=True))
+    c = res.counts
+    assert c["input"] == 32
+    assert c["after_containment"] == 29
+    assert c["output"] == 29  # last live stage feeds the summary
+    kept = {r["doc_id"] for r in res.curated.select("doc_id").collect()}
+    assert kept.isdisjoint({110, 111, 130})
+    assert 120 in kept
+    assert set(range(24)) <= kept
+    res.release()
+
+
+def test_cli_curate_containment_flag(spark, corpus, tmp_path_factory, capsys):
+    base = str(tmp_path_factory.mktemp("curate4"))
+    excerpt = spark.createDataFrame(
+        [(130, "dom0", " ".join(f"u0w{j}" for j in range(6)))],
+        "doc_id bigint, source string, text string",
+    )
+    corpus.union(excerpt).write.parquet(f"{base}/docs")
+    rc, summary, _ = _run_cli(capsys, [
+        "curate", "--input", f"{base}/docs", "--out", f"{base}/out",
+        "--containment-dedup", "--containment-threshold", "0.8",
+    ])
+    assert rc == 0
+    assert summary["after_containment"] == summary["input"] - 3
+    written = spark.read.parquet(f"{base}/out/curated")
+    assert written.filter(F.col("doc_id").isin(110, 111, 130)).count() == 0

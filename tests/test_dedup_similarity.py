@@ -326,3 +326,92 @@ def test_cc_star_converges_on_long_chains_where_label_cannot(spark):
         for r in dedup.connected_components_star(spairs, max_iter=12).collect()
     }
     assert sgot == {f"img{i:04d}": "img0000" for i in range(41)}
+
+
+# ----------------------------------------- containment near-dup (C61)
+
+
+def _cdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_finds_the_excerpt_minhash_misses(spark):
+    """A 5-token doc quoted whole inside a 40-token doc: Jaccard ~0.125
+    (invisible to minhash at 0.5) but containment 1.0."""
+    big = " ".join(f"tok{i}" for i in range(40))
+    small = " ".join(f"tok{i}" for i in range(10, 15))
+    df = _cdocs(spark, [(1, small), (2, big), (3, "unrelated words only here")])
+    got = dedup.containment_pairs(df, "doc_id", "text", ngram=1, threshold=0.8)
+    rows = got.collect()
+    assert [(r["id1"], r["id2"], r["containment"]) for r in rows] == [(1, 2, 1.0)]
+    assert rows[0]["jaccard"] < 0.2
+    mh = dedup.minhash_lsh_dedup(
+        df, "doc_id", "text", ngram=1, threshold=0.5
+    ).collect()
+    assert not any({r["id1"], r["id2"]} == {1, 2} for r in mh)
+
+
+def test_containment_exact_threshold_boundary(spark):
+    """inter/size == t exactly must survive BOTH the prefix index and
+    the final filter (the fp-nudge in the prefix bound is under test:
+    4 of A's 5 tokens in B is containment 0.8 at threshold 0.8)."""
+    df = _cdocs(spark, [
+        (1, "a b c d e"),                      # 5 tokens
+        (2, "a b c d v w x y z"),              # shares 4 -> c = 0.8
+        (3, "a b c q r s t u v"),              # shares 3 -> c = 0.6
+    ])
+    got = {
+        (r["id1"], r["id2"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", ngram=1, threshold=0.8
+        ).collect()
+    }
+    assert got == {(1, 2): 0.8}
+
+
+def test_containment_mutual_and_hot_gram_valve(spark):
+    """Identical shingle sets emit BOTH directions at 1.0; a gram
+    shared by more docs than max_gram_docs stops counting as evidence
+    (the pair disappears when it was the only link)."""
+    df = _cdocs(spark, [(1, "x y z"), (2, "z y x"), (3, "q r common"),
+                        (4, "s t common"), (5, "u v common")])
+    got = dedup.containment_pairs(df, "doc_id", "text", ngram=1, threshold=0.9)
+    pairs = {(r["id1"], r["id2"]) for r in got.collect()}
+    assert pairs == {(1, 2), (2, 1)}
+    # 'common' sits in 3 docs; cap 2 kills it as a join key AND from
+    # the sets (no 1/3-containment pairs can form either way)
+    capped = dedup.containment_pairs(
+        df, "doc_id", "text", ngram=1, threshold=0.3, max_gram_docs=2
+    )
+    assert not any(
+        {r["id1"], r["id2"]} <= {3, 4, 5} for r in capped.collect()
+    )
+
+
+def test_containment_refusals(spark):
+    df = _cdocs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.containment_pairs(df, "doc_id", "text", threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.containment_pairs(df, "doc_id", "text", threshold=1.5)
+    with pytest.raises(ValueError, match="max_gram_docs"):
+        dedup.containment_pairs(df, "doc_id", "text", max_gram_docs=0)
+
+
+def test_drop_contained_chain_and_mutual(spark):
+    """A subset-of B subset-of C keeps only C; a mutual pair keeps the
+    min id; untouched docs pass through."""
+    df = _cdocs(spark, [
+        (1, "a b"),
+        (2, "a b c d"),
+        (3, "a b c d e f g h"),
+        (10, "p q r"),
+        (11, "r q p"),
+        (20, "solo words here"),
+    ])
+    pairs = dedup.containment_pairs(df, "doc_id", "text", ngram=1, threshold=0.9)
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.drop_contained(df, "doc_id", pairs).collect()
+    )
+    assert kept == [3, 10, 20]
