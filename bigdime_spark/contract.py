@@ -2612,6 +2612,112 @@ SELECT * FROM scored WHERE containment >= 0.8
 """
 
 
+def _caption_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image+caption frame for the C62 queries: phash
+    groups from doc_id % 37, captions from doc_id % 11 EXCEPT groups
+    0-4 which are single-caption (so the conflict filter has clean
+    groups to exclude), NULLs planted on doc_id % 97 (so the
+    NULL-counts-as-a-conflicting-label rule is under oracle test —
+    group 4 is clean by construction but conflicted by its planted
+    NULL)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return d.select(
+        F.col("doc_id").alias("image_id"),
+        (F.col("doc_id") % 37).alias("phash"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("cap"),
+                F.when(
+                    F.col("doc_id") % 37 < 5, F.col("doc_id") % 37
+                )
+                .otherwise(F.col("doc_id") % 11)
+                .cast("string"),
+            )
+        )
+        .alias("caption"),
+    )
+
+
+_CAPTION_FIXTURE_SQL = """
+  SELECT doc_id AS image_id, doc_id % 37 AS phash,
+         CASE WHEN doc_id % 97 = 0 THEN NULL
+              ELSE 'cap' || CAST(CASE WHEN doc_id % 37 < 5
+                                      THEN doc_id % 37
+                                      ELSE doc_id % 11 END AS VARCHAR)
+         END AS caption
+  FROM documents
+"""
+
+
+def q_caption_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C62a label-noise detector
+    (operators/caption.conflicting_caption_groups): copies of one
+    image (same phash) carrying more than one caption — conflicting
+    supervision. The window-bounded sample, the exact counts, the
+    NULL-label rule and the >1/>1 filter all replay in DuckDB."""
+    from bigdime_spark.operators.caption import conflicting_caption_groups
+
+    out = conflicting_caption_groups(
+        _caption_fixture(spark, sf_dir), max_ids=5
+    )
+    return out.select(
+        "phash",
+        "n_rows",
+        "n_captions",
+        F.array_join(
+            F.transform("sample_ids", lambda x: x.cast("string")), ","
+        ).alias("sample_ids_csv"),
+    )
+
+
+SQL_CAPTION_CONFLICTS = f"""
+WITH img AS (
+{_CAPTION_FIXTURE_SQL}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY phash ORDER BY image_id) AS rn
+  FROM img WHERE phash IS NOT NULL
+), g AS (
+  SELECT phash, count(*) AS n_rows,
+         count(DISTINCT caption)
+           + max(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS n_captions,
+         array_to_string(
+           list_transform(list_sort(list(image_id) FILTER (rn <= 5)),
+                          x -> x::VARCHAR), ',') AS sample_ids_csv
+  FROM ranked GROUP BY 1
+)
+SELECT * FROM g WHERE n_rows > 1 AND n_captions > 1
+"""
+
+
+def q_caption_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C62b stock-caption detector
+    (operators/caption.stock_caption_groups): one caption across ≥
+    min_images DISTINCT images (phash-distinct, so exact re-uploads
+    cannot inflate a caption into "stock"). NULL captions/phashes
+    excluded — both rules replayed in DuckDB."""
+    from bigdime_spark.operators.caption import stock_caption_groups
+
+    return stock_caption_groups(
+        _caption_fixture(spark, sf_dir).withColumn(
+            "phash", F.col("image_id") % 201
+        ),
+        min_images=40,
+    )
+
+
+SQL_CAPTION_STOCK = f"""
+WITH img0 AS (
+{_CAPTION_FIXTURE_SQL}
+), img AS (
+  SELECT image_id, image_id % 201 AS phash, caption FROM img0
+)
+SELECT caption, count(*) AS n_rows, count(DISTINCT phash) AS n_images
+FROM img WHERE caption IS NOT NULL AND phash IS NOT NULL
+GROUP BY 1 HAVING count(DISTINCT phash) >= 40
+"""
+
+
 def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.contamination_scan):
     docs sharing word n-grams with a held-out benchmark set. The
@@ -4728,6 +4834,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     # asymmetric containment near-dup (C61)
     "dedup_containment": QuerySpec(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    # caption<->image consistency (C62)
+    "caption_conflicts": QuerySpec(q_caption_conflicts, SQL_CAPTION_CONFLICTS),
+    "caption_stock": QuerySpec(q_caption_stock, SQL_CAPTION_STOCK),
     "contamination_documents": QuerySpec(
         q_contamination_documents, SQL_CONTAMINATION
     ),

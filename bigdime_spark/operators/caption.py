@@ -1,4 +1,5 @@
-"""Caption byte-equality raw vs curated (SURVEY B21; BASELINE.json:15).
+"""Caption byte-equality raw vs curated (SURVEY B21; BASELINE.json:15)
+plus within-corpus caption↔image CONSISTENCY profiles (SURVEY C62).
 
 Inner join on image_id; a mismatch is ``NOT (raw.caption <=>
 curated.caption)`` — Spark string comparison is exact UTF-8
@@ -8,7 +9,7 @@ out of this constraint (nulls belong to not_null). JVM-side, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdime_spark.operators.base import (
@@ -54,3 +55,93 @@ class CaptionEquality(TableConstraint):
             )
         )
         return fill_pass_for_missing_parts(failed_parts, ctx.parts, self.name), violations
+
+
+# ---------------------------------- caption↔image consistency (C62)
+
+
+def conflicting_caption_groups(
+    df: DataFrame,
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+    max_ids: int = 10,
+) -> DataFrame:
+    """LABEL-NOISE detector: copies of one image (identical perceptual
+    hash — byte dups and re-encodes land on the same phash) carrying
+    MORE THAN ONE caption. In a training corpus that is conflicting
+    supervision: the model sees the same pixels labeled two ways. The
+    within-corpus twin of B21 (which needs a second snapshot; this
+    needs only the table itself).
+
+    → one row per conflicted image: (phash, n_rows, n_captions,
+    sample_ids) with n_rows > 1 and n_captions > 1. A NULL caption
+    among labeled copies COUNTS as a conflicting label (one copy lost
+    its annotation — that is noise, not absence); rows with NULL phash
+    are excluded (no image identity to conflict on). ``sample_ids`` is
+    the bounded deterministic sample of the ``max_ids`` smallest
+    member ids (the C1 dup-group convention); counts stay exact.
+
+    For NEAR-dup conflict (hamming ≤ k rather than equality), feed
+    ``dedup.hamming_pairs_on_column`` output through
+    ``dedup.near_dup_clusters`` and group captions by component — this
+    operator stays the exact-phash fast path (one hash agg, one
+    exchange).
+
+    Plan: filter → per-phash window for the bounded sample → ONE hash
+    aggregation; everything rides a single hash(phash) exchange."""
+    base = df.filter(F.col(phash_col).isNotNull()).select(
+        F.col(phash_col).alias("phash"),
+        F.col(caption_col).alias("_cap"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("phash").orderBy("_id")
+    n_captions = F.count_distinct("_cap") + F.max(
+        F.when(F.col("_cap").isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            n_captions.alias("n_captions"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("_id")))
+            ).alias("sample_ids"),
+        )
+        .filter((F.col("n_rows") > 1) & (F.col("n_captions") > 1))
+    )
+
+
+def stock_caption_groups(
+    df: DataFrame,
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    min_images: int = 10,
+) -> DataFrame:
+    """STOCK-CAPTION detector: one caption attached to ``min_images``
+    or more DISTINCT images ("a photo", SEO boilerplate, scraper
+    placeholder text). The mirror image of
+    :func:`conflicting_caption_groups` — there one image has many
+    labels; here one label covers many images, which teaches a
+    caption model nothing and weights the phrase absurdly. n_images
+    counts distinct phashes so exact re-uploads of one image do not
+    inflate a caption into "stock".
+
+    → (caption, n_rows, n_images) with n_images ≥ ``min_images``;
+    NULL captions and NULL phashes are excluded (absence is
+    not_null's finding, not stockness). Plan: ONE hash aggregation on
+    caption — report-sized output at any corpus size."""
+    if min_images < 2:
+        raise ValueError(f"min_images must be >= 2, got {min_images}")
+    return (
+        df.filter(
+            F.col(caption_col).isNotNull() & F.col(phash_col).isNotNull()
+        )
+        .groupBy(F.col(caption_col).alias("caption"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(phash_col)).alias("n_images"),
+        )
+        .filter(F.col("n_images") >= min_images)
+    )
