@@ -90,8 +90,12 @@ HEADLINE = [
     "metric_trend_orders",
     "metric_zscore_orders",
     "metric_ewma_orders",
+    "metric_cusum_orders",
     "compliance_events",
     "suggest_constraints_orders",
+    "dedup_containment",
+    "caption_conflicts",
+    "schema_history_orders",
     "suite_verdicts_lineitem",
 ]
 
