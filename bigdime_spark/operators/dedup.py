@@ -522,9 +522,13 @@ def containment_pairs(
     boilerplate would quadratically blow up the gram join — the C2
     ``max_bucket`` convention; a dropped gram shrinks both |A∩B| and
     |A|, so boilerplate stops being evidence of containment, which is
-    the point). The verify join is bounded by candidates × shingles;
-    the prefix window is per-doc (hash(id) partitioning, bounded
-    groups). Nothing is all-pairs, nothing driver-side."""
+    the point). Per gram the candidate join is therefore bounded by
+    ``max_gram_docs``² pairs. SUB-cap identical-doc storms still emit
+    their (real) quadratic mutual pairs — run exact dedup FIRST
+    (curate's stage order does) so byte-identical copies never reach
+    this operator. The verify join is bounded by candidates ×
+    shingles; the prefix window is per-doc (hash(id) partitioning,
+    bounded groups). Nothing is all-pairs, nothing driver-side."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(
             f"threshold must be in (0, 1], got {threshold} — containment "

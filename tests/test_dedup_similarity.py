@@ -415,3 +415,20 @@ def test_drop_contained_chain_and_mutual(spark):
         for r in dedup.drop_contained(df, "doc_id", pairs).collect()
     )
     assert kept == [3, 10, 20]
+
+
+def test_containment_dup_storm_valve(spark):
+    """500 identical docs: above the hot-gram cap their shared grams
+    stop being join keys entirely (no quadratic pair storm; the one
+    surviving pair is the unrelated planted subset), below it the
+    mutual pairs are real output — the documented mitigation for
+    identical-doc storms is running exact dedup FIRST (curate stage
+    order does)."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(500)]
+    rows += [(1000, "unrelated words one"),
+             (1001, "unrelated words one two three four")]
+    df = _cdocs(spark, rows)
+    capped = dedup.containment_pairs(
+        df, "doc_id", "text", ngram=1, threshold=0.8, max_gram_docs=100
+    ).collect()
+    assert [(r["id1"], r["id2"]) for r in capped] == [(1000, 1001)]
