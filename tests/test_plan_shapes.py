@@ -305,3 +305,36 @@ def test_compliance_rides_fused_agg_single_exchange(spark, parquet_fixture):
         Compliance("cap", F.length("caption") > 0, "caption", 0.9),
     ]
     assert n_exchanges(cons) == base
+
+
+def test_caption_conflicts_single_exchange(spark, parquet_fixture):
+    """C62: the per-phash sample window and the groupBy must share ONE
+    hashpartitioning(phash) exchange (the exact_dup_groups discipline
+    — the bounded sample may not buy its memory bound with a second
+    shuffle)."""
+    import re
+
+    from bigdime_spark.operators.caption import conflicting_caption_groups
+
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    plan = _explain(conflicting_caption_groups(raw))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+
+
+def test_containment_prefix_side_filters_before_gram_join(spark):
+    """C61: the candidate join's indexed side must be the PREFIX
+    (rank <= L) — the full shingle relation appears as the probe side,
+    never self-joined whole. Assert the plan contains the row_number
+    filter upstream of the gram join and no cartesian."""
+    from bigdime_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} common a b c d") for i in range(6)],
+        "doc_id long, text string",
+    )
+    plan = _explain(
+        dedup.containment_pairs(df, "doc_id", "text", ngram=1, threshold=0.8)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "row_number" in plan and "rk" in plan, plan
