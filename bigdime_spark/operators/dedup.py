@@ -492,6 +492,7 @@ def containment_pairs(
     ngram: int = 3,
     threshold: float = 0.8,
     max_gram_docs: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: directed shingle-set containment
     C(A→B) = |A ∩ B| / |A| over word n-gram shingles — the duplication
@@ -528,7 +529,18 @@ def containment_pairs(
     (curate's stage order does) so byte-identical copies never reach
     this operator. The verify join is bounded by candidates ×
     shingles; the prefix window is per-doc (hash(id) partitioning,
-    bounded groups). Nothing is all-pairs, nothing driver-side."""
+    bounded groups). Nothing is all-pairs, nothing driver-side.
+
+    ``materialize`` (default True): the filtered shingle relation is
+    referenced SIX times downstream (prefix, candidate probe, verify
+    ×2, sizes) and alias renames defeat Spark's exchange-reuse
+    canonicalization, so the pure-lazy plan re-scans and re-tokenizes
+    the corpus once per reference — fine at test scale (measured a
+    wash at sf0.1), ruinous at 100 TB. localCheckpoint snapshots it
+    once (the ``connected_components``/``drop_near_dups`` house
+    style; lineage truncation is the documented tradeoff — an
+    executor loss costs the job, same as there). Pass False to keep
+    the fully-lazy plan for tiny inputs or plan-inspection callers."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(
             f"threshold must be in (0, 1], got {threshold} — containment "
@@ -544,6 +556,8 @@ def containment_pairs(
         .select("gram")
     )
     sh = sh.join(hot, "gram", "left_anti")
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # lossless bound in INTEGER terms: containment >= t with integer
     # inter means inter >= ceil(t*sz), so |A\B| <= sz - ceil(t*sz) and
