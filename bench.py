@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_phash_hamming",
     "dedup_embedding_ivf",
     "ann_cosine_topk",
+    "ann_sq_topk",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_lsh_nn",

@@ -288,8 +288,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "ann",
         help="approximate-nearest-neighbor top-k over an embedding "
         "column: ivf (trained coarse quantizer, the production "
-        "default), hyperplane (banded LSH + multi-probe), or brute "
-        "(exact, small query sets)",
+        "default), hyperplane (banded LSH + multi-probe), sq (int8 "
+        "scalar quantization: 4x smaller corpus scan + exact "
+        "re-rank), or brute (exact, small query sets)",
     )
     an.add_argument("--input", required=True, help="table dir with id + embedding columns")
     an.add_argument("--out", required=True, help="writes <out>/topk")
@@ -302,13 +303,22 @@ def _build_parser() -> argparse.ArgumentParser:
         "--id-col); the query VECTORS come from the input table",
     )
     an.add_argument("--k", type=int, default=5)
-    an.add_argument("--mode", choices=("ivf", "hyperplane", "brute"), default="ivf")
+    an.add_argument(
+        "--mode", choices=("ivf", "hyperplane", "brute", "sq"), default="ivf"
+    )
     an.add_argument("--train-k", type=int, default=64, help="ivf: number of centroids to train")
     an.add_argument("--train-iters", type=int, default=4, help="ivf: Lloyd's iterations")
     an.add_argument("--nprobe", type=int, default=4, help="ivf: cells probed per query")
     an.add_argument("--nbits", type=int, default=16, help="hyperplane: signature bits")
     an.add_argument("--bands", type=int, default=4, help="hyperplane: band tables")
     an.add_argument("--multiprobe", type=int, default=1, help="hyperplane: probe radius (0-2)")
+    an.add_argument(
+        "--refine",
+        type=int,
+        default=4,
+        help="sq: exact-rerank candidate multiple — the int8 approx "
+        "stage keeps k*refine per query (default 4)",
+    )
     an.add_argument("--seed", type=int, default=42)
     an.add_argument(
         "--recall",
@@ -1891,6 +1901,12 @@ def main(argv: list[str] | None = None) -> int:
                     table, queries, args.id_col, args.vec_col,
                     nbits=args.nbits, bands=args.bands, k=args.k,
                     seed=args.seed, multiprobe=args.multiprobe, dim=dim,
+                )
+            elif args.mode == "sq":
+                bounds = similarity.sq_bounds(table, args.vec_col)
+                topk = similarity.sq_topk(
+                    table, queries, bounds, args.id_col, args.vec_col,
+                    k=args.k, refine=args.refine,
                 )
             else:
                 topk = similarity.brute_force_topk(

@@ -2988,6 +2988,75 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C63 SQ8 scalar-quantized ANN (operators/similarity.sq_topk):
+    per-dimension min/max bounds trained on the table, int8 codes
+    (4× smaller than float32 through the corpus scan — the memory/IO
+    lever at 10¹² vectors), asymmetric bucket-midpoint decode for the
+    approximate stage, exact re-rank of the k·refine candidates. The
+    oracle replays training, the clamp/floor encode, the midpoint
+    decode, BOTH rankings and the round-6 tie conventions in DuckDB —
+    quantization error under oracle test end to end."""
+    e = _t(spark, sf_dir, "embeddings")
+    bounds = similarity.sq_bounds(e)
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.sq_topk(
+        e, queries, bounds, "vec_id", "embedding", k=5, refine=4
+    )
+
+
+SQL_ANN_SQ = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT pos, min(x) AS lo, max(x) AS hi
+  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+  GROUP BY 1
+),
+cb AS (
+  SELECT list(lo ORDER BY pos) AS l,
+         list((hi - lo) / 256.0 ORDER BY pos) AS sc
+  FROM dims
+),
+dec AS (
+  SELECT c.vec_id AS neighbor_id,
+         [cb.l[i] + (least(255, greatest(0,
+             CASE WHEN cb.sc[i] > 0
+                  THEN floor((c.v[i] - cb.l[i]) / cb.sc[i])
+                  ELSE 0 END)) + 128.5 - 128.0) * cb.sc[i]
+          FOR i IN generate_series(1, len(c.v))]::DOUBLE[] AS dv
+  FROM e c CROSS JOIN cb
+),
+approx AS (
+  SELECT q.vec_id AS query_id, d.neighbor_id,
+         round(list_dot_product(q.v, d.dv) /
+           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(d.dv, d.dv))), 6)
+           AS acos
+  FROM e q JOIN dec d ON q.vec_id < 8 AND d.neighbor_id <> q.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY acos DESC, neighbor_id ASC) AS rk
+    FROM approx
+  ) WHERE rk <= 20
+),
+exact AS (
+  SELECT k.query_id, k.neighbor_id,
+         round(list_dot_product(q.v, c.v) /
+           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+           AS cosine
+  FROM cand k
+  JOIN e c ON c.vec_id = k.neighbor_id
+  JOIN e q ON q.vec_id = k.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM exact
+) WHERE rank <= 5
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C8's inverted-file sibling: IVF-flat top-5 with 17 data-point
     centroids (vec_id % 31 == 0, deterministic — no k-means iterations
@@ -4847,6 +4916,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "dup_gram_docs": QuerySpec(q_dup_gram_docs, SQL_DUP_GRAMS),
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
+    # SQ8 scalar-quantized ANN (C63)
+    "ann_sq_topk": QuerySpec(q_ann_sq_topk, SQL_ANN_SQ),
     "embedding_integrity": QuerySpec(q_embedding_integrity, SQL_EMBEDDING_INTEGRITY),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_ivf_trained_topk": QuerySpec(q_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED),

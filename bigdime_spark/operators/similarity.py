@@ -693,3 +693,166 @@ def embedding_integrity(
         F.round(F.max(norm), 6).alias("max_norm"),
         F.round(F.avg(norm), 6).alias("avg_norm"),
     )
+
+
+# -------------------------------------- scalar quantization (C63, SQ8)
+
+
+def sq_bounds(df: DataFrame, vec_col: str = "embedding") -> list[tuple[float, float]]:
+    """Per-dimension (lo, hi) training bounds for SQ8 scalar
+    quantization — ONE posexplode + per-dimension min/max hash agg;
+    the result is dims-sized (collected to the driver by design: it is
+    the codebook, broadcast into every encode/search plan as
+    literals). Rows with NULL vectors are skipped; a NaN/Inf poisoned
+    table should be refused upstream (``embedding_integrity``)."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq_bounds: no non-null vectors to train on")
+    if [r["pos"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            "sq_bounds: ragged vector column — dimensions missing from "
+            "some rows; run embedding_integrity first"
+        )
+    return [(float(r["lo"]), float(r["hi"])) for r in rows]
+
+
+def _sq_literal(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def sq_encode(
+    df: DataFrame,
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 encode: per dimension, code = clamp(floor((x − lo)/(hi − lo)
+    · 256), 0, 255) − 128 stored as array<tinyint> — 4× smaller than
+    float32 and 8× smaller than the double[] Spark reads back, which
+    is the memory/IO lever at 10¹² vectors (the scan side of every ANN
+    pass shrinks 4-8×). A degenerate dimension (hi == lo) encodes 0.
+    → (id, code array<tinyint>); the codebook travels as plan literals
+    (dims-sized), never a join."""
+    lo = _sq_literal([b[0] for b in bounds])
+    scale = _sq_literal(
+        [(b[1] - b[0]) / 256.0 for b in bounds]
+    )
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    centered = F.zip_with(x, lo, lambda v, l: v - l)
+    code = F.zip_with(
+        centered,
+        scale,
+        lambda c, s: (
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.when(s > 0, F.floor(c / s)).otherwise(F.lit(0)),
+                ),
+            )
+            - 128
+        ).cast("byte"),
+    )
+    return df.select(F.col(id_col).alias("id"), code.alias("code"))
+
+
+def sq_decode_col(code: Column, bounds: list[tuple[float, float]]) -> Column:
+    """Asymmetric-distance reconstruction: x̂ = lo + (code + 128 + 0.5)
+    · scale — the bucket midpoint (half-bucket bias beats the floor
+    corner). Returns array<double>."""
+    lo = _sq_literal([b[0] for b in bounds])
+    scale = _sq_literal([(b[1] - b[0]) / 256.0 for b in bounds])
+    widened = F.zip_with(
+        F.transform(code, lambda c: c.cast("double") + 128.5),
+        scale,
+        lambda c, s: c * s,
+    )
+    return F.zip_with(widened, lo, lambda w, l: w + l)
+
+
+def sq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """Two-stage SQ8 search (ADC — asymmetric distance computation):
+    the CORPUS is scanned as int8 codes decoded on the fly to bucket
+    midpoints (¼ the bytes of float32 through the scan, the whole
+    point at 10¹² vectors), the QUERY stays full-precision; the
+    approximate cosine ranks ``k·refine`` candidates per query, then
+    ONLY those candidates join back to their original vectors for an
+    exact re-rank of the final top-k.
+
+    → (query_id, rank, neighbor_id, cosine) with EXACT cosines — the
+    quantization error can only cost recall (a true neighbor missing
+    from the candidate set), never precision of the reported scores.
+    Deterministic: both stages rank on round(·, 6) with id
+    tie-breaks (the engine-wide ANN convention). Plan: queries
+    broadcast twice (approx scan, exact re-rank), the corpus-sized
+    code scan never shuffles; the re-rank side is |Q|·k·refine rows
+    joined hash(id) against the original table."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
+    codes = sq_encode(df, bounds, id_col, vec_col)
+    decoded = codes.select(
+        F.col("id").alias("neighbor_id"),
+        sq_decode_col(F.col("code"), bounds).alias("_dvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    approx = (
+        decoded.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("_qvec"), F.col("_dvec")), 6).alias("_acos"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("_acos"), F.asc("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        cand.join(
+            df.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_cvec"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

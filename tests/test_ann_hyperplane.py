@@ -210,3 +210,78 @@ def test_embedding_integrity_counts_planted_defects(spark):
     assert got["n_zero"] == 1
     assert (got["min_norm"], got["max_norm"]) == (0.0, 5.0)
     assert got["avg_norm"] == round((5.0 + 0.0 + 3.0) / 3, 6)
+
+
+# --------------------------------------- SQ8 scalar quantization (C63)
+
+
+def test_sq_bounds_and_encode_exact(spark):
+    """Hand-computable 2-dim table: bounds are per-dim min/max, codes
+    clamp to [0,255]-128, a degenerate (constant) dimension encodes
+    -128, and min/max land on code -128 / 127."""
+    rows = [(1, [0.0, 5.0]), (2, [1.0, 5.0]), (3, [0.5, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bounds = similarity.sq_bounds(df)
+    assert bounds == [(0.0, 1.0), (5.0, 5.0)]
+    got = {
+        r["id"]: r["code"]
+        for r in similarity.sq_encode(df, bounds).collect()
+    }
+    # dim0 scale = 1/256: x=0 -> 0-128; x=1 -> floor(256) clamped 255
+    # -> 127; x=0.5 -> floor(128) -> 0. dim1 degenerate -> -128.
+    assert got[1] == [-128, -128]
+    assert got[2] == [127, -128]
+    assert got[3] == [0, -128]
+
+
+def test_sq_decode_roundtrip_error_bounded(spark):
+    """Every reconstructed coordinate sits within half a bucket of the
+    original (the midpoint guarantee) for in-range values."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bounds = similarity.sq_bounds(df)
+    dec = similarity.sq_encode(df, bounds).select(
+        "id", similarity.sq_decode_col(F.col("code"), bounds).alias("d")
+    )
+    orig = {r[0]: r[1] for r in rows}
+    for r in dec.collect():
+        for j, v in enumerate(r["d"]):
+            half = (bounds[j][1] - bounds[j][0]) / 256.0 / 2.0
+            assert abs(v - orig[r["id"]][j]) <= half + 1e-12
+
+
+def test_sq_topk_recall_and_exact_scores(spark, emb):
+    """SQ8 + refine=4 must clear the 0.8 recall bar on the fixture,
+    and every reported cosine is EXACT (equal to brute's score for the
+    same pair — quantization may only cost recall, never score
+    precision)."""
+    q = emb.filter(F.col("vec_id") < 8)
+    bounds = similarity.sq_bounds(emb)
+    approx = similarity.sq_topk(emb, q, bounds, k=5, refine=4)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    rec = [r["recall"] for r in similarity.ann_recall(approx, exact, k=5).collect()]
+    assert sum(rec) / len(rec) >= 0.8
+    brute_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_scores:
+            assert r["cosine"] == brute_scores[key]
+
+
+def test_sq_refusals(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    bounds = similarity.sq_bounds(df)
+    with pytest.raises(ValueError, match="k must"):
+        similarity.sq_topk(df, df, bounds, k=0)
+    with pytest.raises(ValueError, match="refine"):
+        similarity.sq_topk(df, df, bounds, refine=0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null"):
+        similarity.sq_bounds(empty)

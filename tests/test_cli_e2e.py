@@ -579,3 +579,26 @@ def test_run_zone_clustering_cli(spark, tmp_path_factory, capsys):
          "--zone-clustering", "w", "--zone-max-overlap", "1.0"],
     )
     assert rc == 0
+
+
+def test_ann_cli_sq_mode(spark, tmp_path_factory, capsys):
+    """`ann --mode sq`: int8-quantized scan + exact re-rank from the
+    CLI; with a generous refine the recall readout must be perfect on
+    the fixture, and k rows land per query."""
+    out = tmp_path_factory.mktemp("annsq")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["ann", "--input", src, "--out", f"{out}/sq",
+         "--queries", "0,1,2,3", "--mode", "sq", "--refine", "8",
+         "--recall"],
+    )
+    assert rc == 0
+    assert summary["mode"] == "sq" and summary["rows"] == 20
+    assert summary["recall_at_k"] == 1.0
+    # operator-error contract: bad refine → stderr + exit 2
+    rc = cli.main(
+        ["ann", "--input", src, "--out", f"{out}/bad",
+         "--queries", "0", "--mode", "sq", "--refine", "0"]
+    )
+    assert rc == 2
