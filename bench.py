@@ -82,6 +82,7 @@ HEADLINE = [
     "distinctness_documents",
     "distinctness_from_stats_documents",
     "sequence_continuity_orders",
+    "gap_ranges_orders",
     "fd_events_user_type",
     "type_inference_orders",
     "benford_orders",

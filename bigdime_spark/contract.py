@@ -4303,6 +4303,38 @@ FROM orders GROUP BY 1
 """
 
 
+def q_gap_ranges_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30b — the WHICH-keys companion to sequence_continuity's
+    HOW-MANY count (operators/completeness.gap_ranges): distinct
+    (priority, key) → lead() per partition → first 3 contiguous holes
+    per partition by ascending start (deterministic — hole starts are
+    unique within a partition). Same priority-interleaved key space as
+    the profile query, so every partition produces real ranges."""
+    from bigdime_spark.operators.completeness import gap_ranges
+
+    o = _t(spark, sf_dir, "orders").withColumn("part", F.col("o_orderpriority"))
+    return gap_ranges(o, "o_orderkey", part_col="part", max_ranges=3)
+
+
+SQL_GAP_RANGES = """
+WITH ids AS (
+  SELECT DISTINCT o_orderpriority AS part, o_orderkey AS id
+  FROM orders WHERE o_orderkey IS NOT NULL
+), holes AS (
+  SELECT part, id + 1 AS gap_start,
+         lead(id) OVER (PARTITION BY part ORDER BY id) - 1 AS gap_end,
+         lead(id) OVER (PARTITION BY part ORDER BY id) - id - 1 AS gap_len
+  FROM ids
+), capped AS (
+  SELECT part, gap_start, gap_end, gap_len,
+         row_number() OVER (PARTITION BY part ORDER BY gap_start) AS rn
+  FROM holes WHERE gap_len IS NOT NULL AND gap_len > 0
+)
+SELECT part, gap_start, gap_end, gap_len
+FROM capped WHERE rn <= 3
+"""
+
+
 def q_fd_events_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C41 functional-dependency violation scan: users appearing with
     more than one event_type (a deliberately false FD on this data —
@@ -4954,6 +4986,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sequence_continuity_orders": QuerySpec(
         q_sequence_continuity_orders, SQL_SEQUENCE_CONTINUITY
     ),
+    "gap_ranges_orders": QuerySpec(q_gap_ranges_orders, SQL_GAP_RANGES),
     "fd_events_user_type": QuerySpec(q_fd_events_user_type, SQL_FD_VIOLATIONS),
     "type_inference_orders": QuerySpec(q_type_inference_orders, SQL_TYPE_INFERENCE),
     "benford_orders": QuerySpec(q_benford_orders, SQL_BENFORD),

@@ -88,6 +88,24 @@ def null_pattern_profile(
 
 # ------------------------------------------------------------------ B30
 
+def _require_integral(df: DataFrame, id_col: str, op: str) -> None:
+    """Gap arithmetic is defined on integers; a string/date column
+    must be a clean ValueError (the CLI's exit-2 contract), not an
+    AnalysisException traceback out of try_subtract."""
+    from pyspark.sql import types as T
+
+    f = next((fld for fld in df.schema.fields if fld.name == id_col), None)
+    if f is None:
+        raise ValueError(f"{op}: no column {id_col!r}")
+    if not isinstance(
+        f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"{op}: id column {id_col!r} must be an "
+            f"integral type, got {f.dataType.simpleString()}"
+        )
+
+
 def sequence_continuity(
     df: DataFrame, id_col: str, part_col: str | None = "part"
 ) -> DataFrame:
@@ -106,21 +124,7 @@ def sequence_continuity(
     (ONE row-scale shuffle, map-combined); level-2 reduces the id-sized
     relation per part. No countDistinct — the two-level form keeps the
     fused-agg-style Expand rewrite out of the plan entirely."""
-    from pyspark.sql import types as T
-
-    f = next((fld for fld in df.schema.fields if fld.name == id_col), None)
-    if f is None:
-        raise ValueError(f"sequence_continuity: no column {id_col!r}")
-    if not isinstance(
-        f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        # gap arithmetic is defined on integers; a string/date column
-        # must be a clean ValueError (the CLI's exit-2 contract), not
-        # an AnalysisException traceback out of try_subtract
-        raise ValueError(
-            f"sequence_continuity: id column {id_col!r} must be an "
-            f"integral type, got {f.dataType.simpleString()}"
-        )
+    _require_integral(df, id_col, "sequence_continuity")
     keys = ([part_col] if part_col else []) + ["_sc_id"]
     l1 = (
         df.select(
@@ -221,6 +225,75 @@ class SequenceContinuity(TableConstraint):
             F.lit(f"gaps<={self.max_gaps},dups=0").alias("expected"),
         )
         return verdicts, None
+
+
+def gap_ranges(
+    df: DataFrame,
+    id_col: str,
+    *,
+    part_col: str | None = "part",
+    max_ranges: int = 100,
+) -> DataFrame:
+    """The WHICH-keys companion to :func:`sequence_continuity`'s
+    HOW-MANY count: contiguous missing-id ranges per partition →
+    (part?, gap_start, gap_end, gap_len), at most ``max_ranges`` rows
+    per partition — the FIRST holes by ascending start, a
+    deterministic sample (hole starts are unique within a partition
+    by construction). Truncation is never silent: the profile's exact
+    ``gaps`` total is the authoritative count; this is the diagnostic
+    you run on the partitions it flags.
+
+    Plan: project (part, id) → distinct (two-phase hash agg collapses
+    duplicate ids map-side, so the windowed relation is one row per
+    id, not per input row) → ``lead(id)`` per partition (the one
+    in-partition sort a range listing inherently needs — never a
+    global sort: the window is partitioned) → filter jumps > 1 →
+    row_number cap.
+
+    Overflow posture matches the profile: a hole whose WIDTH exceeds
+    int64 (hash-like ids spanning ±2^63) is emitted with NULL
+    ``gap_len`` rather than dropped or wrapped — the same
+    loud-not-silent rule as the profile's NULL ``gaps``."""
+    from pyspark.sql.window import Window
+
+    if max_ranges < 1:
+        raise ValueError(f"gap_ranges: max_ranges must be >= 1, got {max_ranges}")
+    # reuse the profile's integral-type gate: range arithmetic on a
+    # string/date id must be a clean ValueError, not an ANSI crash
+    _require_integral(df, id_col, "gap_ranges")
+    keys = [part_col] if part_col else []
+    ids = (
+        df.select(*[F.col(c) for c in keys], F.col(id_col).alias("_id"))
+        .filter(F.col("_id").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("_id") if keys else (
+        Window.orderBy("_id")
+    )
+    diff = F.try_subtract(F.col("_next"), F.col("_id"))
+    holes = (
+        ids.select(*keys, "_id", F.lead("_id").over(w).alias("_next"))
+        # NULL diff with a non-null successor = width overflow: keep it
+        .filter(
+            F.col("_next").isNotNull() & (diff.isNull() | (diff > 1))
+        )
+        .select(
+            *keys,
+            (F.col("_id") + 1).alias("gap_start"),
+            (F.col("_next") - 1).alias("gap_end"),
+            F.try_subtract(diff, F.lit(1)).alias("gap_len"),
+        )
+    )
+    wr = (
+        Window.partitionBy(*keys).orderBy("gap_start")
+        if keys
+        else Window.orderBy("gap_start")
+    )
+    return (
+        holes.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= max_ranges)
+        .drop("_rn")
+    )
 
 
 # ------------------------------------------------------------------ C41

@@ -356,3 +356,93 @@ def test_fd_violation_sample_is_bounded(spark):
     assert len(viol) == 7
     assert sorted(r["image_id"] for r in viol) == [f"k{i:04d}" for i in range(7)]
     res.release()
+
+
+# ------------------------------------------------------------- B30b
+
+def _gap_import():
+    from bigdime_spark.operators.completeness import gap_ranges
+
+    return gap_ranges
+
+
+def test_gap_ranges_exact_and_null_safe(spark):
+    gap_ranges = _gap_import()
+    rows = (
+        [("dense", i) for i in range(10, 15)]
+        # holes 2-4 and 6-8
+        + [("gappy", i) for i in (0, 1, 5, 9)]
+        # duplicate ids collapse before the window: {0,0,2} → one 1-1 hole
+        + [("dupped", i) for i in (0, 0, 2)]
+        + [("nullish", None), ("nullish", None)]
+        + [("mixed", i) for i in (7, 8, None)]
+    )
+    df = spark.createDataFrame(rows, "part string, seq long")
+    by_part: dict[str, list] = {}
+    for r in gap_ranges(df, "seq").collect():
+        by_part.setdefault(r["part"], []).append(
+            (r["gap_start"], r["gap_end"], r["gap_len"])
+        )
+    assert by_part == {
+        "gappy": [(2, 4, 3), (6, 8, 3)],
+        "dupped": [(1, 1, 1)],
+    }
+
+
+def test_gap_ranges_cap_keeps_first_by_start_and_whole_table(spark):
+    gap_ranges = _gap_import()
+    df = spark.createDataFrame(
+        [("p", i) for i in (0, 2, 4, 6, 8, 10)], "part string, seq long"
+    )
+    capped = gap_ranges(df, "seq", max_ranges=2).collect()
+    assert sorted((r["gap_start"], r["gap_end"]) for r in capped) == [(1, 1), (3, 3)]
+    assert len(gap_ranges(df, "seq", max_ranges=100).collect()) == 5
+    # part_col=None: one global window, same holes
+    whole = gap_ranges(df, "seq", part_col=None).collect()
+    assert [tuple(r) for r in whole] == [
+        (1, 1, 1), (3, 3, 1), (5, 5, 1), (7, 7, 1), (9, 9, 1)
+    ]
+
+
+def test_gap_ranges_guards(spark):
+    import pytest
+
+    gap_ranges = _gap_import()
+    df = spark.createDataFrame([("p", 1)], "part string, seq long")
+    with pytest.raises(ValueError, match="max_ranges"):
+        gap_ranges(df, "seq", max_ranges=0)
+    with pytest.raises(ValueError, match="integral"):
+        gap_ranges(df, "part")
+    with pytest.raises(ValueError, match="no column"):
+        gap_ranges(df, "nope")
+
+
+def test_gap_ranges_overflow_hole_is_loud(spark):
+    """A hole wider than int64 (hash-like id space spanning ±2^63) is
+    emitted with NULL gap_len — the profile's NULL-gaps rule — never
+    dropped or wrapped."""
+    gap_ranges = _gap_import()
+    lo, hi = -(2**62) - 10, 2**62 + 10  # width 2^63+21 > int64 max
+    df = spark.createDataFrame([("p", lo), ("p", hi)], "part string, seq long")
+    out = gap_ranges(df, "seq").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["gap_start"], r["gap_end"]) == (lo + 1, hi - 1)
+    assert r["gap_len"] is None
+
+
+def test_gap_ranges_totals_match_profile(spark):
+    """Uncapped hole widths must sum to exactly the profile's gaps
+    count on randomized key multisets (seeded)."""
+    import random
+
+    gap_ranges = _gap_import()
+    rnd = random.Random(1234)
+    for trial in range(4):
+        keys = [rnd.randint(-40, 40) for _ in range(rnd.randint(1, 70))]
+        df = spark.createDataFrame(
+            [("p", int(k)) for k in keys], "part string, seq long"
+        )
+        gaps = sequence_continuity(df, "seq").collect()[0]["gaps"]
+        holes = gap_ranges(df, "seq", max_ranges=10_000).collect()
+        assert sum(r["gap_len"] for r in holes) == gaps, keys
