@@ -96,6 +96,7 @@ HEADLINE = [
     "compliance_events",
     "suggest_constraints_orders",
     "dedup_containment",
+    "dedup_consensus",
     "caption_conflicts",
     "schema_history_orders",
     "suite_verdicts_lineitem",

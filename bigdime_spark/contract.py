@@ -2612,6 +2612,54 @@ SELECT * FROM scored WHERE containment >= 0.8
 """
 
 
+def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C64 multi-signal consensus (operators/dedup.consensus_pairs):
+    a pair is a duplicate when ≥2 of {SimHash hamming≤3, MinHash-LSH
+    jaccard≥0.5, 8-gram Jaccard≥0.2} agree — same parameters as each
+    signal's own contract query. At sf0.01 the SimHash signal alone
+    carries 16k+ random-collision pairs and the consensus keeps 25:
+    the noise-rejection property is itself under oracle test, and one
+    pair survives with all three votes."""
+    from bigdime_spark.operators.dedup import consensus_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return consensus_pairs(
+        {
+            "simhash": dedup.simhash_hamming_pairs(d, "doc_id", "text", bits=16, k=3),
+            "minhash": dedup.minhash_lsh_dedup(
+                d, "doc_id", "text", ngram=3, num_hashes=16, bands=4,
+                threshold=0.5, hash_mode="md5",
+            ),
+            "jaccard": dedup.ngram_jaccard_pairs(
+                d, "doc_id", "text", block_col="source", k=8, threshold=0.2
+            ),
+        },
+        min_votes=2,
+    )
+
+
+def _consensus_sql() -> str:
+    """The oracle replays every signal's own oracle verbatim as a
+    derived table, canonicalizes orientation, and votes — so a drift
+    in ANY signal's semantics breaks this query too."""
+    return f"""
+WITH votes AS (
+  SELECT DISTINCT least(id1, id2) AS id1, greatest(id1, id2) AS id2,
+         'simhash' AS signal
+  FROM ({SQL_DEDUP_SIMHASH_HAMMING}) s
+  UNION
+  SELECT DISTINCT least(id1, id2), greatest(id1, id2), 'minhash'
+  FROM ({SQL_DEDUP_MINHASH}) m
+  UNION
+  SELECT DISTINCT least(id1, id2), greatest(id1, id2), 'jaccard'
+  FROM ({SQL_NGRAM_JACCARD}) j
+)
+SELECT id1, id2, count(*) AS n_signals,
+       string_agg(signal, ',' ORDER BY signal) AS signals_csv
+FROM votes GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def _caption_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic image+caption frame for the C62 queries: phash
     groups from doc_id % 37, captions from doc_id % 11 EXCEPT groups
@@ -4935,6 +4983,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     # asymmetric containment near-dup (C61)
     "dedup_containment": QuerySpec(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "dedup_consensus": QuerySpec(q_dedup_consensus, _consensus_sql()),
     # caption<->image consistency (C62)
     "caption_conflicts": QuerySpec(q_caption_conflicts, SQL_CAPTION_CONFLICTS),
     "caption_stock": QuerySpec(q_caption_stock, SQL_CAPTION_STOCK),

@@ -1030,6 +1030,67 @@ def drop_near_dups(
     return df.join(losers, id_col, "left_anti")
 
 
+def consensus_pairs(
+    signal_pairs: dict[str, DataFrame],
+    *,
+    id1: str = "id1",
+    id2: str = "id2",
+    min_votes: int = 2,
+) -> DataFrame:
+    """Multi-signal near-dup consensus: a pair is a duplicate when at
+    least ``min_votes`` INDEPENDENT signals flag it — the rank-fusion
+    answer to the single-signal failure modes (SimHash's random
+    fingerprint collisions, MinHash's band false-positives, a lone
+    embedding neighbor): uncorrelated noise rarely repeats across
+    signal families, real duplicates fire several at once.
+
+    ``signal_pairs`` maps a signal name → its candidate-pair frame
+    (any frames with ``id1``/``id2`` columns: phash-hamming, MinHash
+    LSH, n-gram Jaccard, embedding-cosine, containment, ...).
+    → (id1, id2, n_signals, signals_csv) with pairs canonicalized to
+    (least, greatest) — a pair the signals emit in opposite
+    orientations (directed containment, unordered LSH) is ONE pair —
+    and each signal voting at most once however many times its frame
+    repeats the pair.
+
+    Scale shape: each input is already banded/bucketed/capped by its
+    producing operator (never all-pairs); the union is free; ONE hash
+    aggregation on the canonical pair key does the voting — a
+    ``collect_set(signal)`` whose agg buffer is bounded by the number
+    of signals (a handful), with map-side partials collapsing
+    per-signal repeats before the single exchange (no per-signal
+    distinct pass). The output is rare by construction — feed it to
+    :func:`near_dup_clusters` / :func:`drop_near_dups` for the
+    cluster view or the curated drop, exactly like any single-signal
+    pair frame.
+    """
+    if not signal_pairs:
+        raise ValueError("consensus_pairs: no signals given")
+    if not 1 <= min_votes <= len(signal_pairs):
+        raise ValueError(
+            f"consensus_pairs: min_votes={min_votes} out of range for "
+            f"{len(signal_pairs)} signal(s)"
+        )
+    votes = None
+    for name, df in sorted(signal_pairs.items()):
+        a, b = F.col(id1), F.col(id2)
+        v = df.select(
+            F.least(a, b).alias("id1"),
+            F.greatest(a, b).alias("id2"),
+            F.lit(name).alias("signal"),
+        )
+        votes = v if votes is None else votes.unionByName(v)
+    sigs = F.sort_array(F.collect_set("signal"))
+    return (
+        votes.groupBy("id1", "id2")
+        .agg(
+            F.size(sigs).alias("n_signals"),
+            F.array_join(sigs, ",").alias("signals_csv"),
+        )
+        .filter(F.col("n_signals") >= min_votes)
+    )
+
+
 def drop_contained(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Drop every doc CONTAINED in another (the excerpt, the
     boilerplate-wrapped copy), keep the container — the asymmetric

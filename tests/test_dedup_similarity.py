@@ -432,3 +432,72 @@ def test_containment_dup_storm_valve(spark):
         df, "doc_id", "text", ngram=1, threshold=0.8, max_gram_docs=100
     ).collect()
     assert [(r["id1"], r["id2"]) for r in capped] == [(1000, 1001)]
+
+
+# ----------------------------------------------------------- consensus
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id1 long, id2 long")
+
+
+def test_consensus_votes_canonicalize_and_dedup(spark):
+    """A pair emitted in opposite orientations across signals is ONE
+    pair; a signal repeating a pair (directed both ways, duplicate
+    bucket hits) votes once; min_votes filters."""
+    sigs = {
+        "a": _pairs(spark, [(1, 2), (2, 1), (3, 4)]),   # (1,2) twice
+        "b": _pairs(spark, [(2, 1), (5, 6)]),
+        "c": _pairs(spark, [(1, 2), (3, 4)]),
+    }
+    out = {
+        (r["id1"], r["id2"]): (r["n_signals"], r["signals_csv"])
+        for r in dedup.consensus_pairs(sigs, min_votes=2).collect()
+    }
+    assert out == {(1, 2): (3, "a,b,c"), (3, 4): (2, "a,c")}
+    # min_votes=1 keeps the singletons too
+    all_pairs = {
+        (r["id1"], r["id2"]): r["n_signals"]
+        for r in dedup.consensus_pairs(sigs, min_votes=1).collect()
+    }
+    assert all_pairs == {(1, 2): 3, (3, 4): 2, (5, 6): 1}
+
+
+def test_consensus_guards(spark):
+    with pytest.raises(ValueError, match="no signals"):
+        dedup.consensus_pairs({})
+    sigs = {"a": _pairs(spark, [(1, 2)])}
+    with pytest.raises(ValueError, match="out of range"):
+        dedup.consensus_pairs(sigs, min_votes=2)
+    with pytest.raises(ValueError, match="out of range"):
+        dedup.consensus_pairs(sigs, min_votes=0)
+
+
+def test_consensus_single_exchange_plan(spark):
+    """The voting pass adds exactly ONE exchange over the unioned pair
+    frames — no per-signal distinct shuffles."""
+    sigs = {
+        "a": _pairs(spark, [(1, 2)]),
+        "b": _pairs(spark, [(2, 1)]),
+    }
+    plan = (
+        dedup.consensus_pairs(sigs, min_votes=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_consensus_feeds_clusters(spark):
+    """Consensus pairs compose with near_dup_clusters exactly like any
+    single-signal pair frame: transitive closure over the voted
+    edges."""
+    sigs = {
+        "x": _pairs(spark, [(1, 2), (2, 3), (9, 10)]),
+        "y": _pairs(spark, [(1, 2), (3, 2)]),
+    }
+    voted = dedup.consensus_pairs(sigs, min_votes=2)
+    clusters = dedup.near_dup_clusters(voted).collect()
+    got = {r["component"]: (r["n_members"], list(r["members"])) for r in clusters}
+    # (9,10) had one vote -> excluded; 1-2-3 is one transitive cluster
+    assert got == {1: (3, [1, 2, 3])}
