@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_embedding_ivf",
     "ann_cosine_topk",
     "ann_sq_topk",
+    "ann_pq_topk",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_lsh_nn",

@@ -290,7 +290,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "column: ivf (trained coarse quantizer, the production "
         "default), hyperplane (banded LSH + multi-probe), sq (int8 "
         "scalar quantization: 4x smaller corpus scan + exact "
-        "re-rank), or brute (exact, small query sets)",
+        "re-rank), pq (product quantization: m-byte codes + ADC "
+        "lookup scoring + exact re-rank), or brute (exact, small "
+        "query sets)",
     )
     an.add_argument("--input", required=True, help="table dir with id + embedding columns")
     an.add_argument("--out", required=True, help="writes <out>/topk")
@@ -304,7 +306,9 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     an.add_argument("--k", type=int, default=5)
     an.add_argument(
-        "--mode", choices=("ivf", "hyperplane", "brute", "sq"), default="ivf"
+        "--mode",
+        choices=("ivf", "hyperplane", "brute", "sq", "pq"),
+        default="ivf",
     )
     an.add_argument("--train-k", type=int, default=64, help="ivf: number of centroids to train")
     an.add_argument("--train-iters", type=int, default=4, help="ivf: Lloyd's iterations")
@@ -316,8 +320,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "--refine",
         type=int,
         default=4,
-        help="sq: exact-rerank candidate multiple — the int8 approx "
-        "stage keeps k*refine per query (default 4)",
+        help="sq/pq: exact-rerank candidate multiple — the quantized "
+        "approx stage keeps k*refine per query (default 4)",
+    )
+    an.add_argument(
+        "--pq-m", type=int, default=8,
+        help="pq: subspace count (dim must divide evenly)",
+    )
+    an.add_argument(
+        "--pq-codes", type=int, default=16,
+        help="pq: codewords per subspace (2-256)",
+    )
+    an.add_argument(
+        "--pq-iters", type=int, default=2,
+        help="pq: Lloyd's refinement iterations over the seed codebooks",
     )
     an.add_argument("--seed", type=int, default=42)
     an.add_argument(
@@ -1906,6 +1922,20 @@ def main(argv: list[str] | None = None) -> int:
                 bounds = similarity.sq_bounds(table, args.vec_col)
                 topk = similarity.sq_topk(
                     table, queries, bounds, args.id_col, args.vec_col,
+                    k=args.k, refine=args.refine,
+                )
+            elif args.mode == "pq":
+                cb = similarity.pq_codebooks(
+                    table, m=args.pq_m, ncodes=args.pq_codes,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+                if args.pq_iters:
+                    cb = similarity.pq_refine(
+                        table, cb, iters=args.pq_iters,
+                        id_col=args.id_col, vec_col=args.vec_col,
+                    )
+                topk = similarity.pq_topk(
+                    table, queries, cb, args.id_col, args.vec_col,
                     k=args.k, refine=args.refine,
                 )
             else:

@@ -3105,6 +3105,89 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 """
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C65 product-quantized ANN (operators/similarity.pq_topk): 8
+    subspaces × 16 seed codewords (the 16 smallest-id vectors'
+    sub-vectors — deterministic, no k-means to replay cross-engine;
+    pq_refine is the trainable path under pytest), per-subspace
+    argmin-L2 encode to 8 codes (first-min tie → smallest code),
+    ADC scoring via per-query dot LUTs + literal codeword self-norms
+    summed in subspace order, exact re-rank of k·refine candidates.
+    The oracle replays seeding, the argmin encode, the grouped
+    per-subspace sums, and BOTH rankings in DuckDB — the quantization
+    arithmetic end to end."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(e, m=8, ncodes=16)
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.pq_topk(
+        e, queries, cb, "vec_id", "embedding", k=5, refine=4
+    )
+
+
+SQL_ANN_PQ = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+seeds AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+),
+subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+cw AS (
+  SELECT s.sub, seeds.code, seeds.v[s.sub*8+1 : s.sub*8+8] AS cvec
+  FROM seeds CROSS JOIN subs s
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, c.sub, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.sub
+             ORDER BY list_sum([(e.v[c.sub*8+i] - c.cvec[i])
+                                * (e.v[c.sub*8+i] - c.cvec[i])
+                                FOR i IN generate_series(1, 8)]),
+                      c.code) AS rn
+    FROM e CROSS JOIN cw c
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.code,
+         list_dot_product(q.v[c.sub*8+1 : c.sub*8+8], c.cvec) AS dp,
+         list_dot_product(c.cvec, c.cvec) AS n2
+  FROM (SELECT * FROM e WHERE vec_id < 8) q CROSS JOIN cw c
+),
+approx AS (
+  SELECT l.query_id, n.vec_id AS neighbor_id,
+         round(list_sum(list(l.dp ORDER BY l.sub)) /
+               (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_sum(list(l.n2 ORDER BY l.sub)))), 6) AS acos
+  FROM enc n
+  JOIN lut l ON l.sub = n.sub AND l.code = n.code
+  JOIN e q ON q.vec_id = l.query_id
+  WHERE n.vec_id <> l.query_id
+  GROUP BY l.query_id, n.vec_id, q.v
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY acos DESC, neighbor_id ASC) AS rk
+    FROM approx
+  ) WHERE rk <= 20
+),
+exact AS (
+  SELECT k.query_id, k.neighbor_id,
+         round(list_dot_product(q.v, c.v) /
+           (sqrt(list_dot_product(q.v, q.v))
+            * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM cand k
+  JOIN e c ON c.vec_id = k.neighbor_id
+  JOIN e q ON q.vec_id = k.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM exact
+) WHERE rank <= 5
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C8's inverted-file sibling: IVF-flat top-5 with 17 data-point
     centroids (vec_id % 31 == 0, deterministic — no k-means iterations
@@ -4999,6 +5082,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
     # SQ8 scalar-quantized ANN (C63)
     "ann_sq_topk": QuerySpec(q_ann_sq_topk, SQL_ANN_SQ),
+    "ann_pq_topk": QuerySpec(q_ann_pq_topk, SQL_ANN_PQ),
     "embedding_integrity": QuerySpec(q_embedding_integrity, SQL_EMBEDDING_INTEGRITY),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_ivf_trained_topk": QuerySpec(q_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED),

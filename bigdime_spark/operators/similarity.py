@@ -856,3 +856,269 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# ----------------------------------------------------------------- PQ
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ncodes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ seed codebooks (Jégou/Douze/Schmid, TPAMI
+    2011): split each D-dim vector into ``m`` contiguous subspaces of
+    D/m dims; subspace ``s``'s codewords are the sub-vectors of the
+    ``ncodes`` smallest-id non-null rows — the same
+    deterministic-from-data discipline as the IVF contract centroids
+    (trainable refinement is :func:`pq_refine`). → m × ncodes × (D/m)
+    python floats: the codebook is driver-resident BY DESIGN (m·256·D
+    doubles at most), broadcast into every encode/search plan as
+    literals, never a join."""
+    if not 2 <= ncodes <= 256:
+        raise ValueError(f"pq_codebooks: ncodes must be in [2, 256], got {ncodes}")
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("id")
+        .limit(ncodes)
+        .collect()
+    )
+    if len(rows) < ncodes:
+        raise ValueError(
+            f"pq_codebooks: need >= {ncodes} non-null vectors, got {len(rows)}"
+        )
+    dim = len(rows[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    sd = dim // m
+    return [
+        [[float(x) for x in r["v"][s * sd : (s + 1) * sd]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_cb_literal(codebooks: list[list[list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in sub])
+            for sub in codebooks
+        ]
+    )
+
+
+def _pq_code_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<tinyint> of per-subspace argmin-L2 codeword indexes
+    (−128 offset, the SQ8 storage convention). Ties take the SMALLEST
+    code (array_position returns the first minimum) — deterministic
+    and oracle-replayable."""
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    cb = _pq_cb_literal(codebooks)
+
+    def sq_l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def code_for(sub: Column) -> Column:
+        sl = F.slice(_as_double(vec), sub * sd + 1, sd)
+        dists = F.transform(
+            F.element_at(cb, sub + 1), lambda cw: sq_l2(sl, cw)
+        )
+        return (
+            F.array_position(dists, F.array_min(dists)).cast("int")
+            - F.lit(129)
+        ).cast("tinyint")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode → (id, codes array<tinyint> length m): each D-dim
+    float vector compresses to m bytes (64-dim float32 at m=8 → 32×
+    smaller through every ANN scan), the memory/IO lever one step past
+    SQ8's 4×. NULL vectors are dropped (run ``embedding_integrity``
+    upstream). Pure Column expressions — the codebook rides the plan
+    as literals, codegen scores every row JVM-side."""
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        _pq_code_col(F.col(vec_col), codebooks).alias("codes"),
+    )
+
+
+def pq_refine(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Lloyd's refinement of PQ codebooks, one k-means step per
+    iteration and per subspace: assign every sub-vector to its nearest
+    codeword (the :func:`pq_encode` expression), then recompute each
+    codeword as the mean of its members — a codeword with no members
+    keeps its old value (k-means' empty-cluster rule, deterministic).
+    Distributed shape per iteration: ONE scan + one (sub, code, pos)
+    hash agg (m · ncodes · D/m result rows — metadata-scale);
+    the collect is codebook-sized by design, like ``ivf_train_centroids``."""
+    if iters < 0:
+        raise ValueError(f"pq_refine: iters must be >= 0, got {iters}")
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    )
+    for _ in range(iters):
+        codes = base.select(
+            F.col("v"), _pq_code_col(F.col("v"), codebooks).alias("codes")
+        )
+        exploded = codes.select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        (F.element_at("codes", s + 1).cast("int") + 128).alias("code"),
+                        F.slice("v", s * sd + 1, sd).alias("sv"),
+                    ),
+                )
+            ).alias("sub", "sc")
+        ).select("sub", "sc.code", F.posexplode("sc.sv").alias("pos", "x"))
+        means = (
+            exploded.groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        new = [[list(cw) for cw in sub] for sub in codebooks]
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["sub"], r["code"]), {})[r["pos"]] = float(r["mu"])
+        for (s, c), by_pos in got.items():
+            new[s][c] = [by_pos[p] for p in range(sd)]
+        codebooks = new
+    return codebooks
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """Two-stage PQ search with asymmetric distance computation: the
+    corpus is scanned as m-byte codes, each QUERY precomputes a
+    (m × ncodes) dot-product lookup table ONCE (that is the PQ-ADC
+    trick — per corpus row the approximate score is m table lookups,
+    never a D-dim product), codeword self-norms ride the plan as
+    query-independent literals, and the approximate cosine
+    dot(q, reconstruction)/(|q|·|reconstruction|) ranks ``k·refine``
+    candidates per query; ONLY those join back (broadcast — the
+    corpus never shuffles) to their original vectors for an exact
+    re-rank of the final top-k.
+
+    → (query_id, rank, neighbor_id, cosine) with EXACT cosines —
+    quantization can only cost recall, never the precision of the
+    reported scores (the SQ8 contract). Deterministic: both stages
+    rank on round(·, 6) with id tie-breaks."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    cb = _pq_cb_literal(codebooks)
+    # query-independent codeword self-norms: python-side left-to-right
+    # sums over the same doubles the oracle's list_dot_product folds
+    n2 = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(_py_dot(cw, cw))
+                    for cw in sub
+                ]
+            )
+            for sub in codebooks
+        ]
+    )
+    codes = pq_encode(df, codebooks, id_col, vec_col)
+    qv = _as_double(F.col(vec_col))
+    qprep = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm_col(F.col(vec_col)).alias("_qnorm"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.element_at(cb, s + 1),
+                lambda cw: dot_col(F.slice(qv, s * sd + 1, sd), cw),
+            ),
+        ).alias("_lut"),
+    )
+
+    def fold(table: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(table, s + 1),
+                F.element_at("codes", s + 1).cast("int") + 129,
+            ),
+        )
+
+    approx = codes.join(
+        F.broadcast(qprep), F.col("id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(
+            fold(F.col("_lut")) / (F.col("_qnorm") * F.sqrt(fold(n2))), 6
+        ).alias("_acos"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("_acos"), F.asc("neighbor_id"))
+    cand = (
+        approx.withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(
+            F.broadcast(qprep.select("query_id", "_qvec")), "query_id"
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right IEEE double fold — the same summation order as
+    ``dot_col`` and DuckDB's list_dot_product, so codeword norms
+    computed driver-side are bit-identical to the oracle's."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc

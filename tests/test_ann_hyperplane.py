@@ -285,3 +285,123 @@ def test_sq_refusals(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no non-null"):
         similarity.sq_bounds(empty)
+
+
+def test_pq_codebooks_shape_and_guards(spark, emb):
+    cb = similarity.pq_codebooks(emb, m=8, ncodes=16)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    with pytest.raises(ValueError, match="ncodes"):
+        similarity.pq_codebooks(emb, m=8, ncodes=1)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_codebooks(emb, m=7)
+    tiny = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="need >="):
+        similarity.pq_codebooks(tiny, m=8, ncodes=16)
+
+
+def test_pq_encode_seeds_self_code_and_tiebreak(spark, emb):
+    """Each seed vector IS codeword i in every subspace, so it encodes
+    to its own index (distance 0); duplicated codewords tie-break to
+    the SMALLEST code (array_position takes the first minimum)."""
+    cb = similarity.pq_codebooks(emb, m=8, ncodes=16)
+    seed_ids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id").limit(16).collect()
+    ]
+    got = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, cb).filter(
+            F.col("id").isin(seed_ids)
+        ).collect()
+    }
+    for i, sid in enumerate(seed_ids):
+        assert got[sid] == [i - 128] * 8, (sid, got[sid])
+    # duplicate every codeword: all mass on the first copy
+    dup = [[sub[0]] * 2 for sub in cb]  # 2 identical codewords per sub
+    codes = similarity.pq_encode(emb, dup).select(
+        F.explode("codes").alias("c")
+    ).distinct().collect()
+    assert {r["c"] for r in codes} == {-128}
+
+
+def test_pq_topk_exact_when_refine_covers_corpus(spark, emb):
+    """With k*refine >= corpus size every candidate survives to the
+    exact re-rank, so PQ output equals brute force row for row —
+    quantization can only cost recall, and here it cannot."""
+    q = emb.filter(F.col("vec_id") < 4)
+    cb = similarity.pq_codebooks(emb, m=8, ncodes=16)
+    n = emb.count()
+    approx = similarity.pq_topk(emb, q, cb, k=5, refine=(n // 5) + 1)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    assert sorted(map(tuple, approx.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_pq_topk_scores_exact_and_recall(spark, emb):
+    """At refine=4 the reported cosines are EXACT for every returned
+    pair (the re-rank contract shared with SQ8), and recall@5 stays
+    useful on the fixture."""
+    q = emb.filter(F.col("vec_id") < 8)
+    cb = similarity.pq_codebooks(emb, m=8, ncodes=16)
+    approx = similarity.pq_topk(emb, q, cb, k=5, refine=4)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    brute_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_scores:
+            assert r["cosine"] == brute_scores[key]
+    rec = [r["recall"] for r in similarity.ann_recall(approx, exact, k=5).collect()]
+    assert sum(rec) / len(rec) >= 0.4  # 8-byte codes on random vectors
+
+
+def test_pq_refine_improves_reconstruction(spark, emb):
+    """One Lloyd's iteration can only reduce (never increase) the mean
+    squared reconstruction error — k-means' monotone objective; empty
+    codewords keep their old value."""
+    cb0 = similarity.pq_codebooks(emb, m=8, ncodes=16)
+    cb1 = similarity.pq_refine(emb, cb0, iters=1)
+    cb2 = similarity.pq_refine(emb, cb1, iters=1)
+
+    def mse(cb):
+        codes = similarity.pq_encode(emb, cb)
+        joined = codes.join(
+            emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+        )
+        sd = len(cb[0][0])
+        cbl = similarity._pq_cb_literal(cb)
+        err = F.aggregate(
+            F.sequence(F.lit(0), F.lit(len(cb) - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("embedding").cast("array<double>"), s * sd + 1, sd),
+                    F.element_at(
+                        F.element_at(cbl, s + 1),
+                        F.element_at("codes", s + 1).cast("int") + 129,
+                    ),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        return joined.agg(F.avg(err)).collect()[0][0]
+
+    e0, e1, e2 = mse(cb0), mse(cb1), mse(cb2)
+    assert e1 <= e0 + 1e-9
+    assert e2 <= e1 + 1e-9
+    assert e1 < e0  # on this fixture the first step strictly improves
+
+
+def test_pq_refine_guards(spark, emb):
+    cb = similarity.pq_codebooks(emb, m=8, ncodes=16)
+    with pytest.raises(ValueError, match="iters"):
+        similarity.pq_refine(emb, cb, iters=-1)
+    assert similarity.pq_refine(emb, cb, iters=0) == cb

@@ -602,3 +602,28 @@ def test_ann_cli_sq_mode(spark, tmp_path_factory, capsys):
          "--queries", "0", "--mode", "sq", "--refine", "0"]
     )
     assert rc == 2
+
+
+def test_ann_cli_pq_mode(spark, tmp_path_factory, capsys):
+    """`ann --mode pq`: m-byte product-quantized scan + ADC scoring +
+    exact re-rank from the CLI; with a generous refine the recall
+    readout must be perfect on the fixture. Bad geometry (dim not
+    divisible by --pq-m) is the clean operator-error contract."""
+    out = tmp_path_factory.mktemp("annpq")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["ann", "--input", src, "--out", f"{out}/pq",
+         "--queries", "0,1,2,3", "--mode", "pq", "--refine", "100",
+         "--pq-iters", "1", "--recall"],
+    )
+    assert rc == 0
+    assert summary["mode"] == "pq" and summary["rows"] == 20
+    # k*refine = 500 >= corpus: every candidate reaches the exact
+    # re-rank, so recall is 1.0 by construction
+    assert summary["recall_at_k"] == 1.0
+    rc = cli.main(
+        ["ann", "--input", src, "--out", f"{out}/bad",
+         "--queries", "0", "--mode", "pq", "--pq-m", "7"]
+    )
+    assert rc == 2
