@@ -67,6 +67,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_sq_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_lsh_nn",

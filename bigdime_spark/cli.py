@@ -291,8 +291,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "default), hyperplane (banded LSH + multi-probe), sq (int8 "
         "scalar quantization: 4x smaller corpus scan + exact "
         "re-rank), pq (product quantization: m-byte codes + ADC "
-        "lookup scoring + exact re-rank), or brute (exact, small "
-        "query sets)",
+        "lookup scoring + exact re-rank), ivfpq (both levers: IVF "
+        "prunes which cells are scanned, PQ shrinks what is scanned "
+        "inside them), or brute (exact, small query sets)",
     )
     an.add_argument("--input", required=True, help="table dir with id + embedding columns")
     an.add_argument("--out", required=True, help="writes <out>/topk")
@@ -307,7 +308,7 @@ def _build_parser() -> argparse.ArgumentParser:
     an.add_argument("--k", type=int, default=5)
     an.add_argument(
         "--mode",
-        choices=("ivf", "hyperplane", "brute", "sq", "pq"),
+        choices=("ivf", "hyperplane", "brute", "sq", "pq", "ivfpq"),
         default="ivf",
     )
     an.add_argument("--train-k", type=int, default=64, help="ivf: number of centroids to train")
@@ -1924,7 +1925,7 @@ def main(argv: list[str] | None = None) -> int:
                     table, queries, bounds, args.id_col, args.vec_col,
                     k=args.k, refine=args.refine,
                 )
-            elif args.mode == "pq":
+            elif args.mode in ("pq", "ivfpq"):
                 cb = similarity.pq_codebooks(
                     table, m=args.pq_m, ncodes=args.pq_codes,
                     id_col=args.id_col, vec_col=args.vec_col,
@@ -1934,10 +1935,22 @@ def main(argv: list[str] | None = None) -> int:
                         table, cb, iters=args.pq_iters,
                         id_col=args.id_col, vec_col=args.vec_col,
                     )
-                topk = similarity.pq_topk(
-                    table, queries, cb, args.id_col, args.vec_col,
-                    k=args.k, refine=args.refine,
-                )
+                if args.mode == "pq":
+                    topk = similarity.pq_topk(
+                        table, queries, cb, args.id_col, args.vec_col,
+                        k=args.k, refine=args.refine,
+                    )
+                else:
+                    centroids = similarity.ivf_train_centroids(
+                        table, k=args.train_k, iters=args.train_iters,
+                        id_col=args.id_col, vec_col=args.vec_col,
+                        seed=args.seed,
+                    )
+                    topk = similarity.ivfpq_topk(
+                        table, queries, centroids, cb,
+                        args.id_col, args.vec_col,
+                        k=args.k, nprobe=args.nprobe, refine=args.refine,
+                    )
             else:
                 topk = similarity.brute_force_topk(
                     table, queries, args.id_col, args.vec_col, k=args.k

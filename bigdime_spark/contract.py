@@ -3188,6 +3188,114 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 """
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C66 IVF-PQ (operators/similarity.ivfpq_topk): the composed
+    production index — IVF prunes WHICH cells are scanned (same 17
+    deterministic data-point centroids as ann_ivf_topk, nprobe=2), PQ
+    shrinks WHAT is scanned inside them (same 8×16 seed codebooks as
+    ann_pq_topk), exact re-rank of k·refine. The oracle composes both
+    signal oracles' replay: coarse assignment (cos rounded 9, ties →
+    min cid), probing, argmin encode, grouped LUT sums, both
+    rankings."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(e, m=8, ncodes=16)
+    centroids = e.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.ivfpq_topk(
+        e, queries, centroids, cb, "vec_id", "embedding",
+        k=5, nprobe=2, refine=4,
+    )
+
+
+SQL_ANN_IVFPQ = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+ascore AS (
+  SELECT a.vec_id AS id, c.cid AS cid,
+         round(list_dot_product(a.v, c.cv) /
+           (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(c.cv, c.cv))), 9) AS cos
+  FROM e a, cent c
+),
+cells AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore WHERE id < 8
+  ) WHERE rn <= 2
+),
+seeds AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+),
+subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+cw AS (
+  SELECT s.sub, seeds.code, seeds.v[s.sub*8+1 : s.sub*8+8] AS cvec
+  FROM seeds CROSS JOIN subs s
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, c.sub, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.sub
+             ORDER BY list_sum([(e.v[c.sub*8+i] - c.cvec[i])
+                                * (e.v[c.sub*8+i] - c.cvec[i])
+                                FOR i IN generate_series(1, 8)]),
+                      c.code) AS rn
+    FROM e CROSS JOIN cw c
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.code,
+         list_dot_product(q.v[c.sub*8+1 : c.sub*8+8], c.cvec) AS dp,
+         list_dot_product(c.cvec, c.cvec) AS n2
+  FROM (SELECT * FROM e WHERE vec_id < 8) q CROSS JOIN cw c
+),
+approx AS (
+  SELECT qc.query_id, n.vec_id AS neighbor_id,
+         round(list_sum(list(l.dp ORDER BY l.sub)) /
+               (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_sum(list(l.n2 ORDER BY l.sub)))), 6) AS acos
+  FROM qcells qc
+  JOIN cells cl ON cl.cid = qc.cid AND cl.id <> qc.query_id
+  JOIN enc n ON n.vec_id = cl.id
+  JOIN lut l ON l.query_id = qc.query_id AND l.sub = n.sub AND l.code = n.code
+  JOIN e q ON q.vec_id = qc.query_id
+  GROUP BY qc.query_id, n.vec_id, q.v
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY acos DESC, neighbor_id ASC) AS rk
+    FROM approx
+  ) WHERE rk <= 20
+),
+exact AS (
+  SELECT k.query_id, k.neighbor_id,
+         round(list_dot_product(q.v, c.v) /
+           (sqrt(list_dot_product(q.v, q.v))
+            * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM cand k
+  JOIN e c ON c.vec_id = k.neighbor_id
+  JOIN e q ON q.vec_id = k.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM exact
+) WHERE rank <= 5
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C8's inverted-file sibling: IVF-flat top-5 with 17 data-point
     centroids (vec_id % 31 == 0, deterministic — no k-means iterations
@@ -5083,6 +5191,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # SQ8 scalar-quantized ANN (C63)
     "ann_sq_topk": QuerySpec(q_ann_sq_topk, SQL_ANN_SQ),
     "ann_pq_topk": QuerySpec(q_ann_pq_topk, SQL_ANN_PQ),
+    "ann_ivfpq_topk": QuerySpec(q_ann_ivfpq_topk, SQL_ANN_IVFPQ),
     "embedding_integrity": QuerySpec(q_embedding_integrity, SQL_EMBEDDING_INTEGRITY),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_ivf_trained_topk": QuerySpec(q_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED),

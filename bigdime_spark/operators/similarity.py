@@ -1035,56 +1035,14 @@ def pq_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if refine < 1:
         raise ValueError(f"refine must be >= 1, got {refine}")
-    m = len(codebooks)
-    sd = len(codebooks[0][0])
-    cb = _pq_cb_literal(codebooks)
-    # query-independent codeword self-norms: python-side left-to-right
-    # sums over the same doubles the oracle's list_dot_product folds
-    n2 = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(_py_dot(cw, cw))
-                    for cw in sub
-                ]
-            )
-            for sub in codebooks
-        ]
-    )
     codes = pq_encode(df, codebooks, id_col, vec_col)
-    qv = _as_double(F.col(vec_col))
-    qprep = queries.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        norm_col(F.col(vec_col)).alias("_qnorm"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.transform(
-                F.element_at(cb, s + 1),
-                lambda cw: dot_col(F.slice(qv, s * sd + 1, sd), cw),
-            ),
-        ).alias("_lut"),
-    )
-
-    def fold(table: Column) -> Column:
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, s: acc
-            + F.element_at(
-                F.element_at(table, s + 1),
-                F.element_at("codes", s + 1).cast("int") + 129,
-            ),
-        )
-
+    qprep = _pq_query_prep(queries, codebooks, id_col, vec_col)
     approx = codes.join(
         F.broadcast(qprep), F.col("id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        F.round(
-            fold(F.col("_lut")) / (F.col("_qnorm") * F.sqrt(fold(n2))), 6
-        ).alias("_acos"),
+        _pq_adc_cos(codebooks).alias("_acos"),
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("_acos"), F.asc("neighbor_id"))
     cand = (
@@ -1122,3 +1080,168 @@ def _py_dot(a: list[float], b: list[float]) -> float:
     for x, y in zip(a, b):
         acc += x * y
     return acc
+
+
+def _pq_query_prep(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, _qvec, _qnorm, _lut): the per-query (m × ncodes)
+    dot-product lookup table, computed ONCE on the (small, broadcast)
+    query frame — the ADC precompute."""
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    cb = _pq_cb_literal(codebooks)
+    qv = _as_double(F.col(vec_col))
+    return queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm_col(F.col(vec_col)).alias("_qnorm"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.element_at(cb, s + 1),
+                lambda cw: dot_col(F.slice(qv, s * sd + 1, sd), cw),
+            ),
+        ).alias("_lut"),
+    )
+
+
+def _pq_adc_cos(codebooks: list[list[list[float]]]) -> Column:
+    """Approximate cosine from a ``codes`` column + the joined query
+    row's ``_lut``/``_qnorm``: m element_at lookups against the LUT
+    for the dot term, m against the literal codeword self-norm table
+    for the reconstruction norm — never a D-dim product per corpus
+    row. Grouped per-subspace left-fold sums (oracle-replayable
+    order). Rounded to 6, the engine-wide ranking convention."""
+    m = len(codebooks)
+    # query-independent codeword self-norms: python-side left-to-right
+    # sums over the same doubles the oracle's list_dot_product folds
+    n2 = F.array(
+        *[F.array(*[F.lit(_py_dot(cw, cw)) for cw in sub]) for sub in codebooks]
+    )
+
+    def fold(table: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(table, s + 1),
+                F.element_at("codes", s + 1).cast("int") + 129,
+            ),
+        )
+
+    return F.round(
+        fold(F.col("_lut")) / (F.col("_qnorm") * F.sqrt(fold(n2))), 6
+    )
+
+
+def ivfpq_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ index build — the FAISS production structure re-expressed
+    as one DataFrame pass: every vector gets its coarse cell (broadcast
+    argmax over the centroid table, the ivf_assign plan) AND its m-byte
+    PQ code, computed from the vector the argmax aggregation already
+    carries (``_ivf_assign_with_vec``) — so the whole index costs ONE
+    corpus shuffle and the float vectors are dropped at the end.
+    → (id, cid, codes array<tinyint>). Build once, write/persist, and
+    hand to :func:`ivfpq_topk`: at 10¹² vectors the index is ~m bytes
+    + a cell id per vector, the search scan never touches floats."""
+    a = _ivf_assign_with_vec(df, centroids, id_col, vec_col)
+    return a.select(
+        "id", "cid", _pq_code_col(F.col("_v"), codebooks).alias("codes")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    refine: int = 4,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ search: IVF prunes WHICH cells are scanned (nprobe
+    nearest cells per query), PQ shrinks WHAT is scanned inside them
+    (m-byte codes scored via the per-query LUT, m lookups per row),
+    and the k·refine survivors join back to the original vectors for
+    an exact re-rank — both pruning levers composed, scores exact,
+    quantization + probing cost recall only.
+
+    ``index``: a pre-built :func:`ivfpq_index` frame (the production
+    path — built once, persisted/written, reused across query
+    batches); None builds it inline. Plan shape: the index scan joins
+    broadcast(query-cells + LUTs) on cid — the corpus side never
+    hash-partitions on the low-cardinality cell id (the ivf_topk
+    lesson), and the re-rank joins broadcast(candidates).
+    → (query_id, rank, neighbor_id, cosine)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
+    idx = (
+        index
+        if index is not None
+        else ivfpq_index(df, centroids, codebooks, id_col, vec_col)
+    )
+    qprep = _pq_query_prep(queries, codebooks, id_col, vec_col)
+    qscore = qprep.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "_qnorm",
+        "_lut",
+        "cid",
+        F.round(cosine_col(F.col("_qvec"), F.col("cvec")), 9).alias("_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cid"))
+    qcells = (
+        qscore.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_qnorm", "_lut", "cid")
+    )
+    approx = (
+        idx.join(F.broadcast(qcells), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _pq_adc_cos(codebooks).alias("_acos"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("_acos"), F.asc("neighbor_id"))
+    cand = (
+        approx.withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qprep.select("query_id", "_qvec")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

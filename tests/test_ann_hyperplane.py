@@ -405,3 +405,40 @@ def test_pq_refine_guards(spark, emb):
     with pytest.raises(ValueError, match="iters"):
         similarity.pq_refine(emb, cb, iters=-1)
     assert similarity.pq_refine(emb, cb, iters=0) == cb
+
+
+def test_ivfpq_matches_ivf_at_covering_refine(spark, emb):
+    """Both levers share the probed cells; with k*refine covering every
+    probed row the PQ stage cannot drop a candidate, so IVF-PQ must
+    equal IVF-flat row for row (exact cosines, same cells). Also: the
+    prebuilt-index path returns the identical frame."""
+    q = emb.filter(F.col("vec_id") < 4)
+    cent = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    cb = similarity.pq_codebooks(emb, m=8, ncodes=16)
+    n = emb.count()
+    ivf = similarity.ivf_topk(emb, q, cent, k=5, nprobe=2)
+    ivfpq = similarity.ivfpq_topk(
+        emb, q, cent, cb, k=5, nprobe=2, refine=(n // 5) + 1
+    )
+    assert sorted(map(tuple, ivfpq.collect())) == sorted(
+        map(tuple, ivf.collect())
+    )
+    idx = similarity.ivfpq_index(emb, cent, cb)
+    via_index = similarity.ivfpq_topk(
+        emb, q, cent, cb, k=5, nprobe=2, refine=(n // 5) + 1, index=idx
+    )
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, ivf.collect())
+    )
+
+
+def test_ivfpq_guards(spark, emb):
+    cent = emb.limit(4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    cb = similarity.pq_codebooks(emb, m=8, ncodes=16)
+    for kw in ({"k": 0}, {"nprobe": 0}, {"refine": 0}):
+        with pytest.raises(ValueError):
+            similarity.ivfpq_topk(emb, emb, cent, cb, **kw)

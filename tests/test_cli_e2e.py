@@ -627,3 +627,24 @@ def test_ann_cli_pq_mode(spark, tmp_path_factory, capsys):
          "--queries", "0", "--mode", "pq", "--pq-m", "7"]
     )
     assert rc == 2
+
+
+def test_ann_cli_ivfpq_mode(spark, tmp_path_factory, capsys):
+    """`ann --mode ivfpq`: trained coarse centroids + refined PQ
+    codebooks from the CLI; a covering refine makes recall ==
+    within-probed-cells recall (the IVF lever's), and rows land per
+    query."""
+    out = tmp_path_factory.mktemp("annivfpq")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["ann", "--input", src, "--out", f"{out}/ivfpq",
+         "--queries", "0,1,2,3", "--mode", "ivfpq",
+         "--train-k", "8", "--nprobe", "8", "--refine", "100",
+         "--pq-iters", "0", "--recall"],
+    )
+    assert rc == 0
+    assert summary["mode"] == "ivfpq" and summary["rows"] == 20
+    # nprobe == train-k probes EVERY cell and refine covers the
+    # corpus: nothing is pruned anywhere, recall must be exactly 1.0
+    assert summary["recall_at_k"] == 1.0

@@ -338,3 +338,72 @@ def test_containment_prefix_side_filters_before_gram_join(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "row_number" in plan and "rk" in plan, plan
+
+
+def test_pq_topk_corpus_never_shuffles(spark, tmp_path):
+    """C65's scale claim: in BOTH stages the corpus side is a straight
+    scan — the approx stage joins broadcast(queries+LUTs) against the
+    code scan, the re-rank joins broadcast(candidates) against the
+    vector scan. The only hashpartitioning exchanges key on query_id
+    (window ranking over |Q|·candidates rows), never on the corpus
+    id. Parquet-backed so range shortcuts don't mask the shape."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bigdime_spark.operators.similarity import pq_codebooks, pq_topk
+
+    spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    ).write.parquet(str(tmp_path / "vecs"))
+    vecs = spark.read.parquet(str(tmp_path / "vecs"))
+    cb = pq_codebooks(vecs, m=4, ncodes=4)
+    queries = vecs.filter(F.col("vec_id") < 3)
+    plan = _explain(pq_topk(vecs, queries, cb, k=3, refine=2))
+    assert "BroadcastExchange" in plan, plan
+    assert not re.findall(r"hashpartitioning\((?:vec_)?id#", plan), plan
+    hp = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert set(hp) <= {"query_id", "neighbor_id"}, plan
+
+
+def test_ivfpq_index_one_corpus_shuffle_search_none(spark, tmp_path):
+    """C66: the index build is the IVF argmax's single hash(id)
+    exchange (codes computed from the carried vector — no second
+    corpus shuffle); the SEARCH over a prebuilt index never
+    hash-partitions the index or the vector table at all — cells
+    broadcast in, candidates broadcast back."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bigdime_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    ).write.parquet(str(tmp_path / "vecs"))
+    vecs = spark.read.parquet(str(tmp_path / "vecs"))
+    cent = spark.range(4).select(
+        F.col("id").alias("cid"),
+        F.array(*[F.rand(seed=10 + i) for i in range(8)]).alias("cvec"),
+    )
+    cb = pq_codebooks(vecs, m=4, ncodes=4)
+    build = _explain(ivfpq_index(vecs, cent, cb))
+    assert len(re.findall(r"hashpartitioning\(id#", build)) == 1, build
+    assert "hashpartitioning(cid" not in build, build
+
+    ivfpq_index(vecs, cent, cb).write.parquet(str(tmp_path / "idx"))
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    queries = vecs.filter(F.col("vec_id") < 3)
+    search = _explain(
+        ivfpq_topk(vecs, queries, cent, cb, k=3, nprobe=2, refine=2, index=idx)
+    )
+    assert "hashpartitioning(cid" not in search, search
+    assert not re.findall(r"hashpartitioning\((?:vec_)?id#", search), search
+    hp = set(re.findall(r"hashpartitioning\((\w+)#", search))
+    assert hp <= {"query_id", "neighbor_id"}, search
