@@ -68,6 +68,7 @@ HEADLINE = [
     "ann_sq_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ivf_cell_profile",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_lsh_nn",

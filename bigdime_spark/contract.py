@@ -3296,6 +3296,49 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 """
 
 
+def q_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C66b index-quality profile (operators/similarity.
+    ivf_cell_profile): cell-size distribution of the IVF-PQ index —
+    the skew lens applied to the index itself (a hot cell IS the
+    probe-time tail latency). Same deterministic centroids as the
+    ann_ivf* queries; the oracle replays assignment and the share
+    arithmetic."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(e, m=8, ncodes=16)
+    centroids = e.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    idx = similarity.ivfpq_index(e, centroids, cb)
+    return similarity.ivf_cell_profile(idx)
+
+
+SQL_IVF_CELL_PROFILE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+ascore AS (
+  SELECT a.vec_id AS id, c.cid AS cid,
+         round(list_dot_product(a.v, c.cv) /
+           (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(c.cv, c.cv))), 9) AS cos
+  FROM e a, cent c
+),
+cells AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+agg AS (SELECT cid, count(*) AS n FROM cells GROUP BY 1)
+SELECT cid, n,
+       round(n / sum(n) OVER (), 6) AS frac,
+       round((n / sum(n) OVER ()) * (n / sum(n) OVER ()), 6)
+         AS expected_scan_frac
+FROM agg
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C8's inverted-file sibling: IVF-flat top-5 with 17 data-point
     centroids (vec_id % 31 == 0, deterministic — no k-means iterations
@@ -5192,6 +5235,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_sq_topk": QuerySpec(q_ann_sq_topk, SQL_ANN_SQ),
     "ann_pq_topk": QuerySpec(q_ann_pq_topk, SQL_ANN_PQ),
     "ann_ivfpq_topk": QuerySpec(q_ann_ivfpq_topk, SQL_ANN_IVFPQ),
+    "ivf_cell_profile": QuerySpec(q_ivf_cell_profile, SQL_IVF_CELL_PROFILE),
     "embedding_integrity": QuerySpec(q_embedding_integrity, SQL_EMBEDDING_INTEGRITY),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_ivf_trained_topk": QuerySpec(q_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED),

@@ -1245,3 +1245,34 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ivf_cell_profile(index: DataFrame) -> DataFrame:
+    """Index-quality profile for an IVF / IVF-PQ index — the skew
+    story applied to the index itself: a query probing a HOT cell
+    scans that cell's whole posting list, so cell-size imbalance IS
+    the index's tail latency (and its shuffle skew on rebuild). One
+    hash aggregation over the (id, cid, ...) index frame →
+    (cid, n, frac, expected_scan_frac, verdict-free diagnostics):
+
+    - ``frac``   — the cell's share of the corpus (uniform ideal:
+      1/#cells);
+    - ``expected_scan_frac`` — the cell's contribution to the EXPECTED
+      scanned fraction for a uniformly-drawn query assigned by the
+      same quantizer, Σ frac² summed over the returned rows: a single
+      number the caller reads as "probing one cell costs this much of
+      the corpus on average" (uniform ideal: 1/#cells; 1.0 = the
+      degenerate one-hot index that makes IVF pointless).
+
+    Rounded to 6 (oracle convention). Row count = #cells — metadata-
+    scale however large the corpus; train with more centroids or
+    re-seed when the top cells dominate."""
+    total = Window.partitionBy()
+    agg = index.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    frac = F.col("n") / F.sum("n").over(total)
+    return agg.select(
+        "cid",
+        "n",
+        F.round(frac, 6).alias("frac"),
+        F.round(frac * frac, 6).alias("expected_scan_frac"),
+    )

@@ -442,3 +442,21 @@ def test_ivfpq_guards(spark, emb):
     for kw in ({"k": 0}, {"nprobe": 0}, {"refine": 0}):
         with pytest.raises(ValueError):
             similarity.ivfpq_topk(emb, emb, cent, cb, **kw)
+
+
+def test_ivf_cell_profile_arithmetic(spark):
+    """Exact shares on a hand-built index: fracs sum to 1, the
+    expected scanned fraction per cell is frac², and a one-hot index
+    reads 1.0 (the degenerate case that makes IVF pointless)."""
+    idx = spark.createDataFrame(
+        [(i, 0) for i in range(6)] + [(10 + i, 1) for i in range(2)],
+        "id long, cid long",
+    )
+    got = {r["cid"]: r for r in similarity.ivf_cell_profile(idx).collect()}
+    assert got[0]["n"] == 6 and got[0]["frac"] == 0.75
+    assert got[1]["n"] == 2 and got[1]["frac"] == 0.25
+    assert got[0]["expected_scan_frac"] == 0.5625
+    assert abs(sum(r["frac"] for r in got.values()) - 1.0) < 1e-9
+    onehot = spark.createDataFrame([(i, 7) for i in range(5)], "id long, cid long")
+    r = similarity.ivf_cell_profile(onehot).collect()[0]
+    assert (r["frac"], r["expected_scan_frac"]) == (1.0, 1.0)
