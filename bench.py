@@ -100,6 +100,8 @@ HEADLINE = [
     "suggest_constraints_orders",
     "dedup_containment",
     "dedup_consensus",
+    "repeated_spans_documents",
+    "span_coverage_documents",
     "caption_conflicts",
     "schema_history_orders",
     "suite_verdicts_lineitem",

@@ -2969,6 +2969,93 @@ FROM hits WHERE n_hot >= 1
 """
 
 
+def q_repeated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc repeated spans (operators/decontam.
+    repeated_spans): the removal step of exact-substring dedup (Lee
+    et al. 2022) — WHERE the corpus-duplicated text sits in each doc,
+    as 1-based token ranges after gaps-and-islands merging of flagged
+    gram positions. String-keyed mode here so the shuffle key is
+    replayable in ANSI SQL; production flips hash_grams=True."""
+    from bigdime_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    return decontam.repeated_spans(d, n=3, min_docs=5)
+
+
+_SPAN_POS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, u.i AS p, array_to_string(t[u.i:u.i+2], ' ') AS gram
+  FROM toks,
+       unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+), rep AS (
+  SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+), flagged AS (
+  SELECT doc_id, p FROM pos JOIN rep USING (gram)
+), isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 3
+              THEN 0 ELSE 1 END AS brk
+  FROM flagged
+), grp AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+  FROM isl
+), spans AS (
+  SELECT doc_id,
+         CAST(min(p) AS BIGINT) AS span_start,
+         CAST(max(p) + 2 AS BIGINT) AS span_end,
+         CAST(max(p) + 3 - min(p) AS BIGINT) AS span_words,
+         count(*) AS n_grams
+  FROM grp GROUP BY doc_id, isl_id
+)
+"""
+
+SQL_REPEATED_SPANS = (
+    _SPAN_POS_SQL
+    + "SELECT doc_id, span_start, span_end, span_words, n_grams FROM spans"
+)
+
+
+def q_span_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-span coverage (operators/decontam.
+    span_coverage): the drop/keep curation signal of substring dedup —
+    one row per doc (clean docs carry zeros), dup_fraction the share
+    of tokens inside cross-corpus repeated spans."""
+    from bigdime_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    return decontam.span_coverage(d, n=3, min_docs=5)
+
+
+SQL_SPAN_COVERAGE = (
+    _SPAN_POS_SQL
+    + r"""
+, per AS (
+  SELECT doc_id, count(*) AS n_spans, sum(span_words) AS dup_words
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN trim(d.text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END
+            AS BIGINT) AS n_words,
+       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(per.dup_words, 0) AS BIGINT) AS dup_words,
+       CASE WHEN (CASE WHEN trim(d.text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END) > 0
+            THEN coalesce(per.dup_words, 0)::DOUBLE /
+                 (CASE WHEN trim(d.text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END)
+            ELSE 0.0 END AS dup_fraction
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+)
+
+
 # =====================================================================
 # Similarity search (embeddings table)
 # =====================================================================
@@ -5229,6 +5316,13 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "hot_grams_documents": QuerySpec(q_hot_grams_documents, SQL_HOT_GRAMS),
     "dup_gram_docs": QuerySpec(q_dup_gram_docs, SQL_DUP_GRAMS),
+    # exact-substring dedup spans (C67)
+    "repeated_spans_documents": QuerySpec(
+        q_repeated_spans_documents, SQL_REPEATED_SPANS
+    ),
+    "span_coverage_documents": QuerySpec(
+        q_span_coverage_documents, SQL_SPAN_COVERAGE
+    ),
     # similarity search
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_TOPK),
     # SQ8 scalar-quantized ANN (C63)

@@ -362,3 +362,176 @@ def phash_contamination(
             "sample_eval_ids_csv",
         )
     )
+
+
+# ------------------------------------------------- repeated spans (C67)
+
+def positional_word_grams(text: Column, n: int) -> Column:
+    """ALL word n-grams of ``text`` in position order as an
+    array<string> Column — element i (0-based) is the gram starting at
+    token i+1. Unlike functions/text.word_ngram_array there is no
+    per-doc distinct and no whole-text fallback: a span needs real
+    token positions, and a doc shorter than ``n`` tokens has no
+    n-gram, so it yields an empty array.
+
+    Same zip_with fold as word_ngram_array (the tokenization is
+    evaluated once per row at the top level of one projection — see
+    that docstring for the transform-over-sequence pitfall this
+    avoids); ``zip_with`` null-pads the shorter side, so the trailing
+    ``n-1`` partially-formed elements are NULL-concat NULLs and the
+    final slice drops them."""
+    from bigdime_spark.functions.text import tokens_col
+
+    toks = tokens_col(text)
+    if n <= 1:
+        return toks
+    acc = toks
+    for k in range(1, n):
+        rest = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1)))
+        acc = F.zip_with(acc, rest, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(
+        F.size(toks) < F.lit(n), F.array().cast("array<string>")
+    ).otherwise(F.slice(acc, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1))))
+
+
+def repeated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+    hash_grams: bool = False,
+    broadcast_rep: bool = False,
+) -> DataFrame:
+    """Maximal cross-document repeated spans — WHERE in each doc the
+    corpus-duplicated text sits, as 1-based token ranges.
+    → (id_col, span_start, span_end, span_words, n_grams), one row per
+    maximal span; docs with no repeated gram never appear.
+
+    This is the REMOVAL step of exact-substring dedup (Lee et al.
+    2022): hot_grams/duplicated_gram_scan say WHICH docs carry
+    duplicated text and HOW MUCH; this says WHERE, so a curation pass
+    can excise the spans (or drop docs whose coverage is high — see
+    span_coverage) instead of discarding whole documents. A token
+    position is flagged when its n-gram starting there appears in
+    ≥ ``min_docs`` DISTINCT documents; flagged positions whose gram
+    windows touch or overlap (gap ≤ n tokens) merge into one maximal
+    span [min_p, max_p + n - 1] — standard gaps-and-islands over the
+    per-doc position sequence.
+
+    Scale shape (10^12 docs):
+    - pass 1 (gram document-frequency): per-doc DISTINCT grams are
+      built row-locally (array_distinct before the explode), so
+      ``count(*)`` per gram IS the distinct-doc count — one hash-agg
+      shuffle with map-side combine, no count-distinct state;
+    - the repeated-gram set is NOT boundable (unlike the top-k hot
+      set) — every repeated gram matters — so pass 2 is a shuffle
+      semi-join of the positional frame against it on the gram key.
+      ``hash_grams=True`` shuffles xxhash64(gram) 8-byte keys instead
+      of gram strings in BOTH passes (~10× fewer shuffle bytes at
+      n=13; a 64-bit collision can only over-flag a position —
+      acceptable for curation, keep strings for an exact audit);
+      ``broadcast_rep=True`` broadcasts the repeated set when the
+      caller knows it is small (templated corpora, high min_docs);
+    - the islands window partitions by doc id — per-doc state only,
+      bounded by doc length, never a global sort.
+    """
+    grams_arr = positional_word_grams(F.col(text_col), n)
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    pos = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(grams_arr).alias("_p0", "_gram"),
+    ).select(
+        "_id", (F.col("_p0") + 1).cast("long").alias("_p"), key(F.col("_gram")).alias("_g")
+    )
+    dfreq = docs.select(
+        F.explode(F.array_distinct(grams_arr)).alias("_gram")
+    ).select(key(F.col("_gram")).alias("_g"))
+    rep = (
+        dfreq.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= F.lit(min_docs))
+        .select("_g")
+    )
+    if broadcast_rep:
+        rep = F.broadcast(rep)
+    flagged = pos.join(rep, "_g", "left_semi").select("_id", "_p")
+    w = Window.partitionBy("_id").orderBy("_p")
+    isl = (
+        flagged.withColumn(
+            "_brk",
+            F.when(F.col("_p") - F.lag("_p").over(w) <= F.lit(n), F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn("_isl", F.sum("_brk").over(w))
+    )
+    return (
+        isl.groupBy("_id", "_isl")
+        .agg(
+            F.min("_p").alias("span_start"),
+            (F.max("_p") + F.lit(n - 1)).alias("span_end"),
+            (F.max("_p") + F.lit(n) - F.min("_p")).alias("span_words"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_words").cast("long").alias("span_words"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+    )
+
+
+def span_coverage(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+    hash_grams: bool = False,
+    broadcast_rep: bool = False,
+) -> DataFrame:
+    """Per-document repeated-span coverage — the drop/keep signal of
+    substring dedup. → (id_col, n_words, n_spans, dup_words,
+    dup_fraction), ONE ROW PER DOC (clean docs carry zeros): coverage
+    is a curation column every doc needs, like a sampling score, not
+    a violations report. ``dup_fraction`` near 1.0 = the doc is pure
+    corpus boilerplate; Lee et al. drop above a threshold and keep
+    one canonical copy via the dedup family.
+
+    Pass ``spans=`` to reuse a precomputed repeated_spans frame; the
+    rollup is one hash agg on the doc id plus a corpus-side left join
+    that AQE plans as broadcast when the flagged set is small."""
+    from bigdime_spark.functions.text import ws_token_count
+
+    if spans is None:
+        spans = repeated_spans(
+            docs, id_col=id_col, text_col=text_col, n=n, min_docs=min_docs,
+            hash_grams=hash_grams, broadcast_rep=broadcast_rep,
+        )
+    per = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_words").alias("dup_words"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        ws_token_count(F.col(text_col)).cast("long").alias("n_words"),
+    )
+    joined = base.join(per, id_col, "left")
+    return joined.select(
+        id_col,
+        "n_words",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("dup_words"), F.lit(0)).cast("long").alias("dup_words"),
+        F.when(
+            F.col("n_words") > 0,
+            F.coalesce(F.col("dup_words"), F.lit(0)).cast("double") / F.col("n_words"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )

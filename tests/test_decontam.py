@@ -344,3 +344,135 @@ def test_phash_contamination_drop_composes(spark, image_eval):
     assert {r["image_id"] for r in clean.collect()} == {
         "img-ham3", "img-far", "img-null"
     }
+
+
+# ----------------------------------------------- repeated spans (C67)
+
+@pytest.fixture(scope="module")
+def span_corpus(spark):
+    rows = [
+        # 10/11 bracket the island-merge boundary: both carry the two
+        # shared 3-grams "red green blue" and "cyan magenta yellow";
+        # in 10 the flagged positions are {1, 5} (gap 4 = n+1 → two
+        # spans), in 11 they are {1, 4} (gap 3 = n → one merged span).
+        (10, "red green blue pad cyan magenta yellow"),
+        (11, "red green blue cyan magenta yellow"),
+        (12, "red green blue"),
+        (13, "cyan magenta yellow"),
+        # clean: no cross-doc 3-gram
+        (14, "completely different words here entirely"),
+        # blank and sub-n docs: no positional grams at all
+        (15, "   "),
+        (16, "two words"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _span_set(df):
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_words"], r["n_grams"])
+        for r in df.collect()
+    }
+
+
+def test_repeated_spans_islands_merge_at_gap_n(spark, span_corpus):
+    got = _span_set(decontam.repeated_spans(span_corpus, n=3, min_docs=2))
+    assert got == {
+        (10, 1, 3, 3, 1),
+        (10, 5, 7, 3, 1),
+        (11, 1, 6, 6, 2),  # gap == n bridges into ONE maximal span
+        (12, 1, 3, 3, 1),
+        (13, 1, 3, 3, 1),
+    }
+
+
+def test_repeated_spans_hash_mode_matches_string_mode(spark, span_corpus):
+    s = _span_set(decontam.repeated_spans(span_corpus, n=3, min_docs=2))
+    h = _span_set(
+        decontam.repeated_spans(span_corpus, n=3, min_docs=2, hash_grams=True)
+    )
+    assert s == h
+
+
+def test_span_coverage_one_row_per_doc_with_zeros(spark, span_corpus):
+    cov = {r["doc_id"]: r for r in decontam.span_coverage(
+        span_corpus, n=3, min_docs=2
+    ).collect()}
+    assert set(cov) == {10, 11, 12, 13, 14, 15, 16}
+    assert cov[11]["n_spans"] == 1 and cov[11]["dup_words"] == 6
+    assert cov[11]["dup_fraction"] == 1.0  # the whole doc is repeated text
+    assert cov[10]["dup_words"] == 6 and cov[10]["n_words"] == 7
+    assert cov[14]["n_spans"] == 0 and cov[14]["dup_fraction"] == 0.0
+    assert cov[15]["n_words"] == 0 and cov[15]["dup_fraction"] == 0.0
+    assert cov[16]["n_spans"] == 0
+
+
+def test_span_coverage_reuses_precomputed_spans(spark, span_corpus):
+    spans = decontam.repeated_spans(span_corpus, n=3, min_docs=2)
+    a = decontam.span_coverage(span_corpus, spans, n=3, min_docs=2)
+    b = decontam.span_coverage(span_corpus, n=3, min_docs=2)
+    assert _sorted_rows(a) == _sorted_rows(b)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _py_repeated_spans(rows, n, min_docs):
+    """Pure-python reference: positional grams, cross-doc df filter,
+    gaps-and-islands merge."""
+    toks = {i: t.strip().split() if t.strip() else [] for i, t in rows}
+    pos = {
+        i: [
+            (p + 1, " ".join(ts[p : p + n]))
+            for p in range(max(len(ts) - n + 1, 0))
+        ]
+        for i, ts in toks.items()
+    }
+    df = {}
+    for i, grams in pos.items():
+        for g in {g for _, g in grams}:
+            df[g] = df.get(g, 0) + 1
+    rep = {g for g, c in df.items() if c >= min_docs}
+    out = set()
+    for i, grams in pos.items():
+        ps = sorted(p for p, g in grams if g in rep)
+        if not ps:
+            continue
+        start = prev = ps[0]
+        cnt = 1
+        for p in ps[1:]:
+            if p - prev <= n:
+                prev = p
+                cnt += 1
+            else:
+                out.add((i, start, prev + n - 1, prev + n - start, cnt))
+                start = prev = p
+                cnt = 1
+        out.add((i, start, prev + n - 1, prev + n - start, cnt))
+    return out
+
+
+def test_repeated_spans_matches_python_reference_on_random_docs(spark):
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"w{j}" for j in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = _span_set(decontam.repeated_spans(df, n=3, min_docs=2))
+    assert got == _py_repeated_spans(rows, 3, 2)
+
+
+def test_repeated_spans_plan_broadcast_rep_and_doc_partitioned_window(
+    spark, span_corpus
+):
+    df = decontam.repeated_spans(span_corpus, n=3, min_docs=2, broadcast_rep=True)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    # the islands window rides hash(doc id), never a global sort
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
