@@ -794,6 +794,16 @@ def _build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--hot-gram-n", type=int, default=8)
     cu.add_argument("--hot-gram-min-docs", type=int, default=2)
     cu.add_argument(
+        "--max-span-coverage",
+        type=float,
+        default=None,
+        help="exact-substring gate: drop docs whose fraction of "
+        "tokens inside cross-doc repeated spans exceeds this "
+        "(positional, uncapped — the Lee et al. drop criterion)",
+    )
+    cu.add_argument("--span-n", type=int, default=8)
+    cu.add_argument("--span-min-docs", type=int, default=2)
+    cu.add_argument(
         "--mix",
         default=None,
         help="domain mixture weights, e.g. src0=4,src1=2,src2=1 "
@@ -1742,6 +1752,9 @@ def main(argv: list[str] | None = None) -> int:
                 max_hot_fraction=args.max_hot_fraction,
                 hot_gram_n=args.hot_gram_n,
                 hot_gram_min_docs=args.hot_gram_min_docs,
+                max_span_coverage=args.max_span_coverage,
+                span_n=args.span_n,
+                span_min_docs=args.span_min_docs,
                 mix_weights=mix,
                 target_rows=args.target_rows,
                 sample_rate=args.sample_rate,

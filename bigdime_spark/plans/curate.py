@@ -84,6 +84,17 @@ class CurateConfig:
     max_hot_fraction: float | None = None
     hot_gram_n: int = 8
     hot_gram_min_docs: int = 2
+    # stage 3c: exact-substring coverage gate (Lee et al. 2022 drop
+    # criterion) — drop docs whose dup_fraction (share of TOKENS
+    # inside maximal cross-doc repeated spans, operators/decontam.
+    # span_coverage) exceeds this. Sharper than 3b's hot_fraction:
+    # positional and UNCAPPED (every ≥ span_min_docs gram counts, not
+    # just the top-k hottest), so a doc stitched from many mildly-
+    # repeated spans is caught. Runs after dedup for the same
+    # keeper-heat reason as 3b.
+    max_span_coverage: float | None = None
+    span_n: int = 8
+    span_min_docs: int = 2
     # stage 4: sampling — exactly one mode: domain mixture, uniform
     # rate, or quality-weighted rate (per-row keep probability =
     # quality_score(text) × rate — the C50 soft filter using the C12
@@ -226,6 +237,27 @@ def curate(df: DataFrame, cfg: CurateConfig) -> CurateResult:
             "after_boilerplate",
         )
 
+    if cfg.max_span_coverage is not None:
+        from bigdime_spark.operators.decontam import span_coverage
+
+        # hash_grams: the production 8-byte-key shuffle — coverage is a
+        # threshold gate, so a 2^-64 over-flag cannot flip a keep into
+        # a drop unless the doc already sat on the boundary.
+        dropped = span_coverage(
+            cur,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            n=cfg.span_n,
+            min_docs=cfg.span_min_docs,
+            hash_grams=True,
+        ).filter(F.col("dup_fraction") > cfg.max_span_coverage)
+        # dropped is boilerplate-heavy docs only; AQE broadcasts the
+        # anti-join when it is small, co-keyed join otherwise.
+        cur = _advance(
+            cur.join(dropped.select(cfg.id_col), cfg.id_col, "left_anti"),
+            "after_span_coverage",
+        )
+
     if cfg.mix_weights is not None:
         cur = _advance(
             stratified_sample(
@@ -276,7 +308,8 @@ def curate(df: DataFrame, cfg: CurateConfig) -> CurateResult:
         cur = _advance(cur.join(shards, cfg.id_col), "after_shards")
 
     for stage in (
-        "after_shards", "after_sample", "after_boilerplate",
+        "after_shards", "after_sample", "after_span_coverage",
+        "after_boilerplate",
         "after_containment", "after_neardup", "after_exact_dedup",
     ):
         if stage in counts:

@@ -293,3 +293,46 @@ def test_cli_curate_containment_flag(spark, corpus, tmp_path_factory, capsys):
     assert summary["after_containment"] == summary["input"] - 3
     written = spark.read.parquet(f"{base}/out/curated")
     assert written.filter(F.col("doc_id").isin(110, 111, 130)).count() == 0
+
+
+def test_span_coverage_gate_drops_high_coverage_docs(spark, corpus):
+    """Stage 3c: a doc that is PURE repeated spans (coverage 1.0) is
+    dropped; clean docs whose shared 10-token prefix is ~0.43 of
+    their tokens survive the 0.5 bar. Within-doc repetition (doc 101)
+    never flags — document frequency counts DISTINCT docs."""
+    boiler = spark.createDataFrame(
+        [(131, "dom0", "the cat and the dog is to walk in town")],
+        "doc_id bigint, source string, text string",
+    )
+    df = corpus.union(boiler)
+    res = curate(df, CurateConfig(
+        max_span_coverage=0.5, span_n=8, span_min_docs=3
+    ))
+    c = res.counts
+    assert c["input"] == 32
+    # dropped: the planted pure-prefix doc AND the 110/111/120 triplet
+    # (dedup off → their shared base is a full-coverage span)
+    assert c["after_span_coverage"] == 28 == c["output"]
+    kept = {r["doc_id"] for r in res.curated.select("doc_id").collect()}
+    assert kept.isdisjoint({110, 111, 120, 131})
+    assert set(range(24)) <= kept
+    assert 101 in kept  # within-doc repetition is not cross-doc
+    res.release()
+
+
+def test_cli_curate_span_coverage_flag(spark, corpus, tmp_path_factory, capsys):
+    base = str(tmp_path_factory.mktemp("curate4"))
+    boiler = spark.createDataFrame(
+        [(131, "dom0", "the cat and the dog is to walk in town")],
+        "doc_id bigint, source string, text string",
+    )
+    corpus.union(boiler).write.parquet(f"{base}/docs")
+    rc, summary, _ = _run_cli(capsys, [
+        "curate", "--input", f"{base}/docs", "--out", f"{base}/out",
+        "--max-span-coverage", "0.5", "--span-n", "8",
+        "--span-min-docs", "3",
+    ])
+    assert rc == 0
+    assert summary["after_span_coverage"] == summary["input"] - 4
+    written = spark.read.parquet(f"{base}/out/curated")
+    assert written.filter(F.col("doc_id") == 131).count() == 0
