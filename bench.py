@@ -69,6 +69,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ivf_cell_profile",
+    "ivf_recall_curve",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_lsh_nn",

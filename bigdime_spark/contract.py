@@ -3485,6 +3485,91 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 vs nprobe sweep (operators/similarity.
+    ivf_recall_curve): the latency/recall tuning curve, computed from
+    ONE corpus assignment shared across the swept nprobe values (each
+    scored candidate explodes into the nprobe values ≥ its cell rank).
+    Same deterministic data-point centroids and query set as
+    ann_ivf_topk; the oracle replays assignment, cell ranking, the
+    per-(query, nprobe) top-5, the brute-force exact top-5 and the
+    hit counting in SQL — recall must be monotone in nprobe by
+    construction, and the driver hash checks the exact values."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") % 31 == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.ivf_recall_curve(
+        e, queries, cents, "vec_id", "embedding", k=5, nprobes=(1, 2, 4)
+    )
+
+
+SQL_IVF_RECALL_CURVE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+ascore AS (
+  SELECT a.vec_id AS id, c.cid AS cid, {_COS9_SQL} AS cos
+  FROM e a, cent c
+),
+cells AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+qcr AS (
+  SELECT id AS query_id, cid, rn AS cr FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore WHERE id < 8
+  ) WHERE rn <= 4
+),
+nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
+scored AS (
+  SELECT n.np, q.query_id, cl.id AS neighbor_id,
+         round(list_dot_product(qe.v, nn.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(nn.v, nn.v))), 6) AS cosine
+  FROM qcr q
+  JOIN cells cl ON cl.cid = q.cid AND cl.id <> q.query_id
+  JOIN e nn ON nn.vec_id = cl.id
+  JOIN e qe ON qe.vec_id = q.query_id
+  JOIN nps n ON n.np >= q.cr
+),
+retr AS (
+  SELECT np, query_id, neighbor_id FROM (
+    SELECT np, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id, np
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+             round(list_dot_product(qe.v, c.v) /
+                   (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+             c.vec_id ASC) AS rk
+    FROM e qe JOIN e c ON c.vec_id <> qe.vec_id
+    WHERE qe.vec_id < 8
+  ) WHERE rk <= 5
+),
+hits AS (
+  SELECT np, count(*) AS n_hits
+  FROM retr JOIN exact USING (query_id, neighbor_id) GROUP BY 1
+),
+nq AS (SELECT count(*) AS n_queries FROM e WHERE vec_id < 8)
+SELECT CAST(n.np AS BIGINT) AS nprobe,
+       CAST(nq.n_queries AS BIGINT) AS n_queries,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / (5 * nq.n_queries), 6) AS recall_at_k
+FROM nps n CROSS JOIN nq LEFT JOIN hits h ON h.np = n.np
+"""
+
+
 def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat top-5 with TRAINED centroids (round-5): one
     deterministic spherical-k-means iteration from 12 md5-seeded
@@ -5332,6 +5417,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivf_cell_profile": QuerySpec(q_ivf_cell_profile, SQL_IVF_CELL_PROFILE),
     "embedding_integrity": QuerySpec(q_embedding_integrity, SQL_EMBEDDING_INTEGRITY),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_IVF),
+    "ivf_recall_curve": QuerySpec(q_ivf_recall_curve, SQL_IVF_RECALL_CURVE),
     "ann_ivf_trained_topk": QuerySpec(q_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED),
     "ann_lsh_nn": QuerySpec(q_ann_lsh_nn, SQL_ANN_LSH),
     "ann_hyperplane_recall": QuerySpec(q_ann_hyperplane_recall, SQL_ANN_HYPERPLANE_RECALL),

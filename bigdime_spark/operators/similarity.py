@@ -659,6 +659,102 @@ def ivf_topk(
     )
 
 
+def ivf_recall_curve(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """Recall@k of IVF-flat search as a function of nprobe — the
+    tuning curve every IVF deployment needs before choosing its
+    latency/recall point (more probed cells = more scanned vectors =
+    higher recall). → one row per swept nprobe:
+    (nprobe, n_queries, n_hits, recall_at_k) where n_hits counts
+    retrieved∩exact pairs over all queries and recall_at_k =
+    n_hits / (k · n_queries), the standard ANN-benchmarks metric.
+
+    ONE corpus pass for the whole sweep: the expensive pieces —
+    broadcast-argmax assignment (one corpus shuffle) and candidate
+    scoring — are shared across nprobe values by ranking each query's
+    cells once (cell_rank) and EXPLODING every scored candidate into
+    the swept nprobe values that include it (those ≥ its cell_rank,
+    ≤ |nprobes| copies of a candidate row, never of the corpus); the
+    per-(query, nprobe) top-k is then one window. The exact reference
+    is brute_force_topk (broadcast queries × linear scan — the recall
+    DENOMINATOR is exact by definition, same cost as the C6/C8
+    recall queries). Swept values with zero retrieved pairs still
+    emit their row (left join from the nprobe spine)."""
+    if not nprobes or any(p < 1 for p in nprobes):
+        raise ValueError("nprobes must be non-empty positive ints")
+    nps = sorted(set(int(p) for p in nprobes))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    qscore = qs.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "_qv",
+        "cid",
+        F.round(cosine_col(F.col("_qv"), F.col("cvec")), 9).alias("_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cid"))
+    qcells = (
+        qscore.withColumn("_cr", F.row_number().over(wq))
+        .filter(F.col("_cr") <= max(nps))
+        .select("query_id", "_qv", "cid", "_cr")
+    )
+    cand = _ivf_assign_with_vec(df, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cid", F.col("_v").alias("_cv")
+    )
+    np_arr = F.array(*[F.lit(p) for p in nps])
+    scored = (
+        cand.join(F.broadcast(qcells), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+            F.explode(
+                F.filter(np_arr, lambda p: p >= F.col("_cr"))
+            ).alias("nprobe"),
+        )
+    )
+    wk = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    retrieved = (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = brute_force_topk(df, queries, id_col, vec_col, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        retrieved.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    spine = df.sparkSession.createDataFrame([(p,) for p in nps], "nprobe int")
+    nq = qs.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        spine.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / (F.lit(k) * F.col("n_queries")),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def embedding_integrity(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -460,3 +460,60 @@ def test_ivf_cell_profile_arithmetic(spark):
     onehot = spark.createDataFrame([(i, 7) for i in range(5)], "id long, cid long")
     r = similarity.ivf_cell_profile(onehot).collect()[0]
     assert (r["frac"], r["expected_scan_frac"]) == (1.0, 1.0)
+
+
+def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark, emb):
+    """Recall@5 must be non-decreasing in nprobe, and probing EVERY
+    cell is a full scan — recall exactly 1.0 by construction."""
+    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    ncells = cents.count()
+    q = emb.filter(F.col("vec_id") < 8)
+    rows = {
+        r["nprobe"]: r
+        for r in similarity.ivf_recall_curve(
+            emb, q, cents, k=5, nprobes=(1, 2, 4, ncells)
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4, ncells}
+    rec = [rows[p]["recall_at_k"] for p in sorted(rows)]
+    assert rec == sorted(rec)  # monotone in nprobe
+    assert rows[ncells]["recall_at_k"] == 1.0
+    assert rows[ncells]["n_hits"] == 5 * 8
+    assert all(r["n_queries"] == 8 for r in rows.values())
+
+
+def test_ivf_recall_curve_matches_ivf_topk_per_point(spark, emb):
+    """Each swept point must equal the recall computed independently
+    from ivf_topk at that nprobe — the shared-assignment explode is an
+    optimization, not a semantics change."""
+    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    curve = {
+        r["nprobe"]: r["n_hits"]
+        for r in similarity.ivf_recall_curve(
+            emb, q, cents, k=5, nprobes=(1, 3)
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    for np_ in (1, 3):
+        got = similarity.ivf_topk(emb, q, cents, k=5, nprobe=np_).collect()
+        hits = sum(1 for r in got if (r["query_id"], r["neighbor_id"]) in exact)
+        assert curve[np_] == hits
+
+
+def test_ivf_recall_curve_guards(spark, emb):
+    cents = emb.limit(4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="nprobes"):
+        similarity.ivf_recall_curve(emb, q, cents, nprobes=())
+    with pytest.raises(ValueError, match="nprobes"):
+        similarity.ivf_recall_curve(emb, q, cents, nprobes=(0, 2))
