@@ -78,6 +78,7 @@ HEADLINE = [
     "sample_weighted_documents",
     "shard_pack_documents",
     "referential_bloom_customer",
+    "kmv_overlap_orders",
     "bit_balance_documents",
     "categorical_drift_orders",
     "content_diff_orders",

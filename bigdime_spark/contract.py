@@ -3056,6 +3056,82 @@ FROM documents d LEFT JOIN per USING (doc_id)
 )
 
 
+def q_kmv_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-overlap sketch comparison (operators/kmv): the
+    set-INTERSECTION estimate HLL cannot give — full orders key set vs
+    its F-status slice (the raw-vs-curated cross-snapshot question at
+    kilobyte cost). Every number is a deterministic function of two
+    bottom-256 md5-hash arrays, so sketching AND estimation replay
+    value-exactly in DuckDB."""
+    from bigdime_spark.operators import kmv
+
+    o = _t(spark, sf_dir, "orders")
+    return kmv.kmv_overlap(
+        o, "o_orderkey", o.filter(F.col("o_orderstatus") == "F"), "o_orderkey",
+        k=256,
+    )
+
+
+_KMV_DIGITS = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (11 - i)}::BIGINT"
+    for i in range(12)
+)
+_KMV_SPACE = 16 ** 12
+
+SQL_KMV_OVERLAP = f"""
+WITH ha AS (
+  SELECT ({_KMV_DIGITS}) AS hv FROM (
+    SELECT DISTINCT md5(o_orderkey::VARCHAR || ':kmv') AS h FROM orders
+  ) ORDER BY 1 LIMIT 256
+),
+hb AS (
+  SELECT ({_KMV_DIGITS}) AS hv FROM (
+    SELECT DISTINCT md5(o_orderkey::VARCHAR || ':kmv') AS h
+    FROM orders WHERE o_orderstatus = 'F'
+  ) ORDER BY 1 LIMIT 256
+),
+sa AS (SELECT count(*) AS na, list(hv ORDER BY hv) AS la FROM ha),
+sb AS (SELECT count(*) AS nb, list(hv ORDER BY hv) AS lb FROM hb),
+m AS (
+  SELECT na, nb, la, lb,
+         CASE WHEN na < 256 THEN {_KMV_SPACE} ELSE la[256] END AS ta,
+         CASE WHEN nb < 256 THEN {_KMV_SPACE} ELSE lb[256] END AS tb
+  FROM sa, sb
+),
+u AS (
+  SELECT na, nb, la, lb,
+         CASE WHEN len(cov) > 256 THEN cov[1:256] ELSE cov END AS ul
+  FROM (
+    SELECT na, nb, la, lb,
+           list_filter(list_sort(list_distinct(la || lb)),
+                       x -> x <= least(ta, tb)) AS cov
+    FROM m
+  )
+),
+est AS (
+  SELECT
+    CASE WHEN na < 256 THEN na::DOUBLE
+         ELSE 255.0 * {_KMV_SPACE} / la[256] END AS n_a_est,
+    CASE WHEN nb < 256 THEN nb::DOUBLE
+         ELSE 255.0 * {_KMV_SPACE} / lb[256] END AS n_b_est,
+    CASE WHEN len(ul) < 256 THEN len(ul)::DOUBLE
+         ELSE 255.0 * {_KMV_SPACE} / ul[len(ul)] END AS union_est,
+    CASE WHEN len(ul) > 0
+         THEN len(list_filter(ul, x -> list_contains(la, x)
+                                   AND list_contains(lb, x)))::DOUBLE / len(ul)
+         ELSE 0.0 END AS rho
+  FROM u
+)
+SELECT CAST(256 AS BIGINT) AS k,
+       round(n_a_est, 4) AS n_a_est,
+       round(n_b_est, 4) AS n_b_est,
+       round(union_est, 4) AS union_est,
+       round(rho, 6) AS jaccard_est,
+       round(rho * union_est, 4) AS intersect_est
+FROM est
+"""
+
+
 # =====================================================================
 # Similarity search (embeddings table)
 # =====================================================================
@@ -5401,6 +5477,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "hot_grams_documents": QuerySpec(q_hot_grams_documents, SQL_HOT_GRAMS),
     "dup_gram_docs": QuerySpec(q_dup_gram_docs, SQL_DUP_GRAMS),
+    # KMV distinct-overlap sketches (C68)
+    "kmv_overlap_orders": QuerySpec(q_kmv_overlap_orders, SQL_KMV_OVERLAP),
     # exact-substring dedup spans (C67)
     "repeated_spans_documents": QuerySpec(
         q_repeated_spans_documents, SQL_REPEATED_SPANS

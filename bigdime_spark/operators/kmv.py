@@ -1,0 +1,177 @@
+"""KMV (k-minimum-values / bottom-k theta) distinct sketches with set
+OVERLAP estimation — the mergeable-sketch capability HLL cannot give.
+
+B6's HyperLogLog answers "how many distinct" and merges by max, but
+two HLLs cannot be INTERSECTED; the validation questions that need
+intersection — "what fraction of raw image_ids survived into
+curated?", "how much does this run's key set overlap last week's?" —
+otherwise require an exact join of both key sets (fine once,
+impossible as a standing cross-run check at 10^12 keys). A KMV
+sketch (Bar-Yossef et al. 2002; the bottom-k/theta-sketch family of
+Dasgupta et al. / Apache DataSketches) is a uniform hash sample of
+the DISTINCT values: the k smallest hash values. Because the k-min
+of a union is computable from the k-mins of the parts, sketches
+persist per run/snapshot and union/intersection/Jaccard are
+estimated later from two kilobyte-sized rows — zero rescans, the
+same persisted-state discipline as C18's cross-run drift.
+
+Determinism and oracle: the hash is the sampling convention's
+``conv(substr(md5(value ':' seed), 1, 12), 16, 10)`` — a 48-bit
+integer, bit-identical in DuckDB via the strpos digit expansion, so
+sketches AND every estimate derived from them are value-exact
+replayable in ANSI SQL (no RNG, no engine-dependent hash).
+
+Estimators (standard KMV):
+- distinct:  n̂ = (k−1) · SPACE / h_(k)  when the sketch is full,
+  the exact kept count when the column had < k distinct values
+  (the sketch then IS the distinct hash set);
+- union:     the k smallest of the merged hash sets is exactly the
+  union's KMV sketch → same estimator;
+- Jaccard:   ρ = |{h ∈ K(A∪B) : h ∈ K(A) ∧ h ∈ K(B)}| / |K(A∪B)|
+  is an unbiased Jaccard estimate (the union sketch is a uniform
+  distinct-sample of A∪B, membership in both sketches ⇔ membership
+  in A∩B for sampled values);
+- intersection: n̂_∩ = ρ · n̂_∪.
+
+Scale shape: the ONLY shuffle carries DISTINCT 48-bit hashes
+(map-side partial distinct first), then the k-min is a top-k
+(TakeOrderedAndProject: per-partition heap + driver merge of k
+rows) — never a global sort; the sketch row is bounded (k longs) by
+construction. Comparison is a crossJoin of two ONE-row frames —
+pure Column array arithmetic, no data motion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex chars of the md5 digest used (48-bit space): wide enough that
+#: the k smallest hashes of 10^12 distinct values collide with
+#: negligible probability, narrow enough that the DuckDB digit
+#: expansion stays in exact BIGINT arithmetic.
+KMV_HEX_CHARS = 12
+KMV_SPACE = 16 ** KMV_HEX_CHARS  # 2^48
+
+
+def kmv_hash(col: Column, seed: str = "kmv") -> Column:
+    """Uniform 48-bit integer in [0, 2^48) from (value, seed) —
+    the sampling convention's md5 truncation, two hex chars wider."""
+    rep = F.concat_ws(":", col.cast("string"), F.lit(seed))
+    return F.conv(F.substring(F.md5(rep), 1, KMV_HEX_CHARS), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, k: int = 256, seed: str = "kmv"
+) -> DataFrame:
+    """Bottom-k distinct sketch of ``col`` → ONE row
+    (k, n_kept, hashes array<long> ascending). NULLs are excluded
+    (no identity to count); ``n_kept < k`` means the sketch holds
+    EVERY distinct hash and estimates degrade to exact counts."""
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k must be >= 2, got {k}")
+    h = (
+        df.where(F.col(col).isNotNull())
+        .select(kmv_hash(F.col(col), seed).alias("_h"))
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+    )
+    return h.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sort_array(F.collect_list("_h")).alias("hashes"),
+    )
+
+
+def _distinct_est(k: Column, n_kept: Column, hashes: Column) -> Column:
+    """(k−1)·SPACE/h_(k) when full, exact n_kept when not."""
+    return F.when(
+        n_kept < k, n_kept.cast("double")
+    ).otherwise(
+        (k - F.lit(1)).cast("double")
+        * F.lit(float(KMV_SPACE))
+        / F.element_at(hashes, k.cast("int")).cast("double")
+    )
+
+
+def kmv_compare(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Set-overlap estimates from two persisted sketches → ONE row
+    (k, n_a_est, n_b_est, union_est, jaccard_est, intersect_est),
+    every value a deterministic function of the two hash arrays
+    (rounded to 4 decimals; jaccard 6). Sketches may carry different
+    ``k`` — the comparison truncates to the smaller (the k-min of a
+    union is only valid to the shallower sketch's depth)."""
+    a = sketch_a.select(
+        F.col("k").alias("_ka"),
+        F.col("n_kept").alias("_na"),
+        F.col("hashes").alias("_ha"),
+    )
+    b = sketch_b.select(
+        F.col("k").alias("_kb"),
+        F.col("n_kept").alias("_nb"),
+        F.col("hashes").alias("_hb"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    kk = F.least(F.col("_ka"), F.col("_kb"))
+    # the merged bottom-kk IS the union's KMV sketch — but only down
+    # to the depth BOTH sides fully cover: a saturated side is blind
+    # above its own max hash, so the union sketch must also stop
+    # there (standard theta-sketch "theta = min of the two maxima").
+    u_all = F.array_sort(F.array_union(F.col("_ha"), F.col("_hb")))
+    theta_a = F.when(
+        F.col("_na") < F.col("_ka"), F.lit(KMV_SPACE).cast("long")
+    ).otherwise(F.element_at(F.col("_ha"), F.col("_ka").cast("int")))
+    theta_b = F.when(
+        F.col("_nb") < F.col("_kb"), F.lit(KMV_SPACE).cast("long")
+    ).otherwise(F.element_at(F.col("_hb"), F.col("_kb").cast("int")))
+    theta = F.least(theta_a, theta_b)
+    covered = F.filter(u_all, lambda x: x <= theta)
+    u = F.when(F.size(covered) > kk.cast("int"), F.slice(covered, 1, kk.cast("int"))).otherwise(
+        covered
+    )
+    usz = F.size(u)
+    u_full = usz >= kk.cast("int")
+    union_est = F.when(~u_full, usz.cast("double")).otherwise(
+        (kk - F.lit(1)).cast("double")
+        * F.lit(float(KMV_SPACE))
+        / F.element_at(u, usz).cast("double")
+    )
+    n_inter = F.size(
+        F.filter(
+            u,
+            lambda x: F.array_contains(F.col("_ha"), x)
+            & F.array_contains(F.col("_hb"), x),
+        )
+    )
+    rho = F.when(usz > 0, n_inter.cast("double") / usz.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return j.select(
+        kk.alias("k"),
+        F.round(_distinct_est(F.col("_ka"), F.col("_na"), F.col("_ha")), 4).alias(
+            "n_a_est"
+        ),
+        F.round(_distinct_est(F.col("_kb"), F.col("_nb"), F.col("_hb")), 4).alias(
+            "n_b_est"
+        ),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(rho, 6).alias("jaccard_est"),
+        F.round(rho * union_est, 4).alias("intersect_est"),
+    )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Sketch both sides and compare in one call — the inline form of
+    the persist-then-compare cross-run workflow."""
+    return kmv_compare(
+        kmv_sketch(df_a, col_a, k=k, seed=seed),
+        kmv_sketch(df_b, col_b, k=k, seed=seed),
+    )
