@@ -79,6 +79,7 @@ HEADLINE = [
     "shard_pack_documents",
     "referential_bloom_customer",
     "kmv_overlap_orders",
+    "kmv_churn_orders",
     "bit_balance_documents",
     "categorical_drift_orders",
     "content_diff_orders",

@@ -3132,6 +3132,98 @@ FROM est
 """
 
 
+def q_kmv_churn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part cross-run key churn from KMV sketches (operators/kmv.
+    kmv_part_sketches + kmv_churn): full orders keys vs a
+    deterministic 75% slice, per o_orderpriority — the run-over-run
+    "how many keys appeared/vanished per partition" question at
+    sketch cost. The oracle replays per-part bottom-64 selection and
+    every estimator (theta truncation, union, rho, new/lost clamps)
+    in DuckDB."""
+    from bigdime_spark.operators import kmv
+
+    o = _t(spark, sf_dir, "orders")
+    prev = kmv.kmv_part_sketches(o, "o_orderpriority", "o_orderkey", k=64)
+    cur = kmv.kmv_part_sketches(
+        o.filter(F.col("o_orderkey") % 4 != 0), "o_orderpriority", "o_orderkey",
+        k=64,
+    )
+    return kmv.kmv_churn(prev, cur)
+
+
+SQL_KMV_CHURN = f"""
+WITH pa AS (
+  SELECT part, ({_KMV_DIGITS}) AS hv FROM (
+    SELECT DISTINCT o_orderpriority AS part,
+           md5(o_orderkey::VARCHAR || ':kmv') AS h
+    FROM orders)
+),
+pb AS (
+  SELECT part, ({_KMV_DIGITS}) AS hv FROM (
+    SELECT DISTINCT o_orderpriority AS part,
+           md5(o_orderkey::VARCHAR || ':kmv') AS h
+    FROM orders WHERE o_orderkey % 4 <> 0)
+),
+ka AS (
+  SELECT part, count(*) AS na, list(hv ORDER BY hv) AS la FROM (
+    SELECT part, hv,
+           row_number() OVER (PARTITION BY part ORDER BY hv) AS rn
+    FROM pa
+  ) WHERE rn <= 64 GROUP BY part
+),
+kb AS (
+  SELECT part, count(*) AS nb, list(hv ORDER BY hv) AS lb FROM (
+    SELECT part, hv,
+           row_number() OVER (PARTITION BY part ORDER BY hv) AS rn
+    FROM pb
+  ) WHERE rn <= 64 GROUP BY part
+),
+m AS (
+  SELECT coalesce(a.part, b.part) AS part,
+         coalesce(a.na, 0) AS na, coalesce(a.la, []::BIGINT[]) AS la,
+         coalesce(b.nb, 0) AS nb, coalesce(b.lb, []::BIGINT[]) AS lb
+  FROM ka a FULL JOIN kb b ON a.part = b.part
+),
+u AS (
+  SELECT part, na, la, nb, lb,
+         CASE WHEN len(cov) > 64 THEN cov[1:64] ELSE cov END AS ul
+  FROM (
+    SELECT part, na, la, nb, lb,
+           list_filter(list_sort(list_distinct(la || lb)),
+                       x -> x <= least(
+                         CASE WHEN na < 64 THEN {_KMV_SPACE} ELSE la[64] END,
+                         CASE WHEN nb < 64 THEN {_KMV_SPACE} ELSE lb[64] END)) AS cov
+    FROM m
+  )
+),
+est AS (
+  SELECT part,
+    CASE WHEN na < 64 THEN na::DOUBLE
+         ELSE 63.0 * {_KMV_SPACE} / la[64] END AS n_a_est,
+    CASE WHEN nb < 64 THEN nb::DOUBLE
+         ELSE 63.0 * {_KMV_SPACE} / lb[64] END AS n_b_est,
+    CASE WHEN len(ul) < 64 THEN len(ul)::DOUBLE
+         ELSE 63.0 * {_KMV_SPACE} / ul[len(ul)] END AS union_est,
+    CASE WHEN len(ul) > 0
+         THEN len(list_filter(ul, x -> list_contains(la, x)
+                                   AND list_contains(lb, x)))::DOUBLE / len(ul)
+         ELSE 0.0 END AS rho
+  FROM u
+)
+SELECT part, CAST(64 AS BIGINT) AS k,
+       round(n_a_est, 4) AS n_prev_est,
+       round(n_b_est, 4) AS n_cur_est,
+       round(union_est, 4) AS union_est,
+       round(rho, 6) AS jaccard_est,
+       round(rho * union_est, 4) AS intersect_est,
+       round(greatest(0.0, round(n_b_est, 4) - round(rho * union_est, 4)), 4)
+         AS new_est,
+       round(greatest(0.0, round(n_a_est, 4) - round(rho * union_est, 4)), 4)
+         AS lost_est
+FROM est
+"""
+
+
 # =====================================================================
 # Similarity search (embeddings table)
 # =====================================================================
@@ -5479,6 +5571,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dup_gram_docs": QuerySpec(q_dup_gram_docs, SQL_DUP_GRAMS),
     # KMV distinct-overlap sketches (C68)
     "kmv_overlap_orders": QuerySpec(q_kmv_overlap_orders, SQL_KMV_OVERLAP),
+    "kmv_churn_orders": QuerySpec(q_kmv_churn_orders, SQL_KMV_CHURN),
     # exact-substring dedup spans (C67)
     "repeated_spans_documents": QuerySpec(
         q_repeated_spans_documents, SQL_REPEATED_SPANS

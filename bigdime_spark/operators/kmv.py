@@ -43,7 +43,7 @@ pure Column array arithmetic, no data motion.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: hex chars of the md5 digest used (48-bit space): wide enough that
@@ -113,6 +113,13 @@ def kmv_compare(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         F.col("hashes").alias("_hb"),
     )
     j = a.crossJoin(F.broadcast(b))
+    return j.select(*_overlap_cols())
+
+
+def _overlap_cols() -> list[Column]:
+    """The estimator arithmetic over prepared (_ka,_na,_ha,_kb,_nb,
+    _hb) columns — shared by the single-sketch crossJoin compare and
+    the per-part churn join."""
     kk = F.least(F.col("_ka"), F.col("_kb"))
     # the merged bottom-kk IS the union's KMV sketch — but only down
     # to the depth BOTH sides fully cover: a saturated side is blind
@@ -147,7 +154,7 @@ def kmv_compare(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     rho = F.when(usz > 0, n_inter.cast("double") / usz.cast("double")).otherwise(
         F.lit(0.0)
     )
-    return j.select(
+    return [
         kk.alias("k"),
         F.round(_distinct_est(F.col("_ka"), F.col("_na"), F.col("_ha")), 4).alias(
             "n_a_est"
@@ -158,7 +165,7 @@ def kmv_compare(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         F.round(union_est, 4).alias("union_est"),
         F.round(rho, 6).alias("jaccard_est"),
         F.round(rho * union_est, 4).alias("intersect_est"),
-    )
+    ]
 
 
 def kmv_overlap(
@@ -174,4 +181,97 @@ def kmv_overlap(
     return kmv_compare(
         kmv_sketch(df_a, col_a, k=k, seed=seed),
         kmv_sketch(df_b, col_b, k=k, seed=seed),
+    )
+
+
+# ------------------------------------------------ per-part / cross-run
+
+def kmv_part_sketches(
+    df: DataFrame,
+    part_col: str,
+    col: str,
+    k: int = 256,
+    seed: str = "kmv",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-partition bottom-k sketches → (part, k, n_kept, hashes) —
+    the persistable run-stamp for cross-run key-churn (kmv_churn),
+    the same zero-rescan discipline as C18's persisted histograms.
+
+    Two-level bottom-k so one giant partition cannot serialize on a
+    single sort task: level 1 takes the k smallest per
+    (part, hash % salt_buckets) — disjoint value sets, so each
+    bucket's bottom-k is a superset of its members of the part-level
+    bottom-k (the global answer needs ≤ k values TOTAL, hence ≤ k
+    from any one bucket) — level 2 re-ranks the ≤ salt_buckets·k
+    survivors per part. Both windows ride the same hash-partitioned
+    exchange family as the C27 salted aggregations; the level-1 input
+    is the map-side-distinct (part, hash) relation, 8-byte values."""
+    if k < 2:
+        raise ValueError(f"kmv_part_sketches: k must be >= 2, got {k}")
+    d = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.col(part_col).alias("part"),
+            kmv_hash(F.col(col), seed).alias("_h"),
+        )
+        .distinct()
+    )
+    w1 = Window.partitionBy("part", F.col("_h") % salt_buckets).orderBy("_h")
+    lvl1 = d.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= k)
+    w2 = Window.partitionBy("part").orderBy("_h")
+    kept = lvl1.withColumn("_r2", F.row_number().over(w2)).filter(
+        F.col("_r2") <= k
+    )
+    return kept.groupBy("part").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sort_array(F.collect_list("_h")).alias("hashes"),
+    )
+
+
+def kmv_churn(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Per-part key-set churn between two persisted sketch frames →
+    (part, k, n_prev_est, n_cur_est, union_est, jaccard_est,
+    intersect_est, new_est, lost_est). FULL OUTER on part: a part
+    present in only one run still reports (its other side is the
+    empty sketch — estimates 0, churn = everything). ``new_est`` =
+    keys in cur but not prev, ``lost_est`` the reverse, both clamped
+    at 0 (the estimators are independently noisy)."""
+    p = prev.select(
+        F.col("part"),
+        F.col("k").alias("_pka"),
+        F.col("n_kept").alias("_pna"),
+        F.col("hashes").alias("_pha"),
+    )
+    c = cur.select(
+        F.col("part"),
+        F.col("k").alias("_pkb"),
+        F.col("n_kept").alias("_pnb"),
+        F.col("hashes").alias("_phb"),
+    )
+    j = p.join(c, "part", "full_outer").select(
+        "part",
+        F.coalesce(F.col("_pka"), F.col("_pkb")).alias("_ka"),
+        F.coalesce(F.col("_pna"), F.lit(0)).alias("_na"),
+        F.coalesce(F.col("_pha"), F.array().cast("array<long>")).alias("_ha"),
+        F.coalesce(F.col("_pkb"), F.col("_pka")).alias("_kb"),
+        F.coalesce(F.col("_pnb"), F.lit(0)).alias("_nb"),
+        F.coalesce(F.col("_phb"), F.array().cast("array<long>")).alias("_hb"),
+    )
+    out = j.select("part", *_overlap_cols())
+    return out.select(
+        "part",
+        "k",
+        F.col("n_a_est").alias("n_prev_est"),
+        F.col("n_b_est").alias("n_cur_est"),
+        "union_est",
+        "jaccard_est",
+        "intersect_est",
+        F.round(
+            F.greatest(F.lit(0.0), F.col("n_b_est") - F.col("intersect_est")), 4
+        ).alias("new_est"),
+        F.round(
+            F.greatest(F.lit(0.0), F.col("n_a_est") - F.col("intersect_est")), 4
+        ).alias("lost_est"),
     )

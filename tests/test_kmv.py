@@ -92,3 +92,73 @@ def test_sketch_plan_is_topk_not_global_sort(spark, orders):
     plan = _explain(kmv.kmv_sketch(orders, "o_orderkey", k=256))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+# ------------------------------------------------ per-part / cross-run
+
+def test_part_sketches_match_python_replay(spark, orders):
+    """The two-level (salted) bottom-k must equal a single-level
+    replay: per part, the k smallest distinct hashes."""
+    got = {
+        r["part"]: (r["n_kept"], list(r["hashes"]))
+        for r in kmv.kmv_part_sketches(
+            orders, "o_orderpriority", "o_orderkey", k=32, salt_buckets=4
+        ).collect()
+    }
+    rows = orders.select(
+        F.col("o_orderpriority").alias("part"),
+        kmv.kmv_hash(F.col("o_orderkey")).alias("h"),
+    ).collect()
+    ref: dict[str, set[int]] = {}
+    for r in rows:
+        ref.setdefault(r["part"], set()).add(r["h"])
+    for part, hashes in ref.items():
+        want = sorted(hashes)[:32]
+        assert got[part] == (len(want), want)
+
+
+def test_part_sketches_salt_bucket_invariance(spark, orders):
+    a = kmv.kmv_part_sketches(
+        orders, "o_orderpriority", "o_orderkey", k=16, salt_buckets=2
+    ).collect()
+    b = kmv.kmv_part_sketches(
+        orders, "o_orderpriority", "o_orderkey", k=16, salt_buckets=128
+    ).collect()
+    assert {r["part"]: r["hashes"] for r in a} == {
+        r["part"]: r["hashes"] for r in b
+    }
+
+
+def test_churn_subset_slice_loses_more_than_it_gains(spark, orders):
+    prev = kmv.kmv_part_sketches(orders, "o_orderpriority", "o_orderkey", k=64)
+    cur = kmv.kmv_part_sketches(
+        orders.filter(F.col("o_orderkey") % 4 != 0),
+        "o_orderpriority", "o_orderkey", k=64,
+    )
+    for r in kmv.kmv_churn(prev, cur).collect():
+        # a 75% subset: jaccard ≈ 0.75 (k=64 noise band), loss ≈ 25%
+        assert 0.55 < r["jaccard_est"] < 0.95, r
+        assert r["lost_est"] > r["new_est"], r
+        assert r["n_prev_est"] > r["n_cur_est"], r
+
+
+def test_churn_full_outer_reports_one_sided_parts(spark, orders):
+    prev = kmv.kmv_part_sketches(
+        orders.filter(F.col("o_orderpriority") != "5-LOW"),
+        "o_orderpriority", "o_orderkey", k=32,
+    )
+    cur = kmv.kmv_part_sketches(orders, "o_orderpriority", "o_orderkey", k=32)
+    rows = {r["part"]: r for r in kmv.kmv_churn(prev, cur).collect()}
+    low = rows["5-LOW"]  # present only in cur: everything is new
+    assert low["n_prev_est"] == 0.0 and low["jaccard_est"] == 0.0
+    assert low["new_est"] == low["n_cur_est"] > 0
+    assert low["lost_est"] == 0.0
+
+
+def test_part_sketches_plan_no_single_partition(spark, orders):
+    plan = _explain(
+        kmv.kmv_part_sketches(orders, "o_orderpriority", "o_orderkey", k=32)
+    )
+    assert "SinglePartition" not in plan
+    with pytest.raises(ValueError, match="k must be"):
+        kmv.kmv_part_sketches(orders, "o_orderpriority", "o_orderkey", k=1)
