@@ -60,6 +60,15 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--run-id", default=None)
     r.add_argument("--no-resume", action="store_true")
     r.add_argument(
+        "--kmv-keys",
+        default=None,
+        help="comma-separated key columns to stamp per-part KMV "
+        "distinct sketches for (written run_id-stamped to <out>/kmv; "
+        "feed an accumulated union to `history --kmv` for cross-run "
+        "key churn)",
+    )
+    r.add_argument("--kmv-k", type=int, default=256)
+    r.add_argument(
         "--parts",
         default=None,
         help="comma-separated partition values: validate ONLY these "
@@ -596,6 +605,21 @@ def _build_parser() -> argparse.ArgumentParser:
         "of many runs' <out>/schema): cross-run SCHEMA evolution — "
         "columns dropped / retyped / flapping fail (exit 1), added / "
         "reordered are reported; mutually exclusive with --verdicts",
+    )
+    hi.add_argument(
+        "--kmv",
+        default=None,
+        help="dir/glob of run_id-stamped KMV sketch frames (union of "
+        "many runs' <out>/kmv): latest-vs-previous key churn per "
+        "(column, part) — new/lost key estimates at sketch cost; "
+        "mutually exclusive with --verdicts/--schemas",
+    )
+    hi.add_argument(
+        "--max-lost-frac",
+        type=float,
+        default=None,
+        help="with --kmv: exit 1 when any part's lost_est exceeds "
+        "this fraction of its previous distinct estimate",
     )
     hi.add_argument(
         "--max-rows",
@@ -1463,13 +1487,68 @@ def main(argv: list[str] | None = None) -> int:
 
         from bigdime_spark.plans.lineage import verdict_history
 
-        if (args.verdicts is None) == (args.schemas is None):
+        n_modes = sum(
+            x is not None for x in (args.verdicts, args.schemas, args.kmv)
+        )
+        if n_modes != 1:
             print(
-                "history: pass exactly one of --verdicts or --schemas",
+                "history: pass exactly one of --verdicts, --schemas or --kmv",
                 file=sys.stderr,
             )
             return 2
         spark = get_spark("bigdime-history", master=args.master)
+        if args.kmv is not None:
+            from bigdime_spark.operators.kmv import kmv_run_churn
+
+            try:
+                churn = kmv_run_churn(read_table(spark, args.kmv)).persist()
+                # churn is (columns x parts) rows — metadata-sized at any
+                # corpus size (the sketches bound it by construction), but
+                # stdout still only carries the worst movers
+                worst = (
+                    churn.orderBy(
+                        F.desc("lost_est"), F.desc("new_est"), "column", "part"
+                    )
+                    .limit(args.max_rows)
+                    .collect()
+                )
+                gate_hit = (
+                    args.max_lost_frac is not None
+                    and churn.filter(
+                        (F.col("n_prev_est") > 0)
+                        & (
+                            F.col("lost_est")
+                            > args.max_lost_frac * F.col("n_prev_est")
+                        )
+                    ).limit(1).count()
+                    > 0
+                )
+                churn.unpersist()
+            except ValueError as e:
+                print(f"history: {e}", file=sys.stderr)
+                return 2
+            print(
+                json.dumps(
+                    {
+                        "cmd": "history",
+                        "mode": "kmv",
+                        "worst": [
+                            {
+                                "column": r["column"],
+                                "part": r["part"],
+                                "k": r["k"],
+                                "n_prev_est": r["n_prev_est"],
+                                "n_cur_est": r["n_cur_est"],
+                                "jaccard_est": r["jaccard_est"],
+                                "new_est": r["new_est"],
+                                "lost_est": r["lost_est"],
+                            }
+                            for r in worst
+                        ],
+                    }
+                )
+            )
+            return 1 if gate_hit else 0
         if args.schemas is not None:
             from bigdime_spark.schema import SCHEMA_BREAKING, schema_history
 
@@ -2327,6 +2406,23 @@ def main(argv: list[str] | None = None) -> int:
         f"{args.out}/schema",
         partition_by=None,
     )
+    if args.kmv_keys:
+        # per-part bottom-k key sketches (C68): run_id-stamped so many
+        # runs' frames union into the `history --kmv` churn shape
+        from bigdime_spark.operators.kmv import kmv_stamp
+
+        try:
+            stamped = kmv_stamp(
+                raw, "part", tuple(args.kmv_keys.split(",")), k=args.kmv_k
+            )
+        except ValueError as exc:
+            print(f"run: {exc}", file=sys.stderr)
+            return 2
+        write_table(
+            stamped.withColumn("run_id", F.lit(res.run_id)),
+            f"{args.out}/kmv",
+            partition_by=None,
+        )
 
     # one row per partition can be 10^6+ at scale — the four summary
     # numbers are a single aggregate, never a full-frame collect

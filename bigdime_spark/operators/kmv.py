@@ -230,28 +230,31 @@ def kmv_part_sketches(
     )
 
 
-def kmv_churn(prev: DataFrame, cur: DataFrame) -> DataFrame:
+def kmv_churn(
+    prev: DataFrame, cur: DataFrame, join_cols: tuple[str, ...] = ("part",)
+) -> DataFrame:
     """Per-part key-set churn between two persisted sketch frames →
-    (part, k, n_prev_est, n_cur_est, union_est, jaccard_est,
-    intersect_est, new_est, lost_est). FULL OUTER on part: a part
-    present in only one run still reports (its other side is the
+    (*join_cols, k, n_prev_est, n_cur_est, union_est, jaccard_est,
+    intersect_est, new_est, lost_est). FULL OUTER on ``join_cols``: a
+    part present in only one run still reports (its other side is the
     empty sketch — estimates 0, churn = everything). ``new_est`` =
     keys in cur but not prev, ``lost_est`` the reverse, both clamped
     at 0 (the estimators are independently noisy)."""
+    jc = list(join_cols)
     p = prev.select(
-        F.col("part"),
+        *jc,
         F.col("k").alias("_pka"),
         F.col("n_kept").alias("_pna"),
         F.col("hashes").alias("_pha"),
     )
     c = cur.select(
-        F.col("part"),
+        *jc,
         F.col("k").alias("_pkb"),
         F.col("n_kept").alias("_pnb"),
         F.col("hashes").alias("_phb"),
     )
-    j = p.join(c, "part", "full_outer").select(
-        "part",
+    j = p.join(c, jc, "full_outer").select(
+        *jc,
         F.coalesce(F.col("_pka"), F.col("_pkb")).alias("_ka"),
         F.coalesce(F.col("_pna"), F.lit(0)).alias("_na"),
         F.coalesce(F.col("_pha"), F.array().cast("array<long>")).alias("_ha"),
@@ -259,9 +262,9 @@ def kmv_churn(prev: DataFrame, cur: DataFrame) -> DataFrame:
         F.coalesce(F.col("_pnb"), F.lit(0)).alias("_nb"),
         F.coalesce(F.col("_phb"), F.array().cast("array<long>")).alias("_hb"),
     )
-    out = j.select("part", *_overlap_cols())
+    out = j.select(*jc, *_overlap_cols())
     return out.select(
-        "part",
+        *jc,
         "k",
         F.col("n_a_est").alias("n_prev_est"),
         F.col("n_b_est").alias("n_cur_est"),
@@ -275,3 +278,43 @@ def kmv_churn(prev: DataFrame, cur: DataFrame) -> DataFrame:
             F.greatest(F.lit(0.0), F.col("n_a_est") - F.col("intersect_est")), 4
         ).alias("lost_est"),
     )
+
+
+def kmv_stamp(
+    df: DataFrame,
+    part_col: str,
+    cols: tuple[str, ...],
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Multi-column per-part sketch frame for persistence →
+    (column, part, k, n_kept, hashes) — the run-stamp shape the CLI
+    writes (run_id added by the caller) so many runs' frames union
+    into the `history --kmv` churn input."""
+    if not cols:
+        raise ValueError("kmv_stamp: cols must be non-empty")
+    out = None
+    for c in cols:
+        sk = kmv_part_sketches(df, part_col, c, k=k, seed=seed).select(
+            F.lit(c).alias("column"), "part", "k", "n_kept", "hashes"
+        )
+        out = sk if out is None else out.unionByName(sk)
+    return out
+
+
+def kmv_run_churn(stamped: DataFrame) -> DataFrame:
+    """Latest-vs-previous key churn from an accumulated run_id-stamped
+    sketch table (union of many runs' `<out>/kmv`) → kmv_churn rows
+    per (column, part). Runs are ordered by run_id ascending — the
+    same convention as the trend/history families; needs ≥ 2 runs.
+    The run-id listing is a bounded collect (#runs rows)."""
+    runs = sorted(
+        r["run_id"] for r in stamped.select("run_id").distinct().collect()
+    )
+    if len(runs) < 2:
+        raise ValueError(
+            f"kmv_run_churn: needs >= 2 runs, found {len(runs)}"
+        )
+    prev = stamped.filter(F.col("run_id") == runs[-2]).drop("run_id")
+    cur = stamped.filter(F.col("run_id") == runs[-1]).drop("run_id")
+    return kmv_churn(prev, cur, join_cols=("column", "part"))

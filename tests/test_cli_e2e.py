@@ -648,3 +648,72 @@ def test_ann_cli_ivfpq_mode(spark, tmp_path_factory, capsys):
     # nprobe == train-k probes EVERY cell and refine covers the
     # corpus: nothing is pruned anywhere, recall must be exactly 1.0
     assert summary["recall_at_k"] == 1.0
+
+
+def test_run_kmv_keys_and_history_kmv_gate(spark, tmp_path_factory, capsys):
+    """`run --kmv-keys` stamps per-part bottom-k key sketches to
+    <out>/kmv; the union of two runs feeds `history --kmv`, whose
+    --max-lost-frac gate trips when run 2 dropped most of a part's
+    keys. Mode exclusivity exits 2."""
+    fx = str(tmp_path_factory.mktemp("kmvfx"))
+    d = tmp_path_factory.mktemp("kmvout")
+    rc, _, _ = _run_cli(
+        capsys, ["synth", "--rows", "128", "--parts", "4", "--out", fx]
+    )
+    assert rc == 0
+    rc, _, _ = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw", "--out", f"{d}/o1",
+         "--run-id", "r0001", "--kmv-keys", "image_id,caption",
+         "--kmv-k", "32"],
+    )
+    assert rc == 0
+    s1 = spark.read.parquet(f"{d}/o1/kmv")
+    assert {r["run_id"] for r in s1.select("run_id").distinct().collect()} \
+        == {"r0001"}
+    assert {r["column"] for r in s1.select("column").distinct().collect()} \
+        == {"image_id", "caption"}
+
+    # run 2 on a raw that lost 3 of every 4 image_ids in EVERY part
+    # (part = i % 4, so the i%16<4 slice keeps exactly one key in
+    # four per part rather than one whole part)
+    raw2 = spark.read.parquet(f"{fx}/raw").filter(
+        F.substring("image_id", 13, 4).cast("int") % 16 < 4
+    )
+    raw2.write.parquet(f"{fx}/raw2")
+    rc, _, _ = _run_cli(
+        capsys,
+        ["run", "--raw", f"{fx}/raw2", "--out", f"{d}/o2",
+         "--run-id", "r0002", "--kmv-keys", "image_id", "--kmv-k", "32"],
+    )
+    assert rc == 0
+    s1.filter(F.col("column") == "image_id").unionByName(
+        spark.read.parquet(f"{d}/o2/kmv")
+    ).write.parquet(f"{d}/hist")
+
+    rc, out, _ = _run_cli(capsys, ["history", "--kmv", f"{d}/hist"])
+    assert rc == 0 and out["mode"] == "kmv"
+    assert len(out["worst"]) == 4  # one row per part, single column
+    for r in out["worst"]:
+        assert r["column"] == "image_id"
+        assert r["lost_est"] > r["new_est"]
+        assert r["n_prev_est"] > r["n_cur_est"]
+
+    rc, _, _ = _run_cli(
+        capsys,
+        ["history", "--kmv", f"{d}/hist", "--max-lost-frac", "0.5"],
+    )
+    assert rc == 1  # ~75% of keys lost per part > 0.5
+    rc, _, _ = _run_cli(
+        capsys,
+        ["history", "--kmv", f"{d}/hist", "--max-lost-frac", "0.95"],
+    )
+    assert rc == 0
+    rc, _, err = _run_cli(
+        capsys,
+        ["history", "--kmv", f"{d}/hist", "--verdicts", f"{d}/o1/verdicts"],
+    )
+    assert rc == 2 and "exactly one" in err
+    # a single run cannot churn → operator-error contract, exit 2
+    rc, _, err = _run_cli(capsys, ["history", "--kmv", f"{d}/o1/kmv"])
+    assert rc == 2 and ">= 2 runs" in err

@@ -162,3 +162,39 @@ def test_part_sketches_plan_no_single_partition(spark, orders):
     assert "SinglePartition" not in plan
     with pytest.raises(ValueError, match="k must be"):
         kmv.kmv_part_sketches(orders, "o_orderpriority", "o_orderkey", k=1)
+
+
+def test_stamp_multi_column_shape(spark, orders):
+    """kmv_stamp = one kmv_part_sketches frame per column, tagged —
+    each column slice must equal its standalone sketch frame."""
+    st = kmv.kmv_stamp(
+        orders, "o_orderpriority", ("o_orderkey", "o_custkey"), k=16
+    )
+    assert st.columns == ["column", "part", "k", "n_kept", "hashes"]
+    got = {
+        (r["column"], r["part"]): list(r["hashes"]) for r in st.collect()
+    }
+    for c in ("o_orderkey", "o_custkey"):
+        solo = kmv.kmv_part_sketches(orders, "o_orderpriority", c, k=16)
+        for r in solo.collect():
+            assert got[(c, r["part"])] == list(r["hashes"])
+    with pytest.raises(ValueError, match="non-empty"):
+        kmv.kmv_stamp(orders, "o_orderpriority", ())
+
+
+def test_run_churn_compares_latest_two_runs_only(spark, orders):
+    """Three stamped runs where r0001 is wildly different: churn must
+    compare r0002 vs r0003 (identical inputs → zero churn), proving
+    the latest-two selection ignores older runs."""
+    noise = kmv.kmv_stamp(
+        orders.limit(50), "o_orderpriority", ("o_orderkey",), k=32
+    ).withColumn("run_id", F.lit("r0001"))
+    full = kmv.kmv_stamp(orders, "o_orderpriority", ("o_orderkey",), k=32)
+    acc = noise.unionByName(
+        full.withColumn("run_id", F.lit("r0002"))
+    ).unionByName(full.withColumn("run_id", F.lit("r0003")))
+    for r in kmv.kmv_run_churn(acc).collect():
+        assert r["jaccard_est"] == 1.0, r
+        assert r["new_est"] == 0.0 == r["lost_est"], r
+    with pytest.raises(ValueError, match=">= 2 runs"):
+        kmv.kmv_run_churn(full.withColumn("run_id", F.lit("only")))
