@@ -100,6 +100,7 @@ HEADLINE = [
     "metric_ewma_orders",
     "metric_cusum_orders",
     "compliance_events",
+    "slice_lift_events",
     "suggest_constraints_orders",
     "dedup_containment",
     "dedup_consensus",

@@ -5458,6 +5458,57 @@ FROM rules
 """
 
 
+def q_slice_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation-slice lift (operators/slices.violation_slices, C69):
+    which value segments concentrate a failing predicate. Predicate =
+    value > 150 (the tail of the events value distribution), sliced
+    by event_type, a derived user shard (user_id % 8), and their
+    pair — single dims AND the pair dim exercise the one-scan
+    explode+agg path; lift arithmetic (slice rate / global rate) is
+    replayed exactly in SQL."""
+    from bigdime_spark.operators.slices import violation_slices
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 8).alias("user_shard"),
+        "value",
+    )
+    return violation_slices(
+        e,
+        F.col("value") > 150,
+        ["event_type", "user_shard"],
+        include_pairs=True,
+    )
+
+
+SQL_SLICE_LIFT = """
+WITH base AS (
+  SELECT event_type,
+         CAST(user_id % 8 AS VARCHAR) AS user_shard,
+         CASE WHEN value > 150 THEN 1 ELSE 0 END AS v
+  FROM events
+), g AS (
+  SELECT count(*) AS gn, sum(v) AS gv FROM base
+), slices AS (
+  SELECT 'event_type' AS dim, event_type AS value, count(*) AS n, sum(v) AS nv
+  FROM base GROUP BY 2
+  UNION ALL
+  SELECT 'user_shard', user_shard, count(*), sum(v) FROM base GROUP BY 2
+  UNION ALL
+  SELECT 'event_type×user_shard',
+         concat_ws('|', coalesce(event_type, '∅'), coalesce(user_shard, '∅')),
+         count(*), sum(v)
+  FROM base GROUP BY 2
+)
+SELECT dim, value, n, CAST(nv AS BIGINT) AS n_viol,
+       round(nv::DOUBLE / n, 6) AS viol_rate,
+       round(gv::DOUBLE / gn, 6) AS global_rate,
+       CASE WHEN gv > 0
+            THEN round((nv::DOUBLE / n) / (gv::DOUBLE / gn), 6) END AS lift
+FROM slices, g
+"""
+
+
 # =====================================================================
 # registry / driver surface
 # =====================================================================
@@ -5637,6 +5688,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_suggest_constraints_orders, SQL_SUGGEST
     ),
     # flagship suite
+    "slice_lift_events": QuerySpec(q_slice_lift_events, SQL_SLICE_LIFT),
     "suite_verdicts_lineitem": QuerySpec(q_suite_verdicts_lineitem, SQL_SUITE_VERDICTS),
 }
 
