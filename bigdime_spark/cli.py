@@ -69,6 +69,31 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     r.add_argument("--kmv-k", type=int, default=256)
     r.add_argument(
+        "--slice-dims",
+        default=None,
+        help="comma-separated categorical columns to triage violations "
+        "by (operators/slices.violation_slices, C69): writes per-value "
+        "(n, n_viol, viol_rate, global_rate, lift) run_id-stamped to "
+        "<out>/slices and puts the highest-lift segment in the summary "
+        "as slice_top — 'violations concentrate in fmt=webp at 11x'. "
+        "A triage OUTPUT like --kmv-keys, not suite shape, so it "
+        "composes with --config. At 10^12-row scale pair it with "
+        "--topk-violations: the violating-id set is broadcast back "
+        "onto the corpus",
+    )
+    r.add_argument(
+        "--slice-pairs",
+        action="store_true",
+        help="also emit dimension-PAIR slices (dim 'a×b') for "
+        "--slice-dims",
+    )
+    r.add_argument(
+        "--slice-min-support",
+        type=int,
+        default=1,
+        help="prune slices with fewer rows than this (default 1)",
+    )
+    r.add_argument(
         "--parts",
         default=None,
         help="comma-separated partition values: validate ONLY these "
@@ -2272,7 +2297,21 @@ def main(argv: list[str] | None = None) -> int:
         if manifest is not None:
             manifest = manifest.filter(F.col("part").isin(sel))
     extra_tcs: list = []
+    slice_dims: list[str] = []
     try:
+        if args.slice_dims is not None:
+            slice_dims = [c.strip() for c in args.slice_dims.split(",") if c.strip()]
+            if not slice_dims:
+                raise ValueError("--slice-dims: no columns given")
+            missing = [d for d in slice_dims if d not in raw.columns]
+            if missing:
+                raise ValueError(
+                    f"--slice-dims: not in the raw schema: {', '.join(missing)}"
+                )
+            if args.slice_min_support < 1:
+                raise ValueError(
+                    f"--slice-min-support must be >= 1, got {args.slice_min_support}"
+                )
         if not 0.0 < args.decode_sample <= 1.0:
             raise ValueError(
                 f"--decode-sample: rate must be in (0, 1], got {args.decode_sample}"
@@ -2436,6 +2475,52 @@ def main(argv: list[str] | None = None) -> int:
     n_failed = summary["n_failed"]
     n_violations = res.violations.count()
 
+    # violation-slice triage (C69): WHICH value segments concentrate
+    # the run's row violations. The violating-id set is bounded
+    # (--topk-violations at scale) and broadcast back onto the raw
+    # snapshot, so the corpus never shuffles; the slices frame is
+    # metadata-scale (Σ dim cardinalities) and persisted only across
+    # its write + the 1-row top-lift collect.
+    slice_top = None
+    if slice_dims:
+        from bigdime_spark.operators.slices import violation_slices
+
+        viol_ids = (
+            res.violations.filter(F.col("image_id").isNotNull())
+            .select("image_id")
+            .distinct()
+            .withColumn("_viol", F.lit(True))
+        )
+        flagged = raw.join(F.broadcast(viol_ids), "image_id", "left")
+        slices = violation_slices(
+            flagged,
+            F.col("_viol"),
+            slice_dims,
+            min_support=args.slice_min_support,
+            include_pairs=args.slice_pairs,
+        ).persist()
+        write_table(
+            slices.withColumn("run_id", F.lit(res.run_id)),
+            f"{args.out}/slices",
+            partition_by=None,
+        )
+        top = (
+            slices.filter(F.col("lift").isNotNull())
+            .orderBy(
+                F.desc("lift"), F.desc("n_viol"), F.asc("dim"), F.asc("value")
+            )
+            .limit(1)
+            .collect()
+        )
+        slices.unpersist()
+        if top:
+            slice_top = {
+                "dim": top[0]["dim"],
+                "value": top[0]["value"],
+                "lift": top[0]["lift"],
+                "n_viol": top[0]["n_viol"],
+            }
+
     # reference lifecycle parity: a FAILED validation quarantines the
     # offending input unit [PK, SURVEY A10/A14]. The engine's analogue
     # is a machine-readable quarantine manifest — one row per failed
@@ -2465,6 +2550,7 @@ def main(argv: list[str] | None = None) -> int:
                 "violations": n_violations,
                 "schema_mismatches": len(res.schema_violations),
                 "parts_quarantined": quarantined,
+                **({"slice_top": slice_top} if slice_dims else {}),
                 "images_per_sec": round(rows_scanned / wall, 1) if wall > 0 else None,
                 "wall_sec": round(wall, 2),
             }
