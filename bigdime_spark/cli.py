@@ -437,6 +437,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "KS/PSI per column (fixed-bin counts are additive across "
         "parts) instead of per-part scores",
     )
+    dr.add_argument(
+        "--buckets-out",
+        default=None,
+        help="also write the bucket-level contribution frame "
+        "(operators/drift.drift_contributions_from_stats, C70) to "
+        "this dir — WHICH value ranges drive each score, with rank "
+        "— and put each failing (part, column)'s worst bucket in "
+        "the JSON scores as bucket_top. Still zero rescans: the "
+        "triage reads the same persisted arrays. Incompatible with "
+        "--table-level (bounds come from the per-part spec rows)",
+    )
     dr.add_argument("--master", default=None)
 
     ed = sub.add_parser(
@@ -1103,13 +1114,41 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "drift":
         from bigdime_spark.operators.drift import KS_ALPHA_COEFF, PSI_FAIL, drift_from_stats  # noqa: F401
 
+        if args.buckets_out and args.table_level:
+            print(
+                "drift: --buckets-out is per-part triage — it cannot "
+                "combine with --table-level",
+                file=sys.stderr,
+            )
+            return 2
         spark = get_spark("bigdime-drift", master=args.master)
         try:
-            scores = drift_from_stats(
-                _collapse_streaming_sink(spark.read.parquet(args.stats_a)),
-                _collapse_streaming_sink(spark.read.parquet(args.stats_b)),
-                table_level=args.table_level,
-            )
+            stats_a = _collapse_streaming_sink(spark.read.parquet(args.stats_a))
+            stats_b = _collapse_streaming_sink(spark.read.parquet(args.stats_b))
+            scores = drift_from_stats(stats_a, stats_b, table_level=args.table_level)
+            bucket_top: dict[tuple, dict] = {}
+            if args.buckets_out:
+                from bigdime_spark.operators.drift import (
+                    drift_contributions_from_stats,
+                    top_drift_buckets,
+                )
+                from bigdime_spark.sources.tables import write_table
+
+                from pyspark.sql import functions as F
+
+                contrib = drift_contributions_from_stats(stats_a, stats_b)
+                ranked = top_drift_buckets(contrib, k=1_000_000)
+                write_table(ranked, args.buckets_out, partition_by=None)
+                # worst bucket per (part, column): bounded parts×columns
+                for r in ranked.filter(F.col("rank") == 1).collect():
+                    bucket_top[(r["part"], r["column"])] = {
+                        "bucket": r["bucket"],
+                        "lo": r["lo"],
+                        "hi": r["hi"],
+                        "share_r": round(r["share_r"], 6),
+                        "share_c": round(r["share_c"], 6),
+                        "psi_term": round(r["psi_term"], 6),
+                    }
         except ValueError as e:
             # spec mismatch / duplicate per-part rows — operator error,
             # not a crash: clean message + exit 2 (same contract as the
@@ -1128,6 +1167,11 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 "psi": round(r["psi"], 6) if r["psi"] is not None else None,
                 "psi_fail": None if r["psi"] is None else bool(r["psi"] >= PSI_FAIL),
+                **(
+                    {"bucket_top": bucket_top.get((r["part"], r["column"]))}
+                    if args.buckets_out
+                    else {}
+                ),
             }
             for r in scores.collect()  # tiny: parts × columns rows
         ]

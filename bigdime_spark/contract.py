@@ -1490,6 +1490,121 @@ SQL_DRIFT_W1_JS = _drift_w1_js_sql(
 )
 
 
+def q_drift_buckets_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-level drift triage (round-5, C70): WHICH value ranges
+    drive the KS/PSI score — per observed bucket, value bounds, both
+    shares, and each measure's per-bucket summand, out of the SAME
+    melted-histogram join the aggregate scorer folds
+    (operators/drift.drift_contributions). The oracle replays the
+    join, the window intermediates, the value-bound arithmetic and
+    the ranking bucket by bucket; additivity back to the aggregate
+    scores is pytest-asserted."""
+    from bigdime_spark.operators.drift import drift_contributions, top_drift_buckets
+
+    li = _t(spark, sf_dir, "lineitem")
+    spec = DriftColumn("l_extendedprice", 900.0, 105000.0, 16)
+    raw = li.filter(F.col("l_returnflag") == "R").withColumn("part", F.lit("*"))
+    cur = li.filter(F.col("l_returnflag") == "N").withColumn("part", F.lit("*"))
+    contrib = drift_contributions(raw, cur, (spec,))
+    return top_drift_buckets(contrib, k=1_000_000).select(
+        "bucket",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "cnt_r",
+        "cnt_c",
+        F.round("share_r", 6).alias("share_r"),
+        F.round("share_c", 6).alias("share_c"),
+        F.round("delta_share", 6).alias("delta_share"),
+        F.round("ecdf_gap", 6).alias("ecdf_gap"),
+        F.round("psi_term", 6).alias("psi_term"),
+        F.round("js_term", 6).alias("js_term"),
+        "rank",
+    )
+
+
+def _drift_buckets_sql(
+    source_sql_r: str, source_sql_c: str, col: str, lo: float, hi: float, nbins: int
+) -> str:
+    """SQL mirror of drift_contributions + top_drift_buckets for one
+    logical partition: same bucket formula, full-outer join, window
+    intermediates, ε-smoothing, value-bound arithmetic (identical
+    literal width so the float ops replay bit-exactly) and rank
+    ordering as the engine."""
+    eps = 1.0e-6
+    width = (hi - lo) / nbins
+    bucket = (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN {col} < {lo} THEN 0 "
+        f"WHEN {col} >= {hi} THEN {nbins + 1} "
+        f"ELSE CAST(floor(({col} - {lo}) / {hi - lo} * {nbins}) + 1 AS INT) END"
+    )
+    return f"""
+WITH hr AS (
+  SELECT bucket, count(*) AS cnt_r FROM (
+    SELECT {bucket} AS bucket FROM ({source_sql_r})
+  ) WHERE bucket IS NOT NULL GROUP BY 1
+), hc AS (
+  SELECT bucket, count(*) AS cnt_c FROM (
+    SELECT {bucket} AS bucket FROM ({source_sql_c})
+  ) WHERE bucket IS NOT NULL GROUP BY 1
+), joined AS (
+  SELECT COALESCE(hr.bucket, hc.bucket) AS bucket,
+         COALESCE(cnt_r, 0) AS cnt_r,
+         COALESCE(cnt_c, 0) AS cnt_c
+  FROM hr FULL OUTER JOIN hc ON hr.bucket = hc.bucket
+), scored AS (
+  SELECT bucket, cnt_r, cnt_c,
+         sum(cnt_r) OVER () AS n,
+         sum(cnt_c) OVER () AS m,
+         (sum(cnt_r) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / (sum(cnt_r) OVER ()) AS ecdf_r,
+         (sum(cnt_c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / (sum(cnt_c) OVER ()) AS ecdf_c,
+         (cnt_r + {eps}) / (sum(cnt_r) OVER () + {eps} * {nbins + 2}) AS p,
+         (cnt_c + {eps}) / (sum(cnt_c) OVER () + {eps} * {nbins + 2}) AS q,
+         cnt_r::DOUBLE / (sum(cnt_r) OVER ()) AS pr,
+         cnt_c::DOUBLE / (sum(cnt_c) OVER ()) AS qr
+  FROM joined
+), contrib AS (
+  SELECT bucket,
+         CASE WHEN bucket = 0 THEN NULL
+              ELSE {lo!r} + (bucket - 1) * {width!r} END AS lo,
+         CASE WHEN bucket = {nbins + 1} THEN NULL
+              ELSE {lo!r} + bucket * {width!r} END AS hi,
+         cnt_r, cnt_c,
+         pr AS share_r,
+         qr AS share_c,
+         qr - pr AS delta_share,
+         abs(ecdf_r - ecdf_c) AS ecdf_gap,
+         (p - q) * ln(p / q) AS psi_term,
+         (CASE WHEN pr > 0 THEN pr * log2(pr / ((pr + qr) / 2)) ELSE 0 END
+        + CASE WHEN qr > 0 THEN qr * log2(qr / ((pr + qr) / 2)) ELSE 0 END
+         ) / 2 AS js_term
+  FROM scored
+)
+SELECT bucket, round(lo, 6) AS lo, round(hi, 6) AS hi, cnt_r, cnt_c,
+       round(share_r, 6) AS share_r, round(share_c, 6) AS share_c,
+       round(delta_share, 6) AS delta_share,
+       round(ecdf_gap, 6) AS ecdf_gap,
+       round(psi_term, 6) AS psi_term,
+       round(js_term, 6) AS js_term,
+       row_number() OVER (
+         ORDER BY abs(psi_term) DESC, ecdf_gap DESC, bucket ASC
+       )::INT AS rank
+FROM contrib
+"""
+
+
+SQL_DRIFT_BUCKETS = _drift_buckets_sql(
+    "SELECT l_extendedprice FROM lineitem WHERE l_returnflag = 'R'",
+    "SELECT l_extendedprice FROM lineitem WHERE l_returnflag = 'N'",
+    "l_extendedprice",
+    900.0,
+    105000.0,
+    16,
+)
+
+
 def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     spec = DriftColumn("value", 0.0, 100.0, 20)
@@ -5559,6 +5674,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "type_conformance_orders": QuerySpec(q_type_conformance_orders, SQL_TYPE_CONFORMANCE),
     "checksum_lineitem": QuerySpec(q_checksum_lineitem, SQL_CHECKSUM),
     "drift_w1_js_extendedprice": QuerySpec(q_drift_w1_js_extendedprice, SQL_DRIFT_W1_JS),
+    "drift_buckets_extendedprice": QuerySpec(
+        q_drift_buckets_extendedprice, SQL_DRIFT_BUCKETS
+    ),
     # drift (B18/B19)
     "drift_extendedprice": QuerySpec(q_drift_extendedprice, SQL_DRIFT_EXTENDEDPRICE),
     "drift_events_value": QuerySpec(q_drift_events_value, SQL_DRIFT_EVENTS),

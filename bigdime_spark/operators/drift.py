@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdime_spark.functions.histograms import bucket_col
@@ -295,6 +295,32 @@ def _score_histograms(hr: DataFrame, hc: DataFrame) -> DataFrame:
       0·log 0 = 0 convention. Symmetric and finite even on disjoint
       supports, where PSI's smoothing makes the value ε-dependent.
     """
+    scored = _scored_buckets(hr, hc)
+    return scored.groupBy("part", "column").agg(
+        F.max(F.abs(F.col("ecdf_r") - F.col("ecdf_c"))).alias("ks_d"),
+        (
+            F.lit(KS_ALPHA_COEFF)
+            * F.sqrt(F.try_divide(F.first("n") + F.first("m"), F.first("n") * F.first("m")))
+        ).alias("ks_threshold"),
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"),
+        F.sum(
+            F.abs(F.col("ecdf_r") - F.col("ecdf_c")) * F.coalesce("gap", F.lit(0))
+        ).alias("w1"),
+        F.sum("js_term").alias("js"),
+        F.first("n").alias("n"),
+        F.first("m").alias("m"),
+    )
+
+
+def _scored_buckets(hr: DataFrame, hc: DataFrame) -> DataFrame:
+    """The shared per-BUCKET frame behind both the aggregate scores
+    (_score_histograms) and the bucket-level triage
+    (drift_contributions): full-outer join of the two sparse melted
+    histograms plus every windowed intermediate (ECDFs, gap run
+    lengths, smoothed p/q, JS terms). Metadata-scale throughout —
+    ≤ parts × columns × (nbins+2) rows — and every window partitions
+    by (part, column), so nothing here ever funnels into a single
+    partition however many parts the table has."""
     joined = (
         hr.join(hc, ["part", "column", "bucket"], "full_outer")
         .select(
@@ -317,7 +343,7 @@ def _score_histograms(hr: DataFrame, hc: DataFrame) -> DataFrame:
     ) + F.coalesce(
         F.when(qr > 0, qr * F.log2(qr / mid)).otherwise(F.lit(0.0)), F.lit(0.0)
     )
-    scored = (
+    return (
         joined.withColumn("n", F.sum("cnt_r").over(by_key))
         .withColumn("m", F.sum("cnt_c").over(by_key))
         .withColumn("ecdf_r", F.try_divide(F.sum("cnt_r").over(cum), F.col("n")))
@@ -331,25 +357,129 @@ def _score_histograms(hr: DataFrame, hc: DataFrame) -> DataFrame:
         .withColumn("q", (F.col("cnt_c") + PSI_EPS) / (F.col("m") + PSI_EPS * (F.col("nbins") + 2)))
         .withColumn("js_term", js_term / 2)
     )
-    return scored.groupBy("part", "column").agg(
-        F.max(F.abs(F.col("ecdf_r") - F.col("ecdf_c"))).alias("ks_d"),
-        (
-            F.lit(KS_ALPHA_COEFF)
-            * F.sqrt(F.try_divide(F.first("n") + F.first("m"), F.first("n") * F.first("m")))
-        ).alias("ks_threshold"),
-        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"),
-        F.sum(
-            F.abs(F.col("ecdf_r") - F.col("ecdf_c")) * F.coalesce("gap", F.lit(0))
-        ).alias("w1"),
-        F.sum("js_term").alias("js"),
-        F.first("n").alias("n"),
-        F.first("m").alias("m"),
-    )
 
 
 def two_sample_drift(raw: DataFrame, curated: DataFrame, spec: DriftColumn) -> DataFrame:
     """Single-column form → one row per part (see two_sample_drift_multi)."""
     return two_sample_drift_multi(raw, curated, (spec,)).drop("column")
+
+
+def _contribution_select(
+    scored: DataFrame, spec_map: dict[str, tuple[float, float, int]]
+) -> DataFrame:
+    """Project the shared per-bucket frame into the triage shape,
+    annotating each bucket with its VALUE bounds from the (lo, hi,
+    nbins) spec — bucket 0 (underflow) gets lo NULL, bucket nbins+1
+    (overflow) gets hi NULL, columns with no known spec get both NULL.
+    The additivity invariants are by construction (and under test):
+    Σ psi_term == psi, Σ js_term == js, max ecdf_gap == ks_d,
+    Σ ecdf_gap·gap == w1 of the aggregate scorer."""
+    lo_expr: Column = F.lit(None).cast("double")
+    hi_expr: Column = F.lit(None).cast("double")
+    for name, (lo_s, hi_s, nb) in sorted(spec_map.items()):
+        width = (hi_s - lo_s) / nb
+        b = F.col("bucket")
+        lo_expr = F.when(
+            F.col("column") == name,
+            F.when(b == 0, F.lit(None).cast("double")).otherwise(
+                F.lit(lo_s) + (b - 1) * F.lit(width)
+            ),
+        ).otherwise(lo_expr)
+        hi_expr = F.when(
+            F.col("column") == name,
+            F.when(b == nb + 1, F.lit(None).cast("double")).otherwise(
+                F.lit(lo_s) + b * F.lit(width)
+            ),
+        ).otherwise(hi_expr)
+    share_r = F.try_divide(F.col("cnt_r"), F.col("n"))
+    share_c = F.try_divide(F.col("cnt_c"), F.col("m"))
+    return scored.select(
+        "part",
+        "column",
+        "bucket",
+        lo_expr.alias("lo"),
+        hi_expr.alias("hi"),
+        "cnt_r",
+        "cnt_c",
+        share_r.alias("share_r"),
+        share_c.alias("share_c"),
+        (share_c - share_r).alias("delta_share"),
+        F.abs(F.col("ecdf_r") - F.col("ecdf_c")).alias("ecdf_gap"),
+        ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi_term"),
+        "js_term",
+    )
+
+
+def drift_contributions(
+    raw: DataFrame, curated: DataFrame, specs: tuple[DriftColumn, ...]
+) -> DataFrame:
+    """Bucket-level drift TRIAGE (round-5, SURVEY C70): WHICH value
+    ranges drive a failing KS/PSI verdict. The aggregate family (B18/
+    B19) answers "column w of part p drifted, psi=0.41" — unactionable
+    at 10^12 rows without knowing WHERE the mass moved; this emits one
+    row per (part, column, observed bucket) with the bucket's value
+    bounds, both shares, and each score's per-bucket summand, so the
+    triage reads "the [192, 200) width bucket gained 9× mass and
+    carries 0.38 of the 0.41 PSI" — the drift analogue of the C69
+    violation-slice lift.
+
+    Same inputs, same ONE melted scan per snapshot, same full-outer
+    join as two_sample_drift_multi — the per-bucket frame this
+    projects IS the intermediate the aggregate scorer folds, so the
+    additivity invariants hold exactly (see _contribution_select).
+    Output is metadata-scale (≤ parts × columns × (nbins+2) rows) at
+    any corpus size."""
+    hr = _melted_histogram(raw, specs, "cnt_r")
+    hc = _melted_histogram(curated, specs, "cnt_c")
+    spec_map = {s.column: (s.lo, s.hi, s.nbins) for s in specs}
+    return _contribution_select(_scored_buckets(hr, hc), spec_map)
+
+
+def drift_contributions_from_stats(
+    stats_r: DataFrame, stats_c: DataFrame
+) -> DataFrame:
+    """drift_contributions over two runs' PERSISTED stats frames —
+    the zero-rescan twin (the C18 pattern): the bucket triage for a
+    cross-run drift failure needs only the few-KB histogram arrays
+    both runs already wrote, never the snapshots. Value-identical to
+    drift_contributions on the original data under the same (lo, hi,
+    nbins) spec (asserted in tests). Same refusal guards as
+    drift_from_stats: duplicate per-part rows, spec variance within a
+    frame, spec mismatch across frames. Columns whose frames predate
+    spec persistence score normally but carry NULL value bounds."""
+    sa = _validate_stats_frame(stats_r, "stats_r", False)
+    sb = _validate_stats_frame(stats_c, "stats_c", False)
+    for col in sorted(set(sa) & set(sb)):
+        if sa[col] != sb[col]:
+            raise ValueError(
+                f"histogram spec mismatch for '{col}': {sa[col]} vs "
+                f"{sb[col]} — both runs must profile with the same "
+                "(lo, hi, nbins) to be drift-comparable"
+            )
+    spec_map: dict[str, tuple[float, float, int]] = {}
+    for col in set(sa) & set(sb):
+        lo_s, hi_s, nb = sa[col].split(":")
+        spec_map[col] = (float(lo_s), float(hi_s), int(nb))
+    hr = _melt_stats_histograms(stats_r, "cnt_r")
+    hc = _melt_stats_histograms(stats_c, "cnt_c")
+    return _contribution_select(_scored_buckets(hr, hc), spec_map)
+
+
+def top_drift_buckets(contrib: DataFrame, k: int = 5) -> DataFrame:
+    """The deterministic triage ranking over a contribution frame:
+    per (part, column), the k buckets with the largest |psi_term|
+    (ties: larger ecdf_gap, then smaller bucket id), rank attached.
+    The window partitions by (part, column) over a metadata-scale
+    frame — never a global sort."""
+    if k < 1:
+        raise ValueError(f"top_drift_buckets: k must be >= 1, got {k}")
+    w = Window.partitionBy("part", "column").orderBy(
+        F.desc(F.abs(F.col("psi_term"))), F.desc("ecdf_gap"), F.asc("bucket")
+    )
+    return (
+        contrib.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def embedding_drift(

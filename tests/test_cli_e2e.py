@@ -170,6 +170,49 @@ def test_drift_cli_spec_mismatch_exits_2(spark, tmp_path_factory, capsys):
     assert "spec mismatch" in err and "Traceback" not in err
 
 
+def test_drift_cli_buckets_out_triage(spark, tmp_path_factory, capsys):
+    """`drift --buckets-out` writes the C70 bucket-contribution frame
+    beside the scores and stamps each score row's worst bucket as
+    bucket_top — still zero rescans of either snapshot."""
+    from bigdime_spark.operators.stats import histogram_frames
+    from bigdime_spark.sources.synth import build_fixture
+
+    base = tmp_path_factory.mktemp("driftb")
+    fx = build_fixture(spark, n_rows=256, n_parts=4, drift_parts=(1,))
+    specs = [("w", 0.0, 256.0, 32), ("h", 0.0, 256.0, 32)]
+    histogram_frames(fx.raw, specs).write.parquet(f"{base}/a")
+    histogram_frames(fx.curated, specs).write.parquet(f"{base}/b")
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["drift", "--stats-a", f"{base}/a", "--stats-b", f"{base}/b",
+         "--buckets-out", f"{base}/buckets"],
+    )
+    assert rc == 1  # the injected part drifts
+    scores = {(s["part"], s["column"]): s for s in summary["scores"]}
+    top = scores[("p0001", "w")]["bucket_top"]
+    assert top is not None and top["lo"] is not None
+    # the worst bucket's psi_term is a real share of the part's psi
+    assert abs(top["psi_term"]) > 0
+    buckets = spark.read.parquet(f"{base}/buckets")
+    assert {"part", "column", "bucket", "lo", "hi", "psi_term", "rank"} <= set(
+        buckets.columns
+    )
+    # rank 1 row per (part, column) matches the stamped bucket_top
+    r1 = {
+        (r["part"], r["column"]): r["bucket"]
+        for r in buckets.filter("rank = 1").collect()
+    }
+    assert r1[("p0001", "w")] == top["bucket"]
+
+    # triage is per-part by construction — refuse the rollup combo
+    rc2 = cli.main(
+        ["drift", "--stats-a", f"{base}/a", "--stats-b", f"{base}/b",
+         "--buckets-out", f"{base}/x", "--table-level"]
+    )
+    err = capsys.readouterr().err
+    assert rc2 == 2 and "table-level" in err
+
+
 def test_stream_cli_cross_batch_dup(spark, tmp_path_factory, capsys):
     """`stream` subcommand: drains appends incrementally (checkpoint
     resume) and, with --key-uniqueness, catches a duplicate image_id
