@@ -112,6 +112,24 @@ def _build_parser() -> argparse.ArgumentParser:
         "instead of riding the sampled decode scan)",
     )
     r.add_argument(
+        "--decode-max-bad-rate",
+        type=float,
+        default=None,
+        help="statistically certify the SAMPLED decode (C71): per-part "
+        "decode_rate verdict from the Wilson interval on (k bad, n "
+        "sampled) — PASS certifies the part's POPULATION bad-decode "
+        "rate <= this bound at the --decode-rate-z confidence, FAIL "
+        "certifies it above, NOT_READY = sample too small to say "
+        "(raise --decode-sample). Requires --decode; must be in (0, 1)",
+    )
+    r.add_argument(
+        "--decode-rate-z",
+        type=float,
+        default=1.96,
+        help="z score for the --decode-max-bad-rate interval "
+        "(default 1.96 = two-sided 95%%)",
+    )
+    r.add_argument(
         "--pixel-drift",
         action="store_true",
         help="image-SPACE drift riding the decode pass: pooled "
@@ -2285,6 +2303,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--decode", args.decode),
             ("--decode-seed", args.decode_seed is not None),
             ("--decode-sample", args.decode_sample != 1.0),
+            ("--decode-max-bad-rate", args.decode_max_bad_rate is not None),
+            ("--decode-rate-z", args.decode_rate_z != 1.96),
             ("--pixel-drift", args.pixel_drift),
             ("--quality-min-std", args.quality_min_std is not None),
             ("--quality-mean-range", args.quality_mean_range is not None),
@@ -2364,6 +2384,23 @@ def main(argv: list[str] | None = None) -> int:
             # silently ignoring the rate would let an operator believe
             # a sampled decode screen ran when zero images were decoded
             raise ValueError("--decode-sample requires --decode")
+        if args.decode_max_bad_rate is not None:
+            if not args.decode:
+                raise ValueError(
+                    "--decode-max-bad-rate requires --decode (it "
+                    "certifies the sampled decode pass)"
+                )
+            if not 0.0 < args.decode_max_bad_rate < 1.0:
+                raise ValueError(
+                    "--decode-max-bad-rate: must be in (0, 1) — a zero "
+                    "tolerance is unsatisfiable from a sample (use "
+                    "--decode-sample 1.0 and the exact decode verdict); "
+                    f"got {args.decode_max_bad_rate}"
+                )
+            if args.decode_rate_z <= 0:
+                raise ValueError(
+                    f"--decode-rate-z must be > 0, got {args.decode_rate_z}"
+                )
         if args.pixel_drift and not args.decode:
             raise ValueError(
                 "--pixel-drift requires --decode (the pixel histograms "
@@ -2425,6 +2462,11 @@ def main(argv: list[str] | None = None) -> int:
         decode_quality_mean_lo=q_mean_lo,
         decode_quality_mean_hi=q_mean_hi,
         decode_quality_max_flagged=args.quality_max_flagged,
+        decode_rate_gate=(
+            (args.decode_max_bad_rate, args.decode_rate_z)
+            if args.decode_max_bad_rate is not None
+            else None
+        ),
         topk_violations=args.topk_violations,
         check_phash_dedup=args.phash_dedup,
         phash_k=args.phash_k,

@@ -1605,6 +1605,104 @@ SQL_DRIFT_BUCKETS = _drift_buckets_sql(
 )
 
 
+def q_sampled_gate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-certified sampled gate (round-5, C71): a deterministic
+    30% hash sample per l_returnflag 'part', k = sampled rows breaking
+    a returnflag-dependent quantity rule (R's tighter bound makes it
+    certifiably OVER the 12% tolerance, the others certifiably under
+    → both FAIL and PASS paths execute), gated by
+    operators/infer.sampled_rate_gate at z=1.96. The oracle replays
+    the md5 keep-predicate digit by digit and the Wilson arithmetic
+    term by term."""
+    from bigdime_spark.operators.infer import sampled_rate_gate
+    from bigdime_spark.operators.sampling import sample_hash, threshold_for_rate
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    kept = sample_hash(key, "gate") < F.lit(threshold_for_rate(0.3))
+    viol = F.col("l_quantity") > F.when(
+        F.col("l_returnflag") == "R", F.lit(40)
+    ).otherwise(F.lit(48))
+    counts = li.groupBy(F.col("l_returnflag").alias("part")).agg(
+        F.count_if(kept).alias("n"),
+        F.count_if(kept & viol).alias("k"),
+    )
+    g = sampled_rate_gate(counts, max_rate=0.12, z=1.96)
+    return g.select(
+        "part",
+        "n",
+        "k",
+        F.round("rate_hat", 6).alias("rate_hat"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+        "verdict",
+    )
+
+
+def _sampled_gate_sql(rate: float, max_rate: float, z: float) -> str:
+    """SQL mirror of q_sampled_gate_lineitem: the 40-bit md5 sample
+    space rebuilt digit by digit (the checksum-oracle expansion), then
+    the Wilson interval with the identical term order."""
+    from bigdime_spark.operators.sampling import SAMPLE_SPACE
+
+    threshold = min(SAMPLE_SPACE, int(rate * SAMPLE_SPACE))
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (9 - i)}::BIGINT"
+        for i in range(10)
+    )
+    z2 = z * z
+    return f"""
+WITH hashed AS (
+  SELECT l_returnflag, l_quantity,
+         md5(concat_ws(':',
+             concat_ws('-', l_orderkey::VARCHAR, l_linenumber::VARCHAR),
+             'gate')) AS h
+  FROM lineitem
+), counts AS (
+  SELECT l_returnflag AS part,
+         count(*) FILTER (({digits}) < {threshold}) AS n,
+         count(*) FILTER (
+           ({digits}) < {threshold}
+           AND l_quantity > CASE WHEN l_returnflag = 'R' THEN 40 ELSE 48 END
+         ) AS k
+  FROM hashed GROUP BY 1
+), wilson AS (
+  SELECT part, n, k,
+         k::DOUBLE / n::DOUBLE AS phat,
+         1.0 + {z2!r} / n::DOUBLE AS denom,
+         (k::DOUBLE / n::DOUBLE + {z2!r} / (2.0 * n::DOUBLE)) AS center_num,
+         {z!r} * sqrt(
+           (k::DOUBLE / n::DOUBLE) * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+           + {z2!r} / (4.0 * n::DOUBLE * n::DOUBLE)
+         ) AS half_num
+  FROM counts
+), bounds AS (
+  SELECT part, n, k, phat,
+         CASE WHEN n <= 0 THEN NULL
+              ELSE greatest(0.0, center_num / denom - half_num / denom) END AS ci_lo,
+         CASE WHEN n <= 0 THEN NULL
+              ELSE least(1.0, center_num / denom + half_num / denom) END AS ci_hi
+  FROM wilson
+)
+SELECT part, n, k,
+       round(phat, 6) AS rate_hat,
+       round(ci_lo, 6) AS ci_lo,
+       round(ci_hi, 6) AS ci_hi,
+       CASE WHEN n IS NULL OR n <= 0 THEN 'NOT_READY'
+            WHEN ci_lo > {max_rate!r} THEN 'FAIL'
+            WHEN ci_hi <= {max_rate!r} THEN 'PASS'
+            ELSE 'NOT_READY' END AS verdict
+FROM bounds
+"""
+
+
+SQL_SAMPLED_GATE = _sampled_gate_sql(0.3, 0.12, 1.96)
+
+
 def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     spec = DriftColumn("value", 0.0, 100.0, 20)
@@ -5677,6 +5775,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "drift_buckets_extendedprice": QuerySpec(
         q_drift_buckets_extendedprice, SQL_DRIFT_BUCKETS
     ),
+    "sampled_gate_lineitem": QuerySpec(q_sampled_gate_lineitem, SQL_SAMPLED_GATE),
     # drift (B18/B19)
     "drift_extendedprice": QuerySpec(q_drift_extendedprice, SQL_DRIFT_EXTENDEDPRICE),
     "drift_events_value": QuerySpec(q_drift_events_value, SQL_DRIFT_EVENTS),

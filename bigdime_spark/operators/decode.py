@@ -441,11 +441,22 @@ class DecodeIntegrity(TableConstraint):
         quality_mean_lo: float | None = None,
         quality_mean_hi: float | None = None,
         quality_max_flagged: int = 0,
+        rate_gate: tuple[float, float] | None = None,
     ):
         if not 0.0 < sample_rate <= 1.0:
             raise ValueError(
                 f"decode sample_rate must be in (0, 1], got {sample_rate}"
             )
+        if rate_gate is not None:
+            # fail fast on bad gate geometry — same guards as the
+            # operator, but at suite-construction time
+            max_rate, z = rate_gate
+            if not 0.0 < max_rate < 1.0:
+                raise ValueError(
+                    f"decode rate_gate max_rate must be in (0, 1), got {max_rate}"
+                )
+            if z <= 0:
+                raise ValueError(f"decode rate_gate z must be > 0, got {z}")
         if (
             quality_mean_lo is not None
             and quality_mean_hi is not None
@@ -519,6 +530,16 @@ class DecodeIntegrity(TableConstraint):
         self.quality_mean_lo = quality_mean_lo
         self.quality_mean_hi = quality_mean_hi
         self.quality_max_flagged = int(quality_max_flagged)
+        #: statistical certification of the SAMPLED decode (C71):
+        #: (max_rate, z) → a `decode_rate` verdict per part from the
+        #: Wilson interval on (k bad, n sampled) — PASS certifies the
+        #: part's POPULATION bad-decode rate ≤ max_rate at the z
+        #: confidence, FAIL certifies it above, NOT_READY means the
+        #: sample cannot say (raise the sample rate;
+        #: infer.min_n_to_certify gives the target). Complements the
+        #: exact `decode` verdict, which under sampling only means "no
+        #: failures among the sample".
+        self.rate_gate = rate_gate
 
     @property
     def _quality_spec(self) -> tuple | None:
@@ -710,6 +731,57 @@ class DecodeIntegrity(TableConstraint):
             ).select("part", "v.constraint", "v.verdict", "v.observed", "v.expected")
             failed_parts = failed_parts.unionByName(pixel_verdicts)
 
+        if self.rate_gate is not None:
+            from bigdime_spark.operators.infer import sampled_rate_gate
+            from bigdime_spark.operators.sampling import (
+                sample_hash,
+                threshold_for_rate,
+            )
+
+            max_rate, z = self.rate_gate
+            # n sampled per part: ONE pruned scan (image_id + part — the
+            # payload column is never read) re-evaluating the same
+            # hash keep-predicate the decode sample used; at rate 1.0
+            # the predicate keeps everything and the gate degrades to
+            # an exact-rate check with a (conservative) Wilson wrap.
+            # Every part of the raw snapshot appears, so parts with no
+            # sampled rows report NOT_READY instead of being grid-
+            # filled PASS.
+            kept_pred = sample_hash(
+                F.col("image_id"), self.sample_seed
+            ) < F.lit(threshold_for_rate(self.sample_rate))
+            n_per_part = ctx.raw.groupBy("part").agg(
+                F.count_if(kept_pred).alias("n")
+            )
+            # k bad per part among the sample: the persisted bounded
+            # bad-row frame (raw snapshot — the gate certifies the
+            # input table; curated decode keeps its exact verdict)
+            k_per_part = (
+                bad.filter(F.col("snapshot") == "raw")
+                .groupBy("part")
+                .agg(F.count(F.lit(1)).alias("k"))
+            )
+            counts = n_per_part.join(k_per_part, "part", "left").select(
+                "part", "n", F.coalesce("k", F.lit(0)).alias("k")
+            )
+            gate = sampled_rate_gate(counts, max_rate, z)
+            gate_verdicts = gate.select(
+                F.col("part").cast("string").alias("part"),
+                F.lit("decode_rate").alias("constraint"),
+                "verdict",
+                F.concat(
+                    F.lit("k="), F.col("k").cast("string"),
+                    F.lit(",n="), F.col("n").cast("string"),
+                    F.lit(",ci=["),
+                    F.coalesce(F.round("ci_lo", 6).cast("string"), F.lit("null")),
+                    F.lit(","),
+                    F.coalesce(F.round("ci_hi", 6).cast("string"), F.lit("null")),
+                    F.lit("]"),
+                ).alias("observed"),
+                F.lit(f"rate<={max_rate}@z={z}").alias("expected"),
+            )
+            failed_parts = failed_parts.unionByName(gate_verdicts)
+
         # partial frame: suite grid join fills the PASS rows (pass 6)
         return failed_parts, violations
 
@@ -726,4 +798,6 @@ class DecodeIntegrity(TableConstraint):
             ]
         if self.pixel_drift:
             names += ["drift_ks.pixels", "drift_psi.pixels"]
+        if self.rate_gate is not None:
+            names.append("decode_rate")
         return names

@@ -99,6 +99,8 @@ _FLOAT_FIELDS = (
     "decode_quality_mean_hi",
 )
 _STR_FIELDS = ("referential_mode", "bit_balance_col", "unique_key", "ref_key")
+#: fields with bespoke shapes handled inline (not scalar/strlist)
+_SPECIAL_FIELDS = ("decode_rate_gate",)
 #: list-of-string fields (JSON array → tuple)
 _STRLIST_FIELDS = (
     "not_null", "content_cols", "categorical_drift_cols",
@@ -118,7 +120,8 @@ _SECTIONS = ("schema", "domain_checks", "compliance", "type_conformance",
              "functional_dependencies")
 
 _ALLOWED = set(_BOOL_FIELDS) | set(_INT_FIELDS) | set(_FLOAT_FIELDS) \
-    | set(_STR_FIELDS) | set(_STRLIST_FIELDS) | set(_SECTIONS)
+    | set(_STR_FIELDS) | set(_STRLIST_FIELDS) | set(_SPECIAL_FIELDS) \
+    | set(_SECTIONS)
 
 
 def _fail(key: str, why: str) -> ValueError:
@@ -205,6 +208,18 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
             if not isinstance(v, list) or not all(isinstance(s, str) for s in v):
                 raise _fail(key, "must be an array of strings")
             kwargs[key] = tuple(v)
+
+    if "decode_rate_gate" in cfg:
+        # [max_rate, z] — the C71 sampled-decode certification; the
+        # suite constructor re-validates the geometry
+        v = cfg["decode_rate_gate"]
+        if (
+            not isinstance(v, list)
+            or len(v) != 2
+            or any(type(x) is bool or not isinstance(x, (int, float)) for x in v)
+        ):
+            raise _fail("decode_rate_gate", "must be [max_rate, z] (two numbers)")
+        kwargs["decode_rate_gate"] = (float(v[0]), float(v[1]))
 
     if "schema" in cfg:
         # the declared-contract StructType, as data: [{name, type,

@@ -211,6 +211,13 @@ class ValidationSuite:
     decode_quality_mean_lo: float | None = None
     decode_quality_mean_hi: float | None = None
     decode_quality_max_flagged: int = 0
+    #: statistical certification of the SAMPLED decode (C71,
+    #: operators/infer): (max_rate, z) → per-part `decode_rate`
+    #: verdicts from the Wilson interval on (k bad, n sampled) — PASS
+    #: certifies the population bad-decode rate ≤ max_rate at the z
+    #: confidence, FAIL certifies it above, NOT_READY = sample too
+    #: small to say. None = gate off.
+    decode_rate_gate: tuple[float, float] | None = None
     unique_key: str = "image_id"
     ref_key: str = "image_id"
     #: True when raw/curated are BUCKETED tables on the keyed-pass key
@@ -450,6 +457,11 @@ class ValidationSuite:
                 "decode_quality_* thresholds require check_decode=True — "
                 "the image-quality gate rides the decode pass"
             )
+        if self.decode_rate_gate is not None and not self.check_decode:
+            raise ValueError(
+                "decode_rate_gate requires check_decode=True — the "
+                "sampled-rate certification gates the decode pass"
+            )
         if decode_snaps:
             decode_tc = DecodeIntegrity(
                 seed=self.decode_seed,
@@ -465,6 +477,7 @@ class ValidationSuite:
                 quality_mean_lo=self.decode_quality_mean_lo,
                 quality_mean_hi=self.decode_quality_mean_hi,
                 quality_max_flagged=self.decode_quality_max_flagged,
+                rate_gate=self.decode_rate_gate,
             )
         if ride:
             decode_found, decode_viol = decode_tc.run(ctx)

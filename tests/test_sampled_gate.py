@@ -1,0 +1,168 @@
+"""Wilson-certified sampled gate (C71, operators/infer): the interval
+must match an independent pure-python reference, the verdict classes
+must follow the certification semantics (PASS/FAIL only when the
+interval clears/exceeds the tolerance entirely), min_n_to_certify must
+be the exact k=0 boundary, and the decode_rate suite family must
+certify a sampled decode end-to-end."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdime_spark.operators.infer import (
+    Z_95,
+    min_n_to_certify,
+    sampled_rate_gate,
+    wilson_bounds,
+)
+from bigdime_spark.operators.sampling import SAMPLE_SPACE
+
+
+def _wilson_ref(k: int, n: int, z: float) -> tuple[float, float]:
+    phat = k / n
+    denom = 1.0 + z * z / n
+    center = (phat + z * z / (2.0 * n)) / denom
+    half = z * math.sqrt(phat * (1.0 - phat) / n + z * z / (4.0 * n * n)) / denom
+    return max(0.0, center - half), min(1.0, center + half)
+
+
+def test_wilson_matches_python_reference(spark):
+    cases = [(0, 10), (1, 10), (5, 10), (10, 10), (0, 1000), (3, 1000),
+             (997, 1000), (1, 2), (0, 385), (7, 50)]
+    df = spark.createDataFrame(cases, "k long, n long")
+    lo, hi = wilson_bounds(F.col("k"), F.col("n"), Z_95)
+    got = {
+        (r["k"], r["n"]): (r["lo"], r["hi"])
+        for r in df.select("k", "n", lo.alias("lo"), hi.alias("hi")).collect()
+    }
+    for k, n in cases:
+        want = _wilson_ref(k, n, Z_95)
+        assert got[(k, n)][0] == pytest.approx(want[0], abs=1e-12)
+        assert got[(k, n)][1] == pytest.approx(want[1], abs=1e-12)
+
+
+def test_verdict_classes(spark):
+    # tolerance 0.1: certified-under, certified-over, straddling, and
+    # the two unreadiness shapes (n=0, n NULL)
+    rows = [
+        ("pass", 10_000, 100),      # phat 0.01, ci well under 0.1
+        ("fail", 10_000, 5_000),    # phat 0.5, ci well over 0.1
+        ("straddle", 30, 3),        # phat 0.1, ci straddles 0.1
+        ("empty", 0, 0),
+        ("nulln", None, 0),
+    ]
+    df = spark.createDataFrame(rows, "part string, n long, k long")
+    got = {r["part"]: r for r in sampled_rate_gate(df, 0.1).collect()}
+    assert got["pass"]["verdict"] == "PASS"
+    assert got["fail"]["verdict"] == "FAIL"
+    assert got["straddle"]["verdict"] == "NOT_READY"
+    assert got["empty"]["verdict"] == "NOT_READY"
+    assert got["nulln"]["verdict"] == "NOT_READY"
+    for p in ("empty", "nulln"):
+        assert got[p]["ci_lo"] is None and got[p]["ci_hi"] is None
+        assert got[p]["rate_hat"] is None
+    # PASS/FAIL carry real intervals
+    assert got["pass"]["ci_hi"] <= 0.1
+    assert got["fail"]["ci_lo"] > 0.1
+
+
+def test_min_n_to_certify_is_the_exact_k0_boundary(spark):
+    for max_rate in (0.01, 0.05, 0.2):
+        n0 = min_n_to_certify(max_rate, Z_95)
+        df = spark.createDataFrame(
+            [("at", n0, 0), ("under", n0 - 1, 0)], "part string, n long, k long"
+        )
+        got = {r["part"]: r["verdict"] for r in sampled_rate_gate(df, max_rate).collect()}
+        assert got["at"] == "PASS"
+        assert got["under"] == "NOT_READY"
+
+
+def test_guards(spark):
+    df = spark.createDataFrame([("p", 10, 0)], "part string, n long, k long")
+    for bad in (0.0, 1.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="max_rate"):
+            sampled_rate_gate(df, bad)
+        with pytest.raises(ValueError, match="max_rate"):
+            min_n_to_certify(bad)
+    with pytest.raises(ValueError, match="z must be"):
+        sampled_rate_gate(df, 0.1, z=0.0)
+    with pytest.raises(ValueError, match="z must be"):
+        min_n_to_certify(0.1, z=-1.0)
+
+
+RATE = 0.5
+SEED = "decode-sample"
+
+
+def _in_sample(image_id: str) -> bool:
+    h = int(hashlib.md5(f"{image_id}:{SEED}".encode()).hexdigest()[:10], 16)
+    return h < int(RATE * SAMPLE_SPACE)
+
+
+def test_decode_rate_gate_certifies_suite_parts(spark):
+    """Corrupt EVERY in-sample payload of part p0000 (k = n there) and
+    leave p0001 clean: at tolerance 0.2 the gate must certify p0000
+    OVER (FAIL) and p0001 UNDER (PASS) from the sample alone."""
+    from bigdime_spark.plans.suite import StatsProfile, ValidationSuite
+    from bigdime_spark.sources.synth import InjectionSpec, build_fixture
+
+    n_rows = 96
+    ids = [f"img-{i:012d}" for i in range(n_rows)]
+    bad = tuple(i for j, i in enumerate(ids) if j % 2 == 0 and _in_sample(i))
+    assert len(bad) >= 10  # the fixture must give the gate real k
+    clean_n = sum(1 for j, i in enumerate(ids) if j % 2 == 1 and _in_sample(i))
+    fx = build_fixture(
+        spark, n_rows=n_rows, n_parts=2, spec=InjectionSpec(bitflip_bytes=bad)
+    )
+    suite = ValidationSuite(
+        not_null=(),
+        check_record_count=False,
+        check_checksum=False,
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_domains=False,
+        stats=StatsProfile(columns=[]),
+        check_decode=True,
+        decode_seed=42,
+        decode_snapshots=("raw",),
+        decode_sample_rate=RATE,
+        decode_rate_gate=(0.2, Z_95),
+    )
+    res = suite.run(spark, fx.raw, run_id="rgate")
+    got = {
+        r["part"]: r
+        for r in res.verdicts.filter(F.col("constraint") == "decode_rate").collect()
+    }
+    assert set(got) == {"p0000", "p0001"}
+    assert got["p0000"]["verdict"] == "FAIL"
+    assert got["p0001"]["verdict"] == "PASS"
+    # observed carries (k, n): p0000's k equals its sampled count, the
+    # clean part's k is 0 with the hash-predicted n
+    assert got["p0000"]["observed"].startswith(f"k={len(bad)},n={len(bad)}")
+    assert got["p0001"]["observed"].startswith(f"k=0,n={clean_n}")
+    res.release()
+
+
+def test_decode_rate_gate_requires_decode(spark):
+    from bigdime_spark.plans.suite import ValidationSuite
+    from bigdime_spark.sources.synth import build_fixture
+
+    fx = build_fixture(spark, n_rows=8, n_parts=2)
+    suite = ValidationSuite(check_decode=False, decode_rate_gate=(0.1, 1.96))
+    with pytest.raises(ValueError, match="requires check_decode"):
+        suite.run(spark, fx.raw, run_id="x")
+
+
+def test_decode_rate_gate_geometry_refused():
+    from bigdime_spark.operators.decode import DecodeIntegrity
+
+    with pytest.raises(ValueError, match="max_rate"):
+        DecodeIntegrity(rate_gate=(0.0, 1.96))
+    with pytest.raises(ValueError, match="z must be"):
+        DecodeIntegrity(rate_gate=(0.1, 0.0))

@@ -50,6 +50,13 @@ def test_scalar_and_list_fields_map(spark):
     assert suite.check_record_count is True and suite.unique_key == "image_id"
 
 
+def test_decode_rate_gate_field_maps(spark):
+    suite = suite_from_config(
+        {"check_decode": True, "decode_rate_gate": [0.05, 2.576]}
+    )
+    assert suite.decode_rate_gate == (0.05, 2.576)
+
+
 def test_drift_specs_section(spark):
     suite = suite_from_config(
         {
@@ -175,6 +182,10 @@ def test_completeness_sections_build_table_constraints(spark):
         ({"mutual_info_bounds": [{"x": "a", "y": "b", "hi": True}]},
          "must be a number"),
         ({"decode_sample_rate": 1.5}, "must be in \\(0, 1\\]"),
+        ({"decode_rate_gate": [0.1]}, "two numbers"),
+        ({"decode_rate_gate": [0.1, "z"]}, "two numbers"),
+        ({"decode_rate_gate": [0.1, True]}, "two numbers"),
+        ({"decode_rate_gate": 0.1}, "two numbers"),
         ([], "must be an object"),
     ],
 )
