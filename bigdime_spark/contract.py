@@ -1703,6 +1703,116 @@ FROM bounds
 SQL_SAMPLED_GATE = _sampled_gate_sql(0.3, 0.12, 1.96)
 
 
+#: the shared deterministic null plant for the C72 queries: value goes
+#: NULL on every third error event — a segment-concentrated null burst
+#: a part-level null-rate check dilutes below threshold
+_GROUPED_SRC_SQL = """
+  SELECT concat('p', (user_id % 3)::VARCHAR) AS part, event_type,
+         CASE WHEN event_type = 'error' AND event_id % 3 = 0
+              THEN NULL ELSE value END AS v
+  FROM events
+"""
+
+
+def _grouped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("part"),
+        "event_type",
+        F.when(
+            (F.col("event_type") == "error") & (F.col("event_id") % 3 == 0),
+            F.lit(None),
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+
+
+def q_grouped_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped metric profile (round-5, C72): per (part, event_type)
+    null-rate/mean/distinct of a value column with a deterministic
+    segment-concentrated null plant — the (part, group) hash agg
+    behind GroupedBound (operators/grouped.grouped_metrics). The
+    oracle replays the plant and every metric."""
+    from bigdime_spark.operators.grouped import grouped_metrics
+
+    prof = grouped_metrics(_grouped_events(spark, sf_dir), "v", "event_type")
+    return prof.select(
+        "part",
+        "group",
+        "n",
+        "n_null",
+        F.round("null_rate", 6).alias("null_rate"),
+        F.round("mean", 6).alias("mean_v"),
+        "n_distinct",
+    )
+
+
+SQL_GROUPED_PROFILE = f"""
+WITH src AS ({_GROUPED_SRC_SQL})
+SELECT part, event_type AS "group", count(*) AS n,
+       count(*) - count(v) AS n_null,
+       round((count(*) - count(v)) / count(*), 6) AS null_rate,
+       round(avg(v), 6) AS mean_v,
+       count(DISTINCT v) AS n_distinct
+FROM src GROUP BY 1, 2
+"""
+
+
+def q_grouped_verdict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupedBound verdict fold (C72): null_rate of the planted
+    frame bounded at hi=0.1 per event_type — the error segment (~1/3
+    null) must FAIL every part with itself as the worst group while
+    the part-level rate (~1/15) would sail under the same bound. The
+    oracle replays the eligibility filter, breach test, worst-group
+    window and both observed-string branches."""
+    from bigdime_spark.operators.base import SuiteContext
+    from bigdime_spark.operators.grouped import GroupedBound
+
+    ctx = SuiteContext(spark=spark, raw=_grouped_events(spark, sf_dir))
+    found, viol = GroupedBound(
+        "v", "event_type", metric="null_rate", hi=0.1, min_support=5
+    ).run(ctx)
+    return found.select("part", "verdict", "observed", "expected")
+
+
+SQL_GROUPED_VERDICT = f"""
+WITH src AS ({_GROUPED_SRC_SQL}),
+prof AS (
+  SELECT part, event_type AS grp, count(*) AS n,
+         (count(*) - count(v)) / count(*) AS m
+  FROM src GROUP BY 1, 2
+), flagged AS (
+  SELECT part, grp, n,
+         CASE WHEN n >= 5 THEN m END AS m,
+         (n >= 5 AND m IS NOT NULL AND (m < 0.0 OR m > 0.1)) AS breach,
+         row_number() OVER (
+           PARTITION BY part
+           ORDER BY (CASE WHEN n >= 5 AND m IS NOT NULL AND (m < 0.0 OR m > 0.1)
+                          THEN CASE WHEN m < 0.0 THEN 0.0 - m ELSE m - 0.1 END
+                     END) DESC NULLS LAST, grp ASC
+         ) AS rk
+  FROM prof
+)
+SELECT part,
+       CASE WHEN count(*) FILTER (breach) > 0 THEN 'FAIL'
+            WHEN count(*) FILTER (m IS NOT NULL) = 0 THEN 'NOT_READY'
+            ELSE 'PASS' END AS verdict,
+       CASE WHEN count(*) FILTER (breach) > 0 THEN
+         concat('breaching=', (count(*) FILTER (breach))::VARCHAR,
+                '/', (count(*) FILTER (n >= 5))::VARCHAR,
+                ', worst ', coalesce(max(CASE WHEN rk = 1 THEN grp END), '∅'),
+                ': null_rate=',
+                max(CASE WHEN rk = 1 THEN round(m, 6) END)::VARCHAR)
+       ELSE
+         concat('groups=', (count(*) FILTER (n >= 5))::VARCHAR,
+                ', breaching=0')
+       END AS observed,
+       'null_rate in [-inf, 0.1] per event_type' AS expected
+FROM flagged GROUP BY part
+"""
+
+
 def q_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     spec = DriftColumn("value", 0.0, 100.0, 20)
@@ -5776,6 +5886,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_drift_buckets_extendedprice, SQL_DRIFT_BUCKETS
     ),
     "sampled_gate_lineitem": QuerySpec(q_sampled_gate_lineitem, SQL_SAMPLED_GATE),
+    "grouped_profile_events": QuerySpec(q_grouped_profile_events, SQL_GROUPED_PROFILE),
+    "grouped_verdict_events": QuerySpec(q_grouped_verdict_events, SQL_GROUPED_VERDICT),
     # drift (B18/B19)
     "drift_extendedprice": QuerySpec(q_drift_extendedprice, SQL_DRIFT_EXTENDEDPRICE),
     "drift_events_value": QuerySpec(q_drift_events_value, SQL_DRIFT_EVENTS),

@@ -114,7 +114,7 @@ _PROGRAMMATIC_ONLY = (
 _SECTIONS = ("schema", "domain_checks", "compliance", "type_conformance",
              "freshness",
              "correlation_bounds", "mutual_info_bounds",
-             "distinctness_bounds", "categorical_bounds",
+             "distinctness_bounds", "categorical_bounds", "grouped_bounds",
              "benford_bounds", "drift_specs",
              "bit_balance_bounds", "sequence_continuity",
              "functional_dependencies")
@@ -438,6 +438,32 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                 ))
             except ValueError as exc:
                 raise _fail("categorical_bounds", str(exc))
+
+    if "grouped_bounds" in cfg:
+        from bigdime_spark.operators.grouped import GroupedBound
+
+        if not isinstance(cfg["grouped_bounds"], list):
+            raise _fail("grouped_bounds", "must be an array of objects")
+        for entry in cfg["grouped_bounds"]:
+            e = _require_keys("grouped_bounds", entry,
+                              {"target", "group_by"},
+                              {"metric", "lo", "hi", "min_support"})
+            try:
+                table_extras.append(GroupedBound(
+                    _txt("grouped_bounds", e["target"], "target"),
+                    _txt("grouped_bounds", e["group_by"], "group_by"),
+                    metric=_txt("grouped_bounds",
+                                e.get("metric", "null_rate"), "metric"),
+                    lo=(None if e.get("lo") is None
+                        else _num("grouped_bounds", e["lo"], "lo")),
+                    hi=(None if e.get("hi") is None
+                        else _num("grouped_bounds", e["hi"], "hi")),
+                    min_support=_num("grouped_bounds",
+                                     e.get("min_support", 1), "min_support",
+                                     integer=True),
+                ))
+            except ValueError as exc:
+                raise _fail("grouped_bounds", str(exc))
 
     if "benford_bounds" in cfg:
         from bigdime_spark.operators.stats import BenfordBound

@@ -57,6 +57,23 @@ def test_decode_rate_gate_field_maps(spark):
     assert suite.decode_rate_gate == (0.05, 2.576)
 
 
+def test_grouped_bounds_section(spark):
+    from bigdime_spark.operators.grouped import GroupedBound
+
+    suite = suite_from_config(
+        {"grouped_bounds": [
+            {"target": "caption", "group_by": "fmt", "hi": 0.05},
+            {"target": "w", "group_by": "fmt", "metric": "mean",
+             "lo": 8.0, "hi": 256.0, "min_support": 10},
+        ]}
+    )
+    gbs = [c for c in suite.extra_table_constraints if isinstance(c, GroupedBound)]
+    assert len(gbs) == 2
+    assert gbs[0].metric == "null_rate" and gbs[0].hi == 0.05
+    assert gbs[1].metric == "mean" and gbs[1].min_support == 10
+    assert gbs[1].name == "grouped_mean.w@fmt"
+
+
 def test_drift_specs_section(spark):
     suite = suite_from_config(
         {
@@ -186,6 +203,11 @@ def test_completeness_sections_build_table_constraints(spark):
         ({"decode_rate_gate": [0.1, "z"]}, "two numbers"),
         ({"decode_rate_gate": [0.1, True]}, "two numbers"),
         ({"decode_rate_gate": 0.1}, "two numbers"),
+        ({"grouped_bounds": [{"target": "c"}]}, "missing required keys"),
+        ({"grouped_bounds": [{"target": "c", "group_by": "g",
+                              "metric": "median", "hi": 1}]}, "unsupported"),
+        ({"grouped_bounds": [{"target": "c", "group_by": "g"}]},
+         "lo, hi, or both"),
         ([], "must be an object"),
     ],
 )
