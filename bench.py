@@ -108,6 +108,9 @@ HEADLINE = [
     "span_coverage_documents",
     "caption_conflicts",
     "schema_history_orders",
+    "drift_buckets_extendedprice",
+    "sampled_gate_lineitem",
+    "grouped_verdict_events",
     "suite_verdicts_lineitem",
 ]
 

@@ -2570,6 +2570,43 @@ def main(argv: list[str] | None = None) -> int:
         f"{args.out}/schema",
         partition_by=None,
     )
+    if res.grouped_profiles:
+        # cross-run GROUPED history surface (C73): each GroupedBound's
+        # per-(part, group) profile — already computed and persisted by
+        # the run, zero extra scans — lands run_id-stamped in
+        # <out>/grouped with part composed as "part|dim=value" and
+        # metrics as stat__<target>__<metric> columns. Many runs' frames
+        # union straight into `trend --history` / `outliers --stats`,
+        # so every cross-run baseline (step, zscore, ewma, hw, cusum)
+        # gates SEGMENT metrics with no new scoring code.
+        stamped = None
+        for (target, group_by), prof in sorted(res.grouped_profiles.items()):
+            frame = prof.select(
+                F.concat(
+                    F.col("part").cast("string"),
+                    F.lit(f"|{group_by}="),
+                    F.coalesce(F.col("group"), F.lit("∅")),
+                ).alias("part"),
+                F.col("n").cast("double").alias(f"stat__{target}__n"),
+                F.col("null_rate").alias(f"stat__{target}__null_rate"),
+                F.col("mean").alias(f"stat__{target}__mean"),
+                F.col("min").alias(f"stat__{target}__min"),
+                F.col("max").alias(f"stat__{target}__max"),
+                F.col("n_distinct").cast("double").alias(
+                    f"stat__{target}__n_distinct"
+                ),
+            )
+            stamped = (
+                frame
+                if stamped is None
+                else stamped.unionByName(frame, allowMissingColumns=True)
+            )
+        write_table(
+            stamped.withColumn("run_id", F.lit(res.run_id)),
+            f"{args.out}/grouped",
+            partition_by=None,
+        )
+
     if args.kmv_keys:
         # per-part bottom-k key sketches (C68): run_id-stamped so many
         # runs' frames union into the `history --kmv` churn shape

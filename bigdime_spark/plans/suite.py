@@ -90,6 +90,11 @@ class SuiteResult:
     #: so a subsequent run recomputes instead of silently reusing
     #: plan-matched caches.
     persisted: list = field(default_factory=list)
+    #: (target, group_by) → the per-(part, group) metric profile each
+    #: GroupedBound computed (C72) — already persisted (released with
+    #: the run), so the CLI can stamp it into the cross-run grouped
+    #: history surface (C73) at zero extra scans.
+    grouped_profiles: dict = field(default_factory=dict)
 
     def release(self) -> None:
         for df in self.persisted:
@@ -835,4 +840,5 @@ class ValidationSuite:
             schema_violations=schema_viol,
             wall_ms=int((time.monotonic() - t0) * 1000),
             persisted=persisted,
+            grouped_profiles=ctx.extras.get("grouped_bound_profiles", {}),
         )

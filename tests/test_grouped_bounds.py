@@ -138,3 +138,62 @@ def test_suite_and_cli_end_to_end(spark, tmp_path_factory, capsys):
     )
     err = capsys.readouterr().err
     assert rc2 == 2 and "grouped-bound" in err
+
+    # the run also stamped the C73 grouped history surface
+    grouped = spark.read.parquet(f"{out}/grouped")
+    assert "run_id" in grouped.columns
+    by_part = {r["part"]: r for r in grouped.collect()}
+    assert any(p.endswith("|fmt=pngz") for p in by_part)
+    pngz = by_part["p0000|fmt=pngz"]
+    assert pngz["stat__caption__null_rate"] == 1.0
+    assert by_part["p0000|fmt=raw"]["stat__caption__null_rate"] == 0.0
+
+
+def test_grouped_history_feeds_trend(spark, tmp_path_factory, capsys):
+    """C73 end-to-end composition: two runs' <out>/grouped frames
+    union into the `trend` history shape, and a segment null-rate
+    jump (clean run → pngz nulled run) is an ANOMALY on exactly the
+    pngz-composed parts — cross-RUN segment drift with no new scoring
+    code and zero rescans."""
+    import json
+    import shutil
+
+    from bigdime_spark import cli
+    from bigdime_spark.sources.synth import build_fixture
+
+    base = tmp_path_factory.mktemp("gtrend")
+    fx = build_fixture(spark, n_rows=160, n_parts=2, seed=3)
+    fx.raw.write.partitionBy("part").parquet(f"{base}/raw1")
+    fx.raw.withColumn(
+        "caption",
+        F.when(F.col("fmt") == "pngz", F.lit(None).cast("string")).otherwise(
+            F.col("caption")
+        ),
+    ).write.partitionBy("part").parquet(f"{base}/raw2")
+
+    hist = base / "hist"
+    hist.mkdir()
+    for rid, raw in (("r1", "raw1"), ("r2", "raw2")):
+        # bound loose enough that both runs PASS the grouped gate —
+        # the point is the cross-run surface, not the per-run verdict
+        rc = cli.main(
+            ["run", "--raw", f"{base}/{raw}", "--out", f"{base}/out_{rid}",
+             "--run-id", rid, "--grouped-bound", "caption:fmt:null_rate:~1"]
+        )
+        capsys.readouterr()
+        for f in (base / f"out_{rid}" / "grouped").glob("*.parquet"):
+            shutil.copy(f, hist / f"{rid}_{f.name}")
+
+    rc = cli.main(
+        ["trend", "--history", str(hist),
+         "--metrics", "stat__caption__null_rate"]
+    )
+    out = capsys.readouterr().out
+    summary = json.loads(
+        [ln for ln in out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert rc == 1  # the segment jump pages
+    assert summary["verdicts"].get("ANOMALY") == 2  # both parts' pngz segment
+    assert summary["worst"] and all(
+        "|fmt=pngz" in w["part"] for w in summary["worst"]
+    )
