@@ -5648,8 +5648,10 @@ def q_suggest_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     / R5 isin; `num_str`/`dbl_str` (stringified keys/prices) exercise
     R6 type-conformance inference; `mostly` (2% planted NULLs over
     o_orderstatus) exercises R2 compliance with the floored
-    min_fraction. The two-level melt aggregation, the value-capture
-    pass and all six rule gates are replayed in DuckDB."""
+    min_fraction and, with o_orderstatus as the enum dim, R9's
+    grouped null-rate bound at the worst group's ceil'd rate. The
+    two-level melt aggregation, the value-capture pass, the grouped
+    pass-3 and every rule gate are replayed in DuckDB."""
     from bigdime_spark.plans.suggest import (
         suggest_constraints,
         suggestions_frame,
@@ -5775,6 +5777,25 @@ rules AS (
   FROM prof
   WHERE n_rows > 0 AND is_numeric
     AND min_num IS NOT NULL AND max_num IS NOT NULL
+  UNION ALL
+  -- R9: the one (dirty x enum-dim) pair this frame produces is
+  -- (mostly, o_orderstatus); worst per-group null rate over groups
+  -- with >= min_support rows, ceil'd to 2 decimals after the fp-noise
+  -- round (the engine's math.ceil(round(r*100, 6))/100)
+  SELECT p.col, 'grouped_bound',
+    'group_by=o_orderstatus|metric=null_rate|hi=' || r9.hi_txt ||
+    '|min_support=10',
+    p.n_rows, p.n_null, p.n_distinct
+  FROM prof p, (
+    SELECT CAST(least(1.0,
+             ceil(round(max(gnull / CAST(gn AS DOUBLE)) * 100, 6)) / 100)
+           AS VARCHAR) AS hi_txt
+    FROM (SELECT o_orderstatus AS gv, count(*) AS gn,
+                 count(*) FILTER (WHERE o_orderkey % 50 = 0) AS gnull
+          FROM orders GROUP BY 1)
+    WHERE gn >= 10
+  ) r9
+  WHERE p.col = 'mostly' AND r9.hi_txt IS NOT NULL
 )
 SELECT col AS "column", chk AS "check", params, n_rows, n_null, n_distinct
 FROM rules

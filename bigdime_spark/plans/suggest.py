@@ -35,6 +35,14 @@ and each replays as plain SQL in the driver-contract oracle):
   derived from the data instead of guessed. Unlike R4, widening to
   whole numbers is deliberate: bin EDGES are layout, not a bound, so
   a snapshot-exact range would only shift buckets run over run.
+- R9 ``grouped_bound`` — for every (R5 enum dim × dirty column) pair
+  (dirty = null rate in (0, tol_null], the R2 set): bound the
+  PER-GROUP null rate at the worst observed rate AT THE GATE'S OWN
+  granularity — (part, group) when the table has a part column, else
+  (group) — ceil'd to 2 decimals (groups under ``min_support``
+  ignored — same currency as R5's support gate). The grouped twin of R2: compliance admits
+  today's overall dirt, this pins WHERE it may sit, so a producer
+  concentrating the same rate into one segment pages (C72).
 - R8 ``domain_check length(c) <= B`` — string column with non-null
   values: B = the next power of two ≥ the observed max length
   (deequ's hasMaxLength, widened so ordinary growth doesn't page —
@@ -205,6 +213,75 @@ def suggest_constraints(
         ).first()
         values = {c: list(sets[c]) for c in gated}
 
+    # pass 3 (R9): worst per-group null rate for every (enum dim ×
+    # dirty column) pair — the grouped twin of R2: the part-level
+    # compliance bound admits today's dirt, the grouped bound pins
+    # WHERE that dirt may sit, so a producer concentrating the same
+    # overall rate into one segment pages. One melted scan (dims
+    # explode, targets ride as columns), one hash agg, output sized
+    # Σ dim cardinalities.
+    dirty = sorted(
+        c
+        for c in cols
+        if c in prof
+        and prof[c]["n_rows"] > 0
+        and 0 < prof[c]["n_null"]
+        and prof[c]["n_null"] / prof[c]["n_rows"] <= tol_null
+    )
+    dims = sorted(g for g in values if g not in dirty)
+    grouped_hi: dict[tuple[str, str], float] = {}
+    part_null_hi: dict[str, float] = {}
+    # GroupedBound gates per (part, group) and Compliance gates per
+    # part — the suggested bounds must be the worst rate at the GATE'S
+    # granularity or the round-trip invariant breaks (a part-local
+    # segment can exceed the table-wide worst). Tables without a part
+    # column profile at (group) alone.
+    part_keys = ["part"] if "part" in df.columns else []
+    if dirty and (dims or part_keys):
+        structs = [
+            F.struct(F.lit(g).alias("dim"), F.col(g).cast("string").alias("gv"))
+            for g in dims
+        ]
+        carry = sorted(set(dirty) | set(part_keys))
+        if part_keys:
+            # sentinel dim (the C69 trick): per-PART rates for the
+            # dirty columns ride the same scan — R2's min_fraction must
+            # be the worst PART's fraction for the same reason R9 uses
+            # (part, group): compliance gates per part
+            structs = structs + [
+                F.struct(F.lit("__part__").alias("dim"), F.lit("").alias("gv"))
+            ]
+        per_group = (
+            df.select(*carry, F.explode(F.array(*structs)).alias("mg"))
+            .groupBy(*part_keys, "mg.dim", "mg.gv")
+            .agg(
+                F.count(F.lit(1)).alias("gn"),
+                *[
+                    (F.count_if(F.col(t).isNull()) / F.count(F.lit(1))).alias(t)
+                    for t in dirty
+                ],
+            )
+            .filter(
+                (F.col("gn") >= min_support) | (F.col("dim") == "__part__")
+            )
+            .collect()
+        )
+        import math
+
+        for row in per_group:
+            for t in dirty:
+                if row["dim"] == "__part__":
+                    part_null_hi[t] = max(part_null_hi.get(t, 0.0), row[t])
+                    continue
+                key = (t, row["dim"])
+                grouped_hi[key] = max(grouped_hi.get(key, 0.0), row[t])
+        # round before ceil: 0.1·100 is 10.000000000000002 in floats,
+        # which would ceil a clean 10% rate to an off-by-one 0.11 bound
+        grouped_hi = {
+            k: min(1.0, math.ceil(round(v * 100, 6)) / 100)
+            for k, v in grouped_hi.items()
+        }
+
     out: list[dict] = []
 
     def emit(c: str, check: str, params: str) -> None:
@@ -232,13 +309,18 @@ def suggest_constraints(
         else:
             null_rate = p["n_null"] / n
             if null_rate <= tol_null:
-                # floor to 2 decimals: admits today's dirt, pages on worse
-                mf = int((1.0 - null_rate) * 100) / 100
-                emit(
-                    c,
-                    "compliance",
-                    f"{_ident(c)} IS NOT NULL|min_fraction={mf}",
-                )
+                # the gate evaluates PER PART — bound at the worst
+                # part's fraction when the table has parts (falls back
+                # to the overall rate otherwise); floor to 2 decimals:
+                # admits today's dirt, pages on worse
+                worst = part_null_hi.get(c, null_rate)
+                mf = int((1.0 - worst) * 100) / 100
+                if mf > 0:
+                    emit(
+                        c,
+                        "compliance",
+                        f"{_ident(c)} IS NOT NULL|min_fraction={mf}",
+                    )
         if p["n_null"] == 0 and p["n_distinct"] == n and n >= 2:
             emit(c, "unique", "")
         if (
@@ -270,6 +352,14 @@ def suggest_constraints(
         if dtypes[c] == "string" and nn > 0 and p["max_len"] is not None:
             b = 1 << max(0, int(p["max_len"]) - 1).bit_length()
             emit(c, "domain_check", f"length({_ident(c)}) <= {b}")
+        for (t, g), hi in sorted(grouped_hi.items()):
+            if t == c:
+                emit(
+                    c,
+                    "grouped_bound",
+                    f"group_by={g}|metric=null_rate|hi={hi}"
+                    f"|min_support={min_support}",
+                )
 
     out.sort(key=lambda s: (s["column"], s["check"], s["params"]))
     return out
@@ -357,6 +447,21 @@ def to_config(suggestions: list[dict]) -> dict:
             )
     if drift:
         cfg["drift_specs"] = drift
+    gb = []
+    for s in suggestions:
+        if s["check"] == "grouped_bound":
+            parts = dict(kv.split("=", 1) for kv in s["params"].split("|"))
+            gb.append(
+                {
+                    "target": s["column"],
+                    "group_by": parts["group_by"],
+                    "metric": parts["metric"],
+                    "hi": float(parts["hi"]),
+                    "min_support": int(parts["min_support"]),
+                }
+            )
+    if gb:
+        cfg["grouped_bounds"] = gb
     return cfg
 
 

@@ -51,11 +51,40 @@ def test_rules_fire_on_planted_frame(spark):
     # collapsed range bumps hi to lo+1
     assert ("id", "drift_spec", "lo=0.0|hi=19.0|nbins=32") in got
     assert ("one", "drift_spec", "lo=1.0|hi=2.0|nbins=32") in got
+    # R9: the dirt in `mostly` is bounded per cat segment at the worst
+    # observed group rate (1 null in each 10-row group → 0.1)
+    assert ("mostly", "grouped_bound",
+            "group_by=cat|metric=null_rate|hi=0.1|min_support=10") in got
     # drift specs round-trip into the config section
     cfg = to_config(suggest_constraints(df, tol_null=0.2))
     assert {"column": "id", "lo": 0.0, "hi": 19.0, "nbins": 32} in cfg[
         "drift_specs"
     ]
+    assert {"target": "mostly", "group_by": "cat", "metric": "null_rate",
+            "hi": 0.1, "min_support": 10} in cfg["grouped_bounds"]
+
+
+def test_part_granular_bounds_for_part_tables(spark):
+    """Dirt concentrated in one part's one segment: R2's min_fraction
+    and R9's hi must be derived at the GATE's granularity (per part /
+    per (part, group)), not the whole table — otherwise the suggested
+    config fails the very data that produced it."""
+    rows = (
+        [("pA", "x", None)] * 4 + [("pA", "x", "c")] * 6
+        + [("pA", "y", "c")] * 10
+        + [("pB", "x", "c")] * 10 + [("pB", "y", "c")] * 10
+    )
+    df = spark.createDataFrame(rows, "part string, fmt string, caption string")
+    got = _sugg_set(suggest_constraints(df, tol_null=0.2))
+    # overall rate 0.1 → naive mf 0.9; worst part pA is 4/20 = 0.2 → 0.8
+    assert ("caption", "compliance",
+            "`caption` IS NOT NULL|min_fraction=0.8") in got
+    # worst (part, fmt) segment is (pA, x) = 0.4; worst (part, part)
+    # group is pA = 0.2
+    assert ("caption", "grouped_bound",
+            "group_by=fmt|metric=null_rate|hi=0.4|min_support=10") in got
+    assert ("caption", "grouped_bound",
+            "group_by=part|metric=null_rate|hi=0.2|min_support=10") in got
 
 
 def test_negative_min_blocks_nonneg_and_high_card_blocks_isin(spark):
@@ -229,6 +258,38 @@ def _ref_suggest(rows):
         if is_str and nonnull:
             b = 1 << max(0, max(len(v) for v in nonnull) - 1).bit_length()
             out.add((name, "domain_check", f"length(`{name}`) <= {b}"))
+    # R9: grouped null-rate bounds for (enum dim × dirty column)
+    cols = {"a": 0, "s": 1}
+    dirty = sorted(
+        name for name, idx in cols.items()
+        if rows and 0 < sum(1 for r in rows if r[idx] is None) <= _TOL * len(rows)
+    )
+    dims = []
+    svals = [r[1] for r in rows]
+    snn = [v for v in svals if v is not None]
+    if (
+        "s" not in dirty
+        and 1 <= len(set(snn)) <= _MAXV
+        and len(svals) >= _SUPP * len(set(snn))
+        and len(svals) > 0
+    ):
+        dims = ["s"]
+    for g in dims:
+        for t in dirty:
+            by_group: dict = {}
+            for r in rows:
+                by_group.setdefault(r[cols[g]], []).append(r[cols[t]])
+            worst = None
+            for gv, tvals in by_group.items():
+                if len(tvals) < _SUPP:
+                    continue
+                rate = sum(1 for v in tvals if v is None) / len(tvals)
+                worst = rate if worst is None else max(worst, rate)
+            if worst is None:
+                continue
+            hi = min(1.0, math.ceil(round(worst * 100, 6)) / 100)
+            out.add((t, "grouped_bound",
+                     f"group_by={g}|metric=null_rate|hi={hi}|min_support={_SUPP}"))
     return out
 
 
