@@ -322,6 +322,40 @@ def test_caption_conflicts_single_exchange(spark, parquet_fixture):
     assert n_exchanges == 1, plan
 
 
+def test_grouped_metrics_single_exchange_partial_agg(spark, parquet_fixture):
+    """C72: the (part, group) profile is ONE map-side-combined hash
+    aggregation — exactly one exchange, with a partial_count before
+    it (no Expand, no second shuffle for the distinct count)."""
+    import re
+
+    from bigdime_spark.operators.grouped import grouped_metrics
+
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    plan = _explain(grouped_metrics(raw, "caption", "fmt"))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    # count_distinct adds its legal two-level (partial-distinct) pair
+    # on the SAME key — but never a SinglePartition funnel
+    assert "SinglePartition" not in plan, plan
+    assert n_exchanges <= 2, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_drift_contributions_windows_partition_by_key(spark, parquet_fixture):
+    """C70: every window in the bucket-triage plan partitions by
+    (part, column) — a SinglePartition window over the histogram frame
+    would serialize all parts through one task."""
+    from bigdime_spark.operators.drift import DriftColumn, drift_contributions
+
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    a = raw.filter(F.col("w") >= 32)
+    b = raw.filter(F.col("w") < 32)
+    contrib = drift_contributions(
+        a, b, (DriftColumn("w", 0.0, 256.0, 16), DriftColumn("h", 0.0, 256.0, 16))
+    )
+    plan = _explain(contrib)
+    assert "SinglePartition" not in plan, plan
+
+
 def test_containment_prefix_side_filters_before_gram_join(spark):
     """C61: the candidate join's indexed side must be the PREFIX
     (rank <= L) — the full shingle relation appears as the probe side,
