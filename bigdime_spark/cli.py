@@ -22,6 +22,35 @@ import sys
 import time
 
 
+def _parse_grouped_bound(token: str):
+    """TARGET:GROUP:METRIC:LO~HI[:MINSUP] → GroupedBound (shared by
+    `run --grouped-bound` and `stream --grouped-bound`)."""
+    from bigdime_spark.operators.grouped import GroupedBound
+
+    sides = token.split(":")
+    if len(sides) not in (4, 5) or not all(sides[:3]):
+        raise ValueError(
+            "--grouped-bound: expected "
+            f"TARGET:GROUP:METRIC:LO~HI[:MINSUP], got {token!r}"
+        )
+    bound = sides[3].split("~")
+    if len(bound) != 2:
+        raise ValueError(
+            f"--grouped-bound: bound must be LO~HI, got {sides[3]!r}"
+        )
+    try:
+        return GroupedBound(
+            sides[0],
+            sides[1],
+            metric=sides[2],
+            lo=float(bound[0]) if bound[0] else None,
+            hi=float(bound[1]) if bound[1] else None,
+            min_support=int(sides[4]) if len(sides) == 5 else 1,
+        )
+    except ValueError as exc:
+        raise ValueError(f"--grouped-bound: {exc}")
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bigdime_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -450,6 +479,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "micro-batches (bounded per-part state) and write a "
         "drift-ready stats table to <out>/stats — feed it straight "
         "to the `drift` subcommand, zero rescan of the stream",
+    )
+    st.add_argument(
+        "--grouped-bound",
+        default=None,
+        metavar="TARGET:GROUP:METRIC:LO~HI[:MINSUP]",
+        help="streaming grouped metric gate (C74): accumulate bounded "
+        "per-(part, group) metrics across micro-batches, evaluate the "
+        "same GroupedBound verdict fold the batch run uses, and write "
+        "the collapsed profile to <out>/grouped in the C73 "
+        "trend-ready shape. Metrics: null_rate|mean|min|max|n "
+        "(n_distinct needs unbounded state — batch only)",
     )
     st.add_argument("--max-files-per-trigger", type=int, default=None)
     st.add_argument("--master", default=None)
@@ -2206,6 +2246,19 @@ def main(argv: list[str] | None = None) -> int:
         from bigdime_spark.streaming.incremental import StreamingValidator
         from bigdime_spark.streaming.stateful import run_uniqueness_to_completion
 
+        gb = None
+        if args.grouped_bound:
+            try:
+                gb = _parse_grouped_bound(args.grouped_bound)
+                if gb.metric == "n_distinct":
+                    raise ValueError(
+                        "--grouped-bound: metric n_distinct needs "
+                        "unbounded per-group state — run it in batch "
+                        "(`run --grouped-bound`)"
+                    )
+            except ValueError as e:
+                print(f"stream: {e}", file=sys.stderr)
+                return 2
         spark = get_spark("bigdime-stream", master=args.master)
         manifest = read_table(spark, args.manifest) if args.manifest else None
         validator = StreamingValidator(manifest=manifest)
@@ -2265,6 +2318,52 @@ def main(argv: list[str] | None = None) -> int:
                 hist_parts = spark.read.parquet(f"{args.out}/stats").count()
             except Exception:
                 hist_parts = 0  # rowless source → sink has no data files
+        grouped_fails = None
+        if gb is not None:
+            from bigdime_spark.streaming.stateful import (
+                latest_grouped,
+                run_grouped_to_completion,
+            )
+
+            run_grouped_to_completion(
+                spark,
+                args.source,
+                IMAGE_SCHEMA_PARTITIONED,
+                f"{args.checkpoint}/grouped",
+                f"{args.out}/grouped_sink",
+                gb.target,
+                gb.group_by,
+            )
+            grouped_fails = 0
+            try:
+                prof = latest_grouped(
+                    spark.read.parquet(f"{args.out}/grouped_sink")
+                )
+            except Exception:
+                prof = None  # rowless source → sink has no data files
+            if prof is not None:
+                found, _ = gb.verdicts_from_profile(prof)
+                found.write.mode("overwrite").parquet(
+                    f"{args.out}/grouped_verdicts"
+                )
+                grouped_fails = (
+                    spark.read.parquet(f"{args.out}/grouped_verdicts")
+                    .filter(F.col("verdict") == "FAIL")
+                    .count()
+                )
+                # C73 trend-ready composed shape, same as `run`
+                prof.select(
+                    F.concat(
+                        F.col("part").cast("string"),
+                        F.lit(f"|{gb.group_by}="),
+                        F.coalesce(F.col("group"), F.lit("∅")),
+                    ).alias("part"),
+                    F.col("n").cast("double").alias(f"stat__{gb.target}__n"),
+                    F.col("null_rate").alias(f"stat__{gb.target}__null_rate"),
+                    F.col("mean").alias(f"stat__{gb.target}__mean"),
+                    F.col("min").alias(f"stat__{gb.target}__min"),
+                    F.col("max").alias(f"stat__{gb.target}__max"),
+                ).write.mode("overwrite").parquet(f"{args.out}/grouped")
         try:
             verdict_counts = {
                 r["verdict"]: r["n"]
@@ -2281,10 +2380,19 @@ def main(argv: list[str] | None = None) -> int:
                     "verdict_counts": verdict_counts,
                     "dup_keys": dup_keys,
                     "hist_parts": hist_parts,
+                    **(
+                        {"grouped_fails": grouped_fails}
+                        if gb is not None
+                        else {}
+                    ),
                 }
             )
         )
-        return 1 if verdict_counts.get("FAIL") or dup_keys else 0
+        return (
+            1
+            if verdict_counts.get("FAIL") or dup_keys or grouped_fails
+            else 0
+        )
 
     if args.cmd == "synth":
         from bigdime_spark.sources.synth import build_fixture
@@ -2462,30 +2570,7 @@ def main(argv: list[str] | None = None) -> int:
                     raise ValueError(f"--fd: expected DET:DEP, got {token!r}")
                 extra_tcs.append(FunctionalDependency(sides[0], sides[1]))
         for token in args.grouped_bound or ():
-            from bigdime_spark.operators.grouped import GroupedBound
-
-            sides = token.split(":")
-            if len(sides) not in (4, 5) or not all(sides[:3]):
-                raise ValueError(
-                    "--grouped-bound: expected "
-                    f"TARGET:GROUP:METRIC:LO~HI[:MINSUP], got {token!r}"
-                )
-            bound = sides[3].split("~")
-            if len(bound) != 2:
-                raise ValueError(
-                    f"--grouped-bound: bound must be LO~HI, got {sides[3]!r}"
-                )
-            try:
-                extra_tcs.append(GroupedBound(
-                    sides[0],
-                    sides[1],
-                    metric=sides[2],
-                    lo=float(bound[0]) if bound[0] else None,
-                    hi=float(bound[1]) if bound[1] else None,
-                    min_support=int(sides[4]) if len(sides) == 5 else 1,
-                ))
-            except ValueError as exc:
-                raise ValueError(f"--grouped-bound: {exc}")
+            extra_tcs.append(_parse_grouped_bound(token))
     except ValueError as exc:
         print(f"run: {exc}", file=sys.stderr)
         return 2

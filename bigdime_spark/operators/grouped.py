@@ -107,7 +107,13 @@ class GroupedBound(TableConstraint):
                 prof = prof.persist()
                 registry.append(prof)
             cache[key] = prof
+        return self.verdicts_from_profile(prof)
 
+    def verdicts_from_profile(self, prof: DataFrame):
+        """The verdict fold over an ALREADY-COMPUTED (part, group)
+        profile — shared by the batch path (run) and the streaming
+        collapse (streaming/stateful.latest_grouped), so a streamed
+        table gets bit-identical gate semantics."""
         m = F.col(self.metric).cast("double")
         # keep under-support groups in the frame (marked ineligible) so
         # a part whose EVERY group is under min_support still emits a

@@ -432,6 +432,140 @@ def run_histograms_to_completion(
     q.awaitTermination()
 
 
+# ------------------------------------- streaming grouped metrics (C74)
+
+def running_grouped_metrics(
+    stream: DataFrame, target: str, group_by: str
+) -> DataFrame:
+    """Streaming per-(part, group) metric accumulation — the streaming
+    twin of C72's ``grouped_metrics``: each micro-batch folds its rows
+    into one bounded (n, n_null, cast_n, cast_sum, min, max) tuple per
+    (part, group) key, so a STREAMED table gets the same segment gates
+    (GroupedBound.verdicts_from_profile) and the same cross-run C73
+    history surface as a batch run, with zero rescan.
+
+    Exactness: n / n_null / null_rate / min / max are exact and
+    batch-split invariant (counts and extrema commute); ``mean`` is
+    the running-sum mean — mathematically equal to the batch mean,
+    bit-equality subject to float summation order. ``n_distinct`` is
+    NOT streamable under bounded state (a per-group distinct set grows
+    with the data) and is deliberately absent — a grouped bound on
+    n_distinct must run in batch.
+
+    State is BOUNDED: one 6-field tuple per (part, group) — the same
+    cardinality dial as the batch operator (an id-like group_by is a
+    uniqueness check, not a grouped metric). NULL group values are a
+    real segment, keyed by a sentinel and emitted back as NULL."""
+    null_flag = F.col(target).isNull().cast("long").alias("_tn")
+    cast_val = F.col(target).try_cast("double").alias("_tv")
+    # applyInPandasWithState keys cannot be NULL-safely grouped across
+    # engines — encode the NULL group as a sentinel string and decode
+    # on emission
+    gkey = F.coalesce(
+        F.col(group_by).cast("string"), F.lit("\x00null")
+    ).alias("_g")
+
+    def fold(key, batches, state: GroupState):
+        import math as _math
+
+        if state.exists:
+            n, n_null, cast_n, cast_sum, mn, mx = state.get
+        else:
+            n, n_null, cast_n, cast_sum, mn, mx = 0, 0, 0, 0.0, None, None
+        batch_rows = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            batch_rows += len(pdf)
+            n += len(pdf)
+            n_null += int(pdf["_tn"].sum())
+            v = pdf["_tv"].dropna()
+            if len(v):
+                cast_n += int(len(v))
+                cast_sum += float(v.sum())
+                bmn, bmx = float(v.min()), float(v.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+        if batch_rows == 0:
+            return
+        state.update((n, n_null, cast_n, cast_sum, mn, mx))
+        group = None if key[1] == "\x00null" else key[1]
+        mean = (cast_sum / cast_n) if cast_n else None
+        if mean is not None and not _math.isfinite(mean):
+            mean = None
+        yield pd.DataFrame(
+            {
+                "part": [key[0]],
+                "group": [group],
+                "n": [n],
+                "n_null": [n_null],
+                "null_rate": [n_null / n],
+                "mean": [mean],
+                "min": [mn],
+                "max": [mx],
+            }
+        )
+
+    return (
+        stream.select("part", gkey, null_flag, cast_val)
+        .groupBy("part", "_g")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=(
+                "part string, group string, n long, n_null long, "
+                "null_rate double, mean double, min double, max double"
+            ),
+            stateStructType=(
+                "n long, n_null long, cast_n long, cast_sum double, "
+                "mn double, mx double"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def latest_grouped(sink: DataFrame) -> DataFrame:
+    """Collapse an append-mode grouped sink to the CURRENT state: the
+    max-n row per (part, group) — n is monotone, so the largest row is
+    the latest. NULL-safe on the group key (a NULL group is a real
+    segment)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("part", F.coalesce("group", F.lit("\x00null"))).orderBy(
+        F.desc("n")
+    )
+    return (
+        sink.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+def run_grouped_to_completion(
+    spark, source_dir: str, schema, checkpoint_dir: str, out_dir: str,
+    target: str, group_by: str,
+) -> None:
+    """Drain a directory-shaped stream with Trigger.AvailableNow,
+    appending running (part, group) metric rows to ``out_dir``
+    (collapse with ``latest_grouped``)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+    )
+    q = (
+        running_grouped_metrics(stream, target, group_by)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ------------------------------------------- cross-batch key uniqueness
 
 #: one emission per (key, batch-with-new-copies) once the key is a
