@@ -457,6 +457,13 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--source", required=True, help="streaming source dir (parquet appends)")
     st.add_argument("--out", required=True)
     st.add_argument("--checkpoint", required=True)
+    st.add_argument(
+        "--run-id",
+        default=None,
+        help="stamped on the <out>/grouped history frame (C73) so many "
+        "stream drains union into the `trend` shape; auto-generated "
+        "when omitted",
+    )
     st.add_argument("--manifest", default=None)
     st.add_argument("--decode", action="store_true")
     st.add_argument(
@@ -1210,15 +1217,18 @@ def main(argv: list[str] | None = None) -> int:
                 contrib = drift_contributions_from_stats(stats_a, stats_b)
                 ranked = top_drift_buckets(contrib, k=1_000_000)
                 write_table(ranked, args.buckets_out, partition_by=None)
-                # worst bucket per (part, column): bounded parts×columns
+                # worst bucket per (part, column): bounded parts×columns.
+                # A (part, column) present in only ONE frame has NULL
+                # shares/gaps (n or m is 0) — surface null, don't crash
+                rnd = lambda v: None if v is None else round(v, 6)  # noqa: E731
                 for r in ranked.filter(F.col("rank") == 1).collect():
                     bucket_top[(r["part"], r["column"])] = {
                         "bucket": r["bucket"],
                         "lo": r["lo"],
                         "hi": r["hi"],
-                        "share_r": round(r["share_r"], 6),
-                        "share_c": round(r["share_c"], 6),
-                        "psi_term": round(r["psi_term"], 6),
+                        "share_r": rnd(r["share_r"]),
+                        "share_c": rnd(r["share_c"]),
+                        "psi_term": rnd(r["psi_term"]),
                     }
         except ValueError as e:
             # spec mismatch / duplicate per-part rows — operator error,
@@ -2256,6 +2266,15 @@ def main(argv: list[str] | None = None) -> int:
                         "unbounded per-group state — run it in batch "
                         "(`run --grouped-bound`)"
                     )
+                stream_cols = [f.name for f in IMAGE_SCHEMA_PARTITIONED.fields]
+                missing = [
+                    c for c in (gb.target, gb.group_by) if c not in stream_cols
+                ]
+                if missing:
+                    raise ValueError(
+                        "--grouped-bound: not in the stream schema: "
+                        + ", ".join(missing)
+                    )
             except ValueError as e:
                 print(f"stream: {e}", file=sys.stderr)
                 return 2
@@ -2342,28 +2361,30 @@ def main(argv: list[str] | None = None) -> int:
             except Exception:
                 prof = None  # rowless source → sink has no data files
             if prof is not None:
-                found, _ = gb.verdicts_from_profile(prof)
-                found.write.mode("overwrite").parquet(
-                    f"{args.out}/grouped_verdicts"
+                import uuid as _uuid
+
+                from bigdime_spark.operators.grouped import (
+                    composed_grouped_frame,
                 )
+
+                run_id = args.run_id or f"stream-{_uuid.uuid4().hex[:12]}"
+                found, _ = gb.verdicts_from_profile(prof)
+                found.withColumn("run_id", F.lit(run_id)).write.mode(
+                    "overwrite"
+                ).parquet(f"{args.out}/grouped_verdicts")
                 grouped_fails = (
                     spark.read.parquet(f"{args.out}/grouped_verdicts")
                     .filter(F.col("verdict") == "FAIL")
                     .count()
                 )
-                # C73 trend-ready composed shape, same as `run`
-                prof.select(
-                    F.concat(
-                        F.col("part").cast("string"),
-                        F.lit(f"|{gb.group_by}="),
-                        F.coalesce(F.col("group"), F.lit("∅")),
-                    ).alias("part"),
-                    F.col("n").cast("double").alias(f"stat__{gb.target}__n"),
-                    F.col("null_rate").alias(f"stat__{gb.target}__null_rate"),
-                    F.col("mean").alias(f"stat__{gb.target}__mean"),
-                    F.col("min").alias(f"stat__{gb.target}__min"),
-                    F.col("max").alias(f"stat__{gb.target}__max"),
-                ).write.mode("overwrite").parquet(f"{args.out}/grouped")
+                # C73 trend-ready composed shape, same projection as
+                # `run` (shared helper) incl. the run_id stamp `trend`
+                # hard-requires
+                composed_grouped_frame(
+                    prof, gb.target, gb.group_by
+                ).withColumn("run_id", F.lit(run_id)).write.mode(
+                    "overwrite"
+                ).parquet(f"{args.out}/grouped")
         try:
             verdict_counts = {
                 r["verdict"]: r["n"]
@@ -2570,7 +2591,15 @@ def main(argv: list[str] | None = None) -> int:
                     raise ValueError(f"--fd: expected DET:DEP, got {token!r}")
                 extra_tcs.append(FunctionalDependency(sides[0], sides[1]))
         for token in args.grouped_bound or ():
-            extra_tcs.append(_parse_grouped_bound(token))
+            gb_tc = _parse_grouped_bound(token)
+            missing = [
+                c for c in (gb_tc.target, gb_tc.group_by) if c not in raw.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"--grouped-bound: not in the raw schema: {', '.join(missing)}"
+                )
+            extra_tcs.append(gb_tc)
     except ValueError as exc:
         print(f"run: {exc}", file=sys.stderr)
         return 2
@@ -2664,23 +2693,11 @@ def main(argv: list[str] | None = None) -> int:
         # union straight into `trend --history` / `outliers --stats`,
         # so every cross-run baseline (step, zscore, ewma, hw, cusum)
         # gates SEGMENT metrics with no new scoring code.
+        from bigdime_spark.operators.grouped import composed_grouped_frame
+
         stamped = None
         for (target, group_by), prof in sorted(res.grouped_profiles.items()):
-            frame = prof.select(
-                F.concat(
-                    F.col("part").cast("string"),
-                    F.lit(f"|{group_by}="),
-                    F.coalesce(F.col("group"), F.lit("∅")),
-                ).alias("part"),
-                F.col("n").cast("double").alias(f"stat__{target}__n"),
-                F.col("null_rate").alias(f"stat__{target}__null_rate"),
-                F.col("mean").alias(f"stat__{target}__mean"),
-                F.col("min").alias(f"stat__{target}__min"),
-                F.col("max").alias(f"stat__{target}__max"),
-                F.col("n_distinct").cast("double").alias(
-                    f"stat__{target}__n_distinct"
-                ),
-            )
+            frame = composed_grouped_frame(prof, target, group_by)
             stamped = (
                 frame
                 if stamped is None

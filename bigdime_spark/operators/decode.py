@@ -457,6 +457,14 @@ class DecodeIntegrity(TableConstraint):
                 )
             if z <= 0:
                 raise ValueError(f"decode rate_gate z must be > 0, got {z}")
+            if "raw" not in snapshots:
+                # k counts raw-snapshot bad rows — without a raw decode
+                # the gate would certify a snapshot that was never
+                # decoded (k always 0 → confident PASS on any corruption)
+                raise ValueError(
+                    "decode rate_gate certifies the raw snapshot — "
+                    f"snapshots={snapshots!r} does not decode it"
+                )
         if (
             quality_mean_lo is not None
             and quality_mean_hi is not None

@@ -80,10 +80,21 @@ class GroupedBound(TableConstraint):
         hi: float | None = None,
         min_support: int = 1,
     ):
+        import math
+
         if metric not in METRICS:
             raise ValueError(f"metric={metric!r} unsupported: one of {METRICS}")
         if lo is None and hi is None:
             raise ValueError("grouped bound needs lo, hi, or both")
+        for side, v in (("lo", lo), ("hi", hi)):
+            # NaN would make every breach comparison False — a gate
+            # that silently never pages; explicit ±inf is the same
+            # statement as omitting the side, so require that spelling
+            if v is not None and not math.isfinite(v):
+                raise ValueError(
+                    f"grouped bound {side} must be finite (omit the side "
+                    f"for an open bound), got {v!r}"
+                )
         if min_support < 1:
             raise ValueError(f"min_support must be >= 1, got {min_support}")
         self.target = target
@@ -186,7 +197,11 @@ class GroupedBound(TableConstraint):
                 F.lit(expected).alias("expected"),
             )
         )
-        violations = flagged.filter(F.col("_breach")).select(
+        violations = self._violation_rows(flagged, lo_txt, hi_txt)
+        return found, violations
+
+    def _violation_rows(self, flagged, lo_txt: str, hi_txt: str):
+        return flagged.filter(F.col("_breach")).select(
             F.lit(self.name).alias("constraint"),
             F.col("part").cast("string").alias("part"),
             F.lit(None).cast("string").alias("image_id"),
@@ -196,11 +211,35 @@ class GroupedBound(TableConstraint):
                 F.coalesce(F.col("group"), F.lit("∅")),
                 F.lit(f": {self.metric}="),
                 F.round(F.col("_m"), 6).cast("string"),
-                F.lit(f" not in [{lo_txt}, {hi_txt}] (n=")
-                ,
+                F.lit(f" not in [{lo_txt}, {hi_txt}] (n="),
                 F.col("n").cast("string"),
                 F.lit(")"),
             ).alias("detail"),
             F.lit("raw").alias("snapshot"),
         )
-        return found, violations
+
+
+def composed_grouped_frame(prof: DataFrame, target: str, group_by: str) -> DataFrame:
+    """Project a (part, group) metric profile into the C73 cross-run
+    history shape shared by `run` and `stream`: part composed as
+    "part|dim=value" (NULL group → ∅), metrics as
+    ``stat__<target>__<metric>`` columns. n_distinct is included only
+    when the profile has it (the streaming profile deliberately
+    doesn't — unbounded state)."""
+    cols = [
+        F.concat(
+            F.col("part").cast("string"),
+            F.lit(f"|{group_by}="),
+            F.coalesce(F.col("group"), F.lit("∅")),
+        ).alias("part"),
+        F.col("n").cast("double").alias(f"stat__{target}__n"),
+        F.col("null_rate").alias(f"stat__{target}__null_rate"),
+        F.col("mean").alias(f"stat__{target}__mean"),
+        F.col("min").alias(f"stat__{target}__min"),
+        F.col("max").alias(f"stat__{target}__max"),
+    ]
+    if "n_distinct" in prof.columns:
+        cols.append(
+            F.col("n_distinct").cast("double").alias(f"stat__{target}__n_distinct")
+        )
+    return prof.select(*cols)

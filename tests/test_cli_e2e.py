@@ -213,6 +213,31 @@ def test_drift_cli_buckets_out_triage(spark, tmp_path_factory, capsys):
     assert rc2 == 2 and "table-level" in err
 
 
+def test_drift_cli_buckets_out_one_sided_part(spark, tmp_path_factory, capsys):
+    """A part present in only one stats frame (new partition between
+    runs) has NULL shares in its bucket rows — bucket_top must surface
+    nulls, not crash on round(None)."""
+    from bigdime_spark.operators.stats import histogram_frames
+    from bigdime_spark.sources.synth import build_fixture
+
+    base = tmp_path_factory.mktemp("drift1s")
+    fx = build_fixture(spark, n_rows=128, n_parts=4)
+    specs = [("w", 0.0, 256.0, 16)]
+    histogram_frames(fx.raw, specs).write.parquet(f"{base}/a")
+    histogram_frames(
+        fx.curated.filter(F.col("part") != "p0003"), specs
+    ).write.parquet(f"{base}/b")
+    rc, summary, _ = _run_cli(
+        capsys,
+        ["drift", "--stats-a", f"{base}/a", "--stats-b", f"{base}/b",
+         "--buckets-out", f"{base}/buckets"],
+    )
+    assert rc in (0, 1) and summary is not None  # completed, no traceback
+    lonely = [s for s in summary["scores"] if s["part"] == "p0003"][0]
+    assert lonely["bucket_top"] is not None
+    assert lonely["bucket_top"]["share_c"] is None
+
+
 def test_stream_cli_cross_batch_dup(spark, tmp_path_factory, capsys):
     """`stream` subcommand: drains appends incrementally (checkpoint
     resume) and, with --key-uniqueness, catches a duplicate image_id

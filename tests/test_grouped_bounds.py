@@ -79,6 +79,13 @@ def test_guards():
         GroupedBound("c", "g", hi=1.0, min_support=0)
     with pytest.raises(ValueError, match="hi .* < lo"):
         GroupedBound("c", "g", lo=2.0, hi=1.0)
+    # NaN/inf bounds would make every breach comparison False — a gate
+    # that can never page must be refused, not constructed
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="must be finite"):
+            GroupedBound("c", "g", lo=bad)
+        with pytest.raises(ValueError, match="must be finite"):
+            GroupedBound("c", "g", hi=bad)
 
 
 def test_profile_scan_shared_across_bounds(spark, hand):
@@ -138,6 +145,15 @@ def test_suite_and_cli_end_to_end(spark, tmp_path_factory, capsys):
     )
     err = capsys.readouterr().err
     assert rc2 == 2 and "grouped-bound" in err
+
+    # typo'd column → clean exit 2 BEFORE the run starts, not an
+    # AnalysisException traceback mid-suite
+    rc3 = cli.main(
+        ["run", "--raw", f"{d}/raw", "--out", out,
+         "--grouped-bound", "captoin:fmt:null_rate:~0.3"]
+    )
+    err = capsys.readouterr().err
+    assert rc3 == 2 and "captoin" in err and "Traceback" not in err
 
     # the run also stamped the C73 grouped history surface
     grouped = spark.read.parquet(f"{out}/grouped")

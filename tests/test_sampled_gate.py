@@ -166,3 +166,7 @@ def test_decode_rate_gate_geometry_refused():
         DecodeIntegrity(rate_gate=(0.0, 1.96))
     with pytest.raises(ValueError, match="z must be"):
         DecodeIntegrity(rate_gate=(0.1, 0.0))
+    # k counts raw-snapshot bad rows — a gate over a decode pass that
+    # never decodes raw would certify corruption it cannot see
+    with pytest.raises(ValueError, match="raw snapshot"):
+        DecodeIntegrity(snapshots=("curated",), rate_gate=(0.1, 1.96))

@@ -116,7 +116,7 @@ def test_stream_cli_grouped_bound_e2e(spark, tmp_path_factory, capsys):
     _dirty_raw(spark).coalesce(1).write.parquet(f"{base}/src")
     rc = cli.main(
         ["stream", "--source", f"{base}/src", "--out", f"{base}/out",
-         "--checkpoint", f"{base}/ckpt",
+         "--checkpoint", f"{base}/ckpt", "--run-id", "s1",
          "--grouped-bound", "caption:fmt:null_rate:~0.1:3"]
     )
     out = capsys.readouterr().out
@@ -126,10 +126,21 @@ def test_stream_cli_grouped_bound_e2e(spark, tmp_path_factory, capsys):
     assert rc == 1 and summary["grouped_fails"] == 2  # both parts page
     gv = spark.read.parquet(f"{base}/out/grouped_verdicts").collect()
     assert all("pngz" in r["observed"] for r in gv if r["verdict"] == "FAIL")
-    # C73 trend-ready shape
+    # C73 trend-ready shape, run_id-stamped (trend hard-requires it)
     grouped = spark.read.parquet(f"{base}/out/grouped")
-    assert {"part", "stat__caption__null_rate"} <= set(grouped.columns)
-    assert any("|fmt=pngz" in r["part"] for r in grouped.collect())
+    assert {"part", "stat__caption__null_rate", "run_id"} <= set(grouped.columns)
+    rows = grouped.collect()
+    assert any("|fmt=pngz" in r["part"] for r in rows)
+    assert all(r["run_id"] == "s1" for r in rows)
+
+    # typo'd column → refused before any streaming query starts
+    rc_bad = cli.main(
+        ["stream", "--source", f"{base}/src", "--out", f"{base}/outx",
+         "--checkpoint", f"{base}/ckptx",
+         "--grouped-bound", "captoin:fmt:null_rate:~0.1"]
+    )
+    err = capsys.readouterr().err
+    assert rc_bad == 2 and "captoin" in err
 
     # n_distinct needs unbounded state → refused before any query runs
     rc2 = cli.main(
