@@ -109,6 +109,7 @@ HEADLINE = [
     "caption_conflicts",
     "schema_history_orders",
     "drift_buckets_extendedprice",
+    "caption_quality_documents",
     "sampled_gate_lineitem",
     "grouped_verdict_events",
     "suite_verdicts_lineitem",

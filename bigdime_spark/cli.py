@@ -141,6 +141,19 @@ def _build_parser() -> argparse.ArgumentParser:
         "instead of riding the sampled decode scan)",
     )
     r.add_argument(
+        "--caption-quality",
+        action="append",
+        default=None,
+        metavar="METRIC:LO~HI",
+        help="declared caption TEXT-quality gate (C75, repeatable): "
+        "the per-part MEAN of a text-quality metric "
+        "(n_tokens|avg_word_len|stopword_ratio|punct_ratio|"
+        "digit_ratio|quality_score) over non-null captions must stay "
+        "inside LO~HI (either side may be empty). Rides the fused "
+        "stats scan — zero extra passes. e.g. quality_score:0.3~ or "
+        "n_tokens:3~64",
+    )
+    r.add_argument(
         "--grouped-bound",
         action="append",
         default=None,
@@ -2459,6 +2472,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--seq-continuity", bool(args.seq_continuity)),
             ("--fd", bool(args.fd)),
             ("--grouped-bound", bool(args.grouped_bound)),
+            ("--caption-quality", bool(args.caption_quality)),
             ("--referential-bloom", args.referential_bloom),
             ("--cat-drift", bool(args.cat_drift)),
             ("--mask-drift", bool(args.mask_drift)),
@@ -2504,6 +2518,7 @@ def main(argv: list[str] | None = None) -> int:
         if manifest is not None:
             manifest = manifest.filter(F.col("part").isin(sel))
     extra_tcs: list = []
+    extra_aggs: list = []
     slice_dims: list[str] = []
     try:
         if args.slice_dims is not None:
@@ -2590,6 +2605,23 @@ def main(argv: list[str] | None = None) -> int:
                 if len(sides) != 2 or not sides[0] or not sides[1]:
                     raise ValueError(f"--fd: expected DET:DEP, got {token!r}")
                 extra_tcs.append(FunctionalDependency(sides[0], sides[1]))
+        for token in args.caption_quality or ():
+            from bigdime_spark.operators.caption import CaptionQualityBound
+
+            sides = token.split(":")
+            if len(sides) != 2 or not sides[0] or "~" not in sides[1]:
+                raise ValueError(
+                    f"--caption-quality: expected METRIC:LO~HI, got {token!r}"
+                )
+            lo_txt, hi_txt = sides[1].split("~", 1)
+            try:
+                extra_aggs.append(CaptionQualityBound(
+                    sides[0],
+                    lo=float(lo_txt) if lo_txt else None,
+                    hi=float(hi_txt) if hi_txt else None,
+                ))
+            except ValueError as exc:
+                raise ValueError(f"--caption-quality: {exc}")
         for token in args.grouped_bound or ():
             gb_tc = _parse_grouped_bound(token)
             missing = [
@@ -2607,6 +2639,7 @@ def main(argv: list[str] | None = None) -> int:
     suite = config_suite if config_suite is not None else ValidationSuite(
         not_null=("image_id", "caption", "w", "h", "fmt"),
         extra_table_constraints=extra_tcs,
+        extra_agg_constraints=extra_aggs,
         check_decode=args.decode,
         decode_seed=args.decode_seed,
         decode_sample_rate=args.decode_sample,

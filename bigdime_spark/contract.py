@@ -1759,6 +1759,38 @@ FROM src GROUP BY 1, 2
 """
 
 
+def q_caption_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption text-quality gate (round-5, C75): per-part MEANS of the
+    C12 quality features over a caption-shaped column, with two
+    declared bounds evaluated through the FUSED-agg path
+    (operators/caption.CaptionQualityBound via fused_agg_exprs — the
+    same assembly the suite runs). Fixture: documents.text as the
+    caption, part = doc_id % 4. The oracle replays the per-row
+    feature SQL (the C12 mirror), the per-part means and both verdict
+    folds."""
+    from bigdime_spark.operators.base import fused_agg_exprs
+    from bigdime_spark.operators.caption import CaptionQualityBound
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("p"), (F.col("doc_id") % 4).cast("string")).alias("part"),
+        F.col("text").alias("caption"),
+    )
+    b_q = CaptionQualityBound("quality_score", lo=0.2)
+    b_t = CaptionQualityBound("n_tokens", lo=1.0, hi=500.0)
+    fused = d.groupBy("part").agg(*fused_agg_exprs([b_q, b_t]))
+    return fused.select(
+        "part",
+        F.round(b_q._m(), 6).alias("mean_quality"),
+        F.round(b_t._m(), 6).alias("mean_tokens"),
+        b_q.verdict_col().alias("verdict_quality"),
+        b_t.verdict_col().alias("verdict_tokens"),
+        b_q.observed_col().alias("observed_quality"),
+        b_t.expected_col().alias("expected_tokens"),
+    )
+
+
+
+
 def q_grouped_verdict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupedBound verdict fold (C72): null_rate of the planted
     frame bounded at hi=0.1 per event_type — the error segment (~1/3
@@ -2367,6 +2399,45 @@ SELECT doc_id, n_tokens, avg_word_len, stopword_ratio, punct_ratio, digit_ratio,
              - COALESCE(punct_ratio, 0.0) * 2.0
              - COALESCE(digit_ratio, 0.0))), 6) AS quality_score
 FROM ratios
+"""
+
+
+SQL_CAPTION_QUALITY = f"""
+WITH feat AS (
+  SELECT concat('p', (doc_id % 4)::VARCHAR) AS part,
+         {_WS_TOKENS_SQL} AS n_tokens,
+         len(text) AS n_chars,
+         len(text) - len(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS pc,
+         len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS dc
+  FROM documents
+), ratios AS (
+  SELECT part, n_tokens,
+         round(CASE WHEN n_chars = 0 THEN NULL ELSE pc::DOUBLE / n_chars END, 6) AS punct_ratio,
+         round(CASE WHEN n_chars = 0 THEN NULL ELSE dc::DOUBLE / n_chars END, 6) AS digit_ratio
+  FROM feat
+), scored AS (
+  SELECT part, n_tokens,
+         round(greatest(0.0, least(1.0,
+               0.5 * least(n_tokens::DOUBLE / 64.0, 1.0) + 0.5
+               - COALESCE(punct_ratio, 0.0) * 2.0
+               - COALESCE(digit_ratio, 0.0))), 6) AS quality_score
+  FROM ratios
+), agg AS (
+  SELECT part, avg(quality_score) AS mq, avg(n_tokens::DOUBLE) AS mt
+  FROM scored GROUP BY part
+)
+SELECT part,
+       round(mq, 6) AS mean_quality,
+       round(mt, 6) AS mean_tokens,
+       CASE WHEN mq IS NULL THEN 'NOT_READY'
+            WHEN mq >= 0.2 THEN 'PASS' ELSE 'FAIL' END AS verdict_quality,
+       CASE WHEN mt IS NULL THEN 'NOT_READY'
+            WHEN mt >= 1.0 AND mt <= 500.0 THEN 'PASS'
+            ELSE 'FAIL' END AS verdict_tokens,
+       concat('mean_quality_score=',
+              coalesce(round(mq, 6)::VARCHAR, 'null')) AS observed_quality,
+       'mean_n_tokens in [1.0, 500.0]' AS expected_tokens
+FROM agg
 """
 
 
@@ -5908,6 +5979,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sampled_gate_lineitem": QuerySpec(q_sampled_gate_lineitem, SQL_SAMPLED_GATE),
     "grouped_profile_events": QuerySpec(q_grouped_profile_events, SQL_GROUPED_PROFILE),
+    "caption_quality_documents": QuerySpec(
+        q_caption_quality_documents, SQL_CAPTION_QUALITY
+    ),
     "grouped_verdict_events": QuerySpec(q_grouped_verdict_events, SQL_GROUPED_VERDICT),
     # drift (B18/B19)
     "drift_extendedprice": QuerySpec(q_drift_extendedprice, SQL_DRIFT_EXTENDEDPRICE),

@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from bigdime_spark.operators.base import (
+    AggConstraint,
     SuiteContext,
     TableConstraint,
     fill_pass_for_missing_parts,
@@ -145,3 +148,103 @@ def stock_caption_groups(
         )
         .filter(F.col("n_images") >= min_images)
     )
+
+
+class CaptionQualityBound(AggConstraint):
+    """Declared caption TEXT-quality gate (SURVEY C75): the per-part
+    MEAN of a functions/text.quality_metrics feature over non-null
+    captions must stay inside [lo, hi]. The text-quality machinery
+    (C12) existed for the documents table; this wires it to the image
+    table's caption column as a first-class VALIDATION gate — "mean
+    caption quality_score >= 0.3", "mean n_tokens in [3, 64]" — the
+    label-side curation contract of an image+caption corpus (a
+    producer swapping real captions for SEO soup or raw OCR digits
+    moves these means long before any schema or null check notices).
+
+    Metrics (per-row definitions in functions/text.quality_metrics):
+    n_tokens, avg_word_len, stopword_ratio, punct_ratio, digit_ratio,
+    quality_score.
+
+    Scale posture: FUSES into the suite's single stats aggregation —
+    one F.avg of a pure column expression per distinct (column,
+    metric) pair (shared alias: a lo-bound and a hi-bound on the same
+    metric share one aggregate buffer), whole-stage codegen, zero
+    extra scans. Part-level verdicts only (like Compliance: inside a
+    mean there is no meaningful row violation). NOT_READY when the
+    part has no non-null caption (avg over nothing is NULL).
+    """
+
+    METRICS = (
+        "n_tokens",
+        "avg_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "digit_ratio",
+        "quality_score",
+    )
+
+    def __init__(
+        self,
+        metric: str = "quality_score",
+        lo: float | None = None,
+        hi: float | None = None,
+        column: str = "caption",
+    ):
+        import math
+
+        if metric not in self.METRICS:
+            raise ValueError(
+                f"caption quality metric={metric!r} unsupported: one of "
+                f"{self.METRICS}"
+            )
+        if lo is None and hi is None:
+            raise ValueError("caption quality bound needs lo, hi, or both")
+        for side, v in (("lo", lo), ("hi", hi)):
+            if v is not None and not math.isfinite(v):
+                raise ValueError(
+                    f"caption quality {side} must be finite (omit the side "
+                    f"for an open bound), got {v!r}"
+                )
+        self.metric = metric
+        self.lo = float("-inf") if lo is None else float(lo)
+        self.hi = float("inf") if hi is None else float(hi)
+        if self.hi < self.lo:
+            raise ValueError(f"caption quality bound: hi {self.hi} < lo {self.lo}")
+        self.column = column
+        self.name = f"caption_quality_{metric}.{column}"
+        self._avg = f"cq__{column}__{metric}"
+
+    def shared_agg_exprs(self) -> dict[str, Column]:
+        from bigdime_spark.functions.text import quality_metrics
+
+        m = quality_metrics(F.col(self.column))[self.metric].cast("double")
+        # a NULL caption must not contribute: quality_score's
+        # greatest/least scaffolding SKIPS the NULL intermediates and
+        # would score a missing caption 1.0 (nulls belong to not_null)
+        return {self._avg: F.avg(F.when(F.col(self.column).isNotNull(), m))}
+
+    def agg_exprs(self) -> list[Column]:
+        return []
+
+    def _m(self) -> Column:
+        return F.col(self._avg)
+
+    def verdict_col(self) -> Column:
+        from bigdime_spark.schema import NOT_READY, PASS
+
+        return (
+            F.when(self._m().isNull(), F.lit(NOT_READY))
+            .when((self._m() >= self.lo) & (self._m() <= self.hi), F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+        )
+
+    def observed_col(self) -> Column:
+        return F.concat(
+            F.lit(f"mean_{self.metric}="),
+            F.coalesce(F.round(self._m(), 6).cast("string"), F.lit("null")),
+        )
+
+    def expected_col(self) -> Column:
+        lo_txt = "-inf" if self.lo == float("-inf") else str(self.lo)
+        hi_txt = "inf" if self.hi == float("inf") else str(self.hi)
+        return F.lit(f"mean_{self.metric} in [{lo_txt}, {hi_txt}]")

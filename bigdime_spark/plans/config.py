@@ -117,7 +117,7 @@ _SECTIONS = ("schema", "domain_checks", "compliance", "type_conformance",
              "distinctness_bounds", "categorical_bounds", "grouped_bounds",
              "benford_bounds", "drift_specs",
              "bit_balance_bounds", "sequence_continuity",
-             "functional_dependencies")
+             "functional_dependencies", "caption_quality_bounds")
 
 _ALLOWED = set(_BOOL_FIELDS) | set(_INT_FIELDS) | set(_FLOAT_FIELDS) \
     | set(_STR_FIELDS) | set(_STRLIST_FIELDS) | set(_SPECIAL_FIELDS) \
@@ -438,6 +438,27 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                 ))
             except ValueError as exc:
                 raise _fail("categorical_bounds", str(exc))
+
+    if "caption_quality_bounds" in cfg:
+        from bigdime_spark.operators.caption import CaptionQualityBound
+
+        if not isinstance(cfg["caption_quality_bounds"], list):
+            raise _fail("caption_quality_bounds", "must be an array of objects")
+        for entry in cfg["caption_quality_bounds"]:
+            e = _require_keys("caption_quality_bounds", entry,
+                              {"metric"}, {"lo", "hi", "column"})
+            try:
+                extras.append(CaptionQualityBound(
+                    _txt("caption_quality_bounds", e["metric"], "metric"),
+                    lo=(None if e.get("lo") is None
+                        else _num("caption_quality_bounds", e["lo"], "lo")),
+                    hi=(None if e.get("hi") is None
+                        else _num("caption_quality_bounds", e["hi"], "hi")),
+                    column=_txt("caption_quality_bounds",
+                                e.get("column", "caption"), "column"),
+                ))
+            except ValueError as exc:
+                raise _fail("caption_quality_bounds", str(exc))
 
     if "grouped_bounds" in cfg:
         from bigdime_spark.operators.grouped import GroupedBound

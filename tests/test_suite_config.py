@@ -57,6 +57,24 @@ def test_decode_rate_gate_field_maps(spark):
     assert suite.decode_rate_gate == (0.05, 2.576)
 
 
+def test_caption_quality_bounds_section(spark):
+    from bigdime_spark.operators.caption import CaptionQualityBound
+
+    suite = suite_from_config(
+        {"caption_quality_bounds": [
+            {"metric": "quality_score", "lo": 0.3},
+            {"metric": "n_tokens", "lo": 3, "hi": 64, "column": "caption"},
+        ]}
+    )
+    cqs = [
+        c for c in suite.extra_agg_constraints
+        if isinstance(c, CaptionQualityBound)
+    ]
+    assert len(cqs) == 2
+    assert cqs[0].metric == "quality_score" and cqs[0].lo == 0.3
+    assert cqs[1].name == "caption_quality_n_tokens.caption"
+
+
 def test_grouped_bounds_section(spark):
     from bigdime_spark.operators.grouped import GroupedBound
 
@@ -207,6 +225,10 @@ def test_completeness_sections_build_table_constraints(spark):
         ({"grouped_bounds": [{"target": "c", "group_by": "g",
                               "metric": "median", "hi": 1}]}, "unsupported"),
         ({"grouped_bounds": [{"target": "c", "group_by": "g"}]},
+         "lo, hi, or both"),
+        ({"caption_quality_bounds": [{"metric": "sentiment", "lo": 0}]},
+         "unsupported"),
+        ({"caption_quality_bounds": [{"metric": "n_tokens"}]},
          "lo, hi, or both"),
         ([], "must be an object"),
     ],
