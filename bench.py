@@ -14,7 +14,7 @@ Env:
     BENCH_PARTS          image fixture partitions (default 64)
     BENCH_FIXTURE        fixture cache dir (default .cache/bench_fx_<rows>)
     BENCH_QUERY_REPS     in-JVM reps per corpus query, median reported (default 2)
-    BENCH_SUITE_REPS     steady/core suite reps, median reported (default 2)
+    BENCH_SUITE_REPS     steady/core suite reps, median reported (default 3)
 
 Flags:
     --suite-only         skip corpus queries (used by the scaling harness)

@@ -306,6 +306,17 @@ def test_compliance_rides_fused_agg_single_exchange(spark, parquet_fixture):
     ]
     assert n_exchanges(cons) == base
 
+    # C75 caption-quality bounds are the same discipline: two bounds
+    # (sharing one avg buffer) must add zero exchanges
+    from bigdime_spark.operators.caption import CaptionQualityBound
+
+    cq = [
+        CaptionQualityBound("quality_score", lo=0.1),
+        CaptionQualityBound("quality_score", hi=1.0),
+        CaptionQualityBound("n_tokens", lo=1.0),
+    ]
+    assert n_exchanges(cq) == base
+
 
 def test_caption_conflicts_single_exchange(spark, parquet_fixture):
     """C62: the per-phash sample window and the groupBy must share ONE
