@@ -110,6 +110,7 @@ HEADLINE = [
     "schema_history_orders",
     "drift_buckets_extendedprice",
     "caption_quality_documents",
+    "caption_lang_documents",
     "sampled_gate_lineitem",
     "grouped_verdict_events",
     "suite_verdicts_lineitem",

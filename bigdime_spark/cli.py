@@ -154,6 +154,18 @@ def _build_parser() -> argparse.ArgumentParser:
         "n_tokens:3~64",
     )
     r.add_argument(
+        "--caption-lang",
+        action="append",
+        default=None,
+        metavar="LANG:LO~HI",
+        help="declared caption LANGUAGE-mix gate (C76, repeatable): "
+        "the per-part share of non-null captions whose predicted "
+        "language (marker-token heuristic; en|de|fr|es|und) equals "
+        "LANG must stay inside LO~HI. Rides the fused stats scan. "
+        "e.g. en:0.9~ (monolingual contract) or und:~0.05 (cap the "
+        "gibberish share)",
+    )
+    r.add_argument(
         "--grouped-bound",
         action="append",
         default=None,
@@ -2473,6 +2485,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--fd", bool(args.fd)),
             ("--grouped-bound", bool(args.grouped_bound)),
             ("--caption-quality", bool(args.caption_quality)),
+            ("--caption-lang", bool(args.caption_lang)),
             ("--referential-bloom", args.referential_bloom),
             ("--cat-drift", bool(args.cat_drift)),
             ("--mask-drift", bool(args.mask_drift)),
@@ -2622,6 +2635,23 @@ def main(argv: list[str] | None = None) -> int:
                 ))
             except ValueError as exc:
                 raise ValueError(f"--caption-quality: {exc}")
+        for token in args.caption_lang or ():
+            from bigdime_spark.operators.caption import CaptionLangShareBound
+
+            sides = token.split(":")
+            if len(sides) != 2 or not sides[0] or "~" not in sides[1]:
+                raise ValueError(
+                    f"--caption-lang: expected LANG:LO~HI, got {token!r}"
+                )
+            lo_txt, hi_txt = sides[1].split("~", 1)
+            try:
+                extra_aggs.append(CaptionLangShareBound(
+                    sides[0],
+                    lo=float(lo_txt) if lo_txt else None,
+                    hi=float(hi_txt) if hi_txt else None,
+                ))
+            except ValueError as exc:
+                raise ValueError(f"--caption-lang: {exc}")
         for token in args.grouped_bound or ():
             gb_tc = _parse_grouped_bound(token)
             missing = [

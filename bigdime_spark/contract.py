@@ -2441,6 +2441,34 @@ FROM agg
 """
 
 
+def q_caption_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption language-mix gate (round-5, C76): per-part share of
+    captions predicted en / und by the C13 marker heuristic, with
+    declared bounds evaluated through the fused-agg path
+    (operators/caption.CaptionLangShareBound). Fixture: documents.text
+    as the caption, part = doc_id % 4. The oracle replays the marker
+    argmax, the share arithmetic and both verdict folds."""
+    from bigdime_spark.operators.base import fused_agg_exprs
+    from bigdime_spark.operators.caption import CaptionLangShareBound
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("p"), (F.col("doc_id") % 4).cast("string")).alias("part"),
+        F.col("text").alias("caption"),
+    )
+    b_en = CaptionLangShareBound("en", lo=0.5)
+    b_und = CaptionLangShareBound("und", hi=0.4)
+    fused = d.groupBy("part").agg(*fused_agg_exprs([b_en, b_und]))
+    return fused.select(
+        "part",
+        F.round(b_en._share(), 6).alias("share_en"),
+        F.round(b_und._share(), 6).alias("share_und"),
+        b_en.verdict_col().alias("verdict_en"),
+        b_und.verdict_col().alias("verdict_und"),
+        b_und.observed_col().alias("observed_und"),
+        b_en.expected_col().alias("expected_en"),
+    )
+
+
 def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     s = lang_scores(F.col("text"))
@@ -2476,6 +2504,41 @@ SELECT doc_id,
             ELSE 'es' END AS pred_lang,
        score_en, score_de, score_fr, score_es
 FROM s
+"""
+
+
+SQL_CAPTION_LANG = f"""
+WITH s AS (
+  SELECT concat('p', (doc_id % 4)::VARCHAR) AS part,
+         {_marker_sql('en')} AS score_en,
+         {_marker_sql('de')} AS score_de,
+         {_marker_sql('fr')} AS score_fr,
+         {_marker_sql('es')} AS score_es
+  FROM documents WHERE text IS NOT NULL
+), pred AS (
+  SELECT part,
+         CASE WHEN score_en + score_de + score_fr + score_es = 0 THEN 'und'
+              WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+              WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+              WHEN score_fr >= score_es THEN 'fr'
+              ELSE 'es' END AS lang
+  FROM s
+), agg AS (
+  SELECT part,
+         (count(*) FILTER (lang = 'en'))::DOUBLE / count(*) AS sh_en,
+         (count(*) FILTER (lang = 'und'))::DOUBLE / count(*) AS sh_und
+  FROM pred GROUP BY part
+)
+SELECT part,
+       round(sh_en, 6) AS share_en,
+       round(sh_und, 6) AS share_und,
+       CASE WHEN sh_en IS NULL THEN 'NOT_READY'
+            WHEN sh_en >= 0.5 AND sh_en <= 1.0 THEN 'PASS' ELSE 'FAIL' END AS verdict_en,
+       CASE WHEN sh_und IS NULL THEN 'NOT_READY'
+            WHEN sh_und >= 0.0 AND sh_und <= 0.4 THEN 'PASS' ELSE 'FAIL' END AS verdict_und,
+       concat('share_und=', coalesce(round(sh_und, 6)::VARCHAR, 'null')) AS observed_und,
+       'share_en in [0.5, 1.0]' AS expected_en
+FROM agg
 """
 
 
@@ -5982,6 +6045,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "caption_quality_documents": QuerySpec(
         q_caption_quality_documents, SQL_CAPTION_QUALITY
     ),
+    "caption_lang_documents": QuerySpec(q_caption_lang_documents, SQL_CAPTION_LANG),
     "grouped_verdict_events": QuerySpec(q_grouped_verdict_events, SQL_GROUPED_VERDICT),
     # drift (B18/B19)
     "drift_extendedprice": QuerySpec(q_drift_extendedprice, SQL_DRIFT_EXTENDEDPRICE),

@@ -248,3 +248,89 @@ class CaptionQualityBound(AggConstraint):
         lo_txt = "-inf" if self.lo == float("-inf") else str(self.lo)
         hi_txt = "inf" if self.hi == float("inf") else str(self.hi)
         return F.lit(f"mean_{self.metric} in [{lo_txt}, {hi_txt}]")
+
+
+class CaptionLangShareBound(AggConstraint):
+    """Declared caption LANGUAGE-mix gate (SURVEY C76; the C13 langid
+    heuristic as a fused validation gate): the per-part fraction of
+    non-null captions whose predicted language (functions/text.
+    predicted_lang — marker-token argmax, 'und' when nothing matches)
+    equals ``lang`` must stay inside [lo, hi]. The corpus contract of
+    a monolingual caption pipeline: "≥ 90% of captions read as en"
+    pages when a scraper starts pulling the wrong locale — long
+    before any schema/null/quality-mean check notices; a hi-bound on
+    'und' caps the gibberish share the same way.
+
+    Scale posture: ONE count_if over a pure column expression riding
+    the fused stats aggregation (shared per-(column) non-null counter
+    deduped across bounds), whole-stage codegen, zero extra scans.
+    Part-level verdicts only; NOT_READY when the part has no non-null
+    caption (a share over nothing is not a PASS).
+    """
+
+    def __init__(
+        self,
+        lang: str,
+        lo: float | None = None,
+        hi: float | None = None,
+        column: str = "caption",
+    ):
+        from bigdime_spark.functions.text import LANG_MARKERS
+
+        known = tuple(LANG_MARKERS) + ("und",)
+        if lang not in known:
+            raise ValueError(
+                f"caption lang share: lang={lang!r} unsupported (one of {known})"
+            )
+        if lo is None and hi is None:
+            raise ValueError("caption lang share bound needs lo, hi, or both")
+        for side, v in (("lo", lo), ("hi", hi)):
+            if v is not None and not 0.0 <= v <= 1.0:
+                raise ValueError(
+                    f"caption lang share {side} must be in [0, 1], got {v!r}"
+                )
+        self.lang = lang
+        self.lo = 0.0 if lo is None else float(lo)
+        self.hi = 1.0 if hi is None else float(hi)
+        if self.hi < self.lo:
+            raise ValueError(
+                f"caption lang share bound: hi {self.hi} < lo {self.lo}"
+            )
+        self.column = column
+        self.name = f"caption_lang_{lang}.{column}"
+        self._k = f"cl__{column}__{lang}"
+        self._n = f"cl__{column}__n"
+
+    def shared_agg_exprs(self) -> dict[str, Column]:
+        from bigdime_spark.functions.text import predicted_lang
+
+        c = F.col(self.column)
+        return {
+            self._k: F.count_if(c.isNotNull() & (predicted_lang(c) == self.lang)),
+            self._n: F.count_if(c.isNotNull()),
+        }
+
+    def agg_exprs(self) -> list[Column]:
+        return []
+
+    def _share(self) -> Column:
+        return F.try_divide(F.col(self._k), F.col(self._n))
+
+    def verdict_col(self) -> Column:
+        from bigdime_spark.schema import NOT_READY, PASS
+
+        s = self._share()
+        return (
+            F.when(s.isNull(), F.lit(NOT_READY))
+            .when((s >= self.lo) & (s <= self.hi), F.lit(PASS))
+            .otherwise(F.lit(FAIL))
+        )
+
+    def observed_col(self) -> Column:
+        return F.concat(
+            F.lit(f"share_{self.lang}="),
+            F.coalesce(F.round(self._share(), 6).cast("string"), F.lit("null")),
+        )
+
+    def expected_col(self) -> Column:
+        return F.lit(f"share_{self.lang} in [{self.lo}, {self.hi}]")

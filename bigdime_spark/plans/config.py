@@ -117,7 +117,8 @@ _SECTIONS = ("schema", "domain_checks", "compliance", "type_conformance",
              "distinctness_bounds", "categorical_bounds", "grouped_bounds",
              "benford_bounds", "drift_specs",
              "bit_balance_bounds", "sequence_continuity",
-             "functional_dependencies", "caption_quality_bounds")
+             "functional_dependencies", "caption_quality_bounds",
+             "caption_lang_bounds")
 
 _ALLOWED = set(_BOOL_FIELDS) | set(_INT_FIELDS) | set(_FLOAT_FIELDS) \
     | set(_STR_FIELDS) | set(_STRLIST_FIELDS) | set(_SPECIAL_FIELDS) \
@@ -459,6 +460,27 @@ def suite_from_config(cfg: dict) -> ValidationSuite:
                 ))
             except ValueError as exc:
                 raise _fail("caption_quality_bounds", str(exc))
+
+    if "caption_lang_bounds" in cfg:
+        from bigdime_spark.operators.caption import CaptionLangShareBound
+
+        if not isinstance(cfg["caption_lang_bounds"], list):
+            raise _fail("caption_lang_bounds", "must be an array of objects")
+        for entry in cfg["caption_lang_bounds"]:
+            e = _require_keys("caption_lang_bounds", entry,
+                              {"lang"}, {"lo", "hi", "column"})
+            try:
+                extras.append(CaptionLangShareBound(
+                    _txt("caption_lang_bounds", e["lang"], "lang"),
+                    lo=(None if e.get("lo") is None
+                        else _num("caption_lang_bounds", e["lo"], "lo")),
+                    hi=(None if e.get("hi") is None
+                        else _num("caption_lang_bounds", e["hi"], "hi")),
+                    column=_txt("caption_lang_bounds",
+                                e.get("column", "caption"), "column"),
+                ))
+            except ValueError as exc:
+                raise _fail("caption_lang_bounds", str(exc))
 
     if "grouped_bounds" in cfg:
         from bigdime_spark.operators.grouped import GroupedBound

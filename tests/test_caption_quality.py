@@ -122,3 +122,91 @@ def test_suite_and_cli_end_to_end(spark, tmp_path_factory, capsys):
     )
     err = capsys.readouterr().err
     assert rc3 == 2 and "unsupported" in err
+
+
+# ------------------------------- C76: caption language-share gates
+
+
+def test_lang_share_hand_table(spark):
+    from bigdime_spark.operators.caption import CaptionLangShareBound
+
+    rows = [
+        ("pA", "the cat and the dog"),      # en markers
+        ("pA", "the house is red"),         # en
+        ("pA", "zzz qqq xxx"),              # no markers → und
+        ("pB", "zzz qqq"), ("pB", "blorp"),  # all und
+        ("pC", None),
+    ]
+    hand = spark.createDataFrame(rows, "part string, caption string")
+    b_en = CaptionLangShareBound("en", lo=0.5)
+    b_und = CaptionLangShareBound("und", hi=0.5)
+    got = {
+        r["part"]: r
+        for r in hand.groupBy("part")
+        .agg(*fused_agg_exprs([b_en, b_und]))
+        .select(
+            "part",
+            F.col(b_en._k).alias("k_en"),
+            F.col(b_en._n).alias("n"),
+            b_en.verdict_col().alias("v_en"),
+            b_und.verdict_col().alias("v_und"),
+            b_und.observed_col().alias("obs_und"),
+        )
+        .collect()
+    }
+    assert got["pA"]["k_en"] == 2 and got["pA"]["n"] == 3
+    assert got["pA"]["v_en"] == "PASS"  # 2/3 >= 0.5
+    assert got["pA"]["v_und"] == "PASS"  # 1/3 <= 0.5
+    assert got["pB"]["v_en"] == "FAIL" and got["pB"]["v_und"] == "FAIL"
+    assert got["pB"]["obs_und"] == "share_und=1.0"
+    assert got["pC"]["v_en"] == "NOT_READY"
+
+
+def test_lang_share_guards():
+    from bigdime_spark.operators.caption import CaptionLangShareBound
+
+    with pytest.raises(ValueError, match="unsupported"):
+        CaptionLangShareBound("xx", lo=0.5)
+    with pytest.raises(ValueError, match="lo, hi, or both"):
+        CaptionLangShareBound("en")
+    with pytest.raises(ValueError, match="must be in \\[0, 1\\]"):
+        CaptionLangShareBound("en", lo=1.5)
+    with pytest.raises(ValueError, match="hi .* < lo"):
+        CaptionLangShareBound("en", lo=0.9, hi=0.1)
+
+
+def test_lang_share_cli_e2e(spark, tmp_path_factory, capsys):
+    from bigdime_spark import cli
+    from bigdime_spark.sources.synth import build_fixture
+
+    fx = build_fixture(spark, n_rows=90, n_parts=3, seed=4)
+    # p0002's captions become marker-free gibberish → und share 1.0
+    raw = fx.raw.withColumn(
+        "caption",
+        F.when(F.col("part") == "p0002", F.lit("zzz qqq blorp")).otherwise(
+            F.col("caption")
+        ),
+    )
+    d = str(tmp_path_factory.mktemp("clfx"))
+    raw.write.mode("overwrite").partitionBy("part").parquet(f"{d}/raw")
+    out = str(tmp_path_factory.mktemp("clout"))
+    rc = cli.main(
+        ["run", "--raw", f"{d}/raw", "--out", out, "--run-id", "cl",
+         "--caption-lang", "und:~0.5"]
+    )
+    capsys.readouterr()
+    assert rc == 1
+    verd = {
+        r["part"]: r["verdict"]
+        for r in spark.read.parquet(f"{out}/verdicts")
+        .filter(F.col("constraint") == "caption_lang_und.caption")
+        .collect()
+    }
+    assert verd["p0002"] == "FAIL"
+    assert verd["p0000"] == "PASS" and verd["p0001"] == "PASS"
+
+    rc2 = cli.main(
+        ["run", "--raw", f"{d}/raw", "--out", out, "--caption-lang", "xx:0.5~"]
+    )
+    err = capsys.readouterr().err
+    assert rc2 == 2 and "unsupported" in err

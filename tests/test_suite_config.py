@@ -75,6 +75,24 @@ def test_caption_quality_bounds_section(spark):
     assert cqs[1].name == "caption_quality_n_tokens.caption"
 
 
+def test_caption_lang_bounds_section(spark):
+    from bigdime_spark.operators.caption import CaptionLangShareBound
+
+    suite = suite_from_config(
+        {"caption_lang_bounds": [
+            {"lang": "en", "lo": 0.9},
+            {"lang": "und", "hi": 0.05},
+        ]}
+    )
+    cls_ = [
+        c for c in suite.extra_agg_constraints
+        if isinstance(c, CaptionLangShareBound)
+    ]
+    assert len(cls_) == 2
+    assert cls_[0].lang == "en" and cls_[0].lo == 0.9
+    assert cls_[1].name == "caption_lang_und.caption" and cls_[1].hi == 0.05
+
+
 def test_grouped_bounds_section(spark):
     from bigdime_spark.operators.grouped import GroupedBound
 
@@ -228,6 +246,9 @@ def test_completeness_sections_build_table_constraints(spark):
          "lo, hi, or both"),
         ({"caption_quality_bounds": [{"metric": "sentiment", "lo": 0}]},
          "unsupported"),
+        ({"caption_lang_bounds": [{"lang": "xx", "lo": 0.5}]}, "unsupported"),
+        ({"caption_lang_bounds": [{"lang": "en", "lo": 1.5}]},
+         "must be in \\[0, 1\\]"),
         ({"caption_quality_bounds": [{"metric": "n_tokens"}]},
          "lo, hi, or both"),
         ([], "must be an object"),
