@@ -43,6 +43,12 @@ and each replays as plain SQL in the driver-contract oracle):
   ignored — same currency as R5's support gate). The grouped twin of R2: compliance admits
   today's overall dirt, this pins WHERE it may sit, so a producer
   concentrating the same rate into one segment pages (C72).
+- R10 ``caption_quality`` / ``caption_lang`` — a string column
+  literally named 'caption' (the image-table schema) gets its C75/C76
+  contract derived from the data: mean quality_score lo-bounded at the
+  worst PART's mean (floored to 2 decimals), predicted-'und' share
+  hi-bounded at the worst part's share (ceil'd) — per-part bounds for
+  per-part gates, the same granularity rule as R2/R9.
 - R8 ``domain_check length(c) <= B`` — string column with non-null
   values: B = the next power of two ≥ the observed max length
   (deequ's hasMaxLength, widened so ordinary growth doesn't page —
@@ -282,6 +288,46 @@ def suggest_constraints(
             for k, v in grouped_hi.items()
         }
 
+    # pass 4 (R10): caption-gate bounds for an image-shaped table — a
+    # string column literally named 'caption' (the BASELINE.json:15
+    # schema) gets its C75/C76 contract derived from the data: mean
+    # quality_score floored at the worst part, predicted-'und' share
+    # ceil'd at the worst part (the gates evaluate per part, so the
+    # bounds must too — the R2/R9 granularity lesson). One extra
+    # column-pruned agg; skipped entirely when no caption column.
+    caption_bounds: dict[str, float] = {}
+    if "caption" in cols and dtypes.get("caption") == "string":
+        import math
+
+        from bigdime_spark.functions.text import predicted_lang, quality_metrics
+
+        cap = F.col("caption")
+        q = quality_metrics(cap)["quality_score"].cast("double")
+        keys = ["part"] if "part" in df.columns else []
+        per_part = (
+            df.groupBy(*keys)
+            .agg(
+                F.avg(F.when(cap.isNotNull(), q)).alias("mq"),
+                F.count_if(
+                    cap.isNotNull() & (predicted_lang(cap) == "und")
+                ).alias("k_und"),
+                F.count_if(cap.isNotNull()).alias("n_cap"),
+            )
+            .collect()
+        )
+        mqs = [r["mq"] for r in per_part if r["mq"] is not None]
+        shares = [
+            r["k_und"] / r["n_cap"] for r in per_part if r["n_cap"] > 0
+        ]
+        if mqs:
+            caption_bounds["quality_lo"] = max(
+                0.0, math.floor(round(min(mqs) * 100, 6)) / 100
+            )
+        if shares:
+            caption_bounds["und_hi"] = min(
+                1.0, math.ceil(round(max(shares) * 100, 6)) / 100
+            )
+
     out: list[dict] = []
 
     def emit(c: str, check: str, params: str) -> None:
@@ -359,6 +405,19 @@ def suggest_constraints(
                     "grouped_bound",
                     f"group_by={g}|metric=null_rate|hi={hi}"
                     f"|min_support={min_support}",
+                )
+        if c == "caption":
+            if "quality_lo" in caption_bounds:
+                emit(
+                    c,
+                    "caption_quality",
+                    f"metric=quality_score|lo={caption_bounds['quality_lo']}",
+                )
+            if "und_hi" in caption_bounds:
+                emit(
+                    c,
+                    "caption_lang",
+                    f"lang=und|hi={caption_bounds['und_hi']}",
                 )
 
     out.sort(key=lambda s: (s["column"], s["check"], s["params"]))
@@ -462,6 +521,32 @@ def to_config(suggestions: list[dict]) -> dict:
             )
     if gb:
         cfg["grouped_bounds"] = gb
+    cq = []
+    cl = []
+    for s in suggestions:
+        if s["check"] not in ("caption_quality", "caption_lang"):
+            continue
+        parts = dict(kv.split("=", 1) for kv in s["params"].split("|"))
+        if s["check"] == "caption_quality":
+            cq.append(
+                {
+                    "metric": parts["metric"],
+                    "lo": float(parts["lo"]),
+                    "column": s["column"],
+                }
+            )
+        elif s["check"] == "caption_lang":
+            cl.append(
+                {
+                    "lang": parts["lang"],
+                    "hi": float(parts["hi"]),
+                    "column": s["column"],
+                }
+            )
+    if cq:
+        cfg["caption_quality_bounds"] = cq
+    if cl:
+        cfg["caption_lang_bounds"] = cl
     return cfg
 
 

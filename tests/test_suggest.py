@@ -125,6 +125,12 @@ def test_suggest_to_config_round_trip_suite_passes(spark):
         and s2["params"].startswith("length(`caption`)")
         for s2 in sugg
     )
+    # R10: the caption column gets its text-quality and language-mix
+    # contract derived from the data (worst-part floored/ceil'd)
+    assert any(s2["check"] == "caption_quality" for s2 in sugg)
+    assert any(s2["check"] == "caption_lang" for s2 in sugg)
+    assert cfg["caption_quality_bounds"][0]["metric"] == "quality_score"
+    assert cfg["caption_lang_bounds"][0]["lang"] == "und"
     # image-shaped frame → payload conformance flipped on
     from bigdime_spark.plans.suggest import suggest_image_checks
 
