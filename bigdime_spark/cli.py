@@ -1103,6 +1103,29 @@ def main(argv: list[str] | None = None) -> int:
             ]
         except Exception:
             pass
+        try:
+            # C69 slice triage when the run was asked for it: the
+            # highest-lift segments, the "where the fix starts" readout
+            summary["top_slices"] = [
+                {"dim": d, "value": v, "n_viol": nv, "lift": lf}
+                for d, v, nv, lf in con.execute(
+                    f"SELECT dim, value, n_viol, lift "
+                    f"FROM read_parquet('{args.out}/slices/*.parquet') "
+                    f"WHERE lift IS NOT NULL "
+                    f"ORDER BY lift DESC, n_viol DESC, dim, value LIMIT {args.top}"
+                ).fetchall()
+            ]
+        except Exception:
+            pass  # run did not use --slice-dims
+        try:
+            summary["quarantined_parts"] = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT DISTINCT part FROM read_parquet('{args.out}/quarantine/*.parquet') ORDER BY 1"
+                ).fetchall()
+            ]
+        except Exception:
+            pass  # clean run / quarantine disabled
         print(json.dumps({"cmd": "report", **summary}))
         return 0
 

@@ -69,6 +69,13 @@ def test_run_slice_dims_end_to_end(spark, slicefx, tmp_path_factory, capsys):
     assert summary["slice_top"]["value"] == "pngz"
     assert summary["slice_top"]["n_viol"] == pngz["n_viol"]
 
+    # the no-Spark report rollup surfaces the same triage artifacts
+    rc, rep, _ = _run_cli(capsys, ["report", "--out", out])
+    assert rc == 0
+    assert rep["top_slices"][0]["dim"] == "fmt"
+    assert rep["top_slices"][0]["value"] == "pngz"
+    assert rep["quarantined_parts"]  # planted failures quarantine parts
+
 
 def test_run_slice_dims_clean_table_lift_null(spark, tmp_path_factory, capsys):
     """Zero violations → slices still written (segment sizes), every
