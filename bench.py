@@ -112,6 +112,7 @@ HEADLINE = [
     "caption_quality_documents",
     "caption_lang_documents",
     "sampled_gate_lineitem",
+    "stratified_gate_lineitem",
     "grouped_verdict_events",
     "suite_verdicts_lineitem",
 ]

@@ -179,6 +179,27 @@ def _build_parser() -> argparse.ArgumentParser:
         "caption:fmt:null_rate:~0.05",
     )
     r.add_argument(
+        "--decode-sample-by",
+        default=None,
+        metavar="COL",
+        help="STRATIFIED decode sampling (C77): boost each "
+        "(part, COL) stratum's keep-rate so it gets at least "
+        "~--decode-sample-min sampled rows — a rare fmt that is "
+        "0.01%% of the corpus keeps decode coverage a uniform "
+        "--decode-sample would never give it. With "
+        "--decode-max-bad-rate, certification becomes per stratum "
+        "(worst stratum named in the verdict). Requires "
+        "--decode-sample < 1",
+    )
+    r.add_argument(
+        "--decode-sample-min",
+        type=int,
+        default=0,
+        help="per-stratum minimum expected sample size for "
+        "--decode-sample-by (pick it from the Wilson planning bound: "
+        "min_n_to_certify(max_rate) — e.g. 385 for 1%% at 95%%)",
+    )
+    r.add_argument(
         "--decode-max-bad-rate",
         type=float,
         default=None,
@@ -2493,6 +2514,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--decode", args.decode),
             ("--decode-seed", args.decode_seed is not None),
             ("--decode-sample", args.decode_sample != 1.0),
+            ("--decode-sample-by", args.decode_sample_by is not None),
+            ("--decode-sample-min", args.decode_sample_min != 0),
             ("--decode-max-bad-rate", args.decode_max_bad_rate is not None),
             ("--decode-rate-z", args.decode_rate_z != 1.96),
             ("--pixel-drift", args.pixel_drift),
@@ -2578,6 +2601,23 @@ def main(argv: list[str] | None = None) -> int:
             # silently ignoring the rate would let an operator believe
             # a sampled decode screen ran when zero images were decoded
             raise ValueError("--decode-sample requires --decode")
+        if args.decode_sample_by is not None:
+            if not args.decode or args.decode_sample >= 1.0:
+                raise ValueError(
+                    "--decode-sample-by requires --decode and "
+                    "--decode-sample < 1 (stratification is a sampling "
+                    "strategy)"
+                )
+            if args.decode_sample_by not in raw.columns:
+                raise ValueError(
+                    f"--decode-sample-by: {args.decode_sample_by!r} not "
+                    "in the raw schema"
+                )
+            if args.decode_sample_min < 0:
+                raise ValueError(
+                    f"--decode-sample-min must be >= 0, got "
+                    f"{args.decode_sample_min}"
+                )
         if args.decode_max_bad_rate is not None:
             if not args.decode:
                 raise ValueError(
@@ -2706,6 +2746,8 @@ def main(argv: list[str] | None = None) -> int:
             if args.decode_max_bad_rate is not None
             else None
         ),
+        decode_sample_stratify=args.decode_sample_by,
+        decode_sample_min_n=args.decode_sample_min,
         topk_violations=args.topk_violations,
         check_phash_dedup=args.phash_dedup,
         phash_k=args.phash_k,

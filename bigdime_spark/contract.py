@@ -1728,6 +1728,132 @@ def _grouped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_gate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampled gate (round-5, C77): per-(part, stratum)
+    keep-thresholds boosted to a minimum expected sample size
+    (operators/infer.stratified_thresholds), the deterministic hash
+    selection, and the per-stratum Wilson certification — rare strata
+    keep certifiable coverage a uniform sample never gives them. part
+    = l_linestatus, stratum = l_returnflag with every 50th order
+    remapped to a synthetic 'rare' stratum (~2% of rows — small enough
+    that the 5% base rate alone could never certify it), violation =
+    qty > 45,
+    base rate 5%, min_n 400 (forces a real boost on the smaller
+    strata), tolerance 12%. The oracle replays the integer threshold
+    arithmetic, the 40-bit md5 selection digit by digit, and the
+    Wilson folds."""
+    from bigdime_spark.operators.infer import (
+        sampled_rate_gate,
+        stratified_thresholds,
+    )
+    from bigdime_spark.operators.sampling import sample_hash
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("part"),
+        F.when(F.col("l_orderkey") % 50 == 0, F.lit("rare"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("flag"),
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("key"),
+        F.col("l_quantity").alias("qty"),
+    )
+    thr = stratified_thresholds(li, "flag", base_rate=0.05, min_n=400)
+    kept = sample_hash(F.col("key"), "sgate") < F.col("threshold")
+    counts = (
+        li.join(F.broadcast(thr.select("part", "flag", "threshold")), ["part", "flag"])
+        .groupBy("part", "flag")
+        .agg(
+            F.count_if(kept).alias("n"),
+            F.count_if(kept & (F.col("qty") > 45)).alias("k"),
+        )
+    )
+    g = sampled_rate_gate(counts, max_rate=0.12, z=1.96)
+    return (
+        g.join(thr.select("part", "flag", "n_pop", "threshold"), ["part", "flag"])
+        .select(
+            "part",
+            "flag",
+            "n_pop",
+            "threshold",
+            "n",
+            "k",
+            F.round("rate_hat", 6).alias("rate_hat"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+            "verdict",
+        )
+    )
+
+
+def _stratified_gate_sql(
+    base_rate: float, min_n: int, max_rate: float, z: float
+) -> str:
+    from bigdime_spark.operators.sampling import SAMPLE_SPACE, threshold_for_rate
+
+    base_thr = threshold_for_rate(base_rate)
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (9 - i)}::BIGINT"
+        for i in range(10)
+    )
+    z2 = z * z
+    return f"""
+WITH src AS (
+  SELECT l_linestatus AS part,
+         CASE WHEN l_orderkey % 50 = 0 THEN 'rare' ELSE l_returnflag END AS flag,
+         l_quantity AS qty,
+         md5(concat_ws(':',
+             concat_ws('-', l_orderkey::VARCHAR, l_linenumber::VARCHAR),
+             'sgate')) AS h
+  FROM lineitem
+), thr AS (
+  SELECT part, flag, count(*) AS n_pop,
+         least({SAMPLE_SPACE}::BIGINT,
+               greatest({base_thr}::BIGINT,
+                        CAST(ceil({float(SAMPLE_SPACE)!r} * {float(min_n)!r}
+                                  / count(*)::DOUBLE) AS BIGINT))) AS threshold
+  FROM src GROUP BY 1, 2
+), counts AS (
+  SELECT s.part, s.flag, t.n_pop, t.threshold,
+         count(*) FILTER (({digits}) < t.threshold) AS n,
+         count(*) FILTER (({digits}) < t.threshold AND s.qty > 45) AS k
+  FROM src s JOIN thr t ON s.part = t.part AND s.flag = t.flag
+  GROUP BY 1, 2, 3, 4
+), wilson AS (
+  SELECT part, flag, n_pop, threshold, n, k,
+         k::DOUBLE / n::DOUBLE AS phat,
+         1.0 + {z2!r} / n::DOUBLE AS denom,
+         (k::DOUBLE / n::DOUBLE + {z2!r} / (2.0 * n::DOUBLE)) AS cn,
+         {z!r} * sqrt(
+           (k::DOUBLE / n::DOUBLE) * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+           + {z2!r} / (4.0 * n::DOUBLE * n::DOUBLE)
+         ) AS hn
+  FROM counts
+), bounds AS (
+  SELECT part, flag, n_pop, threshold, n, k, phat,
+         CASE WHEN n <= 0 THEN NULL
+              ELSE greatest(0.0, cn / denom - hn / denom) END AS ci_lo,
+         CASE WHEN n <= 0 THEN NULL
+              ELSE least(1.0, cn / denom + hn / denom) END AS ci_hi
+  FROM wilson
+)
+SELECT part, flag, n_pop, threshold, n, k,
+       round(phat, 6) AS rate_hat,
+       round(ci_lo, 6) AS ci_lo,
+       round(ci_hi, 6) AS ci_hi,
+       CASE WHEN n IS NULL OR n <= 0 THEN 'NOT_READY'
+            WHEN ci_lo > {max_rate!r} THEN 'FAIL'
+            WHEN ci_hi <= {max_rate!r} THEN 'PASS'
+            ELSE 'NOT_READY' END AS verdict
+FROM bounds
+"""
+
+
+SQL_STRATIFIED_GATE = _stratified_gate_sql(0.05, 400, 0.12, 1.96)
+
+
 def q_grouped_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped metric profile (round-5, C72): per (part, event_type)
     null-rate/mean/distinct of a value column with a deterministic
@@ -6041,6 +6167,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_drift_buckets_extendedprice, SQL_DRIFT_BUCKETS
     ),
     "sampled_gate_lineitem": QuerySpec(q_sampled_gate_lineitem, SQL_SAMPLED_GATE),
+    "stratified_gate_lineitem": QuerySpec(
+        q_stratified_gate_lineitem, SQL_STRATIFIED_GATE
+    ),
     "grouped_profile_events": QuerySpec(q_grouped_profile_events, SQL_GROUPED_PROFILE),
     "caption_quality_documents": QuerySpec(
         q_caption_quality_documents, SQL_CAPTION_QUALITY

@@ -442,11 +442,20 @@ class DecodeIntegrity(TableConstraint):
         quality_mean_hi: float | None = None,
         quality_max_flagged: int = 0,
         rate_gate: tuple[float, float] | None = None,
+        sample_stratify: str | None = None,
+        sample_min_n: int = 0,
     ):
         if not 0.0 < sample_rate <= 1.0:
             raise ValueError(
                 f"decode sample_rate must be in (0, 1], got {sample_rate}"
             )
+        if sample_stratify is not None and sample_rate >= 1.0:
+            raise ValueError(
+                "sample_stratify is a sampling strategy — it requires "
+                "sample_rate < 1.0 (a full scan already covers every stratum)"
+            )
+        if sample_min_n < 0:
+            raise ValueError(f"sample_min_n must be >= 0, got {sample_min_n}")
         if rate_gate is not None:
             # fail fast on bad gate geometry — same guards as the
             # operator, but at suite-construction time
@@ -548,6 +557,17 @@ class DecodeIntegrity(TableConstraint):
         #: exact `decode` verdict, which under sampling only means "no
         #: failures among the sample".
         self.rate_gate = rate_gate
+        #: STRATIFIED decode sampling (C77): per-(part, <col>) keep
+        #: thresholds boosted so every stratum gets ~sample_min_n
+        #: sampled rows — the rare fmt a uniform sample leaves
+        #: unvalidated. With rate_gate, certification is per STRATUM
+        #: (each stratum is a uniform sample of itself, so Wilson
+        #: applies cleanly; a part-level estimate would need
+        #: stratum weighting), folded to one decode_rate verdict per
+        #: part: FAIL if any stratum certifies over, else NOT_READY if
+        #: any stratum cannot say, else PASS.
+        self.sample_stratify = sample_stratify
+        self.sample_min_n = int(sample_min_n)
 
     @property
     def _quality_spec(self) -> tuple | None:
@@ -570,15 +590,41 @@ class DecodeIntegrity(TableConstraint):
                 "decode pixel_drift requires a curated snapshot — none "
                 "was supplied to this run"
             )
+        strat_thr = None
         if self.sample_rate < 1.0:
-            from bigdime_spark.operators.sampling import uniform_sample
-
-            frames = {
-                snap: uniform_sample(
-                    df, "image_id", self.sample_rate, self.sample_seed
+            if self.sample_stratify is not None:
+                from bigdime_spark.operators.infer import (
+                    stratified_sample_frame,
+                    stratified_thresholds,
                 )
-                for snap, df in frames.items()
-            }
+
+                strat_thr = {
+                    snap: stratified_thresholds(
+                        df,
+                        self.sample_stratify,
+                        self.sample_rate,
+                        self.sample_min_n,
+                    )
+                    for snap, df in frames.items()
+                }
+                frames = {
+                    snap: stratified_sample_frame(
+                        df,
+                        self.sample_stratify,
+                        strat_thr[snap],
+                        self.sample_seed,
+                    )
+                    for snap, df in frames.items()
+                }
+            else:
+                from bigdime_spark.operators.sampling import uniform_sample
+
+                frames = {
+                    snap: uniform_sample(
+                        df, "image_id", self.sample_rate, self.sample_seed
+                    )
+                    for snap, df in frames.items()
+                }
         checked = decode_check_multi(
             frames,
             seed=self.seed,
@@ -746,48 +792,148 @@ class DecodeIntegrity(TableConstraint):
                 threshold_for_rate,
             )
 
+            from bigdime_spark.schema import NOT_READY, PASS
+
             max_rate, z = self.rate_gate
-            # n sampled per part: ONE pruned scan (image_id + part — the
-            # payload column is never read) re-evaluating the same
-            # hash keep-predicate the decode sample used; at rate 1.0
-            # the predicate keeps everything and the gate degrades to
-            # an exact-rate check with a (conservative) Wilson wrap.
-            # Every part of the raw snapshot appears, so parts with no
-            # sampled rows report NOT_READY instead of being grid-
-            # filled PASS.
-            kept_pred = sample_hash(
-                F.col("image_id"), self.sample_seed
-            ) < F.lit(threshold_for_rate(self.sample_rate))
-            n_per_part = ctx.raw.groupBy("part").agg(
-                F.count_if(kept_pred).alias("n")
-            )
-            # k bad per part among the sample: the persisted bounded
-            # bad-row frame (raw snapshot — the gate certifies the
-            # input table; curated decode keeps its exact verdict)
-            k_per_part = (
-                bad.filter(F.col("snapshot") == "raw")
-                .groupBy("part")
-                .agg(F.count(F.lit(1)).alias("k"))
-            )
-            counts = n_per_part.join(k_per_part, "part", "left").select(
-                "part", "n", F.coalesce("k", F.lit(0)).alias("k")
-            )
-            gate = sampled_rate_gate(counts, max_rate, z)
-            gate_verdicts = gate.select(
-                F.col("part").cast("string").alias("part"),
-                F.lit("decode_rate").alias("constraint"),
-                "verdict",
-                F.concat(
-                    F.lit("k="), F.col("k").cast("string"),
-                    F.lit(",n="), F.col("n").cast("string"),
-                    F.lit(",ci=["),
-                    F.coalesce(F.round("ci_lo", 6).cast("string"), F.lit("null")),
-                    F.lit(","),
-                    F.coalesce(F.round("ci_hi", 6).cast("string"), F.lit("null")),
-                    F.lit("]"),
-                ).alias("observed"),
-                F.lit(f"rate<={max_rate}@z={z}").alias("expected"),
-            )
+            if strat_thr is not None:
+                # STRATIFIED gate (C77): certification per (part,
+                # stratum) — each stratum is a uniform sample of
+                # itself, so Wilson applies cleanly (a part-level
+                # estimate over mixed rates would need stratum
+                # weighting). ONE pruned scan (id + part + stratum)
+                # re-joins the broadcast thresholds; k recovers the
+                # stratum of each bad row by broadcasting the BOUNDED
+                # bad-id set back onto the same scan.
+                from pyspark.sql import Window
+
+                s = self.sample_stratify
+                thr = strat_thr["raw"].select(
+                    F.col("part"), F.col(s), F.col("threshold")
+                )
+                bad_ids = (
+                    bad.filter(F.col("snapshot") == "raw")
+                    .select("image_id")
+                    .distinct()
+                    .withColumn("_bad", F.lit(True))
+                )
+                pruned = ctx.raw.select("image_id", "part", s)
+                kept = sample_hash(
+                    F.col("image_id"), self.sample_seed
+                ) < F.col("threshold")
+                counts = (
+                    pruned.join(F.broadcast(thr), ["part", s])
+                    .join(F.broadcast(bad_ids), "image_id", "left")
+                    .groupBy("part", s)
+                    .agg(
+                        F.count_if(kept).alias("n"),
+                        F.count_if(kept & F.col("_bad").isNotNull()).alias("k"),
+                    )
+                )
+                gate = sampled_rate_gate(counts, max_rate, z)
+                # fold strata → one part verdict; worst stratum named
+                # (FAIL first, then NOT_READY, then highest ci_lo)
+                sev = (
+                    F.when(F.col("verdict") == FAIL, 2)
+                    .when(F.col("verdict") == NOT_READY, 1)
+                    .otherwise(0)
+                )
+                w = Window.partitionBy("part").orderBy(
+                    F.desc("_sev"), F.desc_nulls_last("ci_lo"), F.asc(s)
+                )
+                gate_verdicts = (
+                    gate.withColumn("_sev", sev)
+                    .withColumn("_rk", F.row_number().over(w))
+                    .groupBy("part")
+                    .agg(
+                        F.count(F.lit(1)).alias("_strata"),
+                        F.count_if(F.col("verdict") == FAIL).alias("_f"),
+                        F.count_if(F.col("verdict") == NOT_READY).alias("_nr"),
+                        F.first(
+                            F.when(
+                                F.col("_rk") == 1,
+                                F.concat(
+                                    F.coalesce(F.col(s), F.lit("∅")),
+                                    F.lit(":k="), F.col("k").cast("string"),
+                                    F.lit(",n="), F.col("n").cast("string"),
+                                    F.lit(",ci=["),
+                                    F.coalesce(
+                                        F.round("ci_lo", 6).cast("string"),
+                                        F.lit("null"),
+                                    ),
+                                    F.lit(","),
+                                    F.coalesce(
+                                        F.round("ci_hi", 6).cast("string"),
+                                        F.lit("null"),
+                                    ),
+                                    F.lit("]"),
+                                ),
+                            ),
+                            ignorenulls=True,
+                        ).alias("_worst"),
+                    )
+                    .select(
+                        F.col("part").cast("string").alias("part"),
+                        F.lit("decode_rate").alias("constraint"),
+                        F.when(F.col("_f") > 0, F.lit(FAIL))
+                        .when(F.col("_nr") > 0, F.lit(NOT_READY))
+                        .otherwise(F.lit(PASS))
+                        .alias("verdict"),
+                        F.concat(
+                            F.lit("strata="), F.col("_strata").cast("string"),
+                            F.lit(",fail="), F.col("_f").cast("string"),
+                            F.lit(",not_ready="), F.col("_nr").cast("string"),
+                            F.lit(", worst "), F.col("_worst"),
+                        ).alias("observed"),
+                        F.lit(f"rate<={max_rate}@z={z} per {s}").alias("expected"),
+                    )
+                )
+            else:
+                # n sampled per part: ONE pruned scan (image_id + part
+                # — the payload column is never read) re-evaluating the
+                # same hash keep-predicate the decode sample used; at
+                # rate 1.0 the predicate keeps everything and the gate
+                # degrades to an exact-rate check with a (conservative)
+                # Wilson wrap. Every part of the raw snapshot appears,
+                # so parts with no sampled rows report NOT_READY
+                # instead of being grid-filled PASS.
+                kept_pred = sample_hash(
+                    F.col("image_id"), self.sample_seed
+                ) < F.lit(threshold_for_rate(self.sample_rate))
+                n_per_part = ctx.raw.groupBy("part").agg(
+                    F.count_if(kept_pred).alias("n")
+                )
+                # k bad per part among the sample: the persisted
+                # bounded bad-row frame (raw snapshot — the gate
+                # certifies the input table; curated decode keeps its
+                # exact verdict)
+                k_per_part = (
+                    bad.filter(F.col("snapshot") == "raw")
+                    .groupBy("part")
+                    .agg(F.count(F.lit(1)).alias("k"))
+                )
+                counts = n_per_part.join(k_per_part, "part", "left").select(
+                    "part", "n", F.coalesce("k", F.lit(0)).alias("k")
+                )
+                gate = sampled_rate_gate(counts, max_rate, z)
+                gate_verdicts = gate.select(
+                    F.col("part").cast("string").alias("part"),
+                    F.lit("decode_rate").alias("constraint"),
+                    "verdict",
+                    F.concat(
+                        F.lit("k="), F.col("k").cast("string"),
+                        F.lit(",n="), F.col("n").cast("string"),
+                        F.lit(",ci=["),
+                        F.coalesce(
+                            F.round("ci_lo", 6).cast("string"), F.lit("null")
+                        ),
+                        F.lit(","),
+                        F.coalesce(
+                            F.round("ci_hi", 6).cast("string"), F.lit("null")
+                        ),
+                        F.lit("]"),
+                    ).alias("observed"),
+                    F.lit(f"rate<={max_rate}@z={z}").alias("expected"),
+                )
             failed_parts = failed_parts.unionByName(gate_verdicts)
 
         # partial frame: suite grid join fills the PASS rows (pass 6)

@@ -106,3 +106,75 @@ def sampled_rate_gate(
         .withColumn("ci_hi", upper)
         .withColumn("verdict", verdict)
     )
+
+
+def stratified_thresholds(
+    df: DataFrame,
+    strata_col: str,
+    base_rate: float,
+    min_n: int,
+    part_col: str = "part",
+) -> DataFrame:
+    """Per-(part, stratum) deterministic keep-thresholds for a
+    coverage-GUARANTEED sample (SURVEY C77): rate_s = max(base_rate,
+    min_n / n_s), clamped to 1 — a stratum too small for the base rate
+    to surface (the rare fmt that is 0.01% of the corpus) gets its
+    rate boosted until ~min_n of its rows are expected in the sample,
+    while bulk strata stay at base_rate. min_n comes straight from
+    ``min_n_to_certify``: sample enough PER STRATUM that a clean
+    stratum can be certified, instead of the uniform sample silently
+    leaving rare strata unvalidated.
+
+    → (part, <strata_col>, n_pop, threshold) — parts × strata rows,
+    broadcastable; ONE column-pruned count aggregation (the payload is
+    never read). Thresholds are exact integer arithmetic over the
+    40-bit md5 sample space, so the selection replays bit-identically
+    in the DuckDB oracle and under any repartitioning."""
+    from bigdime_spark.operators.sampling import SAMPLE_SPACE, threshold_for_rate
+
+    if not 0.0 < base_rate <= 1.0:
+        raise ValueError(f"base_rate must be in (0, 1], got {base_rate}")
+    if min_n < 0:
+        raise ValueError(f"min_n must be >= 0, got {min_n}")
+    base_thr = threshold_for_rate(base_rate)
+    n = F.col("n_pop").cast("double")
+    boosted = F.ceil(F.lit(float(SAMPLE_SPACE)) * F.lit(float(min_n)) / n).cast(
+        "long"
+    )
+    return (
+        df.groupBy(F.col(part_col).alias("part"), F.col(strata_col))
+        .agg(F.count(F.lit(1)).alias("n_pop"))
+        .withColumn(
+            "threshold",
+            F.least(
+                F.lit(SAMPLE_SPACE).cast("long"),
+                F.greatest(F.lit(base_thr).cast("long"), boosted),
+            ),
+        )
+    )
+
+
+def stratified_sample_frame(
+    df: DataFrame,
+    strata_col: str,
+    thresholds: DataFrame,
+    seed: str,
+    id_col: str = "image_id",
+    part_col: str = "part",
+) -> DataFrame:
+    """Apply per-stratum thresholds as a deterministic hash filter:
+    keep row iff md5-hash(id, seed) < its (part, stratum) threshold.
+    The thresholds frame is parts × strata — explicitly broadcast, so
+    the corpus never shuffles to be sampled (the one departure from
+    uniform_sample's pure scan-local predicate, priced at a broadcast
+    hash join)."""
+    from bigdime_spark.operators.sampling import sample_hash
+
+    thr = thresholds.select(
+        F.col("part").alias(part_col), strata_col, "threshold"
+    )
+    return (
+        df.join(F.broadcast(thr), [part_col, strata_col])
+        .filter(sample_hash(F.col(id_col), seed) < F.col("threshold"))
+        .drop("threshold")
+    )

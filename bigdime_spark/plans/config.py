@@ -91,14 +91,15 @@ _BOOL_FIELDS = (
 _INT_FIELDS = (
     "referential_bloom_bits", "referential_bloom_k", "phash_k",
     "decode_seed", "topk_violations", "decode_pixel_bins",
-    "decode_quality_max_flagged",
+    "decode_quality_max_flagged", "decode_sample_min_n",
 )
 _FLOAT_FIELDS = (
     "outlier_threshold", "decode_sample_rate", "zone_max_overlap",
     "decode_quality_min_std", "decode_quality_mean_lo",
     "decode_quality_mean_hi",
 )
-_STR_FIELDS = ("referential_mode", "bit_balance_col", "unique_key", "ref_key")
+_STR_FIELDS = ("referential_mode", "bit_balance_col", "unique_key", "ref_key",
+               "decode_sample_stratify")
 #: fields with bespoke shapes handled inline (not scalar/strlist)
 _SPECIAL_FIELDS = ("decode_rate_gate",)
 #: list-of-string fields (JSON array → tuple)

@@ -223,6 +223,12 @@ class ValidationSuite:
     #: confidence, FAIL certifies it above, NOT_READY = sample too
     #: small to say. None = gate off.
     decode_rate_gate: tuple[float, float] | None = None
+    #: STRATIFIED decode sampling (C77): per-(part, <col>) thresholds
+    #: boosted so every stratum gets ~decode_sample_min_n sampled rows
+    #: — rare formats keep coverage under a sampled decode; with
+    #: decode_rate_gate, certification is per stratum.
+    decode_sample_stratify: str | None = None
+    decode_sample_min_n: int = 0
     unique_key: str = "image_id"
     ref_key: str = "image_id"
     #: True when raw/curated are BUCKETED tables on the keyed-pass key
@@ -483,6 +489,8 @@ class ValidationSuite:
                 quality_mean_hi=self.decode_quality_mean_hi,
                 quality_max_flagged=self.decode_quality_max_flagged,
                 rate_gate=self.decode_rate_gate,
+                sample_stratify=self.decode_sample_stratify,
+                sample_min_n=self.decode_sample_min_n,
             )
         if ride:
             decode_found, decode_viol = decode_tc.run(ctx)

@@ -170,3 +170,150 @@ def test_decode_rate_gate_geometry_refused():
     # never decodes raw would certify corruption it cannot see
     with pytest.raises(ValueError, match="raw snapshot"):
         DecodeIntegrity(snapshots=("curated",), rate_gate=(0.1, 1.96))
+
+
+# --------------------------- C77: stratified decode sampling + gate
+
+
+def test_stratified_thresholds_boost_rare_strata(spark):
+    from bigdime_spark.operators.infer import (
+        stratified_sample_frame,
+        stratified_thresholds,
+    )
+    from bigdime_spark.operators.sampling import SAMPLE_SPACE
+
+    rows = [("p", "big", f"b{i}") for i in range(1000)] + [
+        ("p", "tiny", f"t{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "part string, fmt string, image_id string")
+    thr = {
+        r["fmt"]: r
+        for r in stratified_thresholds(df, "fmt", base_rate=0.1, min_n=50).collect()
+    }
+    # big stratum stays at the base rate; tiny is clamped to keep-all
+    assert thr["big"]["threshold"] == int(0.1 * SAMPLE_SPACE)
+    assert thr["tiny"]["threshold"] == SAMPLE_SPACE
+    assert thr["big"]["n_pop"] == 1000 and thr["tiny"]["n_pop"] == 5
+    # a mid stratum gets the exact ceil arithmetic
+    import math
+
+    mid = spark.createDataFrame(
+        [("p", "mid", f"m{i}") for i in range(200)],
+        "part string, fmt string, image_id string",
+    )
+    t = stratified_thresholds(mid, "fmt", base_rate=0.1, min_n=50).first()
+    assert t["threshold"] == math.ceil(SAMPLE_SPACE * 50.0 / 200)
+
+    # the whole tiny stratum is in the sample; selection is invariant
+    # under repartitioning
+    sampled = stratified_sample_frame(
+        df, "fmt", stratified_thresholds(df, "fmt", 0.1, 50), "s77"
+    )
+    got = sorted(
+        r["image_id"] for r in sampled.filter("fmt = 'tiny'").collect()
+    )
+    assert got == [f"t{i}" for i in range(5)]
+    re_got = sorted(
+        r["image_id"]
+        for r in stratified_sample_frame(
+            df.repartition(7), "fmt", stratified_thresholds(df, "fmt", 0.1, 50), "s77"
+        ).collect()
+    )
+    assert re_got == sorted(r["image_id"] for r in sampled.collect())
+
+
+def test_stratified_guards(spark):
+    from bigdime_spark.operators.decode import DecodeIntegrity
+    from bigdime_spark.operators.infer import stratified_thresholds
+
+    df = spark.createDataFrame([("p", "x", "a")], "part string, fmt string, image_id string")
+    with pytest.raises(ValueError, match="base_rate"):
+        stratified_thresholds(df, "fmt", base_rate=0.0, min_n=1)
+    with pytest.raises(ValueError, match="min_n"):
+        stratified_thresholds(df, "fmt", base_rate=0.5, min_n=-1)
+    with pytest.raises(ValueError, match="requires sample_rate < 1"):
+        DecodeIntegrity(sample_stratify="fmt")
+    with pytest.raises(ValueError, match="sample_min_n"):
+        DecodeIntegrity(sample_rate=0.5, sample_stratify="fmt", sample_min_n=-1)
+
+
+def test_stratified_decode_catches_rare_stratum_corruption(spark):
+    """The C77 story end-to-end: a 3-row ppm stratum with 2 truncated
+    payloads chosen OUTSIDE the 5% uniform hash sample. Uniform
+    sampled decode provably misses them; stratified sampling with a
+    min-n floor decodes the whole stratum, flags both, and the
+    per-stratum gate names ppm."""
+    from pyspark.sql import functions as F
+
+    from bigdime_spark.plans.suite import StatsProfile, ValidationSuite
+    from bigdime_spark.sources.synth import build_fixture
+
+    fx = build_fixture(spark, n_rows=400, n_parts=2)  # seed matches decode_seed
+    ppm_ids = sorted(
+        r["image_id"] for r in fx.raw.filter("fmt = 'ppm'").collect()
+    )
+    keep_ppm = ppm_ids[:3]
+    # corrupt two kept ppm rows that the 5% uniform sample would skip
+    outside = [
+        i for i in keep_ppm
+        if int(hashlib.md5(f"{i}:{SEED}".encode()).hexdigest()[:10], 16)
+        >= int(0.05 * SAMPLE_SPACE)
+    ][:2]
+    assert len(outside) == 2
+    raw = fx.raw.filter(
+        (F.col("fmt") != "ppm") | F.col("image_id").isin(keep_ppm)
+    ).withColumn(
+        "bytes",
+        F.when(
+            F.col("image_id").isin(outside),
+            F.expr("substring(bytes, 1, length(bytes) - 1)"),
+        ).otherwise(F.col("bytes")),
+    )
+
+    def run_suite(**kw):
+        suite = ValidationSuite(
+            not_null=(),
+            check_record_count=False,
+            check_checksum=False,
+            check_uniqueness=False,
+            check_referential=False,
+            check_caption=False,
+            check_drift=False,
+            check_domains=False,
+            stats=StatsProfile(columns=[]),
+            check_decode=True,
+            decode_seed=42,
+            decode_snapshots=("raw",),
+            decode_sample_rate=0.05,
+            **kw,
+        )
+        res = suite.run(spark, raw, run_id="c77")
+        out = {
+            "viol": res.violations.filter(
+                F.col("constraint") == "decode"
+            ).count(),
+            "rate": {
+                r["part"]: r
+                for r in res.verdicts.filter(
+                    F.col("constraint") == "decode_rate"
+                ).collect()
+            },
+        }
+        res.release()
+        return out
+
+    uniform = run_suite(decode_rate_gate=(0.1, 1.96))
+    assert uniform["viol"] == 0  # provably outside the uniform sample
+
+    strat = run_suite(
+        decode_rate_gate=(0.1, 1.96),
+        decode_sample_stratify="fmt",
+        decode_sample_min_n=50,
+    )
+    assert strat["viol"] == 2  # the whole ppm stratum decoded
+    bad_part = {
+        p: r for p, r in strat["rate"].items() if r["verdict"] != "PASS"
+    }
+    assert bad_part  # at least one part's gate reacts
+    assert all("ppm" in r["observed"] for r in bad_part.values())
+    assert all("per fmt" in r["expected"] for r in strat["rate"].values())

@@ -57,6 +57,15 @@ def test_decode_rate_gate_field_maps(spark):
     assert suite.decode_rate_gate == (0.05, 2.576)
 
 
+def test_decode_stratify_fields_map(spark):
+    suite = suite_from_config(
+        {"check_decode": True, "decode_sample_rate": 0.1,
+         "decode_sample_stratify": "fmt", "decode_sample_min_n": 385}
+    )
+    assert suite.decode_sample_stratify == "fmt"
+    assert suite.decode_sample_min_n == 385
+
+
 def test_caption_quality_bounds_section(spark):
     from bigdime_spark.operators.caption import CaptionQualityBound
 
