@@ -367,6 +367,23 @@ def test_drift_contributions_windows_partition_by_key(spark, parquet_fixture):
     assert "SinglePartition" not in plan, plan
 
 
+def test_stratified_sample_broadcasts_thresholds(spark, parquet_fixture):
+    """C77: the per-stratum threshold frame must reach the corpus as a
+    BroadcastHashJoin — the corpus never hash-partitions to be
+    sampled."""
+    from bigdime_spark.operators.infer import (
+        stratified_sample_frame,
+        stratified_thresholds,
+    )
+
+    raw = spark.read.parquet(f"{parquet_fixture}/raw")
+    thr = stratified_thresholds(raw, "fmt", base_rate=0.1, min_n=20)
+    plan = _explain(stratified_sample_frame(raw, "fmt", thr, "s"))
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus side is never exchanged by hash of the join key
+    assert "Exchange hashpartitioning(part" not in plan, plan
+
+
 def test_containment_prefix_side_filters_before_gram_join(spark):
     """C61: the candidate join's indexed side must be the PREFIX
     (rank <= L) — the full shingle relation appears as the probe side,
