@@ -51,6 +51,23 @@ def _parse_grouped_bound(token: str):
         raise ValueError(f"--grouped-bound: {exc}")
 
 
+def _parse_name_bound(flag: str, token: str, ctor):
+    """NAME:LO~HI (either side empty = open) → ctor(name, lo=…, hi=…)
+    — shared by --caption-quality and --caption-lang."""
+    sides = token.split(":")
+    if len(sides) != 2 or not sides[0] or "~" not in sides[1]:
+        raise ValueError(f"{flag}: expected NAME:LO~HI, got {token!r}")
+    lo_txt, hi_txt = sides[1].split("~", 1)
+    try:
+        return ctor(
+            sides[0],
+            lo=float(lo_txt) if lo_txt else None,
+            hi=float(hi_txt) if hi_txt else None,
+        )
+    except ValueError as exc:
+        raise ValueError(f"{flag}: {exc}")
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bigdime_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -2618,6 +2635,12 @@ def main(argv: list[str] | None = None) -> int:
                     f"--decode-sample-min must be >= 0, got "
                     f"{args.decode_sample_min}"
                 )
+        elif args.decode_sample_min != 0:
+            raise ValueError(
+                "--decode-sample-min is a per-stratum floor — it "
+                "requires --decode-sample-by (silently ignoring it "
+                "would fake a coverage guarantee)"
+            )
         if args.decode_max_bad_rate is not None:
             if not args.decode:
                 raise ValueError(
@@ -2681,40 +2704,19 @@ def main(argv: list[str] | None = None) -> int:
                 if len(sides) != 2 or not sides[0] or not sides[1]:
                     raise ValueError(f"--fd: expected DET:DEP, got {token!r}")
                 extra_tcs.append(FunctionalDependency(sides[0], sides[1]))
+        from bigdime_spark.operators.caption import (
+            CaptionLangShareBound,
+            CaptionQualityBound,
+        )
+
         for token in args.caption_quality or ():
-            from bigdime_spark.operators.caption import CaptionQualityBound
-
-            sides = token.split(":")
-            if len(sides) != 2 or not sides[0] or "~" not in sides[1]:
-                raise ValueError(
-                    f"--caption-quality: expected METRIC:LO~HI, got {token!r}"
-                )
-            lo_txt, hi_txt = sides[1].split("~", 1)
-            try:
-                extra_aggs.append(CaptionQualityBound(
-                    sides[0],
-                    lo=float(lo_txt) if lo_txt else None,
-                    hi=float(hi_txt) if hi_txt else None,
-                ))
-            except ValueError as exc:
-                raise ValueError(f"--caption-quality: {exc}")
+            extra_aggs.append(
+                _parse_name_bound("--caption-quality", token, CaptionQualityBound)
+            )
         for token in args.caption_lang or ():
-            from bigdime_spark.operators.caption import CaptionLangShareBound
-
-            sides = token.split(":")
-            if len(sides) != 2 or not sides[0] or "~" not in sides[1]:
-                raise ValueError(
-                    f"--caption-lang: expected LANG:LO~HI, got {token!r}"
-                )
-            lo_txt, hi_txt = sides[1].split("~", 1)
-            try:
-                extra_aggs.append(CaptionLangShareBound(
-                    sides[0],
-                    lo=float(lo_txt) if lo_txt else None,
-                    hi=float(hi_txt) if hi_txt else None,
-                ))
-            except ValueError as exc:
-                raise ValueError(f"--caption-lang: {exc}")
+            extra_aggs.append(
+                _parse_name_bound("--caption-lang", token, CaptionLangShareBound)
+            )
         for token in args.grouped_bound or ():
             gb_tc = _parse_grouped_bound(token)
             missing = [

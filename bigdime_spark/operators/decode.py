@@ -456,6 +456,13 @@ class DecodeIntegrity(TableConstraint):
             )
         if sample_min_n < 0:
             raise ValueError(f"sample_min_n must be >= 0, got {sample_min_n}")
+        if sample_min_n > 0 and sample_stratify is None:
+            # silently ignoring the floor would let an operator believe
+            # a per-stratum minimum was enforced under uniform sampling
+            raise ValueError(
+                "sample_min_n is a per-stratum floor — it requires "
+                "sample_stratify"
+            )
         if rate_gate is not None:
             # fail fast on bad gate geometry — same guards as the
             # operator, but at suite-construction time
@@ -806,23 +813,40 @@ class DecodeIntegrity(TableConstraint):
                 # bad-id set back onto the same scan.
                 from pyspark.sql import Window
 
+                from bigdime_spark.operators.infer import _nskey
+
                 s = self.sample_stratify
+                # null-safe keys: a NULL stratum is a real segment (the
+                # C72 convention) and must be counted, not dropped by
+                # an equi-join
                 thr = strat_thr["raw"].select(
-                    F.col("part"), F.col(s), F.col("threshold")
+                    _nskey(F.col("part")).alias("_pk"),
+                    _nskey(F.col(s)).alias("_sk"),
+                    F.col("threshold"),
                 )
+                # bad rows keyed by (image_id, part): a duplicated
+                # image_id in another part must not inherit this
+                # part's failure (the bad frame carries its own part)
                 bad_ids = (
                     bad.filter(F.col("snapshot") == "raw")
-                    .select("image_id")
+                    .select("image_id", F.col("part").cast("string").alias("_bp"))
                     .distinct()
                     .withColumn("_bad", F.lit(True))
                 )
-                pruned = ctx.raw.select("image_id", "part", s)
+                pruned = ctx.raw.select(
+                    "image_id",
+                    F.col("part"),
+                    F.col(s),
+                    _nskey(F.col("part")).alias("_pk"),
+                    _nskey(F.col(s)).alias("_sk"),
+                    F.col("part").cast("string").alias("_bp"),
+                )
                 kept = sample_hash(
                     F.col("image_id"), self.sample_seed
                 ) < F.col("threshold")
                 counts = (
-                    pruned.join(F.broadcast(thr), ["part", s])
-                    .join(F.broadcast(bad_ids), "image_id", "left")
+                    pruned.join(F.broadcast(thr), ["_pk", "_sk"])
+                    .join(F.broadcast(bad_ids), ["image_id", "_bp"], "left")
                     .groupBy("part", s)
                     .agg(
                         F.count_if(kept).alias("n"),

@@ -167,14 +167,28 @@ def stratified_sample_frame(
     The thresholds frame is parts × strata — explicitly broadcast, so
     the corpus never shuffles to be sampled (the one departure from
     uniform_sample's pure scan-local predicate, priced at a broadcast
-    hash join)."""
+    hash join). The join is NULL-SAFE on both keys (sentinel-encoded):
+    a NULL stratum is a real segment (the C72 convention) — an
+    equi-join would silently drop every NULL-fmt row from the sample,
+    which is exactly the coverage loss this sampler exists to
+    prevent."""
     from bigdime_spark.operators.sampling import sample_hash
 
     thr = thresholds.select(
-        F.col("part").alias(part_col), strata_col, "threshold"
+        _nskey(F.col("part")).alias("_pk"),
+        _nskey(F.col(strata_col)).alias("_sk"),
+        "threshold",
     )
     return (
-        df.join(F.broadcast(thr), [part_col, strata_col])
+        df.withColumn("_pk", _nskey(F.col(part_col)))
+        .withColumn("_sk", _nskey(F.col(strata_col)))
+        .join(F.broadcast(thr), ["_pk", "_sk"])
         .filter(sample_hash(F.col(id_col), seed) < F.col("threshold"))
-        .drop("threshold")
+        .drop("_pk", "_sk", "threshold")
     )
+
+
+def _nskey(c: Column) -> Column:
+    """Null-safe string join key: NULL → a sentinel no real value can
+    collide with (contains NUL)."""
+    return F.coalesce(c.cast("string"), F.lit("\x00null"))

@@ -317,3 +317,86 @@ def test_stratified_decode_catches_rare_stratum_corruption(spark):
     assert bad_part  # at least one part's gate reacts
     assert all("ppm" in r["observed"] for r in bad_part.values())
     assert all("per fmt" in r["expected"] for r in strat["rate"].values())
+
+
+def test_stratified_null_stratum_kept(spark):
+    """A NULL stratum is a real segment (the C72 convention): the
+    null-safe threshold join must keep NULL-fmt rows in the sample
+    instead of equi-join-dropping them — the exact coverage loss the
+    stratified sampler exists to prevent."""
+    from bigdime_spark.operators.infer import (
+        stratified_sample_frame,
+        stratified_thresholds,
+    )
+
+    rows = [("p", "big", f"b{i}") for i in range(200)] + [
+        ("p", None, f"n{i}") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "part string, fmt string, image_id string")
+    thr = stratified_thresholds(df, "fmt", base_rate=0.1, min_n=50)
+    null_thr = [r for r in thr.collect() if r["fmt"] is None]
+    assert null_thr and null_thr[0]["n_pop"] == 4
+    sampled = stratified_sample_frame(df, "fmt", thr, "ns")
+    got = sorted(
+        r["image_id"] for r in sampled.filter(F.col("fmt").isNull()).collect()
+    )
+    assert got == [f"n{i}" for i in range(4)]  # min_n ≥ size → all kept
+
+
+def test_stratified_gate_does_not_misattribute_duplicate_ids(spark):
+    """A duplicated image_id whose copy in ANOTHER part is healthy
+    must not inherit the corrupt copy's failure: k is keyed by
+    (image_id, part), not image_id alone."""
+    from pyspark.sql import functions as F
+
+    from bigdime_spark.plans.suite import StatsProfile, ValidationSuite
+    from bigdime_spark.sources.synth import build_fixture
+
+    fx = build_fixture(spark, n_rows=80, n_parts=2)
+    x = fx.raw.filter("part = 'p0000'").limit(1).collect()[0]["image_id"]
+    pristine_copy = fx.raw.filter(F.col("image_id") == x).withColumn(
+        "part", F.lit("p0001")
+    )
+    raw = fx.raw.withColumn(
+        "bytes",
+        F.when(
+            F.col("image_id") == x,
+            F.expr("substring(bytes, 1, length(bytes) - 1)"),
+        ).otherwise(F.col("bytes")),
+    ).unionByName(pristine_copy)
+
+    suite = ValidationSuite(
+        not_null=(),
+        check_record_count=False,
+        check_checksum=False,
+        check_uniqueness=False,
+        check_referential=False,
+        check_caption=False,
+        check_drift=False,
+        check_domains=False,
+        stats=StatsProfile(columns=[]),
+        check_decode=True,
+        decode_seed=42,
+        decode_snapshots=("raw",),
+        decode_sample_rate=0.5,
+        decode_sample_stratify="fmt",
+        decode_sample_min_n=1000,  # ≥ part size → every row sampled
+        decode_rate_gate=(0.001, 1.96),
+    )
+    res = suite.run(spark, raw, run_id="dup77")
+    got = {
+        r["part"]: r["observed"]
+        for r in res.verdicts.filter(
+            F.col("constraint") == "decode_rate"
+        ).collect()
+    }
+    assert "fail=1" in got["p0000"]  # the corrupt copy's stratum pages
+    assert "fail=0" in got["p0001"]  # the healthy copy does not
+    res.release()
+
+
+def test_sample_min_without_stratify_refused():
+    from bigdime_spark.operators.decode import DecodeIntegrity
+
+    with pytest.raises(ValueError, match="requires sample_stratify"):
+        DecodeIntegrity(sample_rate=0.5, sample_min_n=10)
