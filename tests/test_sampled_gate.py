@@ -400,3 +400,63 @@ def test_sample_min_without_stratify_refused():
 
     with pytest.raises(ValueError, match="requires sample_stratify"):
         DecodeIntegrity(sample_rate=0.5, sample_min_n=10)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_strata = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", None]), st.integers(0, 40)),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(strata=_strata, base=st.sampled_from([0.05, 0.3, 1.0]),
+       min_n=st.integers(0, 30))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_stratified_selection_matches_python_reference(
+    spark, strata, base, min_n
+):
+    """Thresholds AND the selected id set must equal an independent
+    pure-python replay (md5 hashing, ceil arithmetic, clamps, NULL
+    stratum) on randomized strata shapes."""
+    from bigdime_spark.operators.infer import (
+        stratified_sample_frame,
+        stratified_thresholds,
+    )
+
+    rows = [
+        ("p", fmt, f"{fmt}-{i}") for fmt, n in strata for i in range(n)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "part string, fmt string, image_id string")
+    thr = stratified_thresholds(df, "fmt", base_rate=base, min_n=min_n)
+    got_thr = {r["fmt"]: r["threshold"] for r in thr.collect()}
+    want_thr = {}
+    for fmt, n in strata:
+        if n == 0:
+            continue
+        boosted = math.ceil(SAMPLE_SPACE * float(min_n) / n)
+        want_thr[fmt] = min(
+            SAMPLE_SPACE, max(int(base * SAMPLE_SPACE), boosted)
+        )
+    assert got_thr == want_thr
+
+    got_ids = sorted(
+        r["image_id"]
+        for r in stratified_sample_frame(df, "fmt", thr, "prop").collect()
+    )
+    want_ids = sorted(
+        i
+        for _, fmt, i in rows
+        if int(hashlib.md5(f"{i}:prop".encode()).hexdigest()[:10], 16)
+        < want_thr[fmt]
+    )
+    assert got_ids == want_ids
