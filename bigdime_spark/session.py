@@ -16,6 +16,14 @@ from pyspark.sql import SparkSession
 ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # floor for AQE partition coalescing (default 1m): with megabyte-
+    # scale shuffles the 1m floor collapses every post-shuffle stage to
+    # ONE task, serializing CPU-heavy operators (simhash votes, PQ
+    # encode, gram verify joins) onto a single core. 4k keeps tiny
+    # shuffles parallel (parallelismFirst targets the core count);
+    # at production shuffle sizes the advisory size (64m default)
+    # governs and this floor never binds.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # mapInArrow/pandas_udf batch size: big enough to amortize the Arrow
