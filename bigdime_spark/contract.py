@@ -45,6 +45,16 @@ HEX = "0123456789abcdef"
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+#: memo of the _t split-count probe per (sf_dir, table, parallelism):
+#: `df.rdd.getNumPartitions()` converts the scan plan to an RDD through
+#: py4j on EVERY call (~0.1-0.4 s), yet its answer is a pure function
+#: of the parquet file layout and the session parallelism — a plan-
+#: construction decision, not data or results. Memoizing it removes
+#: that overhead from every query build (the bench battery calls _t
+#: ~300 times per run). Never caches query results.
+_T_NEEDS_SPREAD: dict[tuple[str, str, int], bool] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Scale-adaptive input parallelism (guide §2.5 input skew): a
@@ -57,7 +67,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Every query is placement-invariant by design (SURVEY §5.4), so
     # results are bit-identical either way.
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    key = (sf_dir, name, target)
+    needs = _T_NEEDS_SPREAD.get(key)
+    if needs is None:
+        needs = df.rdd.getNumPartitions() < max(2, target // 2)
+        _T_NEEDS_SPREAD[key] = needs
+    if needs:
         df = df.repartition(target)
     return df
 
@@ -967,13 +982,26 @@ def q_distinctness_from_stats_documents(spark: SparkSession, sf_dir: str) -> Dat
     out = distinctness_from_stats(sf).unionByName(
         distinctness_from_stats(sf, table_level=True)
     )
+    # r6 correctness fix (CORRECTNESS_r05 hash_match:false, VERDICT r5
+    # "What's wrong" #1): the sketch's sparse-regime estimate equals
+    # the exact distinct count as a VALUE but not always as a DOUBLE
+    # BIT PATTERN (the estimator arithmetic can land within 1e-9 of
+    # the integer), and feeding that near-integer into round(x/n, 6)
+    # can end one ulp away from the oracle's round(d/n, 6). The query
+    # asserts the sparse-exact regime (docstring above), so snap the
+    # estimate to its integral value FIRST, then mirror the frozen
+    # oracle arithmetic term-for-term: round(d, 6) and
+    # round(d / nullif(n_nonnull, 0), 6) over exact doubles — the
+    # operators/infer.py bit-exact mirroring discipline.
+    de = F.round(F.col("distinct_est")).cast("double")
+    nn = F.when(F.col("n_nonnull") == 0, F.lit(None)).otherwise(F.col("n_nonnull"))
     return out.select(
         "part",
         "column",
         "n_rows",
         "n_nonnull",
-        F.round("distinct_est", 6).alias("distinct_est"),
-        F.round("distinctness_est", 6).alias("distinctness_est"),
+        F.round(de, 6).alias("distinct_est"),
+        F.round(de / nn, 6).alias("distinctness_est"),
     )
 
 
@@ -2687,6 +2715,11 @@ FROM agg
 
 
 def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6 note: an explode(window)+groupBy(min) rewrite was measured
+    # SLOWER in the frozen bench (0.40 s → 1.31 s at sf0.1): with the
+    # _t input spread in place the per-row HOF fold is shuffle-free,
+    # while the rewrite pays a 5M-row explode + exchange. Reverted —
+    # kept as the per-row Column form.
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_col(F.col("text"), 8).alias("fp"))
 
@@ -5821,41 +5854,34 @@ def q_schema_history_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed in DuckDB (the fingerprint itself is hard-coded there —
     it is driver-side metadata; the DIFF is the operator under
     test)."""
-    from bigdime_spark.schema import schema_fingerprint, schema_history
+    from bigdime_spark.schema import schema_history
 
-    o = _t(spark, sf_dir, "orders")
-    fp = schema_fingerprint(o)
-
-    def extra(ordinal, column, run_id):
-        return spark.createDataFrame(
-            [(ordinal, column, "int", run_id)], _FP_SCHEMA
+    # the history is SCHEMA metadata — only orders' dtypes are read
+    # (no scan job). r6 optimization: the run frames used to be seven
+    # unioned createDataFrame calls (one per run + one per planted
+    # extra); assembling the identical rows driver-side into ONE
+    # createDataFrame collapses the 100-node Union plan to a single
+    # local scan — same rows, same schema_history output, ~4x less
+    # wall on a ~30-row query (guide §7.3 plan-size discipline).
+    fp = [
+        (i, col, dtype)
+        for i, (col, dtype) in enumerate(
+            spark.read.parquet(f"{sf_dir}/orders.parquet").dtypes
         )
-
-    r1 = fp.withColumn("run_id", F.lit("r1")).unionByName(
-        extra(6, "flappy", "r1")
-    )
-    r2 = fp.withColumn("run_id", F.lit("r2")).unionByName(
-        extra(6, "x_new", "r2")
-    )
-    r3 = (
-        fp.filter(F.col("column") != "o_orderpriority")
-        .withColumn(
-            "dtype",
-            F.when(
-                F.col("column") == "o_totalprice", F.lit("decimal(12,2)")
-            ).otherwise(F.col("dtype")),
+    ]
+    rows = [(i, c, t, "r1") for i, c, t in fp] + [(6, "flappy", "int", "r1")]
+    rows += [(i, c, t, "r2") for i, c, t in fp] + [(6, "x_new", "int", "r2")]
+    rows += [
+        (
+            9 if c == "o_orderstatus" else i,
+            c,
+            "decimal(12,2)" if c == "o_totalprice" else t,
+            "r3",
         )
-        .withColumn(
-            "ordinal",
-            F.when(F.col("column") == "o_orderstatus", F.lit(9)).otherwise(
-                F.col("ordinal")
-            ),
-        )
-        .withColumn("run_id", F.lit("r3"))
-        .unionByName(extra(6, "x_new", "r3"))
-        .unionByName(extra(7, "flappy", "r3"))
-    )
-    return schema_history(r1.unionByName(r2).unionByName(r3))
+        for i, c, t in fp
+        if c != "o_orderpriority"
+    ] + [(6, "x_new", "int", "r3"), (7, "flappy", "int", "r3")]
+    return schema_history(spark.createDataFrame(rows, _FP_SCHEMA))
 
 
 SQL_SCHEMA_HISTORY = """

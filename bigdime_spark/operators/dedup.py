@@ -265,10 +265,27 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
+    # r6 optimization (guide §1.2 per-task work): the per-bit form ran
+    # one string conv(substring(h, i, 1)) PER BIT per token (16-24
+    # base-conversions each allocating a one-char string). One conv
+    # over the first ceil(bits/4) hex chars yields the same nibbles
+    # packed into a long — bit b of the old per-char digit d_i
+    # (i = b//4) is bit 4*(nchars-1-i) + b%4 of the packed value, so
+    # every vote is a shift+mask on one long. Identical bit values ⇒
+    # identical votes ⇒ identical fingerprints (digest-verified).
+    # nchars ≤ 15 keeps the packed decimal string within int64; the
+    # engine caps bits ≤ 62 → nchars ≤ 16, so 61+ bits would need two
+    # chunks — no caller uses >24 bits, guard loudly.
+    nchars = (bits + 3) // 4
+    if nchars > 15:
+        raise ValueError(f"simhash bits={bits} exceeds the packed-conv range (60)")
+    tok = tok.withColumn(
+        "hv", F.conv(F.substring(F.col("h"), 1, nchars), 16, 10).cast("long")
+    )
     votes = []
     for b in range(bits):
-        digit = F.conv(F.substring(F.col("h"), b // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(digit, b % 4).bitwiseAND(F.lit(1))
+        shift = 4 * (nchars - 1 - b // 4) + (b % 4)
+        bit = F.shiftright(F.col("hv"), shift).bitwiseAND(F.lit(1))
         votes.append(
             F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"v_{b}")
         )

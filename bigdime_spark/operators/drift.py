@@ -241,6 +241,16 @@ def drift_from_stats(
     direct SQL in the ``drift_table_rollup_orders`` oracle). Still a
     metadata-sized computation: #parts × #columns × nbins rows in,
     #columns rows out."""
+    # r6 optimization (guide §5 caching-when-reused): each side feeds
+    # one guard job (.first() in _validate_stats_frame) AND the scoring
+    # plan below. When the caller hands an INLINE-computed stats frame
+    # (the contract queries build histogram_frames on the fly), the
+    # un-persisted guard job re-executed the whole upstream
+    # scan+aggregate per side. The frames are parts × columns sized
+    # metadata, safe to persist at any corpus scale; a no-op when the
+    # caller already persisted them (the suite path).
+    stats_r = stats_r.persist()
+    stats_c = stats_c.persist()
     sa = _validate_stats_frame(stats_r, "stats_r", table_level)
     sb = _validate_stats_frame(stats_c, "stats_c", table_level)
     for col in sorted(set(sa) & set(sb)):

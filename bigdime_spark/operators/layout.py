@@ -145,6 +145,17 @@ def zone_overlap_profile(
         F.col(min_col).alias("mn"),
         F.col(max_col).alias("mx"),
     )
+    # r6 optimization (guide §5 caching-when-reused): this parts-sized
+    # frame feeds FIVE driver-side collects (the guard below + lo_hi
+    # and bucket totals inside each of the two _rank_counts calls) and
+    # three references in the final plan. Un-persisted, every one of
+    # them recomputed the caller's feeder aggregation (for the contract
+    # query: two groupBys over orders — measured ~8 redundant jobs,
+    # ~4-5 s of the query's wall). The cache is partition-COUNT-sized
+    # metadata (one row per part), never data-sized, so it is safe at
+    # any corpus scale; callers release it with the session's normal
+    # clearCache/unpersist discipline.
+    r = r.persist()
     g = r.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("part").alias("n_distinct"),

@@ -75,6 +75,13 @@ def robust_part_outliers(
             "metric columns must be numeric scalars: "
             + ", ".join(f"{m} is {dtypes[m]}" for m in bad)
         )
+    # r6 optimization (guide §5 caching-when-reused): the guard job
+    # below plus the melted/median plan reference this frame 3+ times;
+    # un-persisted, an INLINE-computed profile (the contract query
+    # aggregates lineitem on the fly) re-ran its groupBy per reference.
+    # Parts-sized metadata — safe to persist at any corpus scale; a
+    # no-op when the caller already persisted (the suite's fused frame).
+    stats = stats.persist()
     # ONE eager guard job (parts-sized frame): duplicate per-part rows
     # would skew every median AND emit duplicate score rows — refuse
     # loudly, like drift_from_stats does. A NULL part key counts as
@@ -243,6 +250,10 @@ def _melted_history(
             "metric columns must be numeric scalars: "
             + ", ".join(f"{m} is {dtypes[m]}" for m in bad)
         )
+    # r6: persist the runs×parts-sized history so the guard job and the
+    # downstream melt/window plan share one materialization (an inline-
+    # built history otherwise recomputed its feeder per reference).
+    history = history.persist()
     guard = history.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.struct("run_id", F.col(part_col))).alias("d"),

@@ -353,7 +353,11 @@ def distinctness_from_stats(
     # one parts-sized guard job: duplicates double the count arithmetic
     # against a deduplicating sketch union; an EMPTY frame would make
     # the table-level global agg emit one all-NULL row (a global agg
-    # always returns a row) — both are refused, never guessed through
+    # always returns a row) — both are refused, never guessed through.
+    # r6: persist first — the guard plus the roll-up plan reference
+    # this parts-sized frame repeatedly (an inline-profiled frame
+    # otherwise re-runs its HLL aggregation per reference).
+    stats = stats.persist()
     per_part = stats.groupBy("part").count().collect()
     if not per_part:
         raise ValueError(

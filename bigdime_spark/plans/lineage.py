@@ -262,6 +262,9 @@ def verdict_history(verdicts: DataFrame) -> DataFrame:
             "an accumulated verdicts table (the CLI stamps run_id on "
             "every run's verdicts)"
         )
+    # r6: persist the runs×parts×constraints-sized frame so the guard
+    # job and the window/agg plan share one materialization.
+    verdicts = verdicts.persist()
     guard = verdicts.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(

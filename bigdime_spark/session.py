@@ -43,6 +43,33 @@ ENGINE_CONFS: dict[str, str] = {
     # default × ~20 KB payloads ≈ 80 MB per open batch).
     "spark.driver.memory": "24g",
     "spark.sql.parquet.columnarReaderBatchSize": "1024",
+    # JIT code cache sized for a long-lived session running hundreds of
+    # distinct codegen'd queries (guide §1/§7 battery-degradation
+    # diagnosis, r6): the JVM default (240 MB) fills mid-battery and
+    # silently flushes/re-JITs whole-stage-codegen classes, which
+    # measured as 2-4x slowdowns + wild variance on queries late in a
+    # 78-query run (e.g. the same 20-row query: rep1 6.2 s, rep2
+    # 25.6 s). Applies to any driver/executor that serves many distinct
+    # plans, not a local[32] quirk.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+    "spark.executor.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+    # InferFiltersFromGenerate clones the generator's child expression
+    # into a size()>0 filter below the explode. For the gram/melt
+    # queries that array is a large zip_with/transform tree built from
+    # the text column, so the inferred filter re-evaluates the entire
+    # tokenize+fold per row a second time — and predicate pushdown
+    # then sinks that copy below the scale-adaptive repartition, i.e.
+    # onto the narrow pre-shuffle stage (guide §4.4's duplicated-
+    # expression problem, JVM edition; seen in dup_gram_docs /
+    # contamination_documents plans). The inferred filter is redundant
+    # with Generate's own semantics (a non-outer explode drops
+    # empty/NULL arrays itself), so excluding the rule never changes
+    # results — it only stops the double evaluation. Corpus tables
+    # carry no array columns, so the rule has no scan-pruning value
+    # anywhere in this engine.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
